@@ -1,0 +1,308 @@
+package graft.core
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational / wrangling operators (SURVEY.md §2.1).
+  *
+  * These re-express the tidyverse/data.table surface the reference uses
+  * everywhere (group_by+summarise, distinct-per-group checks, ordered
+  * factors, crosstabs, melt, stratified sampling, top-n) as declarative
+  * Spark plans. Scale notes per operator inline; dims are broadcast,
+  * facts shuffle once on their natural key.
+  */
+object Relational {
+
+  /** Round doubles at the END of a pipeline so the DuckDB-oracle hash
+    * compare is stable against summation-order fp jitter. */
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  // ---------------------------------------------------------------
+  // 1. groupBy + multi-agg summarise — TPC-H Q1 shape.
+  // Scale: single shuffle on (returnflag, linestatus); partial aggs
+  // map-side; scan reads only the 7 needed columns (verified pushdown).
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    l.filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r(sum(col("l_quantity")), 2).as("sum_qty"),
+        r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        r(sum(disc), 2).as("sum_disc_price"),
+        r(sum(charge), 2).as("sum_charge"),
+        r(avg(col("l_quantity")), 6).as("avg_qty"),
+        r(avg(col("l_extendedprice")), 4).as("avg_price"),
+        r(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // ---------------------------------------------------------------
+  // 2. 5-table join + agg — TPC-H Q5 shape.
+  // Scale: region/nation broadcast (tiny dims); customer⋈orders and
+  // orders⋈lineitem shuffle on their keys; AQE handles skew.
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(r(sum(rev), 2).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------
+  // 3. join + groupBy + deterministic top-k.
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(r(sum(rev), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  // ---------------------------------------------------------------
+  // 4. window rank / top-n per group. row_number cast to long so the
+  // schema matches DuckDB's BIGINT row_number.
+  def topkPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val agg = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(r(sum(rev), 2).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
+  // ---------------------------------------------------------------
+  // 5. window running aggregate per entity ordered by time.
+  def runningCustomerSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        r(sum(col("o_totalprice")).over(w), 2).as("cum_spend"))
+  }
+
+  // ---------------------------------------------------------------
+  // 6. label-specificity check (reference utils.R:24-41): are labels
+  // unique per grouping key? distinct + groupBy + countDistinct.
+  def labelSpecificity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("group_key"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_labels"))
+      .withColumn("is_specific", col("n_labels") === 1L)
+
+  // ---------------------------------------------------------------
+  // 7. factor-by-size (reference utils.R:46-52): order levels by freq.
+  def factorBySize(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("level"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("level").asc)
+    counts.withColumn("size_rank", row_number().over(w).cast("long"))
+  }
+
+  // ---------------------------------------------------------------
+  // 8. crosstab + row proportions (reference integrate.R:231-238).
+  def crosstabPriorityStatus(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+    counts.withColumn("prop",
+      r(col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+  }
+
+  // ---------------------------------------------------------------
+  // 9. melt / pivot_longer (reference wrapper.R:127, reshape2::melt).
+  // stack() is codegen'd; no shuffle at all — pure narrow map.
+  def meltLineitemMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).selectExpr(
+      "l_orderkey", "l_linenumber",
+      """stack(4,
+           'quantity', l_quantity,
+           'extendedprice', l_extendedprice,
+           'discount', l_discount,
+           'tax', l_tax) AS (metric, value)""")
+
+  // ---------------------------------------------------------------
+  // 11. stratified deterministic subsample (reference reference.R:146-155):
+  // n per group, seeded — re-expressed as order-by-md5(key) so it is
+  // reproducible on any cluster AND expressible in the oracle.
+  // Scale: one shuffle on the stratum key; no driver collect.
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(md5(col("c_custkey").cast("string")).asc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------
+  // 12. set-membership (UpSet) matrix (reference wrapper.R:364-374).
+  def upsetMembership(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("in_returned"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("in_urgent"),
+        max(when(col("l_discount") > 0.05, 1).otherwise(0)).as("in_discounted"))
+
+  // ---------------------------------------------------------------
+  // 13. as-of join: for each 'purchase' event, the latest prior
+  // 'click' event of the same user (ts_click <= ts_purchase).
+  //
+  // Spark-first implementation: union the two sides tagged, ONE shuffle
+  // on the key, then last(ignoreNulls) over an ordered window — the
+  // standard scalable as-of pattern (no O(n·m) join, no range explode).
+  // At equal ts the right side sorts first (side=0) giving <= semantics;
+  // among right ties the larger event_id wins deterministically.
+  def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("click_value"),
+        lit(1).as("side"))
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"),
+        lit(0).as("side"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("click_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof_click_id").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), expr("t div 1000").as("ts_us"),
+        col("asof_click_id"), col("asof_click_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"     -> (q1PricingSummary _),
+    "q5_region_revenue"      -> (q5RegionRevenue _),
+    "q3_top_orders"          -> (q3TopOrders _),
+    "topk_parts_per_brand"   -> (topkPartsPerBrand _),
+    "running_customer_spend" -> (runningCustomerSpend _),
+    "label_specificity"      -> (labelSpecificity _),
+    "factor_by_size"         -> (factorBySize _),
+    "crosstab_priority_status" -> (crosstabPriorityStatus _),
+    "melt_lineitem_metrics"  -> (meltLineitemMetrics _),
+    "stratified_sample"      -> (stratifiedSample _),
+    "upset_membership"       -> (upsetMembership _),
+    "asof_purchase_click"    -> (asofPurchaseClick _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+         round(avg(l_quantity),6) AS avg_qty,
+         round(avg(l_extendedprice),4) AS avg_price,
+         round(avg(l_discount),6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q3_top_orders" ->
+      """SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+           SELECT o_orderkey, o_orderdate, o_orderpriority,
+                  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "topk_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, revenue, rk FROM (
+           SELECT p_brand, p_partkey,
+                  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+                  row_number() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY round(sum(l_extendedprice*(1-l_discount)),2) DESC,
+                             p_partkey ASC) AS rk
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand, p_partkey)
+         WHERE rk <= 3""",
+    "running_customer_spend" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_spend
+         FROM orders""",
+    "label_specificity" ->
+      """SELECT c_nationkey AS group_key,
+         count(DISTINCT c_mktsegment) AS n_labels,
+         count(DISTINCT c_mktsegment) = 1 AS is_specific
+         FROM customer GROUP BY c_nationkey""",
+    "factor_by_size" ->
+      """SELECT level, n, row_number() OVER (ORDER BY n DESC, level ASC) AS size_rank
+         FROM (SELECT o_orderpriority AS level, count(*) AS n
+               FROM orders GROUP BY o_orderpriority)""",
+    "crosstab_priority_status" ->
+      """SELECT o_orderpriority, o_orderstatus, n,
+         round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6) AS prop
+         FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+               FROM orders GROUP BY o_orderpriority, o_orderstatus)""",
+    "melt_lineitem_metrics" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""",
+    "stratified_sample" ->
+      """SELECT c_mktsegment, c_custkey FROM (
+           SELECT c_mktsegment, c_custkey,
+                  row_number() OVER (
+                    PARTITION BY c_mktsegment
+                    ORDER BY md5(CAST(c_custkey AS VARCHAR)) ASC, c_custkey ASC) AS rn
+           FROM customer)
+         WHERE rn <= 10""",
+    "upset_membership" ->
+      """SELECT l_partkey AS p_partkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS in_returned,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_urgent,
+         max(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS in_discounted
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_partkey""",
+    "asof_purchase_click" ->
+      """SELECT event_id, user_id, ts_us, asof_click_id, asof_click_value FROM (
+           SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                  c.event_id AS asof_click_id, c.value AS asof_click_value,
+                  row_number() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM events p JOIN events c
+             ON c.user_id = p.user_id AND c.ts <= p.ts AND c.event_type = 'click'
+           WHERE p.event_type = 'purchase')
+         WHERE rn = 1""")
+}
