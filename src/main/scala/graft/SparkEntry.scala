@@ -11,7 +11,8 @@ object SparkEntry {
 
   private val registry: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (core.Relational.queries, core.Relational.oracles)
+      (core.Relational.queries, core.Relational.oracles),
+      (sc.SingleCell.queries, sc.SingleCell.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

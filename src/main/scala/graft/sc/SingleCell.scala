@@ -1,0 +1,523 @@
+package graft.sc
+
+import graft.Tables
+import graft.core.Stats
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Single-cell-analog analytics (SURVEY.md §2.2).
+  *
+  * The reference computes these over a cell×gene matrix; we compute the
+  * identical statistics over the long-format analog (entity = l_orderkey
+  * ≈ cell, feature = l_partkey ≈ gene, value = l_quantity ≈ count,
+  * batch = o_orderpriority ≈ assay batch). Every operator is a
+  * declarative plan: partial aggregation map-side, exact percentiles via
+  * tiny per-batch aggregates broadcast-joined back (never a window sort
+  * over a giant partition), p-values in log space as pure codegen'd
+  * Column arithmetic (Stats.lgammaCol — no UDF, no lookup join).
+  *
+  * Reference provenance (file:line): qc wrapper.R:78-117 (metrics),
+  * wrapper.R:148-220 (MAD outliers), wrapper.R:223-252 (feature filter),
+  * reference.R:157-160 (log-normalize), compare_annotation.R:18-48
+  * (deltas), compare_annotation.R:57-113 (combine),
+  * compare_annotation.R:144-201 (threshold tally), integrate.R:188-266
+  * (diversity), funx_enrichment.R:19-158 (ORA), wrapper.R:254-257
+  * (module score), integrate.R:19-44 (variance explained),
+  * wrapper.R:259-264 (mean-variance / HVG), integrate.R:51-181 (batch
+  * standardize), slingshot.R/tradeseq.R (pseudotime association).
+  */
+object SingleCell {
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  /** Long-format expression matrix: entity × feature × value.
+    * Aggregated because (orderkey, partkey) can repeat across lines. */
+  private def matrix(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("entity"), col("l_partkey").as("feature"))
+      .agg(sum(col("l_quantity")).as("value"))
+
+  private val matrixSql =
+    """SELECT l_orderkey AS entity, l_partkey AS feature,
+       sum(l_quantity) AS value
+       FROM lineitem GROUP BY l_orderkey, l_partkey"""
+
+  // ---------------------------------------------------------------
+  // 14. per-entity QC metrics (wrapper.R:78-117): total counts, #features
+  // detected, percent-of-counts in a feature subset (mito/ribo analog =
+  // features with key ≡ 0 mod 10). Single shuffle on the entity key.
+  def qcCellMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("entity"))
+      .agg(
+        r(sum(col("l_quantity")), 4).as("total"),
+        countDistinct(col("l_partkey")).as("detected"),
+        r(lit(100.0) * sum(when(pmod(col("l_partkey"), lit(10)) === 0, col("l_quantity")).otherwise(0.0))
+          / sum(col("l_quantity")), 6).as("pct_subset"))
+
+  // ---------------------------------------------------------------
+  // 15. MAD outlier flags per batch (wrapper.R:148-220): nmads=3 rule on
+  // log1p totals, scater-style (MAD scaled by 1.4826). Exact per-batch
+  // median/MAD are computed as TINY aggregates (|batches| rows) and
+  // broadcast-joined back — no giant-partition window sort, so this
+  // holds at 100 TB (swap percentile→percentile_approx there if exact
+  // medians are not contractual).
+  def qcMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("tot"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority").as("batch")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("entity"), col("batch"), log1p(col("tot")).as("lx"))
+    val med = totals.groupBy(col("batch")).agg(Stats.medianCol(col("lx")).as("med"))
+    val withMed = totals.join(broadcast(med), "batch")
+    val mad = withMed.groupBy(col("batch"))
+      .agg(Stats.medianCol(abs(col("lx") - col("med"))).as("mad"))
+    withMed.join(broadcast(mad), "batch")
+      .select(col("entity"), col("batch"), r(col("lx"), 6).as("lx"),
+        (abs(col("lx") - col("med")) > lit(3 * 1.4826) * col("mad")).as("outlier"),
+        (col("lx") < col("med") - lit(3 * 1.4826) * col("mad")).as("outlier_low"))
+  }
+
+  // ---------------------------------------------------------------
+  // 16. feature filter (wrapper.R:223-252): keep features detected in
+  // ≥ min #entities or ≥ min %entities. The entity total is a scalar
+  // aggregate broadcast into the plan.
+  def featureFilter(s: SparkSession, dir: String): DataFrame = {
+    val m = matrix(s, dir)
+    val nEntities = m.agg(countDistinct(col("entity")).as("n_entities"))
+    m.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_detected"))
+      .crossJoin(broadcast(nEntities))
+      .select(col("feature"), col("n_detected"),
+        (col("n_detected") >= 5 ||
+          col("n_detected").cast("double") / col("n_entities") >= 0.02).as("keep"))
+  }
+
+  // ---------------------------------------------------------------
+  // 17. log-normalize (reference.R:157-160): CPM-style counts-per-10k
+  // log1p. Per-entity totals via one extra partial agg + shuffle on
+  // entity (already the matrix partitioning — reused).
+  def logNormalize(s: SparkSession, dir: String): DataFrame = {
+    val m = matrix(s, dir)
+    val w = Window.partitionBy(col("entity"))
+    m.select(col("entity"), col("feature"),
+      r(log1p(col("value") / sum(col("value")).over(w) * lit(1e4)), 6).as("lognorm"))
+  }
+
+  private val logNormSql =
+    s"""SELECT entity, feature,
+        round(ln(1 + value / sum(value) OVER (PARTITION BY entity) * 10000), 6) AS lognorm
+        FROM ($matrixSql)"""
+
+  // ---------------------------------------------------------------
+  // 18/19. annotation deltas (compare_annotation.R:18-48): score matrix =
+  // entity × label (sum of extendedprice per returnflag-label); per
+  // entity the winning label's score minus the row median (delta_med)
+  // and minus the runner-up (delta_next). Label cardinality is tiny so
+  // the per-entity window partitions are bounded (≤ #labels rows).
+  def annotationDeltas(s: SparkSession, dir: String): DataFrame = {
+    val scores = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
+      .agg(sum(col("l_extendedprice")).as("score"))
+    val wRank = Window.partitionBy(col("entity"))
+      .orderBy(col("score").desc, col("label").asc)
+    val wAll = Window.partitionBy(col("entity"))
+    scores
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("med", Stats.medianCol(col("score")).over(wAll))
+      .withColumn("nxt", lead(col("score"), 1).over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("entity"), col("label").as("top_label"),
+        r(col("score"), 4).as("score"),
+        r(col("score") - col("med"), 4).as("delta_med"),
+        r(col("score") - coalesce(col("nxt"), lit(0.0)), 4).as("delta_next"))
+  }
+
+  // ---------------------------------------------------------------
+  // 20. combine two annotation methods (compare_annotation.R:57-113):
+  // method1 = argmax label by revenue, method2 = argmax by quantity;
+  // agreement keeps the label, disagreement → "Ambiguous".
+  def annotationCombine(s: SparkSession, dir: String): DataFrame = {
+    def argmaxBy(valueCol: Column, out: String): DataFrame = {
+      val w = Window.partitionBy(col("entity")).orderBy(col("v").desc, col("label").asc)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
+        .agg(sum(valueCol).as("v"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("entity"), col("label").as(out))
+    }
+    argmaxBy(col("l_extendedprice"), "label_m1")
+      .join(argmaxBy(col("l_quantity"), "label_m2"), "entity")
+      .withColumn("final_label",
+        when(col("label_m1") === col("label_m2"), col("label_m1")).otherwise(lit("Ambiguous")))
+  }
+
+  // ---------------------------------------------------------------
+  // 21. quantile-threshold robust filter + tally
+  // (compare_annotation.R:144-201): per-metric q25 thresholds, entity
+  // passes iff ALL metrics ≥ threshold; tally of pass/fail. Thresholds
+  // are a 1-row aggregate broadcast via crossJoin.
+  def thresholdTally(s: SparkSession, dir: String): DataFrame = {
+    val metrics = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("entity"))
+      .agg(sum(col("l_quantity")).as("total"),
+        countDistinct(col("l_partkey")).cast("double").as("detected"))
+    val thr = metrics.agg(
+      Stats.quantileCol(col("total"), 0.25).as("t_total"),
+      Stats.quantileCol(col("detected"), 0.25).as("t_detected"))
+    metrics.crossJoin(broadcast(thr))
+      .select(col("entity"),
+        (col("total") >= col("t_total") && col("detected") >= col("t_detected")).as("pass"),
+        r(col("t_total"), 6).as("t_total"), r(col("t_detected"), 6).as("t_detected"))
+      .groupBy(col("pass"), col("t_total"), col("t_detected"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------
+  // 22. label×group diversity (integrate.R:188-266): crosstab row
+  // proportions, then per-label coefficient of variation across groups.
+  def labelGroupDiversity(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("grp"), col("c_mktsegment").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+    counts
+      .withColumn("prop", col("n").cast("double") / sum(col("n")).over(w))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_groups"),
+        r(stddev_pop(col("prop")) / avg(col("prop")), 6).as("cv"))
+  }
+
+  // ---------------------------------------------------------------
+  // 23. inverse-Simpson diversity per group (integrate.R:239-266,
+  // LISI-like): 1 / Σ p_i² over label proportions within each group.
+  def inverseSimpson(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("grp"), col("c_mktsegment").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("grp"), col("n_total"),
+        r(col("n_total").cast("double") * col("n_total") / col("sum_sq"), 6).as("inv_simpson"))
+
+  // ---------------------------------------------------------------
+  // 24. over-representation analysis (funx_enrichment.R:19-158):
+  // hypergeometric upper-tail p per term (term = p_brand gene-set,
+  // hits = parts appearing in returned lineitems), computed entirely in
+  // log space with Stats.lnChoose (codegen'd Stirling lgamma — no UDF),
+  // then Benjamini-Hochberg adjust. The per-term tail sum explodes a
+  // bounded sequence (≤ min(K,n) terms) — term table is tiny relative
+  // to the fact scan that produced the hit set.
+  def enrichmentOra(s: SparkSession, dir: String): DataFrame = {
+    val hits = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 50)
+      .select(col("l_partkey")).distinct()
+    val part = Tables.part(s, dir)
+    val base = part
+      .join(hits.withColumn("hit", lit(1)), part("p_partkey") === hits("l_partkey"), "left")
+      .groupBy(col("p_brand").as("term"))
+      .agg(count(lit(1)).as("k_term"), sum(coalesce(col("hit"), lit(0))).as("k_hits"))
+      .crossJoin(broadcast(part.agg(count(lit(1)).as("n_universe"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+    val tail = base
+      .withColumn("j", explode(sequence(col("k_hits"), least(col("k_term"), col("n_hits")))))
+      .withColumn("lnp",
+        Stats.lnChoose(col("k_term").cast("double"), col("j").cast("double")) +
+          Stats.lnChoose((col("n_universe") - col("k_term")).cast("double"), (col("n_hits") - col("j")).cast("double")) -
+          Stats.lnChoose(col("n_universe").cast("double"), col("n_hits").cast("double")))
+      .groupBy(col("term"), col("n_universe"), col("k_term"), col("n_hits"), col("k_hits"))
+      .agg(sum(exp(col("lnp"))).as("p"))
+    val wRank = Window.orderBy(col("p").asc, col("term").asc)
+    val wBh = Window.orderBy(col("rk").asc).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tail
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("p_adj", least(lit(1.0), min(col("p") * col("m") / col("rk")).over(wBh)))
+      .select(col("term"), col("n_universe"), col("k_term"), col("n_hits"), col("k_hits"),
+        r(col("p"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
+  // ---------------------------------------------------------------
+  // 25. module score (wrapper.R:254-257): mean log-normalized expression
+  // of a feature set minus mean of the control set, per entity. Part
+  // attributes arrive via a broadcast dim join.
+  def moduleScore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("entity"))
+    val lognorm = matrix(s, dir).select(col("entity"), col("feature"),
+      log1p(col("value") / sum(col("value")).over(w) * lit(1e4)).as("lognorm"))
+    lognorm
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_size"))),
+        col("feature") === col("p_partkey"))
+      .groupBy(col("entity"))
+      .agg(r(avg(when(col("p_size") <= 10, col("lognorm")))
+        - avg(when(col("p_size") > 10, col("lognorm"))), 6).as("module_score"))
+  }
+
+  // ---------------------------------------------------------------
+  // 26. variance explained per covariate (integrate.R:19-44): per-feature
+  // one-way ANOVA R² of value vs batch covariate = SS_between/SS_total.
+  // Two-level aggregation — no window, two shuffles total.
+  def varianceExplained(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority").as("grp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("feature"), col("grp"), col("l_quantity").as("x"))
+    val byGroup = x.groupBy(col("feature"), col("grp"))
+      .agg(count(lit(1)).as("n_g"), avg(col("x")).as("m_g"))
+    val overall = x.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_all"), avg(col("x")).as("m_all"), var_pop(col("x")).as("v_all"))
+    byGroup.join(overall, "feature")
+      .groupBy(col("feature"), col("n_all"), col("v_all"))
+      .agg(sum(col("n_g") * (col("m_g") - col("m_all")) * (col("m_g") - col("m_all"))).as("ss_between"))
+      .select(col("feature"), col("n_all"),
+        r(col("ss_between") / (col("n_all") * nullif(col("v_all"), lit(0.0))), 6).as("r2"))
+  }
+
+  // ---------------------------------------------------------------
+  // 27. mean-variance / highly-variable features (wrapper.R:259-264):
+  // per-feature mean + variance of log-normalized expression, ranked by
+  // (rounded) variance. NOTE the global rank window: feature cardinality
+  // is the gene-analog (~10⁴-10⁶) so a single-partition sort is
+  // acceptable even at 100 TB of matrix entries; the heavy reduction
+  // happened in the groupBy.
+  def hvgMeanVar(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("entity"))
+    val lognorm = matrix(s, dir).select(col("entity"), col("feature"),
+      log1p(col("value") / sum(col("value")).over(w) * lit(1e4)).as("lognorm"))
+    val stats = lognorm.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n"), r(avg(col("lognorm")), 6).as("mean_ln"),
+        r(var_pop(col("lognorm")), 6).as("var_ln"))
+    val wRank = Window.orderBy(col("var_ln").desc, col("feature").asc)
+    stats.withColumn("hvg_rank", row_number().over(wRank).cast("long"))
+      .withColumn("is_hvg", col("hvg_rank") <= 50)
+  }
+
+  // ---------------------------------------------------------------
+  // 28. per-batch standardization (integrate.R:51-181 re-expressed):
+  // z-score each value against its batch's mean/stddev. Batch moments
+  // are a tiny aggregate broadcast back — the fact table is touched in
+  // one pass + one broadcast join, no shuffle of the fact rows at all.
+  def batchStandardize(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority").as("batch")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("batch"), col("l_quantity").as("x"))
+    val moments = x.groupBy(col("batch"))
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sigma"))
+    x.join(broadcast(moments), "batch")
+      .select(col("l_orderkey"), col("l_linenumber"), col("batch"),
+        r((col("x") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6).as("z"))
+  }
+
+  // ---------------------------------------------------------------
+  // 31. pseudotime-association test (slingshot.R/tradeseq.R analog):
+  // per-feature Pearson correlation of expression vs pseudotime order
+  // (order date). Single shuffle on feature; corr is one-pass.
+  def pseudotimeAssoc(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("feature"),
+        unix_timestamp(col("o_orderdate")).cast("double").as("pt"),
+        col("l_quantity").as("x"))
+    x.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n"), corr(col("x"), col("pt")).as("c"))
+      .select(col("feature"), col("n"),
+        r(when(isnan(col("c")), lit(null)).otherwise(col("c")), 6).as("assoc"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_cell_metrics"       -> (qcCellMetrics _),
+    "qc_mad_outliers"       -> (qcMadOutliers _),
+    "feature_filter"        -> (featureFilter _),
+    "log_normalize"         -> (logNormalize _),
+    "annotation_deltas"     -> (annotationDeltas _),
+    "annotation_combine"    -> (annotationCombine _),
+    "threshold_tally"       -> (thresholdTally _),
+    "label_group_diversity" -> (labelGroupDiversity _),
+    "inverse_simpson"       -> (inverseSimpson _),
+    "enrichment_ora"        -> (enrichmentOra _),
+    "module_score"          -> (moduleScore _),
+    "variance_explained"    -> (varianceExplained _),
+    "hvg_mean_var"          -> (hvgMeanVar _),
+    "batch_standardize"     -> (batchStandardize _),
+    "pseudotime_assoc"      -> (pseudotimeAssoc _))
+
+  val oracles: Map[String, String] = Map(
+    "qc_cell_metrics" ->
+      """SELECT l_orderkey AS entity,
+         round(sum(l_quantity),4) AS total,
+         count(DISTINCT l_partkey) AS detected,
+         round(100.0 * sum(CASE WHEN l_partkey % 10 = 0 THEN l_quantity ELSE 0.0 END)
+               / sum(l_quantity), 6) AS pct_subset
+         FROM lineitem GROUP BY l_orderkey""",
+    "qc_mad_outliers" ->
+      """WITH totals AS (
+           SELECT l_orderkey AS entity, o_orderpriority AS batch,
+                  ln(1 + sum(l_quantity)) AS lx
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY l_orderkey, o_orderpriority),
+         med AS (SELECT batch, median(lx) AS med FROM totals GROUP BY batch),
+         mad AS (SELECT t.batch, median(abs(t.lx - m.med)) AS mad
+                 FROM totals t JOIN med m ON t.batch = m.batch GROUP BY t.batch)
+         SELECT t.entity, t.batch, round(t.lx,6) AS lx,
+                abs(t.lx - m.med) > 3*1.4826*d.mad AS outlier,
+                t.lx < m.med - 3*1.4826*d.mad AS outlier_low
+         FROM totals t JOIN med m ON t.batch = m.batch
+         JOIN mad d ON t.batch = d.batch""",
+    "feature_filter" ->
+      """WITH m AS (SELECT l_orderkey AS entity, l_partkey AS feature,
+                    sum(l_quantity) AS value
+                    FROM lineitem GROUP BY 1,2),
+         tot AS (SELECT count(DISTINCT entity) AS n_entities FROM m)
+         SELECT feature, count(*) AS n_detected,
+                (count(*) >= 5 OR CAST(count(*) AS DOUBLE)/max(tot.n_entities) >= 0.02) AS keep
+         FROM m, tot GROUP BY feature""",
+    "log_normalize" -> logNormSql,
+    "annotation_deltas" ->
+      """WITH scores AS (
+           SELECT l_orderkey AS entity, l_returnflag AS label,
+                  sum(l_extendedprice) AS score
+           FROM lineitem GROUP BY 1,2),
+         ranked AS (
+           SELECT entity, label, score,
+                  row_number() OVER (PARTITION BY entity ORDER BY score DESC, label ASC) AS rk,
+                  median(score) OVER (PARTITION BY entity) AS med,
+                  lead(score) OVER (PARTITION BY entity ORDER BY score DESC, label ASC) AS nxt
+           FROM scores)
+         SELECT entity, label AS top_label, round(score,4) AS score,
+                round(score - med,4) AS delta_med,
+                round(score - coalesce(nxt, 0.0),4) AS delta_next
+         FROM ranked WHERE rk = 1""",
+    "annotation_combine" ->
+      """WITH m1 AS (
+           SELECT entity, label AS label_m1 FROM (
+             SELECT l_orderkey AS entity, l_returnflag AS label,
+                    row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY sum(l_extendedprice) DESC, l_returnflag ASC) AS rk
+             FROM lineitem GROUP BY 1,2) WHERE rk = 1),
+         m2 AS (
+           SELECT entity, label AS label_m2 FROM (
+             SELECT l_orderkey AS entity, l_returnflag AS label,
+                    row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY sum(l_quantity) DESC, l_returnflag ASC) AS rk
+             FROM lineitem GROUP BY 1,2) WHERE rk = 1)
+         SELECT m1.entity, label_m1, label_m2,
+                CASE WHEN label_m1 = label_m2 THEN label_m1 ELSE 'Ambiguous' END AS final_label
+         FROM m1 JOIN m2 ON m1.entity = m2.entity""",
+    "threshold_tally" ->
+      """WITH metrics AS (
+           SELECT l_orderkey AS entity, sum(l_quantity) AS total,
+                  CAST(count(DISTINCT l_partkey) AS DOUBLE) AS detected
+           FROM lineitem GROUP BY l_orderkey),
+         thr AS (SELECT quantile_cont(total, 0.25) AS t_total,
+                        quantile_cont(detected, 0.25) AS t_detected
+                 FROM metrics)
+         SELECT (total >= t_total AND detected >= t_detected) AS pass,
+                round(t_total,6) AS t_total, round(t_detected,6) AS t_detected,
+                count(*) AS n
+         FROM metrics, thr GROUP BY 1, 2, 3""",
+    "label_group_diversity" ->
+      """WITH counts AS (
+           SELECT c_nationkey AS grp, c_mktsegment AS label, count(*) AS n
+           FROM customer GROUP BY 1,2),
+         props AS (
+           SELECT grp, label,
+                  CAST(n AS DOUBLE)/sum(n) OVER (PARTITION BY grp) AS prop
+           FROM counts)
+         SELECT label, count(*) AS n_groups,
+                round(stddev_pop(prop)/avg(prop),6) AS cv
+         FROM props GROUP BY label""",
+    "inverse_simpson" ->
+      """WITH counts AS (
+           SELECT c_nationkey AS grp, c_mktsegment AS label, count(*) AS n
+           FROM customer GROUP BY 1,2)
+         SELECT grp, sum(n) AS n_total,
+                round(CAST(sum(n) AS DOUBLE)*sum(n)/sum(n*n),6) AS inv_simpson
+         FROM counts GROUP BY grp""",
+    "enrichment_ora" ->
+      """WITH hits AS (SELECT DISTINCT l_partkey FROM lineitem
+                       WHERE l_returnflag = 'R' AND l_quantity >= 50),
+         base AS (
+           SELECT p_brand AS term,
+                  count(*) AS k_term,
+                  CAST(sum(CASE WHEN h.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hits,
+                  (SELECT count(*) FROM part) AS n_universe,
+                  (SELECT count(*) FROM hits) AS n_hits
+           FROM part LEFT JOIN hits h ON p_partkey = h.l_partkey
+           GROUP BY p_brand),
+         tail AS (
+           SELECT term, n_universe, k_term, n_hits, k_hits,
+                  sum(exp(
+                    (lgamma(k_term+1)-lgamma(j+1)-lgamma(k_term-j+1)) +
+                    (lgamma(n_universe-k_term+1)-lgamma(n_hits-j+1)-lgamma(n_universe-k_term-(n_hits-j)+1)) -
+                    (lgamma(n_universe+1)-lgamma(n_hits+1)-lgamma(n_universe-n_hits+1)))) AS p
+           FROM base, LATERAL unnest(generate_series(k_hits, least(k_term, n_hits))) AS t(j)
+           GROUP BY term, n_universe, k_term, n_hits, k_hits),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY p ASC, term ASC) AS rk,
+                  count(*) OVER () AS m
+           FROM tail)
+         SELECT term, n_universe, k_term, n_hits, k_hits,
+                round(p,6) AS p_value,
+                round(least(1.0, min(p*m/rk) OVER (ORDER BY rk ASC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
+         FROM ranked""",
+    "module_score" ->
+      s"""WITH lognorm AS (
+            SELECT entity, feature,
+                   ln(1 + value / sum(value) OVER (PARTITION BY entity) * 10000) AS lognorm
+            FROM ($matrixSql))
+          SELECT entity,
+                 round(avg(CASE WHEN p_size <= 10 THEN lognorm END)
+                     - avg(CASE WHEN p_size > 10 THEN lognorm END),6) AS module_score
+          FROM lognorm JOIN part ON feature = p_partkey
+          GROUP BY entity""",
+    "variance_explained" ->
+      """WITH x AS (
+           SELECT l_partkey AS feature, o_orderpriority AS grp, l_quantity AS x
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         by_group AS (
+           SELECT feature, grp, count(*) AS n_g, avg(x) AS m_g
+           FROM x GROUP BY 1,2),
+         overall AS (
+           SELECT feature, count(*) AS n_all, avg(x) AS m_all, var_pop(x) AS v_all
+           FROM x GROUP BY 1)
+         SELECT g.feature, o.n_all,
+                round(sum(n_g*(m_g-m_all)*(m_g-m_all)) / (n_all*nullif(v_all,0.0)),6) AS r2
+         FROM by_group g JOIN overall o ON g.feature = o.feature
+         GROUP BY g.feature, o.n_all, o.v_all""",
+    "hvg_mean_var" ->
+      s"""WITH lognorm AS (
+            SELECT entity, feature,
+                   ln(1 + value / sum(value) OVER (PARTITION BY entity) * 10000) AS lognorm
+            FROM ($matrixSql)),
+          stats AS (
+            SELECT feature, count(*) AS n, round(avg(lognorm),6) AS mean_ln,
+                   round(var_pop(lognorm),6) AS var_ln
+            FROM lognorm GROUP BY feature)
+          SELECT feature, n, mean_ln, var_ln,
+                 row_number() OVER (ORDER BY var_ln DESC, feature ASC) AS hvg_rank,
+                 row_number() OVER (ORDER BY var_ln DESC, feature ASC) <= 50 AS is_hvg
+          FROM stats""",
+    "batch_standardize" ->
+      """WITH x AS (
+           SELECT l_orderkey, l_linenumber, o_orderpriority AS batch, l_quantity AS x
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         moments AS (
+           SELECT batch, avg(x) AS mu, stddev_pop(x) AS sigma FROM x GROUP BY batch)
+         SELECT l_orderkey, l_linenumber, x.batch,
+                round((x.x - mu)/nullif(sigma,0.0),6) AS z
+         FROM x JOIN moments ON x.batch = moments.batch""",
+    "pseudotime_assoc" ->
+      """WITH x AS (
+           SELECT l_partkey AS feature,
+                  CAST(epoch(o_orderdate) AS DOUBLE) AS pt, l_quantity AS x
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT feature, count(*) AS n, round(corr(x, pt),6) AS assoc
+         FROM x GROUP BY feature""")
+}
