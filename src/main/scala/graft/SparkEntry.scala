@@ -12,7 +12,13 @@ object SparkEntry {
   private val registry: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (core.Relational.queries, core.Relational.oracles),
-      (sc.SingleCell.queries, sc.SingleCell.oracles)
+      (sc.SingleCell.queries, sc.SingleCell.oracles),
+      (text.TextOps.queries, text.TextOps.oracles),
+      (dedup.Dedup.queries, dedup.Dedup.oracles),
+      (sim.Ann.queries, sim.Ann.oracles),
+      (ml.Reduce.queries, ml.Reduce.oracles),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
+      (core.Sessions.queries, core.Sessions.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,80 @@
+package graft.core
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event sessionization + windowed aggregates (SURVEY.md §2.6 #45/#46)
+  * — the batch twins of the Structured Streaming pipeline in
+  * graft.streaming. Timestamps are kept as exact epoch-nanos BIGINTs
+  * (see Tables.events) so the oracle comparison is precision-safe.
+  */
+object Sessions {
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  private val GapUs: Long = 30L * 60 * 1000 * 1000 // 30 min in micros
+
+  // ---------------------------------------------------------------
+  // 45. gap sessionization (30-min): lag per user, cumulative new-session
+  // counter, one shuffle on user_id; both window passes reuse the same
+  // partitioning (single exchange in the physical plan). Gap math runs
+  // on epoch-micros (the oracle's max precision — DuckDB truncates the
+  // nanos parquet column to micros at read).
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("is_new", when(col("prev").isNull || col("ts_us") - col("prev") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        r(sum(col("value")), 4).as("sum_value"))
+  }
+
+  // ---------------------------------------------------------------
+  // 46. tumbling 1-hour window aggregates: integer-division bucketing on
+  // epoch nanos — one shuffle on (bucket, event_type), partial aggs
+  // map-side, approx-free.
+  def windowedEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("ts_ns div 3600000000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        r(sum(col("value")), 4).as("sum_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize_events" -> (sessionizeEvents _),
+    "windowed_events"   -> (windowedEvents _))
+
+  val oracles: Map[String, String] = Map(
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts_us, value,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+         sess AS (
+           SELECT user_id, ts_us, value,
+                  sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts_us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                round(sum(value), 4) AS sum_value
+         FROM sess GROUP BY user_id, session_idx""",
+    "windowed_events" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+         count(*) AS n, count(DISTINCT user_id) AS n_users,
+         round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""")
+}

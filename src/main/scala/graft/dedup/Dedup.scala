@@ -1,0 +1,167 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for LLM-data pipelines (SURVEY.md §2.3): exact hash,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: the exact-Jaccard inverted index (dedup_ngram_jaccard)
+  * is the ORACLE path — at 100 TB the production path is the banded
+  * MinHash LSH (dedup_minhash_lsh), whose shuffle keys are (band,
+  * band-hash) buckets with bounded fan-out, never an O(n²) cross join.
+  * All signatures (minhash, simhash) are computed with higher-order
+  * array folds inside whole-stage codegen — one narrow pass per doc,
+  * no explode of the shingle set, no UDFs.
+  */
+object Dedup {
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  /** Whitespace-normalized lowercase text. */
+  private def norm(c: Column): Column = trim(regexp_replace(lower(c), lit("\\s+"), lit(" ")))
+
+  private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+  /** Distinct character 5-gram shingles as an array column (no explode;
+    * computed per row inside codegen). */
+  private def shinglesExpr(tExpr: String): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(length($tExpr) - 4, 1)), i -> substring($tExpr, i, 5)))")
+
+  private def docsNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), norm(col("text")).as("t"))
+
+  // ---------------------------------------------------------------
+  // 32. exact dedup: hash of normalized text; keep the minimum id per
+  // hash group. One shuffle on the 128-bit hash — uniform keys, no skew.
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .groupBy(md5(col("t")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .withColumn("has_dup", col("n_docs") > 1)
+
+  // ---------------------------------------------------------------
+  // 33. n-gram Jaccard near-dup pairs via shingle inverted index:
+  // explode distinct shingles, self-join on shingle (the inverted-index
+  // bucket), count intersections, Jaccard = |∩|/(|A|+|B|−|∩|).
+  // Exact — serves as the oracle for the LSH path. At 100 TB the
+  // frequent-shingle buckets make Σ df² explode; that's what
+  // dedup_minhash_lsh is for.
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docsNorm(s, dir)
+      .select(col("doc_id"), explode(shinglesExpr("t")).as("g"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jac") >= 0.7)
+      .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------
+  // 34. MinHash + banded LSH: 64 hashes = min over shingles of
+  // xxhash64(shingle, seed j), banded 16×4; docs sharing a band bucket
+  // are candidates; candidates verified with exact Jaccard on the
+  // shingle arrays. Signature is one codegen'd fold per doc; the only
+  // shuffle is the (band, band_hash) groupBy — bounded buckets, the
+  // 100 TB-safe shape.
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsNorm(s, dir)
+      .select(col("doc_id"), shinglesExpr("t").as("sh"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 63), j -> array_min(transform(sh, g -> xxhash64(g, j))))"))
+    val bands = docs.select(col("doc_id"), col("sh"),
+        explode(expr("transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
+      .select(col("doc_id"), col("sh"), col("e.band"), col("e.bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .dropDuplicates("d1", "d2")
+    cand.select(col("d1"), col("d2"),
+        r(expr("CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2))"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
+  // ---------------------------------------------------------------
+  // 35. SimHash (64-bit): per-word hash votes per bit, sign → bit;
+  // near-dups = pairs within hamming distance 3, found via 4×16-bit
+  // chunk banding (any exact-matching chunk → candidate, guaranteed to
+  // cover hamming ≤ 3 by pigeonhole).
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsNorm(s, dir)
+      .withColumn("ws", expr("regexp_extract_all(t, '[a-z0-9]+', 0)"))
+      .withColumn("hs", expr("transform(ws, w -> xxhash64(w))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) ->
+             acc + IF(aggregate(hs, 0L, (a, h) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
+                      shiftleft(1L, i), 0L))"""))
+      .select(col("doc_id"), col("simhash"))
+    val chunks = docs.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cv))")).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.chunk"), col("e.cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= 3)
+  }
+
+  // ---------------------------------------------------------------
+  // 36. embedding-cosine near-dup pairs. Brute-force pair join — the
+  // oracle-exact baseline (the scale path is the LSH/IVF ANN operators
+  // in graft.sim). Norms precomputed once per vector before the join.
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cs", expr("aggregate(zip_with(v1, v2, (x, y) -> x*y), 0D, (acc, x) -> acc + x) / (n1 * n2)"))
+      .filter(col("cs") >= 0.4)
+      .select(col("id1"), col("id2"), r(col("cs"), 6).as("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
+    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_embedding"     -> (dedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5($normSql) AS norm_hash, min(doc_id) AS keep_id,
+          count(*) AS n_docs, count(*) > 1 AS has_dup
+          FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+                 FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT d1, d2,
+                 round(CAST(i AS DOUBLE)/(s1.n + s2.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.7""",
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""")
+}

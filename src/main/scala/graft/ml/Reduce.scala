@@ -1,0 +1,49 @@
+package graft.ml
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dimensionality reduction + clustering on the embedding corpus via
+  * MLlib (SURVEY.md §2.2 #29/#30; reference wrapper.R:259-348 — denoised
+  * PCA and graph/kmeans clustering re-expressed as distributed MLlib
+  * estimators). Rows-only driver check (eigenvector sign and exact
+  * cluster ids are not portable across linalg backends); semantics are
+  * asserted in ScalaTest against structural invariants instead.
+  */
+object Reduce {
+
+  /** 29. PCA to 8 components over the 64-d embeddings. */
+  def pcaEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("fv"))
+    val model = new PCA().setK(8).setInputCol("fv").setOutputCol("pc").fit(vecs)
+    model.transform(vecs)
+      .withColumn("pcs", vector_to_array(col("pc")))
+      .select(col("vec_id"),
+        round(element_at(col("pcs"), 1), 4).as("pc1"),
+        round(element_at(col("pcs"), 2), 4).as("pc2"),
+        expr("transform(pcs, x -> round(x, 4))").as("pcs"))
+  }
+
+  /** 30. KMeans clustering (k=10, seeded) over the embeddings. */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("fv"))
+    val model = new KMeans().setK(10).setSeed(42L).setFeaturesCol("fv").fit(vecs)
+    model.transform(vecs)
+      .select(col("vec_id"), col("label"), col("prediction").as("cluster"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pca_embeddings"  -> (pcaEmbeddings _),
+    "kmeans_clusters" -> (kmeansClusters _))
+
+  val oracles: Map[String, String] = Map.empty
+}

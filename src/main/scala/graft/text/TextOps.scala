@@ -1,0 +1,162 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-data pipelines (SURVEY.md §2.5): token stats,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is per-row narrow computation — zero shuffles, full
+  * whole-stage codegen, embarrassingly parallel at 100 TB. Regexes are
+  * chosen to evaluate identically under Java regex (Spark) and RE2
+  * (DuckDB oracle): no backrefs, no lookaround, shared escapes only.
+  */
+object TextOps {
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  /** #occurrences of pattern (both engines: size of extract-all). */
+  private def reCount(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+
+  /** #occurrences of a literal token in a space-padded haystack via the
+    * replace-count trick — identical non-overlapping semantics in Spark
+    * and DuckDB, no regex dialect risk. */
+  private def tokenCount(padded: Column, tok: String): Column =
+    ((length(padded) - length(regexp_replace(padded, lit(java.util.regex.Pattern.quote(tok)), lit(""))))
+      / lit(tok.length)).cast("long")
+
+  private def tokenCountSql(padded: String, tok: String): String =
+    s"CAST((length($padded) - length(replace($padded, '$tok', ''))) / ${tok.length} AS BIGINT)"
+
+  // ---------------------------------------------------------------
+  // 40. token counting: whitespace tokens + BPE-ish regex tokens
+  // (letter runs / single digits / single punctuation — a GPT-2-flavored
+  // pre-tokenizer shape).
+  private val bpePat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  def textTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      reCount(col("text"), "\\S+").as("n_ws_tokens"),
+      reCount(lower(col("text")), bpePat).as("n_bpe_tokens"))
+
+  // ---------------------------------------------------------------
+  // 41. quality scoring: punctuation / digit / stopword / uppercase
+  // ratios plus a blended score — the standard pre-training corpus
+  // filter features (length-normalized, all deterministic).
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nWs = reCount(col("text"), "\\S+").cast("double")
+    val stops = reCount(lower(col("text")), "\\b(the|and|of|to|in|is|a)\\b").cast("double")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nWs.cast("long").as("n_ws_tokens"),
+      r(reCount(col("text"), "[.,;:!?]") / len, 6).as("punct_ratio"),
+      r(reCount(col("text"), "[0-9]") / len, 6).as("digit_ratio"),
+      r(reCount(col("text"), "[A-Z]") / len, 6).as("upper_ratio"),
+      r(stops / nWs, 6).as("stop_ratio"),
+      r(lit(0.4) * (stops / nWs) + lit(0.3) * least(lit(1.0), nWs / 100.0)
+        + lit(0.3) * (lit(1.0) - reCount(col("text"), "[0-9]") / len), 6).as("quality"))
+  }
+
+  // ---------------------------------------------------------------
+  // 42. language ID: stopword-marker scoring per candidate language +
+  // CJK codepoint count, argmax with alphabetical tie-break. The marker
+  // counts use the replace-trick so Spark and the oracle agree exactly.
+  private val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = markers.map { case (lang, toks) =>
+      lang -> toks.map(tokenCount(padded, _)).reduce(_ + _)
+    }
+    val sZh = reCount(col("text"), "[一-鿿]")
+    val all = scores + ("zh" -> sZh)
+    def others(l: String): Column = greatest(all.filterNot(_._1 == l).values.toSeq: _*)
+    val pred = all.keys.toSeq.sorted.dropRight(1)
+      .foldRight(lit(all.keys.toSeq.sorted.last): Column) { (l, acc) =>
+        when(all(l) >= others(l), lit(l)).otherwise(acc)
+      }
+    Tables.documents(s, dir).select(
+      (Seq(col("doc_id")) ++
+        all.toSeq.sortBy(_._1).map { case (l, c) => c.as(s"s_$l") } :+
+        pred.as("pred_lang") :+ col("lang").as("tagged_lang")): _*)
+  }
+
+  // ---------------------------------------------------------------
+  // 43. document fingerprint: positional polynomial hash
+  // Σᵢ ascii(chᵢ)·((i·2654435761) mod M) mod M with M = 1e9+7 — a
+  // deterministic 63-bit-safe fingerprint computed by a higher-order
+  // fold over the string, one pass per row, no shuffle, no UDF.
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      expr("""aggregate(sequence(1, length(text)), 0L,
+               (acc, i) -> (acc + ascii(substring(text, i, 1))
+                 * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)""")
+        .as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (textTokenStats _),
+    "text_quality"     -> (textQuality _),
+    "lang_id"          -> (langId _),
+    "doc_fingerprint"  -> (docFingerprint _))
+
+  private val qualitySql = {
+    val len = "CAST(length(text) AS DOUBLE)"
+    val nWs = raw"CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)"
+    val stops = raw"CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE)"
+    val digits = s"len(regexp_extract_all(text, '[0-9]'))"
+    s"""SELECT doc_id,
+        CAST($nWs AS BIGINT) AS n_ws_tokens,
+        round(len(regexp_extract_all(text, '[.,;:!?]')) / $len, 6) AS punct_ratio,
+        round($digits / $len, 6) AS digit_ratio,
+        round(len(regexp_extract_all(text, '[A-Z]')) / $len, 6) AS upper_ratio,
+        round($stops / $nWs, 6) AS stop_ratio,
+        round(0.4 * ($stops / $nWs) + 0.3 * least(1.0, $nWs / 100.0)
+            + 0.3 * (1.0 - $digits / $len), 6) AS quality
+        FROM documents"""
+  }
+
+  private val langIdSql = {
+    val padded = "(' ' || lower(text) || ' ')"
+    val scores = markers.map { case (l, toks) =>
+      l -> toks.map(tokenCountSql(padded, _)).mkString("(", " + ", ")")
+    } + ("zh" -> raw"CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT)")
+    def others(l: String): String =
+      scores.filterNot(_._1 == l).map(x => s"s_${x._1}").mkString("greatest(", ", ", ")")
+    val langs = scores.keys.toSeq.sorted
+    val caseExpr = langs.dropRight(1)
+      .map(l => s"WHEN s_$l >= ${others(l)} THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    val scoreCols = langs.map(l => s"${scores(l)} AS s_$l").mkString(",\n        ")
+    s"""SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        $caseExpr AS pred_lang, tagged_lang
+        FROM (SELECT doc_id, lang AS tagged_lang,
+        $scoreCols
+        FROM documents)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      raw"""SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '$bpePat')) AS BIGINT) AS n_bpe_tokens
+           FROM documents""",
+    "text_quality" -> qualitySql,
+    "lang_id" -> langIdSql,
+    "doc_fingerprint" ->
+      """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len_chars,
+         CAST(sum(ascii(substr(d.text, CAST(i AS INT), 1))
+              * ((i * 2654435761) % 1000000007) % 1000000007) % 1000000007 AS BIGINT) AS fp
+         FROM documents d, LATERAL unnest(generate_series(1, length(d.text))) AS t(i)
+         GROUP BY d.doc_id, d.text""")
+}

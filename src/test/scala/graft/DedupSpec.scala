@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantics of the probabilistic dedup paths against the exact
+  * inverted-index Jaccard (the oracle-checked path). */
+class DedupSpec extends SparkSpecBase {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect().map { case Row(a: Long, b: Long) => (a, b) }.toSet
+
+  lazy val exact: Set[(Long, Long)] = pairs(dedup.Dedup.dedupNgramJaccard(spark, sf))
+
+  test("minhash LSH recovers exactly the verified near-dup pairs") {
+    val lsh = pairs(dedup.Dedup.dedupMinhashLsh(spark, sf))
+    // candidates are verified with TRUE Jaccard, so lsh ⊆ exact always;
+    // with 16 bands × 4 rows, P(miss | J≥0.7) < 2%, and the planted
+    // pairs are J≥0.9 (P(miss) ≈ 2e-8) — equality is the expectation.
+    assert(lsh.subsetOf(exact), s"LSH produced non-verified pairs: ${lsh -- exact}")
+    assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash pairs are genuinely similar at the word level (its actual signal)") {
+    import org.apache.spark.sql.functions._
+    val sim = pairs(dedup.Dedup.dedupSimhash(spark, sf))
+    assert(sim.nonEmpty, "simhash should find the planted near-dups")
+    // simhash votes over word occurrences, so its similarity statement is
+    // word-multiset overlap — verify every reported pair with exact
+    // word-set Jaccard (not the 5-gram shingle Jaccard, which penalizes
+    // word-order changes that simhash is intentionally blind to).
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    sim.foreach { case (a, b) =>
+      val j = words(a).intersect(words(b)).size.toDouble / words(a).union(words(b)).size
+      assert(j >= 0.8, s"simhash pair ($a,$b) has word-Jaccard $j < 0.8")
+    }
+  }
+
+  test("exact dedup groups every doc exactly once") {
+    val g = dedup.Dedup.dedupExact(spark, sf)
+    val total = g.selectExpr("sum(n_docs)").collect()(0).getLong(0)
+    val docs = Tables.documents(spark, sf).count()
+    assert(total == docs)
+  }
+}

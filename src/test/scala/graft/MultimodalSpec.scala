@@ -1,0 +1,28 @@
+package graft
+
+/** Typed multimodal decode plumbing: the mapPartitions pipeline runs
+  * end-to-end with a deterministic stubbed decoder. */
+class MultimodalSpec extends SparkSpecBase {
+
+  test("decode pipeline produces one feature row per record, deterministically") {
+    val recs = multimodal.Multimodal.mediaRecords(spark, sf)
+    val feats = multimodal.Multimodal.decodeAll(recs).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.byte_len > 0)
+      assert(f.mean_level > 0 && f.mean_level < 255, s"mean_level ${f.mean_level}")
+      assert(f.n_frames == f.byte_len / 100 + 1)
+    }
+    val again = multimodal.Multimodal.decodeAll(recs).collect()
+    assert(feats.map(f => f.doc_id -> f.mean_level).toMap ==
+      again.map(f => f.doc_id -> f.mean_level).toMap)
+  }
+
+  test("payload metadata matches the typed records") {
+    val meta = multimodal.Multimodal.multimodalMeta(spark, sf)
+      .select("doc_id", "byte_len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recs = multimodal.Multimodal.mediaRecords(spark, sf).collect()
+    recs.foreach(r => assert(meta(r.doc_id) == r.payload.length.toLong))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale contract (SURVEY.md §5).
+  * Filters must reach the parquet scan (PushedFilters), projections must
+  * prune the read schema, dims must broadcast — at 100 TB these are the
+  * difference between reading terabytes and reading everything.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter is pushed to the parquet scan") {
+    val plan = formatted(
+      Tables.lineitem(spark, sf)
+        .filter(col("l_shipdate") <= lit("2001-09-02"))
+        .select(col("l_quantity")))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q1 scan reads only the columns it needs (column pruning)") {
+    val df = core.Relational.q1PricingSummary(spark, sf)
+    val scanCols = df.queryExecution.sparkPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.schema.fieldNames
+      case _ => Nil
+    }.toSet
+    assert(scanCols.contains("l_quantity") && scanCols.contains("l_returnflag"), scanCols)
+    assert(!scanCols.contains("l_partkey") && !scanCols.contains("l_suppkey"), scanCols)
+    assert(scanCols.size <= 7, s"scan reads more than the 7 needed columns: $scanCols")
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = formatted(df)
+    assert(plan.contains("codegen id"), s"q1 must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("q5 broadcasts the small dims (nation/region)") {
+    val plan = formatted(core.Relational.q5RegionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("qc_mad_outliers broadcasts the per-batch medians back (no giant window sort)") {
+    val plan = formatted(sc.SingleCell.qcMadOutliers(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("WindowExec"), "medians must come from aggregates, not windows")
+  }
+
+  test("text ops are shuffle-free narrow plans") {
+    val plan = formatted(text.TextOps.textQuality(spark, sf))
+    assert(!plan.contains("Exchange"), s"text_quality must not shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamSessionize
+import graft.streaming.StreamSessionize.Ev
+
+/** End-to-end Structured Streaming: MemoryStream → watermark → windowed
+  * agg / stateful sessionizer → memory sink (SURVEY.md §2.6 #47). */
+class StreamingSpec extends SparkSpecBase {
+
+  // offset from epoch 0: an event exactly AT the initial watermark (t=0)
+  // is dropped by the stateful operator's late-data predicate (ts <= wm)
+  private val Base = 1020L // hour-aligned (17:00) so windowed events share one hour
+  private def ts(minutes: Long): Timestamp = new Timestamp((Base + minutes) * 60 * 1000)
+
+  test("stateful 30-min-gap sessionizer emits sessions as the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamSessionize.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session); user 2: one event
+      ms.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(5), 2.0), Ev(2L, ts(1), 5.0))
+      q.processAllAvailable()
+      // push event-time far ahead → watermark passes both session gaps
+      ms.addData(Ev(1L, ts(240), 9.0))
+      q.processAllAvailable()
+      ms.addData(Ev(1L, ts(480), 9.0)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[StreamSessionize.SessionOut].collect()
+        .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value)).toSet
+      assert(out.contains((1L, ts(0).getTime, ts(5).getTime, 2L, 3.0)),
+        s"user 1's first session missing from $out")
+      assert(out.contains((2L, ts(1).getTime, ts(1).getTime, 1L, 5.0)),
+        s"user 2's session missing from $out")
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling-window aggregate finalizes closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val q = StreamSessionize.windowedCounts(events)
+      .writeStream.format("memory").queryName("windowed").outputMode("append").start()
+    try {
+      ms.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0), (ts(40), "view", 3.0))
+      q.processAllAvailable()
+      ms.addData((ts(300), "click", 0.0)) // advance watermark past hour 0
+      q.processAllAvailable()
+      ms.addData((ts(600), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("windowed")
+        .selectExpr("window_start", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val hourStart = Base * 60 * 1000
+      assert(rows.contains((hourStart, "click", 2L, 3.0)), s"first-hour click window wrong: $rows")
+      assert(rows.contains((hourStart, "view", 1L, 3.0)), s"first-hour view window wrong: $rows")
+    } finally q.stop()
+  }
+}
