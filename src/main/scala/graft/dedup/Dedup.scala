@@ -24,10 +24,11 @@ object Dedup {
 
   private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
-  /** Distinct character 5-gram shingles as an array column (no explode;
-    * computed per row inside codegen). */
+  /** Distinct character 5-gram shingles as an array column — a native
+    * codegen'd expression (graft.functions.CharShingles); semantics are
+    * byte-for-byte the oracle's substr loop. */
   private def shinglesExpr(tExpr: String): Column =
-    expr(s"array_distinct(transform(sequence(1, greatest(length($tExpr) - 4, 1)), i -> substring($tExpr, i, 5)))")
+    graft.functions.VectorFunctions.charShingles(col(tExpr), 5)
 
   private def docsNorm(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), norm(col("text")).as("t"))
@@ -72,23 +73,32 @@ object Dedup {
   // shuffle is the (band, band_hash) groupBy — bounded buckets, the
   // 100 TB-safe shape.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.minhashSig
+    // persisted: the plan consumes docs twice (banding + verification
+    // join-back) — at corpus scale this would be a checkpointed
+    // signature table rather than a recompute
     val docs = docsNorm(s, dir)
       .select(col("doc_id"), shinglesExpr("t").as("sh"))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 63), j -> array_min(transform(sh, g -> xxhash64(g, j))))"))
-    val bands = docs.select(col("doc_id"), col("sh"),
+      .withColumn("sig", minhashSig(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands carry only (doc_id, band, band_hash) — the shingle arrays do
+    // NOT ride through the candidate shuffle; they're joined back once
+    // per surviving candidate pair for exact verification.
+    val bands = docs.select(col("doc_id"),
         explode(expr("transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
-      .select(col("doc_id"), col("sh"), col("e.band"), col("e.bh"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand.select(col("d1"), col("d2"),
-        r(expr("CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2))"), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
+    val sh = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jac", graft.functions.VectorFunctions.jaccardSim(col("sh1"), col("sh2")))
+      .filter(col("jac") >= 0.7)
+      .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
   }
 
   // ---------------------------------------------------------------
@@ -97,13 +107,10 @@ object Dedup {
   // chunk banding (any exact-matching chunk → candidate, guaranteed to
   // cover hamming ≤ 3 by pigeonhole).
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.simhash64
     val docs = docsNorm(s, dir)
       .withColumn("ws", expr("regexp_extract_all(t, '[a-z0-9]+', 0)"))
-      .withColumn("hs", expr("transform(ws, w -> xxhash64(w))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-             acc + IF(aggregate(hs, 0L, (a, h) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
-                      shiftleft(1L, i), 0L))"""))
+      .withColumn("simhash", simhash64(col("ws")))
       .select(col("doc_id"), col("simhash"))
     val chunks = docs.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cv))")).as("e"))
@@ -122,13 +129,14 @@ object Dedup {
   // oracle-exact baseline (the scale path is the LSH/IVF ANN operators
   // in graft.sim). Norms precomputed once per vector before the join.
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cs", expr("aggregate(zip_with(v1, v2, (x, y) -> x*y), 0D, (acc, x) -> acc + x) / (n1 * n2)"))
+      .withColumn("cs", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cs") >= 0.4)
       .select(col("id1"), col("id2"), r(col("cs"), 6).as("cos_sim"))
   }

@@ -23,14 +23,15 @@ object Ann {
 
   private def r(c: Column, d: Int): Column = round(c, d)
 
+  import graft.functions.VectorFunctions.dot
+
   /** Vectors with precomputed L2 norm, embedding cast to double. */
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  private val cosExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x*y), 0D, (acc, x) -> acc + x) / (qn * nrm)"
+  private def cosCol: Column = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
 
   /** Query subset: every 50th vector — the "needles" side. */
   private def queriesSide(vecs: DataFrame): DataFrame =
@@ -51,7 +52,7 @@ object Ann {
   def annBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(s, dir)
     val scored = vecs.join(broadcast(queriesSide(vecs)), col("vec_id") =!= col("qid"))
-      .withColumn("cs", expr(cosExpr))
+      .withColumn("cs", cosCol)
     topk(scored, 10)
   }
 
@@ -79,7 +80,7 @@ object Ann {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val scored = vecs.join(broadcast(qs), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cs", expr(cosExpr))
+      .withColumn("cs", cosCol)
     topk(scored, 10)
   }
 
@@ -107,7 +108,7 @@ object Ann {
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cs", expr(cosExpr))
+      .withColumn("cs", cosCol)
     topk(scored, 10)
   }
 
