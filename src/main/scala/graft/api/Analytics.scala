@@ -1,0 +1,229 @@
+package graft.api
+
+import graft.core.Stats
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The generic, user-facing operator API.
+  *
+  * Every analytic the engine offers is defined here over ARBITRARY
+  * DataFrames + column bindings — the long-format (entity, feature,
+  * value) model the reference's cell×gene matrices map onto (SURVEY.md
+  * §3). graft.sc / graft.dedup / graft.sim bind these operators to the
+  * test star schema for the oracle harness; a user brings their own
+  * tables and calls these directly.
+  *
+  * All operators return unrounded results (callers round for display /
+  * comparison) and are pure plan builders: no actions, no collect, no
+  * caching side effects.
+  */
+object Analytics {
+
+  // ----------------------------------------------------------- QC
+
+  /** Per-entity QC: total value, #features detected, % of total value
+    * inside the feature subset defined by `subset` (wrapper.R:78-117). */
+  def cellMetrics(m: DataFrame, entity: Column, feature: Column, value: Column,
+      subset: Column): DataFrame =
+    m.groupBy(entity.as("entity"))
+      .agg(sum(value).as("total"),
+        countDistinct(feature).as("detected"),
+        (lit(100.0) * sum(when(subset, value).otherwise(0.0)) / sum(value)).as("pct_subset"))
+
+  /** Per-batch MAD outlier flags on a metric (wrapper.R:148-220):
+    * |x − median| > nmads·1.4826·MAD, with a low-side flag. Medians are
+    * tiny per-batch aggregates broadcast back — no giant window sorts. */
+  def madOutliers(metrics: DataFrame, batch: String, x: String,
+      nmads: Double = 3.0): DataFrame = {
+    val med = metrics.groupBy(col(batch)).agg(Stats.medianCol(col(x)).as("med"))
+    val withMed = metrics.join(broadcast(med), batch)
+    val mad = withMed.groupBy(col(batch))
+      .agg(Stats.medianCol(abs(col(x) - col("med"))).as("mad"))
+    withMed.join(broadcast(mad), batch)
+      .withColumn("outlier", abs(col(x) - col("med")) > lit(nmads * 1.4826) * col("mad"))
+      .withColumn("outlier_low", col(x) < col("med") - lit(nmads * 1.4826) * col("mad"))
+  }
+
+  /** Keep features detected in ≥ minCount entities or ≥ minFrac of all
+    * entities (wrapper.R:223-252). */
+  def featureFilter(m: DataFrame, entity: Column, feature: Column,
+      minCount: Int, minFrac: Double): DataFrame = {
+    val nEntities = m.agg(countDistinct(entity).as("n_entities"))
+    m.groupBy(feature.as("feature"))
+      .agg(count(lit(1)).as("n_detected"))
+      .crossJoin(broadcast(nEntities))
+      .withColumn("keep",
+        col("n_detected") >= minCount ||
+          col("n_detected").cast("double") / col("n_entities") >= minFrac)
+  }
+
+  /** Counts-per-`scale` log1p normalization (reference.R:157-160). */
+  def logNormalize(m: DataFrame, entity: Column, feature: Column, value: Column,
+      scale: Double = 1e4): DataFrame = {
+    val w = Window.partitionBy(entity)
+    m.select(entity.as("entity"), feature.as("feature"),
+      log1p(value / sum(value).over(w) * lit(scale)).as("lognorm"))
+  }
+
+  // --------------------------------------------------- annotation
+
+  /** Winning label per entity with delta-from-median and delta-from-
+    * runner-up quality scores (compare_annotation.R:18-48). */
+  def annotationDeltas(scores: DataFrame, entity: Column, label: Column,
+      score: Column): DataFrame = {
+    val wRank = Window.partitionBy(col("entity")).orderBy(col("score").desc, col("label").asc)
+    val wAll = Window.partitionBy(col("entity"))
+    scores.select(entity.as("entity"), label.as("label"), score.as("score"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("med", Stats.medianCol(col("score")).over(wAll))
+      .withColumn("nxt", lead(col("score"), 1).over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("entity"), col("label").as("top_label"), col("score"),
+        (col("score") - col("med")).as("delta_med"),
+        (col("score") - coalesce(col("nxt"), lit(0.0))).as("delta_next"))
+  }
+
+  /** Combine two per-entity annotations: agreement keeps the label,
+    * disagreement → `ambiguousLabel` (compare_annotation.R:57-113). */
+  def annotationCombine(m1: DataFrame, m2: DataFrame,
+      ambiguousLabel: String = "Ambiguous"): DataFrame =
+    m1.join(m2, "entity")
+      .withColumn("final_label",
+        when(col("label_m1") === col("label_m2"), col("label_m1"))
+          .otherwise(lit(ambiguousLabel)))
+
+  // ---------------------------------------------------- diversity
+
+  /** Label×group crosstab row proportions, then per-label coefficient of
+    * variation across groups (integrate.R:188-266). */
+  def labelGroupCv(df: DataFrame, grp: Column, label: Column): DataFrame = {
+    val counts = df.groupBy(grp.as("grp"), label.as("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+    counts
+      .withColumn("prop", col("n").cast("double") / sum(col("n")).over(w))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_groups"),
+        (stddev_pop(col("prop")) / avg(col("prop"))).as("cv"))
+  }
+
+  /** Inverse-Simpson (LISI-like) diversity per group (integrate.R:239-266). */
+  def inverseSimpson(df: DataFrame, grp: Column, label: Column): DataFrame =
+    df.groupBy(grp.as("grp"), label.as("label")).agg(count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_total"), sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("grp"), col("n_total"),
+        (col("n_total").cast("double") * col("n_total") / col("sum_sq")).as("inv_simpson"))
+
+  // --------------------------------------------------- enrichment
+
+  /** Hypergeometric over-representation per term + BH adjust
+    * (funx_enrichment.R:19-158). `membership` is (term, item); `hits` is
+    * the distinct hit items; `universeSize` the total item count.
+    * p-values are computed in log space with the codegen'd Stirling
+    * lgamma (graft.core.Stats) — no UDFs, no lookup joins. */
+  def enrichmentOra(membership: DataFrame, term: Column, item: Column,
+      hits: DataFrame, hitItem: Column): DataFrame = {
+    val h = hits.select(hitItem.as("hit_item")).distinct()
+    val base = membership.select(term.as("term"), item.as("item"))
+      .join(h.withColumn("hit", lit(1)), col("item") === col("hit_item"), "left")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("k_term"), sum(coalesce(col("hit"), lit(0))).as("k_hits"))
+      .crossJoin(broadcast(
+        membership.agg(countDistinct(item).as("n_universe"))))
+      .crossJoin(broadcast(h.agg(count(lit(1)).as("n_hits"))))
+    val tail = base
+      .withColumn("j", explode(sequence(col("k_hits"), least(col("k_term"), col("n_hits")))))
+      .withColumn("lnp",
+        Stats.lnChoose(col("k_term").cast("double"), col("j").cast("double")) +
+          Stats.lnChoose((col("n_universe") - col("k_term")).cast("double"),
+            (col("n_hits") - col("j")).cast("double")) -
+          Stats.lnChoose(col("n_universe").cast("double"), col("n_hits").cast("double")))
+      .groupBy(col("term"), col("n_universe"), col("k_term"), col("n_hits"), col("k_hits"))
+      .agg(sum(exp(col("lnp"))).as("p_value"))
+    bhAdjust(tail, col("p_value"), col("term"))
+  }
+
+  /** Benjamini-Hochberg adjustment: adds `p_adj` given a p-value column
+    * and a deterministic tie-break column. */
+  def bhAdjust(df: DataFrame, p: Column, tieBreak: Column): DataFrame = {
+    val wRank = Window.orderBy(p.asc, tieBreak.asc)
+    val wBh = Window.orderBy(col("__rk").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn("__rk", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("p_adj", least(lit(1.0), min(p * col("__m") / col("__rk")).over(wBh)))
+      .drop("__rk", "__m")
+  }
+
+  /** Module score: mean value over a feature set minus mean over the
+    * control set, per entity (wrapper.R:254-257). */
+  def moduleScore(m: DataFrame, entity: Column, value: Column,
+      inSet: Column, inControl: Column): DataFrame =
+    m.groupBy(entity.as("entity"))
+      .agg((avg(when(inSet, value)) - avg(when(inControl, value))).as("module_score"))
+
+  // -------------------------------------------------------- stats
+
+  /** Per-feature one-way ANOVA R² of value vs a categorical covariate
+    * (integrate.R:19-44): SS_between / SS_total via two aggregations. */
+  def varianceExplained(df: DataFrame, feature: Column, grp: Column,
+      x: Column): DataFrame = {
+    val t = df.select(feature.as("feature"), grp.as("grp"), x.as("x"))
+    val byGroup = t.groupBy(col("feature"), col("grp"))
+      .agg(count(lit(1)).as("n_g"), avg(col("x")).as("m_g"))
+    val overall = t.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_all"), avg(col("x")).as("m_all"), var_pop(col("x")).as("v_all"))
+    byGroup.join(overall, "feature")
+      .groupBy(col("feature"), col("n_all"), col("v_all"))
+      .agg(sum(col("n_g") * (col("m_g") - col("m_all")) * (col("m_g") - col("m_all"))).as("ss_between"))
+      .select(col("feature"), col("n_all"),
+        (col("ss_between") / (col("n_all") * nullif(col("v_all"), lit(0.0)))).as("r2"))
+  }
+
+  /** Per-batch z-standardization of a value column (integrate.R:51-181
+    * re-expressed): batch moments broadcast back, fact rows unshuffled. */
+  def batchStandardize(df: DataFrame, batch: String, x: Column): DataFrame = {
+    val moments = df.groupBy(col(batch))
+      .agg(avg(x).as("__mu"), stddev_pop(x).as("__sigma"))
+    df.join(broadcast(moments), batch)
+      .withColumn("z", (x - col("__mu")) / nullif(col("__sigma"), lit(0.0)))
+      .drop("__mu", "__sigma")
+  }
+
+  /** Per-feature Pearson correlation of value vs an ordering variable
+    * (slingshot/tradeseq association analog). */
+  def orderedAssociation(df: DataFrame, feature: Column, order: Column,
+      x: Column): DataFrame =
+    df.groupBy(feature.as("feature"))
+      .agg(count(lit(1)).as("n"), corr(x, order).as("c"))
+      .select(col("feature"), col("n"),
+        when(isnan(col("c")), lit(null)).otherwise(col("c")).as("assoc"))
+
+  // ----------------------------------------------------- wrangling
+
+  /** Stratified deterministic subsample: n per group, ordered by a
+    * content hash so the result is reproducible on any cluster
+    * (reference.R:146-155). */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")).asc, key.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Gap sessionization over (key, ordered timestamp): cumulative
+    * new-session counter; both windows share one shuffle. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+      gap: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__ts").asc, tieBreak.asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__k", key).withColumn("__ts", ts)
+      .withColumn("__prev", lag(col("__ts"), 1).over(wOrd))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__ts") - col("__prev") > gap, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(wRun))
+      .drop("__prev", "__new", "__k", "__ts")
+  }
+}

@@ -142,14 +142,10 @@ object Relational {
   // n per group, seeded — re-expressed as order-by-md5(key) so it is
   // reproducible on any cluster AND expressible in the oracle.
   // Scale: one shuffle on the stratum key; no driver collect.
-  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(md5(col("c_custkey").cast("string")).asc, col("c_custkey").asc)
-    Tables.customer(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.stratifiedSample(Tables.customer(s, dir),
+        col("c_mktsegment"), col("c_custkey"), n = 10)
       .select(col("c_mktsegment"), col("c_custkey"))
-  }
 
   // ---------------------------------------------------------------
   // 12. set-membership (UpSet) matrix (reference wrapper.R:364-374).

@@ -22,20 +22,15 @@ object Sessions {
   // partitioning (single exchange in the physical plan). Gap math runs
   // on epoch-micros (the oracle's max precision — DuckDB truncates the
   // nanos parquet column to micros at read).
-  def sessionizeEvents(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("prev", lag(col("ts_us"), 1).over(wOrd))
-      .withColumn("is_new", when(col("prev").isNull || col("ts_us") - col("prev") > GapUs, 1L).otherwise(0L))
-      .withColumn("session_idx", sum(col("is_new")).over(wRun))
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.sessionize(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+        col("user_id"), col("ts_us"), col("event_id"), GapUs)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"),
         r(sum(col("value")), 4).as("sum_value"))
-  }
 
   // ---------------------------------------------------------------
   // 46. tumbling 1-hour window aggregates: integer-division bucketing on

@@ -48,13 +48,11 @@ object SingleCell {
   // detected, percent-of-counts in a feature subset (mito/ribo analog =
   // features with key ≡ 0 mod 10). Single shuffle on the entity key.
   def qcCellMetrics(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey").as("entity"))
-      .agg(
-        r(sum(col("l_quantity")), 4).as("total"),
-        countDistinct(col("l_partkey")).as("detected"),
-        r(lit(100.0) * sum(when(pmod(col("l_partkey"), lit(10)) === 0, col("l_quantity")).otherwise(0.0))
-          / sum(col("l_quantity")), 6).as("pct_subset"))
+    graft.api.Analytics.cellMetrics(Tables.lineitem(s, dir),
+        col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        pmod(col("l_partkey"), lit(10)) === 0)
+      .select(col("entity"), r(col("total"), 4).as("total"), col("detected"),
+        r(col("pct_subset"), 6).as("pct_subset"))
 
   // ---------------------------------------------------------------
   // 15. MAD outlier flags per batch (wrapper.R:148-220): nmads=3 rule on
@@ -70,41 +68,28 @@ object SingleCell {
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority").as("batch")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("entity"), col("batch"), log1p(col("tot")).as("lx"))
-    val med = totals.groupBy(col("batch")).agg(Stats.medianCol(col("lx")).as("med"))
-    val withMed = totals.join(broadcast(med), "batch")
-    val mad = withMed.groupBy(col("batch"))
-      .agg(Stats.medianCol(abs(col("lx") - col("med"))).as("mad"))
-    withMed.join(broadcast(mad), "batch")
+    graft.api.Analytics.madOutliers(totals, "batch", "lx", nmads = 3.0)
       .select(col("entity"), col("batch"), r(col("lx"), 6).as("lx"),
-        (abs(col("lx") - col("med")) > lit(3 * 1.4826) * col("mad")).as("outlier"),
-        (col("lx") < col("med") - lit(3 * 1.4826) * col("mad")).as("outlier_low"))
+        col("outlier"), col("outlier_low"))
   }
 
   // ---------------------------------------------------------------
   // 16. feature filter (wrapper.R:223-252): keep features detected in
   // ≥ min #entities or ≥ min %entities. The entity total is a scalar
   // aggregate broadcast into the plan.
-  def featureFilter(s: SparkSession, dir: String): DataFrame = {
-    val m = matrix(s, dir)
-    val nEntities = m.agg(countDistinct(col("entity")).as("n_entities"))
-    m.groupBy(col("feature"))
-      .agg(count(lit(1)).as("n_detected"))
-      .crossJoin(broadcast(nEntities))
-      .select(col("feature"), col("n_detected"),
-        (col("n_detected") >= 5 ||
-          col("n_detected").cast("double") / col("n_entities") >= 0.02).as("keep"))
-  }
+  def featureFilter(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.featureFilter(matrix(s, dir), col("entity"), col("feature"),
+        minCount = 5, minFrac = 0.02)
+      .select(col("feature"), col("n_detected"), col("keep"))
 
   // ---------------------------------------------------------------
   // 17. log-normalize (reference.R:157-160): CPM-style counts-per-10k
   // log1p. Per-entity totals via one extra partial agg + shuffle on
   // entity (already the matrix partitioning — reused).
-  def logNormalize(s: SparkSession, dir: String): DataFrame = {
-    val m = matrix(s, dir)
-    val w = Window.partitionBy(col("entity"))
-    m.select(col("entity"), col("feature"),
-      r(log1p(col("value") / sum(col("value")).over(w) * lit(1e4)), 6).as("lognorm"))
-  }
+  def logNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.logNormalize(matrix(s, dir),
+        col("entity"), col("feature"), col("value"))
+      .select(col("entity"), col("feature"), r(col("lognorm"), 6).as("lognorm"))
 
   private val logNormSql =
     s"""SELECT entity, feature,
@@ -121,18 +106,9 @@ object SingleCell {
     val scores = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
       .agg(sum(col("l_extendedprice")).as("score"))
-    val wRank = Window.partitionBy(col("entity"))
-      .orderBy(col("score").desc, col("label").asc)
-    val wAll = Window.partitionBy(col("entity"))
-    scores
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("med", Stats.medianCol(col("score")).over(wAll))
-      .withColumn("nxt", lead(col("score"), 1).over(wRank))
-      .filter(col("rk") === 1)
-      .select(col("entity"), col("label").as("top_label"),
-        r(col("score"), 4).as("score"),
-        r(col("score") - col("med"), 4).as("delta_med"),
-        r(col("score") - coalesce(col("nxt"), lit(0.0)), 4).as("delta_next"))
+    graft.api.Analytics.annotationDeltas(scores, col("entity"), col("label"), col("score"))
+      .select(col("entity"), col("top_label"), r(col("score"), 4).as("score"),
+        r(col("delta_med"), 4).as("delta_med"), r(col("delta_next"), 4).as("delta_next"))
   }
 
   // ---------------------------------------------------------------
@@ -149,10 +125,9 @@ object SingleCell {
         .filter(col("rk") === 1)
         .select(col("entity"), col("label").as(out))
     }
-    argmaxBy(col("l_extendedprice"), "label_m1")
-      .join(argmaxBy(col("l_quantity"), "label_m2"), "entity")
-      .withColumn("final_label",
-        when(col("label_m1") === col("label_m2"), col("label_m1")).otherwise(lit("Ambiguous")))
+    graft.api.Analytics.annotationCombine(
+      argmaxBy(col("l_extendedprice"), "label_m1"),
+      argmaxBy(col("l_quantity"), "label_m2"))
   }
 
   // ---------------------------------------------------------------
@@ -179,30 +154,18 @@ object SingleCell {
   // ---------------------------------------------------------------
   // 22. label×group diversity (integrate.R:188-266): crosstab row
   // proportions, then per-label coefficient of variation across groups.
-  def labelGroupDiversity(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.customer(s, dir)
-      .groupBy(col("c_nationkey").as("grp"), col("c_mktsegment").as("label"))
-      .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("grp"))
-    counts
-      .withColumn("prop", col("n").cast("double") / sum(col("n")).over(w))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_groups"),
-        r(stddev_pop(col("prop")) / avg(col("prop")), 6).as("cv"))
-  }
+  def labelGroupDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.labelGroupCv(Tables.customer(s, dir),
+        col("c_nationkey"), col("c_mktsegment"))
+      .select(col("label"), col("n_groups"), r(col("cv"), 6).as("cv"))
 
   // ---------------------------------------------------------------
   // 23. inverse-Simpson diversity per group (integrate.R:239-266,
   // LISI-like): 1 / Σ p_i² over label proportions within each group.
   def inverseSimpson(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .groupBy(col("c_nationkey").as("grp"), col("c_mktsegment").as("label"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("grp"))
-      .agg(sum(col("n")).as("n_total"),
-        sum(col("n") * col("n")).as("sum_sq"))
-      .select(col("grp"), col("n_total"),
-        r(col("n_total").cast("double") * col("n_total") / col("sum_sq"), 6).as("inv_simpson"))
+    graft.api.Analytics.inverseSimpson(Tables.customer(s, dir),
+        col("c_nationkey"), col("c_mktsegment"))
+      .select(col("grp"), col("n_total"), r(col("inv_simpson"), 6).as("inv_simpson"))
 
   // ---------------------------------------------------------------
   // 24. over-representation analysis (funx_enrichment.R:19-158):
@@ -216,29 +179,11 @@ object SingleCell {
     val hits = Tables.lineitem(s, dir)
       .filter(col("l_returnflag") === "R" && col("l_quantity") >= 50)
       .select(col("l_partkey")).distinct()
-    val part = Tables.part(s, dir)
-    val base = part
-      .join(hits.withColumn("hit", lit(1)), part("p_partkey") === hits("l_partkey"), "left")
-      .groupBy(col("p_brand").as("term"))
-      .agg(count(lit(1)).as("k_term"), sum(coalesce(col("hit"), lit(0))).as("k_hits"))
-      .crossJoin(broadcast(part.agg(count(lit(1)).as("n_universe"))))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-    val tail = base
-      .withColumn("j", explode(sequence(col("k_hits"), least(col("k_term"), col("n_hits")))))
-      .withColumn("lnp",
-        Stats.lnChoose(col("k_term").cast("double"), col("j").cast("double")) +
-          Stats.lnChoose((col("n_universe") - col("k_term")).cast("double"), (col("n_hits") - col("j")).cast("double")) -
-          Stats.lnChoose(col("n_universe").cast("double"), col("n_hits").cast("double")))
-      .groupBy(col("term"), col("n_universe"), col("k_term"), col("n_hits"), col("k_hits"))
-      .agg(sum(exp(col("lnp"))).as("p"))
-    val wRank = Window.orderBy(col("p").asc, col("term").asc)
-    val wBh = Window.orderBy(col("rk").asc).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    tail
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("p_adj", least(lit(1.0), min(col("p") * col("m") / col("rk")).over(wBh)))
+    graft.api.Analytics.enrichmentOra(
+        Tables.part(s, dir), col("p_brand"), col("p_partkey"),
+        hits, col("l_partkey"))
       .select(col("term"), col("n_universe"), col("k_term"), col("n_hits"), col("k_hits"),
-        r(col("p"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
   }
 
   // ---------------------------------------------------------------
@@ -246,15 +191,13 @@ object SingleCell {
   // of a feature set minus mean of the control set, per entity. Part
   // attributes arrive via a broadcast dim join.
   def moduleScore(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("entity"))
-    val lognorm = matrix(s, dir).select(col("entity"), col("feature"),
-      log1p(col("value") / sum(col("value")).over(w) * lit(1e4)).as("lognorm"))
-    lognorm
+    val lognorm = graft.api.Analytics.logNormalize(matrix(s, dir),
+      col("entity"), col("feature"), col("value"))
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_size"))),
         col("feature") === col("p_partkey"))
-      .groupBy(col("entity"))
-      .agg(r(avg(when(col("p_size") <= 10, col("lognorm")))
-        - avg(when(col("p_size") > 10, col("lognorm"))), 6).as("module_score"))
+    graft.api.Analytics.moduleScore(lognorm, col("entity"), col("lognorm"),
+        col("p_size") <= 10, col("p_size") > 10)
+      .select(col("entity"), r(col("module_score"), 6).as("module_score"))
   }
 
   // ---------------------------------------------------------------
@@ -265,16 +208,8 @@ object SingleCell {
     val x = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority").as("grp")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey").as("feature"), col("grp"), col("l_quantity").as("x"))
-    val byGroup = x.groupBy(col("feature"), col("grp"))
-      .agg(count(lit(1)).as("n_g"), avg(col("x")).as("m_g"))
-    val overall = x.groupBy(col("feature"))
-      .agg(count(lit(1)).as("n_all"), avg(col("x")).as("m_all"), var_pop(col("x")).as("v_all"))
-    byGroup.join(overall, "feature")
-      .groupBy(col("feature"), col("n_all"), col("v_all"))
-      .agg(sum(col("n_g") * (col("m_g") - col("m_all")) * (col("m_g") - col("m_all"))).as("ss_between"))
-      .select(col("feature"), col("n_all"),
-        r(col("ss_between") / (col("n_all") * nullif(col("v_all"), lit(0.0))), 6).as("r2"))
+    graft.api.Analytics.varianceExplained(x, col("l_partkey"), col("grp"), col("l_quantity"))
+      .select(col("feature"), col("n_all"), r(col("r2"), 6).as("r2"))
   }
 
   // ---------------------------------------------------------------
@@ -306,11 +241,8 @@ object SingleCell {
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority").as("batch")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("batch"), col("l_quantity").as("x"))
-    val moments = x.groupBy(col("batch"))
-      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sigma"))
-    x.join(broadcast(moments), "batch")
-      .select(col("l_orderkey"), col("l_linenumber"), col("batch"),
-        r((col("x") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6).as("z"))
+    graft.api.Analytics.batchStandardize(x, "batch", col("x"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("batch"), r(col("z"), 6).as("z"))
   }
 
   // ---------------------------------------------------------------
@@ -321,13 +253,9 @@ object SingleCell {
     val x = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey").as("feature"),
-        unix_timestamp(col("o_orderdate")).cast("double").as("pt"),
-        col("l_quantity").as("x"))
-    x.groupBy(col("feature"))
-      .agg(count(lit(1)).as("n"), corr(col("x"), col("pt")).as("c"))
-      .select(col("feature"), col("n"),
-        r(when(isnan(col("c")), lit(null)).otherwise(col("c")), 6).as("assoc"))
+    graft.api.Analytics.orderedAssociation(x, col("l_partkey"),
+        unix_timestamp(col("o_orderdate")).cast("double"), col("l_quantity"))
+      .select(col("feature"), col("n"), r(col("assoc"), 6).as("assoc"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
