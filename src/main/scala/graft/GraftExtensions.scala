@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * Catalyst expressions as SQL functions, so they're callable from
+  * `spark.sql(...)` / `expr(...)` as well as the Column API.
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.register(ext)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
+    require(es.length == n,
+      s"$name expects $n argument(s), got ${es.length}")
+
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig", "minhash_sig(shingles) — 64-element minwise signature",
+      (es: Seq[Expression]) => { arity("minhash_sig", 1)(es); MinHashSig(es.head, 64) }),
+    ("simhash64", "simhash64(tokens) — 64-bit simhash",
+      (es: Seq[Expression]) => { arity("simhash64", 1)(es); SimHash64(es.head) }),
+    ("dot_product", "dot_product(a, b) — dot product of double arrays",
+      (es: Seq[Expression]) => { arity("dot_product", 2)(es); DotProduct(es(0), es(1)) }),
+    ("char_shingles", "char_shingles(text[, n]) — distinct char n-grams (default 5)",
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => CharShingles(t, 5)
+        case Seq(t, n) if n.foldable =>
+          CharShingles(t, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "char_shingles expects (text) or (text, <literal int n>)")
+      }),
+    ("jaccard_sim", "jaccard_sim(a, b) — set Jaccard of string arrays",
+      (es: Seq[Expression]) => { arity("jaccard_sim", 2)(es); JaccardSim(es(0), es(1)) }))
+
+  def register(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+
+  /** Register into an already-running session (builder extensions only
+    * apply at session creation — this covers notebooks/REPLs). */
+  def installInto(spark: org.apache.spark.sql.SparkSession): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      org.apache.spark.sql.GraftGlue.registerFunction(spark, name, info(name, usage), builder)
+    }
+}

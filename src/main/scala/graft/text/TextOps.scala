@@ -104,11 +104,36 @@ object TextOps {
                  * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)""")
         .as("fp"))
 
+  // ---------------------------------------------------------------
+  // 48 (beyond the reference inventory): TF-IDF top terms per document.
+  // Smoothed idf = ln((N+1)/(df+1)) + 1; top-3 terms by tf·idf per doc.
+  // Two shuffles — (doc, term) then term — both on bounded keys; the
+  // per-doc window partitions are |vocab ∩ doc| sized.
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf_raw").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        r(col("tfidf_raw"), 6).as("tfidf"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
     "lang_id"          -> (langId _),
-    "doc_fingerprint"  -> (docFingerprint _))
+    "doc_fingerprint"  -> (docFingerprint _),
+    "tfidf_top_terms"  -> (tfidfTopTerms _))
 
   private val qualitySql = {
     val len = "CAST(length(text) AS DOUBLE)"
@@ -153,6 +178,21 @@ object TextOps {
            FROM documents""",
     "text_quality" -> qualitySql,
     "lang_id" -> langIdSql,
+    "tfidf_top_terms" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  tf.tf * (ln((n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf_raw
+           FROM tf JOIN df ON tf.term = df.term, n)
+         SELECT doc_id, term, tf, df, round(tfidf_raw, 6) AS tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf_raw DESC, term ASC) AS rk
+         FROM scored QUALIFY rk <= 3""",
     "doc_fingerprint" ->
       """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len_chars,
          CAST(sum(ascii(substr(d.text, CAST(i AS INT), 1))
