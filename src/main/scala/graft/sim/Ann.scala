@@ -40,7 +40,10 @@ object Ann {
 
   private def topk(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
+    // project the vector arrays away BEFORE the window shuffle — only
+    // (qid, vec_id, cs) rides through the rank sort
+    scored.select(col("qid"), col("vec_id"), col("cs"))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id").as("neighbor_id"), r(col("cs"), 6).as("cos_sim"), col("rk"))
   }
