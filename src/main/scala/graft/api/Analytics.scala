@@ -213,6 +213,25 @@ object Analytics {
       .drop("__rn")
   }
 
+  /** Two-phase salted aggregation for skewed keys: phase 1 aggregates
+    * on (key, salt) spreading a hot key over `salts` reducers, phase 2
+    * merges the partials per key. Use for algebraic aggregates
+    * (sum/count/min/max) when one key dominates — e.g. a mega-user in a
+    * clickstream — and AQE's skew handling can't help (it only splits
+    * join partitions, not aggregation keys).
+    * `aggs` maps output column name → (phase1 agg of the value column,
+    * phase2 merge of the partial column). */
+  def saltedAggregate(df: DataFrame, key: Column, salts: Int,
+      aggs: Map[String, (Column, String => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(crc32(key.cast("string")) + spark_partition_id(), lit(salts)))
+    val phase1 = salted.groupBy(key.as("key"), col("__salt"))
+      .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }.toSeq: _*)
+    phase1.groupBy(col("key"))
+      .agg(aggs.head._2._2(s"__p_${aggs.head._1}").as(aggs.head._1),
+        aggs.tail.map { case (n, (_, m)) => m(s"__p_$n").as(n) }.toSeq: _*)
+  }
+
   /** Gap sessionization over (key, ordered timestamp): cumulative
     * new-session counter; both windows share one shuffle. */
   def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,

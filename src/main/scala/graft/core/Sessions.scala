@@ -43,9 +43,33 @@ object Sessions {
         countDistinct(col("user_id")).as("n_users"),
         r(sum(col("value")), 4).as("sum_value"))
 
+  // ---------------------------------------------------------------
+  // 48b. banded range join: for each purchase, aggregate the same
+  // user's clicks in the preceding hour. The range predicate becomes an
+  // equi-join on (user, hour-bucket) by replicating each click into its
+  // own and the following bucket — bounded 2× fan-out instead of an
+  // O(n·m) theta join, the scalable shape for interval joins.
+  def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_ts"),
+        expr(s"ts_us div $HourUs").as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("value").as("c_val"),
+        explode(expr(s"array(ts_us div $HourUs, ts_us div $HourUs + 1)")).as("bucket"))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(
+        count(when(col("c_ts") >= col("p_ts") - HourUs && col("c_ts") <= col("p_ts"), 1)).as("n_clicks"),
+        r(coalesce(sum(when(col("c_ts") >= col("p_ts") - HourUs && col("c_ts") <= col("p_ts"),
+          col("c_val"))), lit(0.0)), 4).as("click_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize_events" -> (sessionizeEvents _),
-    "windowed_events"   -> (windowedEvents _))
+    "windowed_events"   -> (windowedEvents _),
+    "range_join_clicks" -> (rangeJoinClicks _))
 
   val oracles: Map[String, String] = Map(
     "sessionize_events" ->
@@ -67,6 +91,17 @@ object Sessions {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 round(sum(value), 4) AS sum_value
          FROM sess GROUP BY user_id, session_idx""",
+    "range_join_clicks" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+         p AS (SELECT event_id, user_id, ts_us AS p_ts FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts_us AS c_ts, value AS c_val FROM e WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+                count(c.c_ts) AS n_clicks,
+                round(coalesce(sum(c.c_val), 0.0), 4) AS click_value
+         FROM p LEFT JOIN c
+           ON p.user_id = c.user_id
+          AND c.c_ts >= p.p_ts - 3600000000 AND c.c_ts <= p.p_ts
+         GROUP BY p.event_id, p.user_id""",
     "windowed_events" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
          count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -115,19 +115,23 @@ object SingleCell {
   // 20. combine two annotation methods (compare_annotation.R:57-113):
   // method1 = argmax label by revenue, method2 = argmax by quantity;
   // agreement keeps the label, disagreement → "Ambiguous".
+  // Single scan + single shuffle: both score sums come from one
+  // groupBy; the two argmax windows and the final per-entity rollup all
+  // share the entity partitioning, so Catalyst reuses one exchange
+  // (was: two scans, two shuffles, one join).
   def annotationCombine(s: SparkSession, dir: String): DataFrame = {
-    def argmaxBy(valueCol: Column, out: String): DataFrame = {
-      val w = Window.partitionBy(col("entity")).orderBy(col("v").desc, col("label").asc)
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
-        .agg(sum(valueCol).as("v"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("entity"), col("label").as(out))
-    }
-    graft.api.Analytics.annotationCombine(
-      argmaxBy(col("l_extendedprice"), "label_m1"),
-      argmaxBy(col("l_quantity"), "label_m2"))
+    val w1 = Window.partitionBy(col("entity")).orderBy(col("v1").desc, col("label").asc)
+    val w2 = Window.partitionBy(col("entity")).orderBy(col("v2").desc, col("label").asc)
+    val winners = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
+      .agg(sum(col("l_extendedprice")).as("v1"), sum(col("l_quantity")).as("v2"))
+      .withColumn("rk1", row_number().over(w1))
+      .withColumn("rk2", row_number().over(w2))
+      .groupBy(col("entity"))
+      .agg(max(when(col("rk1") === 1, col("label"))).as("label_m1"),
+        max(when(col("rk2") === 1, col("label"))).as("label_m2"))
+    winners.withColumn("final_label",
+      when(col("label_m1") === col("label_m2"), col("label_m1")).otherwise(lit("Ambiguous")))
   }
 
   // ---------------------------------------------------------------

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Generic-API semantics on hand-checkable inputs. */
+class AnalyticsSpec extends SparkSpecBase {
+
+  test("saltedAggregate equals plain groupBy on skewed data") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a tail
+    val df = ((1 to 900).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toDouble))).toDF("k", "v")
+    val salted = api.Analytics.saltedAggregate(df, col("k"), salts = 8,
+      aggs = Map(
+        "total" -> (sum(col("v")), (p: String) => sum(col(p))),
+        "n"     -> (count(lit(1)), (p: String) => sum(col(p)))))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val plain = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("madOutliers flags a planted extreme value") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => ("b1", 10.0 + (i % 5))) :+ (("b1", 1000.0)))
+      .toDF("batch", "x")
+    val out = api.Analytics.madOutliers(df, "batch", "x")
+    assert(out.filter(col("x") === 1000.0).select("outlier").collect()(0).getBoolean(0))
+    assert(out.filter(col("outlier")).count() == 1)
+  }
+
+  test("varianceExplained is 1 for perfectly-separated groups, ~0 for identical") {
+    import spark.implicits._
+    val sep = Seq(("f1","a",1.0),("f1","a",1.0),("f1","b",9.0),("f1","b",9.0))
+      .toDF("f","g","x")
+    val r2 = api.Analytics.varianceExplained(sep, col("f"), col("g"), col("x"))
+      .collect()(0).getDouble(2)
+    assert(math.abs(r2 - 1.0) < 1e-9)
+    val same = Seq(("f1","a",3.0),("f1","a",5.0),("f1","b",3.0),("f1","b",5.0))
+      .toDF("f","g","x")
+    val r2b = api.Analytics.varianceExplained(same, col("f"), col("g"), col("x"))
+      .collect()(0).getDouble(2)
+    assert(math.abs(r2b) < 1e-9)
+  }
+}
