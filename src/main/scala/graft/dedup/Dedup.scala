@@ -131,7 +131,7 @@ object Dedup {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))

@@ -19,7 +19,7 @@ object Reduce {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("fv"))
+        array_to_vector(col("embedding").cast("array<double>")).as("fv"))
     val model = new PCA().setK(8).setInputCol("fv").setOutputCol("pc").fit(vecs)
     model.transform(vecs)
       .withColumn("pcs", vector_to_array(col("pc")))
@@ -35,7 +35,7 @@ object Reduce {
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
-        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("fv"))
+        array_to_vector(col("embedding").cast("array<double>")).as("fv"))
     val model = new KMeans().setK(10).setSeed(42L).setFeaturesCol("fv").fit(vecs)
     model.transform(vecs)
       .select(col("vec_id"), col("label"), col("prediction").as("cluster"))

@@ -28,7 +28,7 @@ object Ann {
   /** Vectors with precomputed L2 norm, embedding cast to double. */
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   private def cosCol: Column = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
