@@ -73,30 +73,37 @@ object Dedup {
   // shuffle is the (band, band_hash) groupBy — bounded buckets, the
   // 100 TB-safe shape.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.minhashSig
-    // persisted: the plan consumes docs twice (banding + verification
-    // join-back) — at corpus scale this would be a checkpointed
-    // signature table rather than a recompute
+    import graft.functions.VectorFunctions.{jaccardSim, longMatchFrac, minhashSigText}
+    // signature straight from the text (fused shingle+hash, zero
+    // allocation per shingle); min over the shingle multiset equals min
+    // over the set, so this matches MinHashSig(CharShingles(text)).
     val docs = docsNorm(s, dir)
-      .select(col("doc_id"), shinglesExpr("t").as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bands carry only (doc_id, band, band_hash) — the shingle arrays do
-    // NOT ride through the candidate shuffle; they're joined back once
-    // per surviving candidate pair for exact verification.
-    val bands = docs.select(col("doc_id"),
+    val sigs = docs.withColumn("sig", minhashSigText(col("t"))).select(col("doc_id"), col("sig"))
+    val bands = sigs.select(col("doc_id"),
         explode(expr("transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
+    // candidates carry only ids; dedup'd before anything heavy joins on
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    val sh = docs.select(col("doc_id"), col("sh"))
-    cand
+    // cheap screen first: the 512-byte signatures estimate Jaccard as
+    // the matching-hash fraction; P(est < 0.5 | true J ≥ 0.7) ≈ 2e-4,
+    // so screening at 0.5 keeps real near-dups while dropping the bulk
+    // of candidates BEFORE the expensive shingle-array join (the arrays
+    // are ~8× the signature payload).
+    val screened = cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .filter(longMatchFrac(col("sig1"), col("sig2")) >= 0.5)
+      .select(col("d1"), col("d2"))
+    // exact verification only for the survivors
+    val sh = docs.select(col("doc_id"), shinglesExpr("t").as("sh"))
+    screened
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .withColumn("jac", graft.functions.VectorFunctions.jaccardSim(col("sh1"), col("sh2")))
+      .withColumn("jac", jaccardSim(col("sh1"), col("sh2")))
       .filter(col("jac") >= 0.7)
       .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
   }

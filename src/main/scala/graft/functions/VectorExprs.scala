@@ -193,6 +193,10 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column = GraftGlue.column(DotProduct(toExpr(a), toExpr(b)))
   def charShingles(c: Column, n: Int = 5): Column = GraftGlue.column(CharShingles(toExpr(c), n))
   def jaccardSim(a: Column, b: Column): Column = GraftGlue.column(JaccardSim(toExpr(a), toExpr(b)))
+  def minhashSigText(c: Column, n: Int = 5, numHashes: Int = 64): Column =
+    GraftGlue.column(MinHashSigText(toExpr(c), n, numHashes))
+  def longMatchFrac(a: Column, b: Column): Column =
+    GraftGlue.column(LongMatchFrac(toExpr(a), toExpr(b)))
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint
@@ -297,5 +301,117 @@ case class JaccardSim(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused shingle+minhash signature straight from the normalized text —
+  * no shingle-array materialization, no set, no per-shingle allocation.
+  * min over the shingle MULTISET equals min over the set, so this is
+  * signature-identical to MinHashSig(CharShingles(text)) while doing
+  * zero heap work per shingle. Used on the banding branch; the
+  * verification branch still materializes CharShingles for JaccardSim.
+  */
+case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    val last = math.max(len - (n - 1), 1)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 1
+    while (i <= last) {
+      val s = t.substringSQL(i, n)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val len = ctx.freshName("len")
+      val last = ctx.freshName("last")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+        int $len = $c.numChars();
+        int $last = java.lang.Math.max($len - ${n - 1}, 1);
+        long[] $sig = new long[$numHashes];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        for (int $i = 1; $i <= $last; $i++) {
+          UTF8String $s = $c.substringSQL($i, $n);
+          for (int $j = 0; $j < $numHashes; $j++) {
+            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $j);
+            if ($h < $sig[$j]) $sig[$j] = $h;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
+    copy(child = newChild)
+}
+
+/** Fraction of positions where two long arrays agree — the minhash
+  * Jaccard estimator (matching-signature fraction). */
+case class LongMatchFrac(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "long_match_frac"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> args, got ${l.sql} and ${r.sql}")
+    }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var m = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $m = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) $m++;
+        }
+        ${ev.value} = ($n == 0) ? 0.0 : ((double) $m) / $n;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongMatchFrac =
     copy(left = newLeft, right = newRight)
 }
