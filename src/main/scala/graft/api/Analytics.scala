@@ -35,11 +35,16 @@ object Analytics {
     * |x − median| > nmads·1.4826·MAD, with a low-side flag. Medians are
     * tiny per-batch aggregates broadcast back — no giant window sorts. */
   def madOutliers(metrics: DataFrame, batch: String, x: String,
-      nmads: Double = 3.0): DataFrame = {
-    val med = metrics.groupBy(col(batch)).agg(Stats.medianCol(col(x)).as("med"))
+      nmads: Double = 3.0, exact: Boolean = true): DataFrame = {
+    // exact=false swaps the medians for single-pass bounded-memory
+    // sketches (percentile_approx) — the 100 TB default when the oracle
+    // doesn't demand exact interpolation.
+    def med50(c: Column): Column =
+      if (exact) Stats.medianCol(c) else Stats.quantileApproxCol(c, 0.5)
+    val med = metrics.groupBy(col(batch)).agg(med50(col(x)).as("med"))
     val withMed = metrics.join(broadcast(med), batch)
     val mad = withMed.groupBy(col(batch))
-      .agg(Stats.medianCol(abs(col(x) - col("med"))).as("mad"))
+      .agg(med50(abs(col(x) - col("med"))).as("mad"))
     withMed.join(broadcast(mad), batch)
       .withColumn("outlier", abs(col(x) - col("med")) > lit(nmads * 1.4826) * col("mad"))
       .withColumn("outlier_low", col(x) < col("med") - lit(nmads * 1.4826) * col("mad"))

@@ -66,10 +66,23 @@ object Sessions {
           col("c_val"))), lit(0.0)), 4).as("click_value"))
   }
 
+  // ---------------------------------------------------------------
+  // 52. sliding-window aggregates: 1-hour windows sliding every 15 min
+  // via Spark's native window() (each event lands in 4 windows). The
+  // oracle replicates the window-assignment arithmetic with an explicit
+  // 4-way explode.
+  def slidingWindowsEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize_events" -> (sessionizeEvents _),
-    "windowed_events"   -> (windowedEvents _),
-    "range_join_clicks" -> (rangeJoinClicks _))
+    "sessionize_events"      -> (sessionizeEvents _),
+    "windowed_events"        -> (windowedEvents _),
+    "range_join_clicks"      -> (rangeJoinClicks _),
+    "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
     "sessionize_events" ->
@@ -102,6 +115,15 @@ object Sessions {
            ON p.user_id = c.user_id
           AND c.c_ts >= p.p_ts - 3600000000 AND c.c_ts <= p.p_ts
          GROUP BY p.event_id, p.user_id""",
+    "sliding_windows_events" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+         assigned AS (
+           SELECT ((ts_us // 900000000) - k) * 900000000 AS window_start_us,
+                  event_type, value
+           FROM e, LATERAL unnest(generate_series(0, 3)) AS t(k))
+         SELECT window_start_us, event_type, count(*) AS n,
+                round(sum(value), 4) AS sum_value
+         FROM assigned GROUP BY 1, 2""",
     "windowed_events" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
          count(*) AS n, count(DISTINCT user_id) AS n_users,

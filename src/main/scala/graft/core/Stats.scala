@@ -44,4 +44,10 @@ object Stats {
 
   /** Exact interpolated quantile (DuckDB `quantile_cont` analog). */
   def quantileCol(c: Column, q: Double): Column = percentile(c, lit(q))
+
+  /** Approximate quantile (t-digest style sketch, single pass, bounded
+    * memory) — the 100 TB path when exactness isn't contractual.
+    * accuracy = 1/relativeError; 10000 ≈ 0.01% rank error. */
+  def quantileApproxCol(c: Column, q: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(q), lit(accuracy))
 }

@@ -29,6 +29,18 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(out.filter(col("outlier")).count() == 1)
   }
 
+  test("approx-quantile MAD outliers agree with exact on the planted extreme") {
+    import spark.implicits._
+    val df = ((1 to 500).map(i => ("b1", 10.0 + (i % 7))) :+ (("b1", 5000.0)))
+      .toDF("batch", "x")
+    val exact = api.Analytics.madOutliers(df, "batch", "x", exact = true)
+      .filter(col("outlier")).select("x").collect().map(_.getDouble(0)).toSet
+    val approx = api.Analytics.madOutliers(df, "batch", "x", exact = false)
+      .filter(col("outlier")).select("x").collect().map(_.getDouble(0)).toSet
+    assert(exact == Set(5000.0))
+    assert(approx == exact, "sketch path must agree on a clear outlier")
+  }
+
   test("varianceExplained is 1 for perfectly-separated groups, ~0 for identical") {
     import spark.implicits._
     val sep = Seq(("f1","a",1.0),("f1","a",1.0),("f1","b",9.0),("f1","b",9.0))
