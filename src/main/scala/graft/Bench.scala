@@ -31,6 +31,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: parquet footers, codegen JIT, broadcast machinery —
+    // otherwise the alphabetically-first query absorbs ~4s of one-time
+    // session cost and the per-query numbers lie.
+    Tables.names.foreach { t =>
+      try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
+    try SparkEntry.queries("q5_region_revenue")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip.contains(q._1))
       .map { case (name, fn) =>

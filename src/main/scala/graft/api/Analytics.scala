@@ -71,6 +71,30 @@ object Analytics {
       log1p(value / sum(value).over(w) * lit(scale)).as("lognorm"))
   }
 
+  /** Quantile normalization across entities (the classic microarray /
+    * expression-matrix normalizer): rank values within each entity,
+    * average values at each rank across entities, substitute. Requires
+    * equal per-entity vector lengths for strict semantics; with ragged
+    * entities the rank-mean join still applies rank-wise. Two shuffles:
+    * the per-entity rank window and the per-rank mean. */
+  def quantileNormalize(m: DataFrame, entity: Column, feature: Column,
+      value: Column): DataFrame = {
+    val wRank = Window.partitionBy(col("entity")).orderBy(col("value").asc, col("feature").asc)
+    val ranked = m.select(entity.as("entity"), feature.as("feature"), value.as("value"))
+      .withColumn("rnk", row_number().over(wRank))
+    val rankMeans = ranked.groupBy(col("rnk")).agg(avg(col("value")).as("qnorm"))
+    ranked.join(rankMeans, "rnk")
+      .select(col("entity"), col("feature"), col("value"), col("qnorm"))
+  }
+
+  /** Approximate distinct count per group via HyperLogLog++ — the
+    * 100 TB path for cardinality (countDistinct shuffles every distinct
+    * value; HLL ships a fixed-size sketch). rsd = relative std dev. */
+  def approxDistinct(df: DataFrame, grp: Column, item: Column,
+      rsd: Double = 0.01): DataFrame =
+    df.groupBy(grp.as("grp"))
+      .agg(approx_count_distinct(item, rsd).as("n_distinct_approx"))
+
   // --------------------------------------------------- annotation
 
   /** Winning label per entity with delta-from-median and delta-from-

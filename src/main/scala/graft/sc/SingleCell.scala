@@ -262,7 +262,17 @@ object SingleCell {
       .select(col("feature"), col("n"), r(col("assoc"), 6).as("assoc"))
   }
 
+  // ---------------------------------------------------------------
+  // 54 (beyond inventory). quantile normalization of the expression
+  // matrix: per-entity ranks replaced by cross-entity rank means.
+  def quantileNormalizeMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.quantileNormalize(matrix(s, dir),
+        col("entity"), col("feature"), col("value"))
+      .select(col("entity"), col("feature"), col("value"),
+        r(col("qnorm"), 6).as("qnorm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_normalize"    -> (quantileNormalizeMatrix _),
     "qc_cell_metrics"       -> (qcCellMetrics _),
     "qc_mad_outliers"       -> (qcMadOutliers _),
     "feature_filter"        -> (featureFilter _),
@@ -280,6 +290,15 @@ object SingleCell {
     "pseudotime_assoc"      -> (pseudotimeAssoc _))
 
   val oracles: Map[String, String] = Map(
+    "quantile_normalize" ->
+      s"""WITH ranked AS (
+            SELECT entity, feature, value,
+                   row_number() OVER (PARTITION BY entity
+                     ORDER BY value ASC, feature ASC) AS rnk
+            FROM ($matrixSql)),
+          rank_means AS (SELECT rnk, avg(value) AS qnorm FROM ranked GROUP BY rnk)
+          SELECT entity, feature, value, round(qnorm, 6) AS qnorm
+          FROM ranked JOIN rank_means USING (rnk)""",
     "qc_cell_metrics" ->
       """SELECT l_orderkey AS entity,
          round(sum(l_quantity),4) AS total,

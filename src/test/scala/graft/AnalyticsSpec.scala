@@ -41,6 +41,27 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(approx == exact, "sketch path must agree on a clear outlier")
   }
 
+  test("quantileNormalize gives identical distributions across entities") {
+    import spark.implicits._
+    val m = Seq(
+      ("e1","f1",5.0),("e1","f2",2.0),("e1","f3",3.0),
+      ("e2","f1",50.0),("e2","f2",20.0),("e2","f3",30.0)).toDF("e","f","v")
+    val out = api.Analytics.quantileNormalize(m, col("e"), col("f"), col("v"))
+    val dists = out.collect().groupBy(_.getString(0))
+      .map { case (e, rows) => e -> rows.map(_.getDouble(3)).sorted.toSeq }
+    // rank means: rank1=(2+20)/2=11, rank2=(3+30)/2=16.5, rank3=(5+50)/2=27.5
+    assert(dists("e1") == Seq(11.0, 16.5, 27.5))
+    assert(dists("e1") == dists("e2"))
+  }
+
+  test("approxDistinct tracks exact cardinality within rsd") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("g", s"item$i")).toDF("g", "x")
+    val approx = api.Analytics.approxDistinct(df, col("g"), col("x"))
+      .collect()(0).getLong(1)
+    assert(math.abs(approx - 5000) < 5000 * 0.05, s"approx=$approx")
+  }
+
   test("varianceExplained is 1 for perfectly-separated groups, ~0 for identical") {
     import spark.implicits._
     val sep = Seq(("f1","a",1.0),("f1","a",1.0),("f1","b",9.0),("f1","b",9.0))
