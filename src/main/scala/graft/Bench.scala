@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val skip = Set(
-    "dedup_ngram_jaccard", "ann_ivf_topk", "pca_embeddings", "kmeans_clusters")
+    "dedup_ngram_jaccard", "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

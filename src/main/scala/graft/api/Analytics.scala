@@ -210,6 +210,24 @@ object Analytics {
         (col("ss_between") / (col("n_all") * nullif(col("v_all"), lit(0.0)))).as("r2"))
   }
 
+  /** Regress a continuous covariate out of a value, per feature
+    * (integrate.R:51-181 / scater regressBatches analog): residual =
+    * y − (α_f + β_f·x) with per-feature OLS coefficients from one
+    * aggregate pass, broadcast back — fact rows never shuffle. */
+  def regressOut(df: DataFrame, feature: Column, x: Column,
+      y: Column): DataFrame = {
+    val t = df.withColumn("__f", feature).withColumn("__x", x).withColumn("__y", y)
+    val coef = t.groupBy(col("__f"))
+      .agg(regr_slope(col("__y"), col("__x")).as("__b"),
+        regr_intercept(col("__y"), col("__x")).as("__a"),
+        avg(col("__y")).as("__my"))
+    t.join(broadcast(coef), "__f")
+      .withColumn("residual",
+        when(col("__b").isNull, col("__y") - col("__my")) // zero-variance covariate
+          .otherwise(col("__y") - (col("__a") + col("__b") * col("__x"))))
+      .drop("__f", "__x", "__y", "__a", "__b", "__my")
+  }
+
   /** Per-batch z-standardization of a value column (integrate.R:51-181
     * re-expressed): batch moments broadcast back, fact rows unshuffled. */
   def batchStandardize(df: DataFrame, batch: String, x: Column): DataFrame = {

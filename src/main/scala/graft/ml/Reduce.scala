@@ -41,9 +41,23 @@ object Reduce {
       .select(col("vec_id"), col("label"), col("prediction").as("cluster"))
   }
 
+  /** Hierarchical-clustering analog (wrapper.R:267-348 hclust path):
+    * MLlib BisectingKMeans — divisive hierarchy, seeded. */
+  def bisectingClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.BisectingKMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+    val model = new BisectingKMeans().setK(8).setSeed(42L).setFeaturesCol("fv").fit(vecs)
+    model.transform(vecs)
+      .select(col("vec_id"), col("label"), col("prediction").as("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pca_embeddings"  -> (pcaEmbeddings _),
-    "kmeans_clusters" -> (kmeansClusters _))
+    "pca_embeddings"    -> (pcaEmbeddings _),
+    "kmeans_clusters"   -> (kmeansClusters _),
+    "bisecting_clusters" -> (bisectingClusters _))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -271,7 +271,23 @@ object SingleCell {
       .select(col("entity"), col("feature"), col("value"),
         r(col("qnorm"), 6).as("qnorm"))
 
+  // ---------------------------------------------------------------
+  // 56 (beyond inventory). regress out a continuous covariate
+  // (order-date pseudotime) from expression, per feature — the
+  // "regress out unwanted variation" step, OLS per feature in one
+  // aggregate pass broadcast back.
+  def regressOutMatrix(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.api.Analytics.regressOut(x, col("l_partkey"),
+        unix_timestamp(col("o_orderdate")).cast("double") / 1e9, col("l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        r(col("residual"), 6).as("residual"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "regress_out"           -> (regressOutMatrix _),
     "quantile_normalize"    -> (quantileNormalizeMatrix _),
     "qc_cell_metrics"       -> (qcCellMetrics _),
     "qc_mad_outliers"       -> (qcMadOutliers _),
@@ -290,6 +306,19 @@ object SingleCell {
     "pseudotime_assoc"      -> (pseudotimeAssoc _))
 
   val oracles: Map[String, String] = Map(
+    "regress_out" ->
+      """WITH x AS (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+                  CAST(epoch(o_orderdate) AS DOUBLE)/1e9 AS xv, l_quantity AS y
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         coef AS (
+           SELECT l_partkey, regr_slope(y, xv) AS b, regr_intercept(y, xv) AS a,
+                  avg(y) AS my
+           FROM x GROUP BY 1)
+         SELECT x.l_orderkey, x.l_linenumber, x.l_partkey,
+                round(CASE WHEN b IS NULL THEN y - my
+                           ELSE y - (a + b*xv) END, 6) AS residual
+         FROM x JOIN coef ON x.l_partkey = coef.l_partkey""",
     "quantile_normalize" ->
       s"""WITH ranked AS (
             SELECT entity, feature, value,
