@@ -25,6 +25,17 @@ object StreamSessionize {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of dedup_exact: drop
+    * documents whose normalized-text hash was already seen within the
+    * watermark horizon. State is bounded by the horizon (Spark evicts
+    * keys older than the watermark), which is what makes exact dedup
+    * viable on an unbounded stream. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("norm_hash", md5(trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("norm_hash")
+
   /** Stateful gap sessionizer: one state record per user; a session is
     * emitted when the event-time watermark passes its gap timeout (or a
     * new event arrives beyond the gap). State size is O(active users).

@@ -38,6 +38,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated normalized text within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val docs = ms.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamSessionize.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      ms.addData(
+        (ts(0), 1L, "Hello   world"),
+        (ts(1), 2L, "hello world"),   // same after normalization → dropped
+        (ts(2), 3L, "something else"))
+      q.processAllAvailable()
+      ms.addData((ts(5), 4L, "HELLO  world")) // still within horizon → dropped
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregate finalizes closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
