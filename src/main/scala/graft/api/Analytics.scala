@@ -56,7 +56,7 @@ object Analytics {
       minCount: Int, minFrac: Double): DataFrame = {
     val nEntities = m.agg(countDistinct(entity).as("n_entities"))
     m.groupBy(feature.as("feature"))
-      .agg(count(lit(1)).as("n_detected"))
+      .agg(countDistinct(entity).as("n_detected")) // ENTITIES, not rows — input may repeat (entity, feature)
       .crossJoin(broadcast(nEntities))
       .withColumn("keep",
         col("n_detected") >= minCount ||

@@ -158,7 +158,7 @@ case class DotProduct(left: Expression, right: Expression)
   protected override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = DotProduct.checkedLength(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -171,7 +171,7 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = graft.functions.DotProduct$$.MODULE$$.checkedLength($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $acc += $a.getDouble($i) * $b.getDouble($i);
@@ -182,6 +182,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Mismatched vector dimensions are data corruption, not a prefix to
+    * silently truncate over (DuckDB's list_cosine_similarity errors the
+    * same way). */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"dot_product requires equal-length arrays, got $a and $b")
+    a
+  }
 }
 
 /** Column-level helpers wrapping the native expressions. */

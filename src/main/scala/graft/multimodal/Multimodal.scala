@@ -62,7 +62,10 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("byte_len"),
         substring(sha2(col("payload"), 256), 1, 16).as("checksum16"),
         (floor(octet_length(col("payload")) / 100) + 1).as("n_frames"),
-        size(expr("sequence(0, CAST(octet_length(payload) AS INT) - 1, 100)")).cast("long").as("n_sampled"))
+        // guarded: sequence(0,-1,100) throws on an empty payload
+        when(octet_length(col("payload")) > 0,
+          size(expr("sequence(0, CAST(octet_length(payload) AS INT) - 1, 100)")).cast("long"))
+          .otherwise(0L).as("n_sampled"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _))

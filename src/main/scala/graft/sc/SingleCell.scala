@@ -224,9 +224,8 @@ object SingleCell {
   // acceptable even at 100 TB of matrix entries; the heavy reduction
   // happened in the groupBy.
   def hvgMeanVar(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("entity"))
-    val lognorm = matrix(s, dir).select(col("entity"), col("feature"),
-      log1p(col("value") / sum(col("value")).over(w) * lit(1e4)).as("lognorm"))
+    val lognorm = graft.api.Analytics.logNormalize(matrix(s, dir),
+      col("entity"), col("feature"), col("value"))
     val stats = lognorm.groupBy(col("feature"))
       .agg(count(lit(1)).as("n"), r(avg(col("lognorm")), 6).as("mean_ln"),
         r(var_pop(col("lognorm")), 6).as("var_ln"))

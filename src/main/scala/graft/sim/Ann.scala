@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Three tiers:
   *  - brute-force cosine top-k — the exact baseline/oracle path;
   *  - random-hyperplane LSH buckets — sub-linear candidate generation,
-  *    the shuffle key is the 16-bit bucket id (bounded fan-out);
+  *    the shuffle key is the sign-pattern bucket id (bounded fan-out);
   *  - IVF (KMeans-partitioned, nprobe=2) — the classic coarse-quantizer
   *    layout; at 100 TB the centroid table broadcasts and each query
   *    only scans its probed partitions.
@@ -60,10 +60,11 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
-  // 38. random-hyperplane LSH: 16 deterministic pseudo-random
-  // hyperplanes (components derived from xxhash64 of the (plane, dim)
-  // index — reproducible on any cluster, no driver-side randomness),
-  // sign pattern = 16-bit bucket, queries probe only their own bucket.
+  // 38. random-hyperplane LSH: deterministic pseudo-random hyperplanes
+  // (components derived from xxhash64 of the (plane, dim) index —
+  // reproducible on any cluster, no driver-side randomness); the sign
+  // pattern over LshPlanes planes is the bucket id, and queries probe
+  // only their own bucket.
   /** 5 hyperplanes → 32 buckets: sized for the test corpus (500 vecs →
     * ~16 candidates/bucket, enough for top-10). At corpus scale raise
     * the plane count so bucket occupancy stays bounded (bits ≈
@@ -95,7 +96,11 @@ object Ann {
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = vectors(s, dir).withColumn("fv", array_to_vector(col("v"))).cache()
+    // not cached: KMeans.fit re-scans per iteration, but pinning the
+    // corpus in the shared session's storage for the rest of its
+    // lifetime is worse (no clean unpersist point inside a lazy plan);
+    // at real scale the caller persists/checkpoints the corpus once.
+    val vecs = vectors(s, dir).withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(16).setSeed(42L).setFeaturesCol("fv").fit(vecs)
     val assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))

@@ -59,12 +59,20 @@ object StreamSessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               acc match {
-                case Some(a) if t - a.end_ms <= gapMs =>
-                  acc = Some(a.copy(end_ms = math.max(a.end_ms, t), n = a.n + 1,
+                // within gap of the CURRENT session interval — including
+                // out-of-order events that arrive before its start
+                case Some(a) if t >= a.start_ms - gapMs && t <= a.end_ms + gapMs =>
+                  acc = Some(a.copy(start_ms = math.min(a.start_ms, t),
+                    end_ms = math.max(a.end_ms, t), n = a.n + 1,
                     sum_value = a.sum_value + e.value))
-                case Some(a) =>
+                case Some(a) if t > a.end_ms + gapMs =>
                   closed += SessionOut(userId, a.start_ms, a.end_ms, a.n, a.sum_value)
                   acc = Some(SessionAcc(t, t, 1, e.value))
+                case Some(_) =>
+                  // more than a gap BEFORE the current session: a late
+                  // straggler forming its own earlier session — emit it
+                  // directly (it can no longer be extended reliably)
+                  closed += SessionOut(userId, t, t, 1, e.value)
                 case None =>
                   acc = Some(SessionAcc(t, t, 1, e.value))
               }

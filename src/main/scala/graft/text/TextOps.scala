@@ -99,10 +99,13 @@ object TextOps {
     Tables.documents(s, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
-      expr("""aggregate(sequence(1, length(text)), 0L,
-               (acc, i) -> (acc + ascii(substring(text, i, 1))
-                 * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)""")
-        .as("fp"))
+      // guarded: sequence(1, 0) would iterate DESCENDING [1, 0]; an
+      // empty doc fingerprints to 0 on both sides (oracle coalesces)
+      when(length(col("text")) > 0,
+        expr("""aggregate(sequence(1, length(text)), 0L,
+                 (acc, i) -> (acc + ascii(substring(text, i, 1))
+                   * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)"""))
+        .otherwise(0L).as("fp"))
 
   // ---------------------------------------------------------------
   // 48 (beyond the reference inventory): TF-IDF top terms per document.
@@ -195,8 +198,9 @@ object TextOps {
          FROM scored QUALIFY rk <= 3""",
     "doc_fingerprint" ->
       """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len_chars,
-         CAST(sum(ascii(substr(d.text, CAST(i AS INT), 1))
-              * ((i * 2654435761) % 1000000007) % 1000000007) % 1000000007 AS BIGINT) AS fp
-         FROM documents d, LATERAL unnest(generate_series(1, length(d.text))) AS t(i)
-         GROUP BY d.doc_id, d.text""")
+         COALESCE((
+           SELECT CAST(sum(ascii(substr(d.text, CAST(i AS INT), 1))
+                  * ((i * 2654435761) % 1000000007) % 1000000007) % 1000000007 AS BIGINT)
+           FROM unnest(generate_series(1, length(d.text))) AS t(i)), 0) AS fp
+         FROM documents d""")
 }

@@ -38,6 +38,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionizer merges an out-of-order event and lowers the session start") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamSessionize.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      ms.addData(Ev(7L, ts(60), 1.0))
+      q.processAllAvailable()
+      // out-of-order: 5 minutes EARLIER than the open session's start,
+      // still above the watermark — must extend the session backwards
+      ms.addData(Ev(7L, ts(55), 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(7L, ts(600), 0.0)) // push watermark far ahead
+      q.processAllAvailable()
+      ms.addData(Ev(7L, ts(1200), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_ooo").as[StreamSessionize.SessionOut].collect()
+        .map(s => (s.start_ms, s.end_ms, s.n_events, s.sum_value)).toSet
+      assert(out.contains((ts(55).getTime, ts(60).getTime, 2L, 3.0)),
+        s"out-of-order event not merged with correct start: $out")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated normalized text within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

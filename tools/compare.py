@@ -40,6 +40,13 @@ def main():
     n_pass = n_fail = n_noracle = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            expected = set(json.load(f))
+        for missing in sorted(expected - set(names)):
+            print(f"  [FAIL-miss] {missing}: query crashed (no output written)")
+            n_fail += 1
     for name in names:
         spark_df = pd.read_parquet(os.path.join(out_dir, name))
         if name not in oracles:
