@@ -1,0 +1,140 @@
+package graft.api
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic dedup / similarity API over arbitrary DataFrames — the
+  * user-facing form of graft.dedup / graft.sim (which bind these to the
+  * test corpus). All signature math runs in native codegen'd
+  * expressions (graft.functions); shuffle keys are always bounded
+  * (band buckets / sign buckets), never O(n²) cross joins — except the
+  * explicitly-named bruteForce* baselines.
+  */
+object Similarity {
+
+  /** Whitespace-normalized lowercase text. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), lit("\\s+"), lit(" ")))
+
+  /** Exact duplicate groups by normalized-text hash: one row per
+    * distinct content with the minimum id as the keeper. */
+  def exactDupGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(md5(normalizeText(text)).as("norm_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
+      .withColumn("has_dup", col("n_docs") > 1)
+
+  /** MinHash + banded LSH near-duplicate pairs at a Jaccard threshold:
+    * fused text→signature, band-bucket candidates, signature-fraction
+    * screen, exact shingle verification. P(miss | J ≥ 0.7) < 2% with
+    * the default 16×4 banding; raise bands for lower thresholds. */
+  def nearDupPairsLsh(docs: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.7, shingle: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val d = docs.select(id.as("doc_id"), normalizeText(text).as("t"))
+    val sigs = d.withColumn("sig",
+      minhashSigText(col("t"), shingle, bands * rowsPerBand))
+      .select(col("doc_id"), col("sig"))
+    val bandsDf = sigs.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"struct(b AS band, xxhash64(slice(sig, b*$rowsPerBand+1, $rowsPerBand)) AS bh))")).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val screened = cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .filter(longMatchFrac(col("sig1"), col("sig2")) >= threshold - 0.2)
+      .select(col("d1"), col("d2"))
+    val sh = d.select(col("doc_id"), charShingles(col("t"), shingle).as("sh"))
+    screened
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jaccard", jaccardSim(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs within a hamming radius (chunk-banded
+    * candidate generation covers radius ≤ chunks−1 by pigeonhole). */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val d = docs
+      .select(id.as("doc_id"),
+        regexp_extract_all(normalizeText(text), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .withColumn("simhash", simhash64(col("ws")))
+      .select(col("doc_id"), col("simhash"))
+    val chunks = d.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cv))")).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.chunk"), col("e.cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cosine near-duplicate pairs over a vector column — brute-force
+    * baseline (quadratic; use annTopK's LSH for scale). */
+  def bruteForceCosinePairs(vecs: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val e = vecs.select(id.as("vid"), vec.cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vid").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+  }
+
+  /** Brute-force cosine top-k: every query vector scored against the
+    * full corpus (broadcast queries, one corpus scan — the exact
+    * baseline for ANN evaluation). */
+  def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qId: Column, qVec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("vid"), vec.cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = queries.select(qId.as("qid"), qVec.cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vid").asc)
+    c.join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("cs", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("qid"), col("vid"), col("cs"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vid").as("neighbor_id"), col("cs").as("cos_sim"), col("rk"))
+  }
+
+  /** Backward as-of join: for each left row, the latest right row with
+    * rightTs ≤ leftTs on the same key — one shuffle via the tagged-union
+    * + running-last pattern (no range explode, no O(n·m) join). Right
+    * columns arrive via `payload` (a struct column built from the right
+    * side); ties on timestamp resolve to the right side first, then the
+    * larger tieBreak. */
+  def asofJoinBackward(left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      payload: Column, tieBreak: Column): DataFrame = {
+    val rNorm = right.select(rightKey.as("__k"), rightTs.as("__t"),
+      tieBreak.cast("long").as("__tb"), lit(0).as("__side"), payload.as("asof_match"))
+    val lNorm = left.select(leftKey.as("__k"), leftTs.as("__t"),
+      lit(null).cast("long").as("__tb"), lit(1).as("__side"),
+      lit(null).cast(rNorm.schema("asof_match").dataType).as("asof_match"),
+      struct(left.columns.map(col): _*).as("left_row"))
+    val rAligned = rNorm.withColumn("left_row",
+      lit(null).cast(lNorm.schema("left_row").dataType))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rAligned)
+      .withColumn("__asof", last(col("asof_match"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("left_row.*"), col("__asof").as("asof_match"))
+  }
+}

@@ -37,10 +37,8 @@ object Dedup {
   // 32. exact dedup: hash of normalized text; keep the minimum id per
   // hash group. One shuffle on the 128-bit hash — uniform keys, no skew.
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    docsNorm(s, dir)
-      .groupBy(md5(col("t")).as("norm_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-      .withColumn("has_dup", col("n_docs") > 1)
+    graft.api.Similarity.exactDupGroups(Tables.documents(s, dir),
+      col("doc_id"), col("text"))
 
   // ---------------------------------------------------------------
   // 33. n-gram Jaccard near-dup pairs via shingle inverted index:
@@ -72,81 +70,28 @@ object Dedup {
   // shingle arrays. Signature is one codegen'd fold per doc; the only
   // shuffle is the (band, band_hash) groupBy — bounded buckets, the
   // 100 TB-safe shape.
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{jaccardSim, longMatchFrac, minhashSigText}
-    // signature straight from the text (fused shingle+hash, zero
-    // allocation per shingle); min over the shingle multiset equals min
-    // over the set, so this matches MinHashSig(CharShingles(text)).
-    val docs = docsNorm(s, dir)
-    val sigs = docs.withColumn("sig", minhashSigText(col("t"))).select(col("doc_id"), col("sig"))
-    val bands = sigs.select(col("doc_id"),
-        explode(expr("transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
-    // candidates carry only ids; dedup'd before anything heavy joins on
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .dropDuplicates("d1", "d2")
-    // cheap screen first: the 512-byte signatures estimate Jaccard as
-    // the matching-hash fraction; P(est < 0.5 | true J ≥ 0.7) ≈ 2e-4,
-    // so screening at 0.5 keeps real near-dups while dropping the bulk
-    // of candidates BEFORE the expensive shingle-array join (the arrays
-    // are ~8× the signature payload).
-    val screened = cand
-      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
-      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
-      .filter(longMatchFrac(col("sig1"), col("sig2")) >= 0.5)
-      .select(col("d1"), col("d2"))
-    // exact verification only for the survivors
-    val sh = docs.select(col("doc_id"), shinglesExpr("t").as("sh"))
-    screened
-      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .withColumn("jac", jaccardSim(col("sh1"), col("sh2")))
-      .filter(col("jac") >= 0.7)
-      .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
-  }
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.api.Similarity.nearDupPairsLsh(Tables.documents(s, dir),
+        col("doc_id"), col("text"), threshold = 0.7)
+      .select(col("d1"), col("d2"), r(col("jaccard"), 6).as("jaccard"))
 
   // ---------------------------------------------------------------
   // 35. SimHash (64-bit): per-word hash votes per bit, sign → bit;
   // near-dups = pairs within hamming distance 3, found via 4×16-bit
   // chunk banding (any exact-matching chunk → candidate, guaranteed to
   // cover hamming ≤ 3 by pigeonhole).
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.simhash64
-    val docs = docsNorm(s, dir)
-      .withColumn("ws", expr("regexp_extract_all(t, '[a-z0-9]+', 0)"))
-      .withColumn("simhash", simhash64(col("ws")))
-      .select(col("doc_id"), col("simhash"))
-    val chunks = docs.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cv))")).as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.chunk"), col("e.cv"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .dropDuplicates("d1", "d2")
-      .filter(col("hamming") <= 3)
-  }
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.api.Similarity.simhashPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"), maxHamming = 3)
 
   // ---------------------------------------------------------------
   // 36. embedding-cosine near-dup pairs. Brute-force pair join — the
   // oracle-exact baseline (the scale path is the LSH/IVF ANN operators
   // in graft.sim). Norms precomputed once per vector before the join.
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dot
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("cs", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("cs") >= 0.4)
-      .select(col("id1"), col("id2"), r(col("cs"), 6).as("cos_sim"))
-  }
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    graft.api.Similarity.bruteForceCosinePairs(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.4)
+      .select(col("id1"), col("id2"), r(col("cos_sim"), 6).as("cos_sim"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),

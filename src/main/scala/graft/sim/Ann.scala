@@ -53,10 +53,12 @@ object Ann {
   // The corpus side streams through a broadcast of the (tiny) query
   // side, so at scale this is one full scan, no shuffle of the corpus.
   def annBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(s, dir)
-    val scored = vecs.join(broadcast(queriesSide(vecs)), col("vec_id") =!= col("qid"))
-      .withColumn("cs", cosCol)
-    topk(scored, 10)
+    val emb = Tables.embeddings(s, dir)
+    graft.api.Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0), col("vec_id"), col("embedding"),
+        k = 10)
+      .select(col("qid"), col("neighbor_id"), r(col("cos_sim"), 6).as("cos_sim"), col("rk"))
   }
 
   // ---------------------------------------------------------------

@@ -41,6 +41,20 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(approx == exact, "sketch path must agree on a clear outlier")
   }
 
+  test("asofJoinBackward picks latest right row <= left ts, null when none") {
+    import spark.implicits._
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3")).toDF("sym", "ts", "trade")
+    val quotes = Seq((1L, 90L, 9.5), (1L, 200L, 10.5), (1L, 205L, 11.0), (2L, 60L, 5.0)).toDF("sym", "ts", "px")
+    val out = api.Similarity.asofJoinBackward(
+      trades, col("sym"), col("ts"), quotes, col("sym"), col("ts"),
+      payload = struct(col("ts").as("q_ts"), col("px")), tieBreak = col("ts"))
+    val rows = out.collect().map(r => (r.getAs[String]("trade"),
+      Option(r.getStruct(r.fieldIndex("asof_match"))).map(_.getDouble(1)))).toMap
+    assert(rows("t1").contains(9.5))   // quote@90 is latest <= 100
+    assert(rows("t2").contains(11.0))  // equal-ts quote matches (<= semantics)
+    assert(rows("t3").isEmpty)         // no quote <= 50
+  }
+
   test("quantileNormalize gives identical distributions across entities") {
     import spark.implicits._
     val m = Seq(
