@@ -33,9 +33,13 @@ object Similarity {
       threshold: Double = 0.7, shingle: Int = 5, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val d = docs.select(id.as("doc_id"), normalizeText(text).as("t"))
+    // persisted: the signature table feeds banding AND both sides of
+    // the screen join — at corpus scale this is the checkpointed
+    // signature table of a dedup pipeline, not a recompute
     val sigs = d.withColumn("sig",
       minhashSigText(col("t"), shingle, bands * rowsPerBand))
       .select(col("doc_id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"struct(b AS band, xxhash64(slice(sig, b*$rowsPerBand+1, $rowsPerBand)) AS bh))")).as("e"))
