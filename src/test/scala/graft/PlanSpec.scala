@@ -50,4 +50,22 @@ class PlanSpec extends SparkSpecBase {
     val plan = formatted(text.TextOps.textQuality(spark, sf))
     assert(!plan.contains("Exchange"), s"text_quality must not shuffle:\n$plan")
   }
+
+  test("no registry query hides an accidental quadratic join") {
+    // the ONLY operators allowed a cartesian/BNL shape are the ones
+    // explicitly documented as brute-force baselines
+    val allowedQuadratic = Set(
+      "dedup_embedding", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
+      "dedup_ngram_jaccard", "threshold_tally", "feature_filter", "enrichment_ora",
+      "tfidf_top_terms")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!allowedQuadratic.contains(name)) {
+        val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name contains a CartesianProduct:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name contains a BroadcastNestedLoopJoin:\n$plan")
+      }
+    }
+  }
 }

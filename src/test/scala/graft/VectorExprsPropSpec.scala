@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the native codegen expressions against plain
+  * Scala reference implementations, exercised through real Spark plans
+  * (so the codegen path is what's tested, not just eval). Samples are
+  * drawn from scalacheck generators under a fixed seed for
+  * reproducibility. */
+class VectorExprsPropSpec extends SparkSpecBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word: Gen[String] = Gen.choose(1, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] = Gen.choose(0, 30).flatMap(n =>
+    Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("jaccardSim equals the set-based reference") {
+    import spark.implicits._
+    val cases = samples(Gen.zip(Gen.listOfN(8, word), Gen.listOfN(8, word)), 40)
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+      .withColumn("j", jaccardSim(col("a"), col("b")))
+    val got = df.select("i", "j").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expect =
+        if (sa.union(sb).isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(got(i) - expect) < 1e-12, s"case $i: $a vs $b")
+    }
+  }
+
+  test("charShingles equals the substring reference (incl. short strings)") {
+    import spark.implicits._
+    val texts = samples(text, 60) ++ Seq("", "a", "abcd", "abcde")
+    val df = texts.zipWithIndex.map(_.swap).toDF("i", "t")
+      .withColumn("sh", charShingles(col("t"), 5))
+    val got = df.select("i", "sh").collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1).toVector).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val last = math.max(t.length - 4, 1)
+      val expect = (1 to last).map(p => t.slice(p - 1, p - 1 + 5)).distinct.toVector
+      assert(got(i) == expect, s"case $i: '$t'")
+    }
+  }
+
+  test("minhash signature match fraction estimates true Jaccard") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => f"tok$i%03d").mkString(" ")
+    val variantA = base + " " + (1 to 12).map(i => f"aaa$i%03d").mkString(" ")
+    val variantB = base + " " + (1 to 12).map(i => f"bbb$i%03d").mkString(" ")
+    val df = Seq((1L, variantA), (2L, variantB)).toDF("id", "t")
+      .withColumn("sig", minhashSigText(col("t"), 5, 256))
+      .withColumn("sh", charShingles(col("t"), 5))
+    val rows = df.collect()
+    val sig = rows.map(r => r.getAs[Long]("id") -> r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    val sh = rows.map(r => r.getAs[Long]("id") -> r.getSeq[String](r.fieldIndex("sh")).toSet).toMap
+    val trueJ = sh(1L).intersect(sh(2L)).size.toDouble / sh(1L).union(sh(2L)).size
+    val est = sig(1L).zip(sig(2L)).count { case (a, b) => a == b } / 256.0
+    // 256 hashes: sd ≈ sqrt(J(1-J)/256) ≈ 0.03 — allow 4σ
+    assert(math.abs(est - trueJ) < 0.13, s"est=$est trueJ=$trueJ")
+  }
+
+  test("dotProduct equals the reference on random vectors") {
+    import spark.implicits._
+    val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 12)
+    val pairs = vecs.sliding(2, 2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+      .withColumn("d", dot(col("a"), col("b")))
+    val got = df.select("i", "d").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val expect = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(got(i) - expect) < 1e-9, s"case $i")
+    }
+  }
+}
