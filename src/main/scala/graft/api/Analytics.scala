@@ -279,6 +279,34 @@ object Analytics {
         aggs.tail.map { case (n, (_, m)) => m(s"__p_$n").as(n) }.toSeq: _*)
   }
 
+  /** Deterministic weighted sampling without replacement, n per
+    * stratum (Efraimidis–Spirakis A-ES): key = u^(1/w) with u a
+    * content-hash uniform — reproducible on any cluster AND expressible
+    * in portable SQL (the hash→uniform uses only md5/substr/strpos
+    * arithmetic). Higher weight → higher expected inclusion. One
+    * shuffle on the stratum key. */
+  def weightedSample(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, n: Int): DataFrame = {
+    val u = hashUniform(key)
+    val w = Window.partitionBy(stratum)
+      .orderBy(pow(u, lit(1.0) / weight).desc, key.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Content-hash uniform in (0,1]: six hex digits of md5(key) — pure
+    * md5/substr/position arithmetic that evaluates identically in Spark
+    * and DuckDB (oracle side uses strpos with swapped arg order). */
+  def hashUniform(key: Column): Column = {
+    val hex = md5(key.cast("string"))
+    val value = (1 to 6).map { i =>
+      (call_function("locate", substring(hex, i, 1), lit("0123456789abcdef"))
+        .cast("double") - 1.0) * lit(math.pow(16, 6 - i))
+    }.reduce(_ + _)
+    (value + lit(1.0)) / lit(math.pow(16, 6) + 1.0)
+  }
+
   /** Gap sessionization over (key, ordered timestamp): cumulative
     * new-session counter; both windows share one shuffle. */
   def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,

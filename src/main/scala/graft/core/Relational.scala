@@ -190,7 +190,33 @@ object Relational {
         col("asof_click_id"), col("asof_click_value"))
   }
 
+  // ---------------------------------------------------------------
+  // 58. deterministic weighted sample (Efraimidis–Spirakis A-ES): 10
+  // customers per segment, inclusion probability ∝ shifted account
+  // balance, reproducible via the content-hash uniform.
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.weightedSample(Tables.customer(s, dir),
+        col("c_mktsegment"), col("c_custkey"),
+        col("c_acctbal") + lit(1000.0), n = 10)
+      .select(col("c_mktsegment"), col("c_custkey"))
+
+  // ---------------------------------------------------------------
+  // 59. salted two-phase aggregation through the correctness gate:
+  // salting must be results-invariant, so the oracle is the PLAIN
+  // group-by — the gate proves the skew-spreading rewrite changes
+  // nothing.
+  def userSpendSalted(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.saltedAggregate(
+        Tables.events(s, dir), col("user_id"), salts = 8,
+        aggs = Map(
+          "n" -> (count(lit(1)), (p: String) => sum(col(p))),
+          "sum_value" -> (sum(col("value")), (p: String) => sum(col(p)))))
+      .select(col("key").as("user_id"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample"        -> (weightedSample _),
+    "user_spend_salted"      -> (userSpendSalted _),
     "q1_pricing_summary"     -> (q1PricingSummary _),
     "q5_region_revenue"      -> (q5RegionRevenue _),
     "q3_top_orders"          -> (q3TopOrders _),
@@ -205,6 +231,26 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "weighted_sample" ->
+      """WITH u AS (
+           SELECT c_mktsegment, c_custkey, c_acctbal + 1000.0 AS w,
+                  ((strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)),1,1))-1)*1048576.0
+                 + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)),2,1))-1)*65536.0
+                 + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)),3,1))-1)*4096.0
+                 + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)),4,1))-1)*256.0
+                 + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)),5,1))-1)*16.0
+                 + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)),6,1))-1)
+                 + 1.0) / 16777217.0 AS u
+           FROM customer)
+         SELECT c_mktsegment, c_custkey FROM (
+           SELECT c_mktsegment, c_custkey,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY power(u, 1.0/w) DESC, c_custkey ASC) AS rn
+           FROM u)
+         WHERE rn <= 10""",
+    "user_spend_salted" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY user_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
