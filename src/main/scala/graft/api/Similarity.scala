@@ -116,6 +116,44 @@ object Similarity {
       .select(col("qid"), col("vid").as("neighbor_id"), col("cs").as("cos_sim"), col("rk"))
   }
 
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation: each vertex repeatedly adopts the minimum
+    * label in its neighborhood until fixpoint (≤ graph diameter
+    * iterations; near-dup graphs are shallow). Driver coordinates only
+    * the convergence check (a count) — no data is collected. Returns
+    * (vertex, component) where component = min vertex id reachable. */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .unionByName(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("vertex"))
+      .distinct()
+      .withColumn("component", col("vertex"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("vertex", "dst"), "dst")
+        .groupBy(col("src").as("vertex"))
+        .agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(neighborMin, Seq("vertex"), "left")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), "vertex")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Backward as-of join: for each left row, the latest right row with
     * rightTs ≤ leftTs on the same key — one shuffle via the tagged-union
     * + running-last pattern (no range explode, no O(n·m) join). Right

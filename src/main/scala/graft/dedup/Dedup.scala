@@ -93,7 +93,19 @@ object Dedup {
         col("vec_id"), col("embedding"), threshold = 0.4)
       .select(col("id1"), col("id2"), r(col("cos_sim"), 6).as("cos_sim"))
 
+  // ---------------------------------------------------------------
+  // 60. near-dup components + keeper selection: the final step of a
+  // dedup pipeline — exact-Jaccard pairs (oracle path) → connected
+  // components → keep the minimum doc id per component. Docs in no
+  // pair are their own component.
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir)
+    graft.api.Similarity.connectedComponents(pairs, col("d1"), col("d2"))
+      .withColumn("keep", col("vertex") === col("component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components"    -> (dedupComponents _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
@@ -101,6 +113,31 @@ object Dedup {
     "dedup_embedding"     -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+                 FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          pairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.7),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION SELECT d2, d1 FROM pairs),
+          reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          verts AS (SELECT DISTINCT a AS vertex FROM edges)
+          SELECT v.vertex,
+                 least(v.vertex, min(r.b)) AS component,
+                 least(v.vertex, min(r.b)) = v.vertex AS keep
+          FROM verts v LEFT JOIN reach r ON v.vertex = r.a
+          GROUP BY v.vertex""",
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS norm_hash, min(doc_id) AS keep_id,
           count(*) AS n_docs, count(*) > 1 AS has_dup

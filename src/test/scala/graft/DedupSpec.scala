@@ -41,6 +41,16 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("connected components resolves chains to the minimum vertex") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two components: a 4-chain {1-2, 2-3, 3-4} and a pair {10-11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val comp = api.Similarity.connectedComponents(pairs, col("d1"), col("d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = dedup.Dedup.dedupExact(spark, sf)
     val total = g.selectExpr("sum(n_docs)").collect()(0).getLong(0)
