@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   *    baseline — Σ df² ≈ 1.5e9 intermediate rows at sf0.1 on this
   *    pathologically low-vocab corpus. Its production/scale twin
   *    dedup_minhash_lsh IS benchmarked (same output, LSH-bounded work).
+  *  - dedup_components: consumes the exact pair list above, skipped for
+  *    the same reason; its scale twin dedup_components_lsh (same
+  *    component logic over LSH pairs) IS benchmarked.
   *  - ann_ivf_topk / pca_embeddings / kmeans_clusters: dominated by
   *    MLlib estimator training, not query execution (ann_lsh_topk covers
   *    the ANN query path).
@@ -17,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val skip = Set(
-    "dedup_ngram_jaccard", "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters")
+    "dedup_ngram_jaccard", "dedup_components",
+    "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

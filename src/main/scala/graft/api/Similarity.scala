@@ -124,14 +124,20 @@ object Similarity {
     * (vertex, component) where component = min vertex id reachable. */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
       maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (NOT persist): every iteration's plan references the
+    // previous labels twice, so without lineage truncation the logical
+    // plan doubles per iteration and Catalyst planning goes exponential.
+    // Checkpointing pins the materialized partitions and restarts the
+    // plan at O(1) size each round — on a cluster this is the standard
+    // iterative-graph pattern (GraphX/GraphFrames do the same).
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .unionByName(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("vertex"))
       .distinct()
       .withColumn("component", col("vertex"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -139,18 +145,17 @@ object Similarity {
         .join(labels.withColumnRenamed("vertex", "dst"), "dst")
         .groupBy(col("src").as("vertex"))
         .agg(min(col("component")).as("nbr_min"))
-      val updated = labels.join(neighborMin, Seq("vertex"), "left")
-        .select(col("vertex"),
+      // one pass computes the new label AND keeps the old one so the
+      // convergence check reads the checkpointed result, not a re-join
+      val step = labels.join(neighborMin, Seq("vertex"), "left")
+        .select(col("vertex"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("component", "old"), "vertex")
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+        .localCheckpoint()
+      val changed = step.filter(col("component") =!= col("old")).count()
+      labels = step.select(col("vertex"), col("component"))
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

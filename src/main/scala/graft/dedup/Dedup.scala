@@ -104,8 +104,19 @@ object Dedup {
       .withColumn("keep", col("vertex") === col("component"))
   }
 
+  /** Scale twin of dedup_components: identical component/keeper logic
+    * fed by the LSH-banded pair finder instead of the exact inverted
+    * index — the shape that runs at 100 TB (Bench times this one;
+    * dedup_components stays the DuckDB-checkable oracle path). */
+  def dedupComponentsLsh(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir)
+    graft.api.Similarity.connectedComponents(pairs, col("d1"), col("d2"))
+      .withColumn("keep", col("vertex") === col("component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components"    -> (dedupComponents _),
+    "dedup_components_lsh" -> (dedupComponentsLsh _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),

@@ -51,6 +51,14 @@ class DedupSpec extends SparkSpecBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("LSH-fed components (the benched scale twin) match the exact-pair components") {
+    def comps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("vertex", "component").collect()
+        .map { case Row(v: Long, c: Long) => v -> c }.toMap
+    assert(comps(dedup.Dedup.dedupComponentsLsh(spark, sf)) ==
+      comps(dedup.Dedup.dedupComponents(spark, sf)))
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = dedup.Dedup.dedupExact(spark, sf)
     val total = g.selectExpr("sum(n_docs)").collect()(0).getLong(0)
