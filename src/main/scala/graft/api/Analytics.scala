@@ -177,8 +177,12 @@ object Analytics {
     * and a deterministic tie-break column. */
   def bhAdjust(df: DataFrame, p: Column, tieBreak: Column): DataFrame = {
     val wRank = Window.orderBy(p.asc, tieBreak.asc)
-    val wBh = Window.orderBy(col("__rk").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // running min over rk DESC, [unboundedPreceding, current]: Spark
+    // maintains growing frames incrementally (O(n)), while a
+    // [current, unboundedFollowing] frame is recomputed from scratch
+    // per row (O(n²) — 8s on 2000 features before this was flipped).
+    val wBh = Window.orderBy(col("__rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__rk", row_number().over(wRank))
       .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
       .withColumn("p_adj", least(lit(1.0), min(p * col("__m") / col("__rk")).over(wBh)))
@@ -236,6 +240,33 @@ object Analytics {
     df.join(broadcast(moments), batch)
       .withColumn("z", (x - col("__mu")) / nullif(col("__sigma"), lit(0.0)))
       .drop("__mu", "__sigma")
+  }
+
+  /** Per-feature two-group differential test — the marker-detection
+    * analog of the reference's marker gene workflow (marker*.R gene
+    * sets + wrapper.R clustering → find what separates a cluster):
+    * Welch t of group A vs the rest, log2 fold change on +1-shifted
+    * means, two-sided normal-approximation p (Stats.normalUpperTail —
+    * pure codegen'd arithmetic, no UDF), BH-adjusted across features.
+    * One aggregation pass over the fact table; the per-feature stats
+    * table is feature-cardinality sized (tiny at any scale). */
+  def deMarkers(df: DataFrame, feature: Column, inGroupA: Column,
+      x: Column): DataFrame = {
+    val t = df.select(feature.as("feature"), inGroupA.as("__a"), x.as("__x"))
+    val s = t.groupBy(col("feature")).agg(
+      count(when(col("__a"), lit(1))).as("n_a"),
+      count(when(!col("__a"), lit(1))).as("n_b"),
+      avg(when(col("__a"), col("__x"))).as("mean_a"),
+      avg(when(!col("__a"), col("__x"))).as("mean_b"),
+      var_samp(when(col("__a"), col("__x"))).as("var_a"),
+      var_samp(when(!col("__a"), col("__x"))).as("var_b"))
+    val se = sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+    val scored = s
+      .withColumn("log2fc", log2((col("mean_a") + lit(1.0)) / (col("mean_b") + lit(1.0))))
+      .withColumn("t_stat", (col("mean_a") - col("mean_b")) / nullif(se, lit(0.0)))
+      .withColumn("p_value",
+        coalesce(least(lit(1.0), lit(2.0) * Stats.normalUpperTail(abs(col("t_stat")))), lit(1.0)))
+    bhAdjust(scored, col("p_value"), col("feature"))
   }
 
   /** Per-feature Pearson correlation of value vs an ordering variable
@@ -305,6 +336,29 @@ object Analytics {
         .cast("double") - 1.0) * lit(math.pow(16, 6 - i))
     }.reduce(_ + _)
     (value + lit(1.0)) / lit(math.pow(16, 6) + 1.0)
+  }
+
+  /** Deterministic sequence packing for LLM pretraining: concatenate
+    * docs in a stable order within each shard and split at token-budget
+    * boundaries (the concat-and-chunk model real pretraining uses —
+    * docs may straddle sequence boundaries). Emits per-doc token
+    * offsets and the range of training sequences the doc lands in.
+    * One window shuffle per shard; shards are independent, so at 100 TB
+    * the parallelism is #shards — shard by file/source key, never
+    * globally. */
+  def packSequences(df: DataFrame, shard: Column, id: Column, tokens: Column,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__shard", shard).withColumn("__id", id)
+      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("end_off", sum(col("__tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("__tok"))
+      .withColumn("seq_first", floor(col("start_off") / budget).cast("long"))
+      .withColumn("seq_last",
+        floor(greatest(col("end_off") - 1, col("start_off")) / budget).cast("long"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .drop("__shard", "__id", "__tok")
   }
 
   /** Gap sessionization over (key, ordered timestamp): cumulative

@@ -116,6 +116,30 @@ object Similarity {
       .select(col("qid"), col("vid").as("neighbor_id"), col("cs").as("cos_sim"), col("rk"))
   }
 
+  /** Training-set decontamination: flag train docs sharing ≥ minShared
+    * distinct character n-gram shingles with ANY doc in the eval set —
+    * the standard benchmark-leakage filter for pretraining corpora.
+    * The eval side (benchmarks — small by construction) is deduped and
+    * broadcast, so the train corpus is one narrow scan + explode +
+    * per-doc count: no train-side pair join, no shuffle of text. At
+    * 100 TB swap the broadcast string set for xxhash64(shingle) (or a
+    * Bloom filter) — kept as strings here for oracle exactness. */
+  def decontaminate(train: DataFrame, id: Column, text: Column,
+      evalSet: DataFrame, evalText: Column,
+      shingle: Int = 20, minShared: Int = 5): DataFrame = {
+    val tSh = train.select(id.as("doc_id"),
+      explode(charShingles(normalizeText(text), shingle)).as("g"))
+    val eSh = evalSet.select(
+      explode(charShingles(normalizeText(evalText), shingle)).as("g")).distinct()
+    // charShingles emits DISTINCT shingles per doc, so count(1) == #shared
+    val shared = tSh.join(broadcast(eSh), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train.select(id.as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation: each vertex repeatedly adopts the minimum
     * label in its neighborhood until fixpoint (≤ graph diameter

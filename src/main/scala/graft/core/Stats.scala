@@ -35,6 +35,24 @@ object Stats {
   def lnChoose(n: Column, k: Column): Column =
     lnFact(n) - lnFact(k) - lnFact(n - k)
 
+  /** Standard-normal upper tail Q(z) = 1 − Φ(z) for z ≥ 0 via the
+    * Zelen–Severo polynomial (Abramowitz & Stegun 26.2.17, |ε| < 7.5e-8
+    * — far below 6dp p-value rounding). Pure arithmetic: the oracle SQL
+    * spells out the identical Horner form, so both engines agree. */
+  def normalUpperTail(z: Column): Column = {
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) + k * lit(1.330274429)))))
+    exp(z * z * lit(-0.5)) * lit(0.3989422804014327) * poly
+  }
+
+  /** The matching DuckDB SQL for normalUpperTail — kept adjacent so the
+    * two Horner forms can never drift apart. `z` is a SQL expression. */
+  def normalUpperTailSql(z: String): String = {
+    val k = s"(1.0/(1.0 + 0.2316419*($z)))"
+    s"(exp(($z)*($z)*-0.5) * 0.3989422804014327 * ($k*(0.319381530 + $k*(-0.356563782 + $k*(1.781477937 + $k*(-1.821255978 + $k*1.330274429))))))"
+  }
+
   /** Exact interpolated median as an aggregate Column (Spark `percentile`
     * — same interpolation rule as DuckDB's `median`/`quantile_cont`).
     * At 100 TB swap for `percentile_approx` where the consumer tolerates

@@ -114,9 +114,23 @@ object Dedup {
       .withColumn("keep", col("vertex") === col("component"))
   }
 
+  // ---------------------------------------------------------------
+  // 64. training-set decontamination: drop/flag train docs sharing ≥5
+  // distinct 20-char shingles with the eval set (source 'src0' plays
+  // the benchmark corpus). Eval shingles broadcast; train side is one
+  // narrow scan — no pair join (graft.api.Similarity.decontaminate).
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.api.Similarity.decontaminate(
+      docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+      docs.filter(col("source") === "src0"), col("text"),
+      shingle = 20, minShared = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components"    -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
+    "decontaminate"       -> (decontaminate _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
@@ -149,6 +163,20 @@ object Dedup {
                  least(v.vertex, min(r.b)) = v.vertex AS keep
           FROM verts v LEFT JOIN reach r ON v.vertex = r.a
           GROUP BY v.vertex""",
+    "decontaminate" ->
+      s"""WITH nrm AS (SELECT doc_id, source, $normSql AS t FROM documents),
+          esh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 20) AS g
+                  FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+                  WHERE source = 'src0'),
+          tsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 20) AS g
+                  FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+                  WHERE source <> 'src0'),
+          shared AS (SELECT doc_id, count(*) AS n_shared
+                     FROM tsh JOIN esh USING (g) GROUP BY 1)
+          SELECT n.doc_id, coalesce(s.n_shared, 0) AS n_shared,
+                 coalesce(s.n_shared, 0) >= 5 AS contaminated
+          FROM nrm n LEFT JOIN shared s ON n.doc_id = s.doc_id
+          WHERE n.source <> 'src0'""",
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS norm_hash, min(doc_id) AS keep_id,
           count(*) AS n_docs, count(*) > 1 AS has_dup

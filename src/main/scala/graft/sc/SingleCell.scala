@@ -285,7 +285,26 @@ object SingleCell {
         r(col("residual"), 6).as("residual"))
   }
 
+  // ---------------------------------------------------------------
+  // 63 (beyond inventory). marker detection / differential expression
+  // (marker*.R gene sets + wrapper.R:267-348 clustering → what
+  // separates a group): per-feature Welch t of the URGENT batch vs the
+  // rest, log2FC, normal-approx two-sided p (Stats.normalUpperTail),
+  // BH adjust. One agg pass; stats table is feature-sized.
+  def deMarkersQuery(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.api.Analytics.deMarkers(x, col("l_partkey"),
+        col("o_orderpriority") === "1-URGENT", col("l_quantity"))
+      .select(col("feature"), col("n_a"), col("n_b"),
+        r(col("mean_a"), 6).as("mean_a"), r(col("mean_b"), 6).as("mean_b"),
+        r(col("log2fc"), 6).as("log2fc"), r(col("t_stat"), 6).as("t_stat"),
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "de_markers"            -> (deMarkersQuery _),
     "regress_out"           -> (regressOutMatrix _),
     "quantile_normalize"    -> (quantileNormalizeMatrix _),
     "qc_cell_metrics"       -> (qcCellMetrics _),
@@ -305,6 +324,39 @@ object SingleCell {
     "pseudotime_assoc"      -> (pseudotimeAssoc _))
 
   val oracles: Map[String, String] = Map(
+    "de_markers" -> {
+      val q = graft.core.Stats.normalUpperTailSql("abs(t_stat)")
+      s"""WITH x AS (
+           SELECT l_partkey AS feature, o_orderpriority = '1-URGENT' AS a,
+                  l_quantity AS x
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         s AS (
+           SELECT feature,
+                  count(CASE WHEN a THEN 1 END) AS n_a,
+                  count(CASE WHEN NOT a THEN 1 END) AS n_b,
+                  avg(CASE WHEN a THEN x END) AS mean_a,
+                  avg(CASE WHEN NOT a THEN x END) AS mean_b,
+                  var_samp(CASE WHEN a THEN x END) AS var_a,
+                  var_samp(CASE WHEN NOT a THEN x END) AS var_b
+           FROM x GROUP BY 1),
+         scored AS (
+           SELECT feature, n_a, n_b, mean_a, mean_b,
+                  log2((mean_a + 1.0)/(mean_b + 1.0)) AS log2fc,
+                  (mean_a - mean_b)/nullif(sqrt(var_a/n_a + var_b/n_b), 0.0) AS t_stat
+           FROM s),
+         p AS (
+           SELECT *, coalesce(least(1.0, 2.0 * $q), 1.0) AS p_value FROM scored),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY p_value ASC, feature ASC) AS rk,
+                  count(*) OVER () AS m
+           FROM p)
+         SELECT feature, n_a, n_b, round(mean_a,6) AS mean_a,
+                round(mean_b,6) AS mean_b, round(log2fc,6) AS log2fc,
+                round(t_stat,6) AS t_stat, round(p_value,6) AS p_value,
+                round(least(1.0, min(p_value*m/rk) OVER (ORDER BY rk ASC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
+         FROM ranked"""
+    },
     "regress_out" ->
       """WITH x AS (
            SELECT l_orderkey, l_linenumber, l_partkey,

@@ -131,12 +131,53 @@ object TextOps {
         r(col("tfidf_raw"), 6).as("tfidf"), col("rk"))
   }
 
+  // ---------------------------------------------------------------
+  // 61 (beyond inventory). repetition signals (the Gopher-style
+  // within-doc quality filters): duplicate-word fraction, duplicate
+  // word-2-gram fraction, and the top-2-gram share. Per-row narrow
+  // array math — no explode, no shuffle; the per-doc word arrays are
+  // bounded by doc length.
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .withColumn("g2", expr(
+        """CASE WHEN size(w) >= 2 THEN
+             transform(sequence(1, size(w)-1),
+               i -> concat(element_at(w, i), ' ', element_at(w, i+1)))
+           ELSE array() END"""))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        r(expr("CASE WHEN size(w) > 0 THEN 1.0 - CAST(size(array_distinct(w)) AS DOUBLE)/size(w) ELSE 0.0 END"), 6).as("dup_word_frac"),
+        r(expr("CASE WHEN size(g2) > 0 THEN 1.0 - CAST(size(array_distinct(g2)) AS DOUBLE)/size(g2) ELSE 0.0 END"), 6).as("dup_2gram_frac"),
+        r(expr(
+          """CASE WHEN size(g2) > 0 THEN
+               CAST(array_max(transform(array_distinct(g2),
+                 g -> size(filter(g2, x -> x = g)))) AS DOUBLE)/size(g2)
+             ELSE 0.0 END"""), 6).as("top_2gram_frac"))
+
+  // ---------------------------------------------------------------
+  // 62 (beyond inventory). deterministic sequence packing: concat-and-
+  // chunk docs into 512-token training sequences per source shard
+  // (graft.api.Analytics.packSequences). Window runs per shard —
+  // parallelism = #shards at scale.
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tok", reCount(col("text"), "\\S+"))
+    graft.api.Analytics.packSequences(docs, col("source"), col("doc_id"),
+        col("tok"), budget = 512)
+      .select(col("doc_id"), col("source"), col("tok"),
+        col("start_off"), col("end_off"), col("seq_first"), col("seq_last"), col("n_seqs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
     "lang_id"          -> (langId _),
     "doc_fingerprint"  -> (docFingerprint _),
-    "tfidf_top_terms"  -> (tfidfTopTerms _))
+    "tfidf_top_terms"  -> (tfidfTopTerms _),
+    "text_repetition"  -> (textRepetition _),
+    "pack_sequences"   -> (packSequences _))
 
   private val qualitySql = {
     val len = "CAST(length(text) AS DOUBLE)"
@@ -181,6 +222,47 @@ object TextOps {
            FROM documents""",
     "text_quality" -> qualitySql,
     "lang_id" -> langIdSql,
+    "text_repetition" ->
+      raw"""WITH base AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+             FROM documents),
+           g AS (
+             SELECT doc_id, w,
+                    CASE WHEN len(w) >= 2 THEN
+                      list_transform(generate_series(1, len(w)-1),
+                        i -> w[i] || ' ' || w[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS g2
+             FROM base)
+           SELECT doc_id,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  round(CASE WHEN len(w) > 0
+                    THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w)
+                    ELSE 0.0 END, 6) AS dup_word_frac,
+                  round(CASE WHEN len(g2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2)
+                    ELSE 0.0 END, 6) AS dup_2gram_frac,
+                  round(CASE WHEN len(g2) > 0
+                    THEN CAST(list_max(list_transform(list_distinct(g2),
+                      g -> len(list_filter(g2, x -> x = g)))) AS DOUBLE)/len(g2)
+                    ELSE 0.0 END, 6) AS top_2gram_frac
+           FROM g""",
+    "pack_sequences" ->
+      raw"""WITH d AS (
+             SELECT doc_id, source,
+                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+             FROM documents),
+           o AS (
+             SELECT doc_id, source, tok,
+                    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+             FROM d)
+           SELECT doc_id, source, tok,
+                  end_off - tok AS start_off, end_off,
+                  CAST(floor((end_off - tok)/512.0) AS BIGINT) AS seq_first,
+                  CAST(floor(greatest(end_off - 1, end_off - tok)/512.0) AS BIGINT) AS seq_last,
+                  CAST(floor(greatest(end_off - 1, end_off - tok)/512.0) AS BIGINT)
+                    - CAST(floor((end_off - tok)/512.0) AS BIGINT) + 1 AS n_seqs
+           FROM o""",
     "tfidf_top_terms" ->
       """WITH terms AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

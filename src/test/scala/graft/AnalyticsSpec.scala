@@ -76,6 +76,55 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(math.abs(approx - 5000) < 5000 * 0.05, s"approx=$approx")
   }
 
+  test("deMarkers recovers the planted differential feature") {
+    import spark.implicits._
+    // f_up: group A ~ 20, rest ~ 5 (clear marker); f_null: identical
+    val rows =
+      (1 to 30).map(i => ("f_up", true, 20.0 + (i % 3))) ++
+      (1 to 30).map(i => ("f_up", false, 5.0 + (i % 3))) ++
+      (1 to 30).map(i => ("f_null", true, 7.0 + (i % 5))) ++
+      (1 to 30).map(i => ("f_null", false, 7.0 + (i % 5)))
+    val out = api.Analytics.deMarkers(rows.toDF("f", "a", "x"),
+      col("f"), col("a"), col("x"))
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Double]("t_stat"), r.getAs[Double]("p_value"), r.getAs[Double]("log2fc"))).toMap
+    val (tUp, pUp, fcUp) = out("f_up")
+    val (tNull, pNull, _) = out("f_null")
+    assert(tUp > 10, s"planted marker should have a large t, got $tUp")
+    assert(pUp < 1e-6 && pNull > 0.9, s"p_up=$pUp p_null=$pNull")
+    assert(fcUp > 1.0, "A-mean 21 vs B-mean 6 is > 1 doubling")
+    assert(math.abs(tNull) < 1e-9)
+  }
+
+  test("packSequences offsets tile each shard contiguously") {
+    import spark.implicits._
+    val docs = Seq(("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 500L),
+      ("s2", 10L, 512L), ("s2", 11L, 100L)).toDF("src", "id", "tok")
+    val out = api.Analytics.packSequences(docs, col("src"), col("id"), col("tok"), budget = 512)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("start_off"), r.getAs[Long]("end_off"),
+          r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"), r.getAs[Long]("n_seqs"))).toMap
+    assert(out(1L) == (0L, 300L, 0L, 0L, 1L))
+    assert(out(2L) == (300L, 600L, 0L, 1L, 2L))   // straddles the 512 boundary
+    assert(out(3L) == (600L, 1100L, 1L, 2L, 2L))
+    assert(out(10L) == (0L, 512L, 0L, 0L, 1L))    // exact fit stays in seq 0
+    assert(out(11L) == (512L, 612L, 1L, 1L, 1L))
+  }
+
+  test("decontaminate flags only the doc that copies eval text") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "completely unrelated words about spark shuffles and parquet footers")
+    ).toDF("id", "text")
+    val out = api.Similarity.decontaminate(train, col("id"), col("text"),
+        evalSet, col("text"), shingle = 20, minShared = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
   test("varianceExplained is 1 for perfectly-separated groups, ~0 for identical") {
     import spark.implicits._
     val sep = Seq(("f1","a",1.0),("f1","a",1.0),("f1","b",9.0),("f1","b",9.0))
