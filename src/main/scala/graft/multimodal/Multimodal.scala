@@ -67,10 +67,54 @@ object Multimodal {
           size(expr("sequence(0, CAST(octet_length(payload) AS INT) - 1, 100)")).cast("long"))
           .otherwise(0L).as("n_sampled"))
 
+  /** Decoded frame stand-in: one row per sampled frame. */
+  case class FrameFeature(doc_id: Long, frame_idx: Int, offset: Int, level: Double)
+
+  /** STUB resize/feature-extract per frame: a real pipeline would crop /
+    * rescale pixel buffers here; the stand-in reads the payload byte at
+    * the frame offset. Runs inside the same partition as the decode —
+    * frames never shuffle. */
+  def frameFeatures(records: Dataset[MediaRecord], stride: Int = 100): Dataset[FrameFeature] = {
+    import records.sparkSession.implicits._
+    records.flatMap { rec =>
+      val n = rec.payload.length
+      (0 until n by stride).zipWithIndex.map { case (off, idx) =>
+        FrameFeature(rec.doc_id, idx, off, (rec.payload(off) & 0xff).toDouble)
+      }
+    }
+  }
+
+  /** 44b. frame sampling as a relational query — one row per sampled
+    * frame offset (stride 100) with the stub per-frame feature (payload
+    * byte at the offset). explode() keeps it distributed; the oracle
+    * checks the offset math + byte lookup exactly. ASCII-safe because
+    * the frame feature reads bytes, and the synthetic corpus text is
+    * ASCII (byte i == char i). */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"),
+        posexplode(expr("sequence(0, CAST(octet_length(payload) AS INT) - 1, 100)")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("frame_idx"),
+        col("col").cast("long").as("offset"),
+        expr("CAST(ascii(substring(CAST(payload AS STRING), col + 1, 1)) AS DOUBLE)").as("level"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta"   -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_frames" ->
+      """SELECT doc_id,
+         CAST(i // 100 AS BIGINT) AS frame_idx,
+         CAST(i AS BIGINT) AS offset,
+         CAST(ascii(substr(text, CAST(i AS INT) + 1, 1)) AS DOUBLE) AS level
+         FROM documents,
+         LATERAL unnest(generate_series(0, octet_length(encode(text)) - 1, 100)) AS u(i)
+         WHERE octet_length(encode(text)) > 0""",
     "multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

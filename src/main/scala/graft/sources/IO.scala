@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer: the formats a 100 TB corpus actually moves
+  * through, with the scale-safety rails built in.
+  *
+  * Rules encoded here:
+  *  - ALWAYS pass an explicit schema to csv/json readers. Schema
+  *    inference is a full extra pass over the data (at 100 TB, a full
+  *    extra scan) and can silently widen types between runs.
+  *  - Parquet is the canonical storage format (columnar → pruning +
+  *    predicate pushdown); csv/json are interchange formats.
+  *  - Partitioned layout (`writePartitioned`) gives coarse partition
+  *    pruning on low-cardinality keys; bucketed layout
+  *    (`writeBucketed`) pre-shuffles once so every later equi-join /
+  *    aggregation on the bucket key is exchange-free (verified by
+  *    PlanSpec: joining two tables bucketed on the same key plans no
+  *    ShuffleExchange).
+  */
+object IO {
+
+  // ------------------------------------------------------------ read
+
+  /** CSV with explicit schema — header on, no inference pass. */
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines with explicit schema — no inference pass. */
+  def readJsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def readParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** ORC — the other columnar interchange format. */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  // ----------------------------------------------------------- write
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Hive-style partitioned parquet: one directory per key value —
+    * partition pruning makes `WHERE key = v` skip whole directories.
+    * Keys must be low-cardinality (≲ 10⁴) or the file count explodes. */
+  def writePartitioned(df: DataFrame, path: String, keys: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(path)
+
+  /** Bucketed managed table: pays the shuffle ONCE at write time;
+    * every subsequent equi-join or aggregation on `bucketCol` between
+    * tables with the same bucket count is planned without a shuffle.
+    * The 100 TB pattern for fact-fact joins that recur (e.g. the
+    * cell×gene matrix joined to per-cell QC over and over). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table) // managed: lives in spark.sql.warehouse.dir
+
+  def readTable(s: SparkSession, table: String): DataFrame = s.table(table)
+}

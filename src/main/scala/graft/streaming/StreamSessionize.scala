@@ -36,6 +36,28 @@ object StreamSessionize {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("norm_hash")
 
+  /** Streaming ingest filter — the streaming front door of a training-
+    * data pipeline: stateless per-doc quality signals (codegen'd
+    * regex counts, no state) plus a stream-static broadcast join to
+    * per-source priors. Emits every doc with its keep/drop decision.
+    * Stream-static joins need no watermark (the static side is fixed
+    * per micro-batch), so this composes freely with downstream
+    * stateful stages. */
+  def ingestFilter(docs: DataFrame, sourcePriors: DataFrame,
+      minTokens: Int = 10, maxDigitRatio: Double = 0.3,
+      minSourceWeight: Double = 0.2): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nWs = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("double")
+    docs
+      .withColumn("n_ws_tokens", nWs)
+      .withColumn("digit_ratio",
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))) / len)
+      .join(broadcast(sourcePriors), Seq("source"), "left")
+      .withColumn("keep",
+        col("n_ws_tokens") >= minTokens && col("digit_ratio") <= maxDigitRatio &&
+          coalesce(col("source_weight"), lit(1.0)) >= minSourceWeight)
+  }
+
   /** Stateful gap sessionizer: one state record per user; a session is
     * emitted when the event-time watermark passes its gap timeout (or a
     * new event arrives beyond the gap). State size is O(active users).

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink layer: format round-trips keep data intact, and the
+  * bucketed layout delivers its contract — an exchange-free join. */
+class IOSpec extends SparkSpecBase {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-io-$name").toString
+
+  test("csv round-trip preserves rows and schema (explicit schema, no inference)") {
+    val orig = Tables.nation(spark, sf)
+    val dir = tmp("csv")
+    sources.IO.writeCsv(orig, dir)
+    val back = sources.IO.readCsv(spark, dir, orig.schema)
+    assert(back.schema == orig.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      orig.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json-lines round-trip preserves rows") {
+    val orig = Tables.region(spark, sf)
+    val dir = tmp("json")
+    sources.IO.writeJsonLines(orig, dir)
+    val back = sources.IO.readJsonLines(spark, dir, orig.schema)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      orig.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("orc round-trip preserves rows") {
+    val orig = Tables.supplier(spark, sf)
+    val dir = tmp("orc")
+    sources.IO.writeOrc(orig, dir)
+    val back = sources.IO.readOrc(spark, dir)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      orig.orderBy("s_suppkey").collect().toSeq)
+  }
+
+  test("partitioned write prunes partitions on the key predicate") {
+    val dir = tmp("part")
+    sources.IO.writePartitioned(Tables.customer(spark, sf), dir, "c_mktsegment")
+    val seg = sources.IO.readParquet(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    // physical scan must carry the partition filter (directory pruning)
+    val physical = seg.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("c_mktsegment"), physical.take(2000))
+    val expected = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(seg.count() == expected)
+  }
+
+  test("equi-join of two tables bucketed on the key plans no shuffle") {
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories survive — clear both or the write errors
+    // with LOCATION_ALREADY_EXISTS on re-runs
+    Seq("b_orders", "b_lineagg").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+    sources.IO.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    sources.IO.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineagg", "o_orderkey", 4)
+    val joined = sources.IO.readTable(spark, "b_orders")
+      .join(sources.IO.readTable(spark, "b_lineagg"), "o_orderkey")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("ShuffleExchange") && !physical.contains("Exchange hashpartitioning"),
+      s"bucketed join should be exchange-free:\n${physical.take(3000)}")
+    assert(joined.count() == o.join(l, o("o_orderkey") === l("l_orderkey")).count())
+  }
+}

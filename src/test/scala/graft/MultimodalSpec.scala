@@ -18,6 +18,21 @@ class MultimodalSpec extends SparkSpecBase {
       again.map(f => f.doc_id -> f.mean_level).toMap)
   }
 
+  test("frame sampling emits ceil(len/stride) frames whose levels are the payload bytes") {
+    val recs = multimodal.Multimodal.mediaRecords(spark, sf)
+    val byDoc = multimodal.Multimodal.frameFeatures(recs).collect().groupBy(_.doc_id)
+    val raw = recs.collect().map(r => r.doc_id -> r.payload).toMap
+    assert(byDoc.keySet == raw.keySet)
+    byDoc.foreach { case (id, frames) =>
+      val payload = raw(id)
+      assert(frames.length == (payload.length + 99) / 100)
+      frames.foreach { f =>
+        assert(f.offset == f.frame_idx * 100)
+        assert(f.level == (payload(f.offset) & 0xff).toDouble)
+      }
+    }
+  }
+
   test("payload metadata matches the typed records") {
     val meta = multimodal.Multimodal.multimodalMeta(spark, sf)
       .select("doc_id", "byte_len").collect()

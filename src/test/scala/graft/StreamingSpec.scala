@@ -82,6 +82,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming ingest filter joins static priors and gates on quality") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val priors = Seq(("good_src", 1.0), ("bad_src", 0.0)).toDF("source", "source_weight")
+    val ms = MemoryStream[(Long, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "source", "text")
+    val q = StreamSessionize.ingestFilter(docs, priors)
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "good_src", "a clean document with plenty of ordinary words in its body text"),
+        (2L, "good_src", "short"),                                   // < 10 tokens
+        (3L, "bad_src",  "a clean document with plenty of ordinary words in its body text"),
+        (4L, "new_src",  "an unlisted source keeps its default weight and passes the gate fine"),
+        (5L, "good_src", "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16")) // digit soup
+      q.processAllAvailable()
+      val kept = spark.table("ingest").filter($"keep").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 4L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregate finalizes closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
