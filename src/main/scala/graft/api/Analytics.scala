@@ -269,6 +269,90 @@ object Analytics {
     bhAdjust(scored, col("p_value"), col("feature"))
   }
 
+  /** Per-feature Wilcoxon rank-sum (Mann-Whitney U) test of group A vs
+    * the rest — the nonparametric twin of deMarkers and the default DE
+    * test of the reference's stack (scran::findMarkers runs exactly
+    * this). Average ranks with tie correction, ±0.5 continuity, normal
+    * approximation (legitimate at any real group size; exact small-n
+    * enumeration doesn't matter at scale).
+    *
+    * Shape: one groupBy collapses the fact table to (feature, value)
+    * tie groups, a per-feature window accumulates rank sums over those
+    * DISTINCT values (partition size = per-feature value cardinality,
+    * not row count), one more groupBy closes the statistics. No
+    * giant-partition sort of raw rows. */
+  def wilcoxonMarkers(df: DataFrame, feature: Column, inGroupA: Column,
+      x: Column): DataFrame = {
+    val vals = df.select(feature.as("feature"), inGroupA.as("__a"), x.as("__x"))
+      .groupBy(col("feature"), col("__x"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(when(col("__a"), 1.0).otherwise(0.0)).as("cnt_a"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("avg_rank", col("cum") - (col("cnt") - lit(1.0)) / lit(2.0))
+    val stats = ranked.groupBy(col("feature")).agg(
+      sum(col("cnt")).as("n"),
+      sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt_a") * col("avg_rank")).as("r_a"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+    val nB = col("n") - col("n_a")
+    val u = col("r_a") - col("n_a") * (col("n_a") + lit(1.0)) / lit(2.0)
+    val mu = col("n_a") * nB / lit(2.0)
+    val varU = col("n_a") * nB / lit(12.0) *
+      ((col("n") + lit(1.0)) - col("tie_term") / (col("n") * (col("n") - lit(1.0))))
+    // ±0.5 continuity toward the mean; guard all-tied features (var 0)
+    val zNum = when(u > mu, u - mu - lit(0.5))
+      .when(u < mu, u - mu + lit(0.5)).otherwise(lit(0.0))
+    val scored = stats
+      .withColumn("u_stat", u)
+      .withColumn("z", zNum / nullif(sqrt(varU), lit(0.0)))
+      .withColumn("p_value",
+        coalesce(least(lit(1.0), lit(2.0) * Stats.normalUpperTail(abs(col("z")))), lit(1.0)))
+    bhAdjust(scored, col("p_value"), col("feature"))
+      .select(col("feature"), col("n").cast("long").as("n"),
+        col("n_a").cast("long").as("n_a"), col("u_stat"), col("z"),
+        col("p_value"), col("p_adj"))
+  }
+
+  /** AUCell-like gene-set activity per entity: rank features within
+    * each entity by value (desc), AUC of the set-recovery curve over
+    * the top `topN` ranks. Window partitions are per-entity feature
+    * lists (gene-cardinality bounded). */
+  def aucModuleScore(m: DataFrame, entity: Column, feature: Column,
+      value: Column, inSet: Column, topN: Int = 50): DataFrame = {
+    val wRank = Window.partitionBy(col("entity"))
+      .orderBy(col("value").desc, col("feature").asc)
+    val denom = least(sum(when(col("__set"), lit(1.0))), lit(topN.toDouble)) * lit(topN.toDouble)
+    m.select(entity.as("entity"), feature.as("feature"), value.as("value"),
+        inSet.as("__set"))
+      .withColumn("rnk", row_number().over(wRank))
+      .groupBy(col("entity"))
+      .agg((sum(when(col("__set") && col("rnk") <= topN,
+          lit(topN + 1).cast("double") - col("rnk"))) / denom).as("auc_score"))
+      .withColumn("auc_score", coalesce(col("auc_score"), lit(0.0)))
+  }
+
+  /** Pairwise Pearson correlation between the features in `selected`
+    * (a small feature list — e.g. top HVGs): broadcast self-join on the
+    * entity key, one corr aggregate per (f1, f2) pair. Pair count is
+    * |selected|² — keep the selection small; the entity join is the
+    * only fact-scale work. */
+  def featureCorr(m: DataFrame, entity: Column, feature: Column,
+      value: Column, selected: Seq[Any]): DataFrame = {
+    val t = m.select(entity.as("entity"), feature.as("feature"), value.as("value"))
+      .filter(col("feature").isin(selected: _*))
+    val a = t.select(col("entity"), col("feature").as("f1"), col("value").as("v1"))
+    val b = t.select(col("entity"), col("feature").as("f2"), col("value").as("v2"))
+    a.join(b, Seq("entity"))
+      .filter(col("f1") < col("f2"))
+      .groupBy(col("f1"), col("f2"))
+      .agg(count(lit(1)).as("n_pairs"), corr(col("v1"), col("v2")).as("c"))
+      .select(col("f1"), col("f2"), col("n_pairs"),
+        when(isnan(col("c")), lit(null)).otherwise(col("c")).as("pearson"))
+  }
+
   /** Per-feature Pearson correlation of value vs an ordering variable
     * (slingshot/tradeseq association analog). */
   def orderedAssociation(df: DataFrame, feature: Column, order: Column,

@@ -303,7 +303,54 @@ object SingleCell {
         r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
   }
 
+  // ---------------------------------------------------------------
+  // 68 (beyond inventory). Wilcoxon rank-sum DE — the nonparametric
+  // default of scran::findMarkers. Ranks accumulate over DISTINCT
+  // (feature, value) tie groups, so the window partitions are value-
+  // cardinality sized, never raw-row sized.
+  def deWilcoxonQuery(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.api.Analytics.wilcoxonMarkers(x, col("l_partkey"),
+        col("o_orderpriority") === "1-URGENT", col("l_quantity"))
+      .select(col("feature"), col("n"), col("n_a"),
+        r(col("u_stat"), 4).as("u_stat"), r(col("z"), 6).as("z"),
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
+  // ---------------------------------------------------------------
+  // 69 (beyond inventory). AUCell-like module activity: per entity,
+  // AUC of the gene-set recovery curve over the top-50 ranked
+  // features — the rank-robust alternative to the mean-based
+  // module_score (same feature set: p_size ≤ 10).
+  def aucModuleScoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val m = matrix(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_size"))),
+        col("feature") === col("p_partkey"))
+    graft.api.Analytics.aucModuleScore(m, col("entity"), col("feature"),
+        col("value"), col("p_size") <= 10, topN = 50)
+      .select(col("entity"), r(col("auc_score"), 6).as("auc_score"))
+  }
+
+  // ---------------------------------------------------------------
+  // 70 (beyond inventory). feature-feature correlation (co-expression
+  // module building block): pairwise Pearson between the 5 priority-
+  // level spend profiles across customers.
+  def featureCorrQuery(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("v"))
+    graft.api.Analytics.featureCorr(perCust, col("o_custkey"),
+        col("o_orderpriority"), col("v"),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .select(col("f1"), col("f2"), col("n_pairs"), r(col("pearson"), 6).as("pearson"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "de_wilcoxon"           -> (deWilcoxonQuery _),
+    "auc_module_score"      -> (aucModuleScoreQuery _),
+    "feature_corr"          -> (featureCorrQuery _),
     "de_markers"            -> (deMarkersQuery _),
     "regress_out"           -> (regressOutMatrix _),
     "quantile_normalize"    -> (quantileNormalizeMatrix _),
@@ -324,6 +371,74 @@ object SingleCell {
     "pseudotime_assoc"      -> (pseudotimeAssoc _))
 
   val oracles: Map[String, String] = Map(
+    "de_wilcoxon" -> {
+      val q = graft.core.Stats.normalUpperTailSql("abs(z)")
+      s"""WITH x AS (
+           SELECT l_partkey AS feature, o_orderpriority = '1-URGENT' AS a,
+                  l_quantity AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         vals AS (
+           SELECT feature, v, CAST(count(*) AS DOUBLE) AS cnt,
+                  sum(CASE WHEN a THEN 1.0 ELSE 0.0 END) AS cnt_a
+           FROM x GROUP BY 1, 2),
+         ranked AS (
+           SELECT *, sum(cnt) OVER (PARTITION BY feature ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM vals),
+         r2 AS (SELECT *, cum - (cnt - 1.0)/2.0 AS avg_rank FROM ranked),
+         stats AS (
+           SELECT feature, sum(cnt) AS n, sum(cnt_a) AS n_a,
+                  sum(cnt_a * avg_rank) AS r_a,
+                  sum(cnt*cnt*cnt - cnt) AS tie_term
+           FROM r2 GROUP BY 1),
+         scored AS (
+           SELECT feature, n, n_a,
+                  r_a - n_a*(n_a + 1.0)/2.0 AS u_stat,
+                  CASE WHEN r_a - n_a*(n_a + 1.0)/2.0 > n_a*(n - n_a)/2.0
+                       THEN r_a - n_a*(n_a + 1.0)/2.0 - n_a*(n - n_a)/2.0 - 0.5
+                       WHEN r_a - n_a*(n_a + 1.0)/2.0 < n_a*(n - n_a)/2.0
+                       THEN r_a - n_a*(n_a + 1.0)/2.0 - n_a*(n - n_a)/2.0 + 0.5
+                       ELSE 0.0 END
+                  / nullif(sqrt(n_a*(n - n_a)/12.0 *
+                      ((n + 1.0) - tie_term/(n*(n - 1.0)))), 0.0) AS z
+           FROM stats),
+         p AS (
+           SELECT *, coalesce(least(1.0, 2.0 * $q), 1.0) AS p_value FROM scored),
+         rankedp AS (
+           SELECT *, row_number() OVER (ORDER BY p_value ASC, feature ASC) AS rk,
+                  count(*) OVER () AS m
+           FROM p)
+         SELECT feature, CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+                round(u_stat,4) AS u_stat, round(z,6) AS z,
+                round(p_value,6) AS p_value,
+                round(least(1.0, min(p_value*m/rk) OVER (ORDER BY rk ASC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
+         FROM rankedp"""
+    },
+    "auc_module_score" ->
+      s"""WITH m AS ($matrixSql),
+          j AS (
+            SELECT entity, feature, value, p_size <= 10 AS inset
+            FROM m JOIN part ON feature = p_partkey),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY entity
+              ORDER BY value DESC, feature ASC) AS rnk
+            FROM j)
+          SELECT entity,
+                 round(coalesce(
+                   sum(CASE WHEN inset AND rnk <= 50 THEN 51.0 - rnk END)
+                   / (least(sum(CASE WHEN inset THEN 1.0 END), 50.0) * 50.0),
+                   0.0), 6) AS auc_score
+          FROM ranked GROUP BY entity""",
+    "feature_corr" ->
+      """WITH perc AS (
+           SELECT o_custkey, o_orderpriority AS f, sum(o_totalprice) AS v
+           FROM orders GROUP BY 1, 2)
+         SELECT a.f AS f1, b.f AS f2, count(*) AS n_pairs,
+                round(corr(a.v, b.v), 6) AS pearson
+         FROM perc a JOIN perc b
+           ON a.o_custkey = b.o_custkey AND a.f < b.f
+         GROUP BY 1, 2""",
     "de_markers" -> {
       val q = graft.core.Stats.normalUpperTailSql("abs(t_stat)")
       s"""WITH x AS (

@@ -96,6 +96,65 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(math.abs(tNull) < 1e-9)
   }
 
+  test("wilcoxonMarkers: planted shift is significant, identical groups give z=0 p=1") {
+    import spark.implicits._
+    val rows =
+      (1 to 40).map(i => ("f_shift", true, 100.0 + (i % 7))) ++
+      (1 to 40).map(i => ("f_shift", false, 50.0 + (i % 7))) ++
+      (1 to 40).map(i => ("f_same", true, (i % 5).toDouble)) ++
+      (1 to 40).map(i => ("f_same", false, (i % 5).toDouble))
+    val out = api.Analytics.wilcoxonMarkers(rows.toDF("f", "a", "x"),
+      col("f"), col("a"), col("x"))
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Double]("u_stat"), r.getAs[Double]("z"), r.getAs[Double]("p_value"))).toMap
+    val (uShift, zShift, pShift) = out("f_shift")
+    val (_, zSame, pSame) = out("f_same")
+    assert(uShift == 1600.0, "complete separation: U = n_a*n_b")
+    assert(zShift > 5 && pShift < 1e-6, s"z=$zShift p=$pShift")
+    // the Zelen–Severo polynomial has |ε| < 7.5e-8, so p(z=0) ≈ 1 − 1e-9
+    assert(zSame == 0.0 && pSame > 0.999999, s"identical groups: z=$zSame p=$pSame")
+    // swapping the groups must mirror the statistic
+    val sw = api.Analytics.wilcoxonMarkers(rows.toDF("f", "a", "x"),
+      col("f"), !col("a"), col("x"))
+      .collect().map(r => r.getAs[String]("feature") -> r.getAs[Double]("z")).toMap
+    assert(math.abs(sw("f_shift") + zShift) < 1e-9)
+  }
+
+  test("aucModuleScore is 1 when set features fill the top ranks, 0 when absent from them") {
+    import spark.implicits._
+    // e1: the 3 set features hold ranks 1-3 of 6 → perfect recovery
+    // e2: set features at the bottom, below topN → zero recovery
+    val m = Seq(
+      ("e1","s1",9.0,true),("e1","s2",8.0,true),("e1","s3",7.0,true),
+      ("e1","x1",1.0,false),("e1","x2",0.5,false),("e1","x3",0.2,false),
+      ("e2","s1",0.1,true),("e2","s2",0.2,true),
+      ("e2","x1",9.0,false),("e2","x2",8.0,false),("e2","x3",7.0,false)
+    ).toDF("e","f","v","inset")
+    val out = api.Analytics.aucModuleScore(m, col("e"), col("f"), col("v"),
+        col("inset"), topN = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // e1: hits at ranks 1,2,3 → (3+2+1)/(3*3) = 2/3 of max… with N+1−rank
+    // weights the perfect score is (3+2+1)/(min(3,3)*3) = 6/9
+    assert(math.abs(out("e1") - 6.0 / 9.0) < 1e-9)
+    assert(out("e2") == 0.0)
+  }
+
+  test("featureCorr finds the planted perfect correlation") {
+    import spark.implicits._
+    val m = (1 to 20).flatMap(i => Seq(
+      (s"e$i", "fa", i.toDouble),
+      (s"e$i", "fb", 2.0 * i + 3.0),      // exactly linear in fa
+      (s"e$i", "fc", if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("e", "f", "v")
+    val out = api.Analytics.featureCorr(m, col("e"), col("f"), col("v"),
+        Seq("fa", "fb", "fc"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("pearson")).map(_.toDouble)).toMap
+    assert(math.abs(out(("fa", "fb")).get - 1.0) < 1e-9)
+    assert(math.abs(out(("fa", "fc")).get) < 0.2, "alternating series ~uncorrelated with index")
+    assert(out.keySet == Set(("fa","fb"), ("fa","fc"), ("fb","fc")))
+  }
+
   test("packSequences offsets tile each shard contiguously") {
     import spark.implicits._
     val docs = Seq(("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 500L),
