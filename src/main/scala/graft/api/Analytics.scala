@@ -410,6 +410,18 @@ object Analytics {
       .drop("__rn")
   }
 
+  /** Deterministic train/val/test assignment by content-hash uniform —
+    * identical on any cluster, partitioning, or run (no RNG state), and
+    * portable to the SQL oracle (hashUniform is pure md5 arithmetic).
+    * Narrow per-row math: no shuffle, no sort, no sampling pass. */
+  def datasetSplit(df: DataFrame, key: Column, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame =
+    df.withColumn("u", hashUniform(key))
+      .withColumn("split",
+        when(col("u") <= trainFrac, "train")
+          .when(col("u") <= trainFrac + valFrac, "val")
+          .otherwise("test"))
+
   /** Content-hash uniform in (0,1]: six hex digits of md5(key) — pure
     * md5/substr/position arithmetic that evaluates identically in Spark
     * and DuckDB (oracle side uses strpos with swapped arg order). */

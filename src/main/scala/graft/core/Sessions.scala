@@ -78,13 +78,36 @@ object Sessions {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  // ---------------------------------------------------------------
+  // 71. rolling time-range aggregate: per user, count/sum of activity in
+  // the trailing hour at every event — a RANGE frame on epoch nanos.
+  // Spark advances range-frame bounds monotonically (O(n) per
+  // partition); partitions are per-user, so this scales with users.
+  def rollingEvents(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000 * 1000 // micros: the oracle's max timestamp precision
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc)
+      .rangeBetween(-HourUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_sum", r(sum(col("value")).over(w), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_events"         -> (rollingEvents _),
     "sessionize_events"      -> (sessionizeEvents _),
     "windowed_events"        -> (windowedEvents _),
     "range_join_clicks"      -> (rangeJoinClicks _),
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "rolling_events" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         count(*) OVER w AS rolling_n,
+         round(sum(value) OVER w, 4) AS rolling_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "sessionize_events" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
          flagged AS (

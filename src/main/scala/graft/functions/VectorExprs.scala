@@ -208,6 +208,8 @@ object VectorFunctions {
     GraftGlue.column(MinHashSigText(toExpr(c), n, numHashes))
   def longMatchFrac(a: Column, b: Column): Column =
     GraftGlue.column(LongMatchFrac(toExpr(a), toExpr(b)))
+  def repetitionStats(c: Column): Column =
+    GraftGlue.column(RepetitionStats(toExpr(c)))
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint
@@ -380,6 +382,90 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
     copy(child = newChild)
+}
+
+/** One-pass repetition statistics over a word array — the Gopher-style
+  * within-doc quality signals. Computing these via array_distinct +
+  * transform lambdas evaluates interpreted per element AND walks the
+  * 2-gram list once per distinct 2-gram (O(n·d)); this is one primitive
+  * hash-map pass. Returns
+  * struct(n_words, n_distinct_words, n_2grams, n_distinct_2grams,
+  * top_2gram_count), all BIGINT. 2-grams are adjacent word pairs joined
+  * by a single space (words from a [a-z0-9]+ tokenizer can't contain
+  * one, so the key is unambiguous). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("n_2grams", LongType, nullable = false),
+    StructField("n_distinct_2grams", LongType, nullable = false),
+    StructField("top_2gram_count", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val words = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) { words.add(arr.getUTF8String(i)); i += 1 }
+    val grams = new java.util.HashMap[UTF8String, Integer]()
+    var top = 0
+    i = 0
+    while (i + 1 < n) {
+      val g = UTF8String.concat(arr.getUTF8String(i), RepetitionStats.SEP, arr.getUTF8String(i + 1))
+      val cur = grams.get(g)
+      val v = if (cur == null) 1 else cur + 1
+      grams.put(g, v)
+      if (v > top) top = v
+      i += 1
+    }
+    InternalRow(n.toLong, words.size.toLong, math.max(n - 1, 0).toLong,
+      grams.size.toLong, top.toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      val grams = ctx.freshName("grams")
+      val top = ctx.freshName("top")
+      val i = ctx.freshName("i")
+      val g = ctx.freshName("g")
+      val cur = ctx.freshName("cur")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $c.numElements();
+        java.util.HashSet<UTF8String> $words = new java.util.HashSet<UTF8String>();
+        for (int $i = 0; $i < $n; $i++) { $words.add($c.getUTF8String($i)); }
+        java.util.HashMap<UTF8String, Integer> $grams = new java.util.HashMap<UTF8String, Integer>();
+        int $top = 0;
+        for (int $i = 0; $i + 1 < $n; $i++) {
+          UTF8String $g = UTF8String.concat($c.getUTF8String($i),
+            graft.functions.RepetitionStats$$.MODULE$$.SEP(), $c.getUTF8String($i + 1));
+          Integer $cur = ($grams.get($g) == null) ? null : (Integer) $grams.get($g);
+          int $v = ($cur == null) ? 1 : $cur.intValue() + 1;
+          $grams.put($g, $v);
+          if ($v > $top) $top = $v;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{ (long) $n, (long) $words.size(),
+            (long) java.lang.Math.max($n - 1, 0), (long) $grams.size(), (long) $top });
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  val SEP: UTF8String = UTF8String.fromString(" ")
 }
 
 /** Fraction of positions where two long arrays agree — the minhash

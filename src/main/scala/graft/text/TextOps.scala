@@ -139,22 +139,20 @@ object TextOps {
   // bounded by doc length.
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("w", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-      .withColumn("g2", expr(
-        """CASE WHEN size(w) >= 2 THEN
-             transform(sequence(1, size(w)-1),
-               i -> concat(element_at(w, i), ' ', element_at(w, i+1)))
-           ELSE array() END"""))
+      .withColumn("st", graft.functions.VectorFunctions.repetitionStats(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
       .select(
         col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        r(expr("CASE WHEN size(w) > 0 THEN 1.0 - CAST(size(array_distinct(w)) AS DOUBLE)/size(w) ELSE 0.0 END"), 6).as("dup_word_frac"),
-        r(expr("CASE WHEN size(g2) > 0 THEN 1.0 - CAST(size(array_distinct(g2)) AS DOUBLE)/size(g2) ELSE 0.0 END"), 6).as("dup_2gram_frac"),
-        r(expr(
-          """CASE WHEN size(g2) > 0 THEN
-               CAST(array_max(transform(array_distinct(g2),
-                 g -> size(filter(g2, x -> x = g)))) AS DOUBLE)/size(g2)
-             ELSE 0.0 END"""), 6).as("top_2gram_frac"))
+        col("st.n_words").as("n_words"),
+        r(when(col("st.n_words") > 0,
+            lit(1.0) - col("st.n_distinct_words").cast("double") / col("st.n_words"))
+          .otherwise(0.0), 6).as("dup_word_frac"),
+        r(when(col("st.n_2grams") > 0,
+            lit(1.0) - col("st.n_distinct_2grams").cast("double") / col("st.n_2grams"))
+          .otherwise(0.0), 6).as("dup_2gram_frac"),
+        r(when(col("st.n_2grams") > 0,
+            col("st.top_2gram_count").cast("double") / col("st.n_2grams"))
+          .otherwise(0.0), 6).as("top_2gram_frac"))
 
   // ---------------------------------------------------------------
   // 62 (beyond inventory). deterministic sequence packing: concat-and-
@@ -170,7 +168,17 @@ object TextOps {
         col("start_off"), col("end_off"), col("seq_first"), col("seq_last"), col("n_seqs"))
   }
 
+  // ---------------------------------------------------------------
+  // 72 (beyond inventory). deterministic dataset split: 80/10/10
+  // train/val/test by content-hash uniform — stable across clusters,
+  // runs, and repartitioning (graft.api.Analytics.datasetSplit).
+  def datasetSplit(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.datasetSplit(
+        Tables.documents(s, dir).select(col("doc_id")), col("doc_id"))
+      .select(col("doc_id"), r(col("u"), 6).as("u"), col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
     "lang_id"          -> (langId _),
@@ -214,7 +222,20 @@ object TextOps {
         FROM documents)"""
   }
 
+  private val datasetSplitSql = {
+    val md5k = "md5(CAST(doc_id AS VARCHAR))"
+    val u = (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i)}"
+    }.mkString("((", "\n                 + ", " + 1.0) / 16777217.0)")
+    s"""SELECT doc_id, round($u, 6) AS u,
+        CASE WHEN $u <= 0.8 THEN 'train'
+             WHEN $u <= 0.9 THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "dataset_split" -> datasetSplitSql,
     "text_token_stats" ->
       raw"""SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,

@@ -67,6 +67,26 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(math.abs(est - trueJ) < 0.13, s"est=$est trueJ=$trueJ")
   }
 
+  test("repetitionStats equals the scala reference on random word lists") {
+    import spark.implicits._
+    val lists = samples(Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "ccc"))), 60) ++
+      Seq(Nil, List("x"), List("x", "x", "x", "x"))
+    val df = lists.zipWithIndex.map(_.swap).toDF("i", "w")
+      .withColumn("st", repetitionStats(col("w")))
+      .select(col("i"), col("st.*"))
+    val got = df.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    lists.zipWithIndex.foreach { case (w, i) =>
+      val g2 = w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toList
+      val counts = g2.groupBy(identity).view.mapValues(_.size)
+      val expect = (w.size.toLong, w.distinct.size.toLong,
+        math.max(w.size - 1, 0).toLong, counts.size.toLong,
+        if (counts.isEmpty) 0L else counts.values.max.toLong)
+      assert(got(i) == expect, s"case $i: $w")
+    }
+  }
+
   test("dotProduct equals the reference on random vectors") {
     import spark.implicits._
     val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 12)
