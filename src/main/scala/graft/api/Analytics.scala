@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Spread a narrow input across the cluster before compute-heavy
+    * per-row work (sketch signatures, shingle hashing, vector math).
+    * No-op when the source files already yield ≥ defaultParallelism
+    * scan splits — the 100 TB case, where inputs arrive with thousands
+    * of row groups. On small/single-row-group files (which Spark
+    * cannot split below a row group) it unlocks the full core count;
+    * the extra exchange moves only the raw rows it spreads, which the
+    * downstream CPU cost dwarfs by construction at these call sites.
+    * The split estimate reads only file METADATA (no physical
+    * planning — .rdd here would re-plan the query at ~250ms a call);
+    * non-file sources (memory streams, JDBC) estimate 0 and spread,
+    * which is the conservative choice for a compute-heavy consumer. */
+  def spread(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val p = s.sparkContext.defaultParallelism
+    val maxSplit = s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val files = df.inputFiles
+    val splits =
+      if (files.isEmpty) 0L
+      else {
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sessionState.newHadoopConf())
+        files.map { f =>
+          val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+          math.max(1L, (len + maxSplit - 1) / maxSplit)
+        }.sum
+      }
+    if (splits < p) df.repartition(p) else df
+  }
+
   // ----------------------------------------------------------- QC
 
   /** Per-entity QC: total value, #features detected, % of total value

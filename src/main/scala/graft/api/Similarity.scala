@@ -32,7 +32,8 @@ object Similarity {
   def nearDupPairsLsh(docs: DataFrame, id: Column, text: Column,
       threshold: Double = 0.7, shingle: Int = 5, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val d = docs.select(id.as("doc_id"), normalizeText(text).as("t"))
+    val d = Analytics.spread(docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), normalizeText(col("__t")).as("t"))
     // persisted: the signature table feeds banding AND both sides of
     // the screen join — at corpus scale this is the checkpointed
     // signature table of a dedup pipeline, not a recompute
@@ -67,10 +68,9 @@ object Similarity {
     * candidate generation covers radius ≤ chunks−1 by pigeonhole). */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
-    val d = docs
-      .select(id.as("doc_id"),
-        regexp_extract_all(normalizeText(text), lit("[a-z0-9]+"), lit(0)).as("ws"))
-      .withColumn("simhash", simhash64(col("ws")))
+    val d = Analytics.spread(docs.select(id.as("doc_id"), text.as("__t")))
+      .withColumn("simhash", simhash64(
+        regexp_extract_all(normalizeText(col("__t")), lit("[a-z0-9]+"), lit(0))))
       .select(col("doc_id"), col("simhash"))
     val chunks = d.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cv))")).as("e"))
@@ -88,7 +88,7 @@ object Similarity {
     * baseline (quadratic; use annTopK's LSH for scale). */
   def bruteForceCosinePairs(vecs: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
-    val e = vecs.select(id.as("vid"), vec.cast("array<double>").as("v"))
+    val e = Analytics.spread(vecs.select(id.as("vid"), vec.cast("array<double>").as("v")))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val a = e.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vid").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
@@ -103,7 +103,7 @@ object Similarity {
     * baseline for ANN evaluation). */
   def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, qId: Column, qVec: Column, k: Int): DataFrame = {
-    val c = corpus.select(id.as("vid"), vec.cast("array<double>").as("v"))
+    val c = Analytics.spread(corpus.select(id.as("vid"), vec.cast("array<double>").as("v")))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = queries.select(qId.as("qid"), qVec.cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
@@ -121,17 +121,20 @@ object Similarity {
     * the standard benchmark-leakage filter for pretraining corpora.
     * The eval side (benchmarks — small by construction) is deduped and
     * broadcast, so the train corpus is one narrow scan + explode +
-    * per-doc count: no train-side pair join, no shuffle of text. At
-    * 100 TB swap the broadcast string set for xxhash64(shingle) (or a
-    * Bloom filter) — kept as strings here for oracle exactness. */
+    * per-doc count: no train-side pair join, no shuffle of text.
+    * Shingles are joined as xxhash64 longs (CharShingleHashes) — the
+    * join needs only equality, and hashing at the source skips
+    * materializing an n-char string per position; collision odds are
+    * ~|train|·|eval| / 2⁶⁴, vanishing at any real scale. */
   def decontaminate(train: DataFrame, id: Column, text: Column,
       evalSet: DataFrame, evalText: Column,
       shingle: Int = 20, minShared: Int = 5): DataFrame = {
-    val tSh = train.select(id.as("doc_id"),
-      explode(charShingles(normalizeText(text), shingle)).as("g"))
+    val tSh = Analytics.spread(train.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"),
+        explode(charShingleHashes(normalizeText(col("__t")), shingle)).as("g"))
     val eSh = evalSet.select(
-      explode(charShingles(normalizeText(evalText), shingle)).as("g")).distinct()
-    // charShingles emits DISTINCT shingles per doc, so count(1) == #shared
+      explode(charShingleHashes(normalizeText(evalText), shingle)).as("g")).distinct()
+    // charShingleHashes emits DISTINCT shingles per doc, so count(1) == #shared
     val shared = tSh.join(broadcast(eSh), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     train.select(id.as("doc_id"))

@@ -31,7 +31,9 @@ object Dedup {
     graft.functions.VectorFunctions.charShingles(col(tExpr), 5)
 
   private def docsNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), norm(col("text")).as("t"))
+    graft.api.Analytics.spread(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), norm(col("text")).as("t"))
 
   // ---------------------------------------------------------------
   // 32. exact dedup: hash of normalized text; keep the minimum id per

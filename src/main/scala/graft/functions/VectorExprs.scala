@@ -210,6 +210,8 @@ object VectorFunctions {
     GraftGlue.column(LongMatchFrac(toExpr(a), toExpr(b)))
   def repetitionStats(c: Column): Column =
     GraftGlue.column(RepetitionStats(toExpr(c)))
+  def charShingleHashes(c: Column, n: Int): Column =
+    GraftGlue.column(CharShingleHashes(toExpr(c), n))
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint
@@ -381,6 +383,73 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
+    copy(child = newChild)
+}
+
+/** Distinct xxhash64 values of the character n-gram shingles — the
+  * join-key form of CharShingles. Near-dup / decontamination joins only
+  * need shingle EQUALITY, so hashing at the source skips materializing
+  * n-char strings per position and joins on primitive longs instead
+  * (collision odds across a corpus-scale join are ~|A|·|B|/2⁶⁴ — far
+  * below any oracle rounding). Same 1-based substr semantics as
+  * CharShingles. */
+case class CharShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    val last = math.max(len - (n - 1), 1)
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 1
+    while (i <= last) {
+      val s = t.substringSQL(i, n)
+      set.add(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val len = ctx.freshName("len")
+      val last = ctx.freshName("last")
+      val set = ctx.freshName("set")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val it = ctx.freshName("it")
+      val j = ctx.freshName("j")
+      s"""
+        int $len = $c.numChars();
+        int $last = java.lang.Math.max($len - ${n - 1}, 1);
+        java.util.LinkedHashSet<Long> $set = new java.util.LinkedHashSet<Long>();
+        for (int $i = 1; $i <= $last; $i++) {
+          UTF8String $s = $c.substringSQL($i, $n);
+          $set.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0L));
+        }
+        long[] $out = new long[$set.size()];
+        java.util.Iterator<Long> $it = $set.iterator();
+        int $j = 0;
+        while ($it.hasNext()) { $out[$j++] = $it.next().longValue(); }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
     copy(child = newChild)
 }
 

@@ -25,10 +25,13 @@ object Ann {
 
   import graft.functions.VectorFunctions.dot
 
-  /** Vectors with precomputed L2 norm, embedding cast to double. */
+  /** Vectors with precomputed L2 norm, embedding cast to double.
+    * spread(): local single-row-group files otherwise serialize all
+    * vector math on one core (no-op at real input-split counts). */
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.api.Analytics.spread(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   private def cosCol: Column = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))

@@ -96,7 +96,8 @@ object TextOps {
   // deterministic 63-bit-safe fingerprint computed by a higher-order
   // fold over the string, one pass per row, no shuffle, no UDF.
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    graft.api.Analytics.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
       // guarded: sequence(1, 0) would iterate DESCENDING [1, 0]; an
