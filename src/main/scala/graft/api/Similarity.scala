@@ -161,9 +161,12 @@ object Similarity {
       .unionByName(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("vertex"))
-      .distinct()
-      .withColumn("component", col("vertex"))
+    // the first propagation round is folded into the init: every vertex
+    // starts at min(self, neighbors) — one aggregation instead of a
+    // distinct + a full join round
+    var labels = edges
+      .groupBy(col("src").as("vertex"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -173,11 +176,13 @@ object Similarity {
         .groupBy(col("src").as("vertex"))
         .agg(min(col("component")).as("nbr_min"))
       // one pass computes the new label AND keeps the old one so the
-      // convergence check reads the checkpointed result, not a re-join
+      // convergence check reads the checkpointed result, not a re-join.
+      // The checkpoint is LAZY: the count() below materializes it — one
+      // Spark job per iteration, not two.
       val step = labels.join(neighborMin, Seq("vertex"), "left")
         .select(col("vertex"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = step.filter(col("component") =!= col("old")).count()
       labels = step.select(col("vertex"), col("component"))
       converged = changed == 0
