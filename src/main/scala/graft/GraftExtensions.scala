@@ -43,7 +43,19 @@ object GraftExtensions {
           "char_shingles expects (text) or (text, <literal int n>)")
       }),
     ("jaccard_sim", "jaccard_sim(a, b) — set Jaccard of string arrays",
-      (es: Seq[Expression]) => { arity("jaccard_sim", 2)(es); JaccardSim(es(0), es(1)) }))
+      (es: Seq[Expression]) => { arity("jaccard_sim", 2)(es); JaccardSim(es(0), es(1)) }),
+    ("repetition_stats",
+      "repetition_stats(words) — struct(n_words, n_distinct_words, n_2grams, n_distinct_2grams, top_2gram_count)",
+      (es: Seq[Expression]) => { arity("repetition_stats", 1)(es); RepetitionStats(es.head) }),
+    ("char_shingle_hashes",
+      "char_shingle_hashes(text[, n]) — distinct xxhash64 of char n-grams (default 20)",
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => CharShingleHashes(t, 20)
+        case Seq(t, n) if n.foldable =>
+          CharShingleHashes(t, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "char_shingle_hashes expects (text) or (text, <literal int n>)")
+      }))
 
   def register(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -21,5 +21,12 @@ class ExtensionsSpec extends SparkSpecBase {
     val sh = spark.sql("SELECT simhash64(array('a','b')) AS h").collect()(0).getLong(0)
     val sh2 = spark.sql("SELECT simhash64(array('b','a')) AS h").collect()(0).getLong(0)
     assert(sh == sh2, "simhash is order-independent")
+    val rep = spark.sql(
+      "SELECT repetition_stats(array('a','b','a','b')).top_2gram_count AS c")
+      .collect()(0).getLong(0)
+    assert(rep == 2, "'a b' occurs twice")
+    val csh = spark.sql("SELECT size(char_shingle_hashes('abcdef', 5)) AS n")
+      .collect()(0).getInt(0)
+    assert(csh == 2) // hashes of 'abcde', 'bcdef'
   }
 }
