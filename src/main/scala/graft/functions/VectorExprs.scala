@@ -212,6 +212,8 @@ object VectorFunctions {
     GraftGlue.column(RepetitionStats(toExpr(c)))
   def charShingleHashes(c: Column, n: Int): Column =
     GraftGlue.column(CharShingleHashes(toExpr(c), n))
+  def hyperplaneBucket(c: Column, planes: Int): Column =
+    GraftGlue.column(HyperplaneBucket(toExpr(c), planes))
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint
@@ -383,6 +385,73 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket id: bit j of the result is the sign of
+  * v · h_j, where hyperplane component h_j[i] is derived from
+  * xxhash64(j·64 + i) exactly like Spark SQL's xxhash64 (XXH64.hashLong,
+  * seed 42) mapped into [−1, 1). Deterministic on any cluster — no
+  * driver-side randomness, no plane table to ship. Replaces a nested
+  * interpreted aggregate() lambda (planes × dims boxed evaluations per
+  * row) with one primitive loop. */
+case class HyperplaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong(j * 64L + i, 42L)
+        val m = ((h % 2000003L) + 2000003L) % 2000003L
+        acc += v.getDouble(i) * (m.toDouble / 1000001.0 - 1.0)
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val bucket = ctx.freshName("bucket")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      s"""
+        int $n = $c.numElements();
+        long $bucket = 0L;
+        for (int $j = 0; $j < $planes; $j++) {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($j * 64L + $i, 42L);
+            long $m = (($h % 2000003L) + 2000003L) % 2000003L;
+            $acc += $c.getDouble($i) * (((double) $m) / 1000001.0 - 1.0);
+          }
+          if ($acc > 0) $bucket |= (1L << $j);
+        }
+        ${ev.value} = $bucket;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }
 

@@ -73,18 +73,14 @@ object Ann {
   /** 5 hyperplanes → 32 buckets: sized for the test corpus (500 vecs →
     * ~16 candidates/bucket, enough for top-10). At corpus scale raise
     * the plane count so bucket occupancy stays bounded (bits ≈
-    * log2(n/target_bucket_size)); the expression is parameterized only
-    * by the two constants below. */
+    * log2(n/target_bucket_size)). The bucket id is the native codegen'd
+    * graft.functions.HyperplaneBucket (hash-derived planes, no driver
+    * randomness, no plane table). */
   private val LshPlanes = 5
-  private val bucketExpr =
-    s"""aggregate(sequence(0, ${LshPlanes - 1}), 0L, (acc, j) ->
-         acc + IF(aggregate(sequence(0, 63), 0D, (a, i) ->
-                    a + element_at(v, i + 1) *
-                        (CAST(pmod(xxhash64(j * 64 + i), 2000003) AS DOUBLE) / 1000001.0 - 1.0)) > 0,
-                  shiftleft(1L, j), 0L))"""
 
   def annLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(s, dir).withColumn("bucket", expr(bucketExpr))
+    val vecs = vectors(s, dir).withColumn("bucket",
+      graft.functions.VectorFunctions.hyperplaneBucket(col("v"), LshPlanes))
     val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val scored = vecs.join(broadcast(qs), Seq("bucket"))

@@ -58,6 +58,27 @@ object StreamSessionize {
           coalesce(col("source_weight"), lit(1.0)) >= minSourceWeight)
   }
 
+  /** Watermarked stream-stream interval join: each purchase joins the
+    * same user's clicks from the preceding hour. Both sides carry
+    * event-time watermarks and the join predicate bounds the time
+    * range, so Spark can evict join state as the watermarks advance —
+    * the state-bounded shape that runs forever on an unbounded pair of
+    * streams (the streaming twin of Sessions.rangeJoinClicks). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .selectExpr("user_id AS c_user", "ts AS c_ts", "value AS c_val")
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases
+      .selectExpr("event_id", "user_id AS p_user", "ts AS p_ts")
+      .withWatermark("p_ts", "1 hour")
+    p.join(c,
+      expr("""c_user = p_user AND
+              c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"""),
+      "inner")
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"), col("c_val"))
+  }
+
   /** Stateful gap sessionizer: one state record per user; a session is
     * emitted when the event-time watermark passes its gap timeout (or a
     * new event arrives beyond the gap). State size is O(active users).

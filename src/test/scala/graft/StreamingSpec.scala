@@ -104,6 +104,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks in the preceding hour") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("user_id", "ts", "value")
+    val pDf = purchases.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamSessionize.clickAttribution(cDf, pDf)
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 1.5), (1L, ts(30), 2.5), (2L, ts(10), 9.0))
+      purchases.addData((100L, 1L, ts(45))) // clicks @0 and @30 in window
+      q.processAllAvailable()
+      clicks.addData((1L, ts(170), 0.0))     // advance click watermark
+      purchases.addData((101L, 1L, ts(240))) // nearest click 70 min back → outside the hour
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("event_id", "c_val").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((100L, 1.5), (100L, 2.5)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregate finalizes closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
