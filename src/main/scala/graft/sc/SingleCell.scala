@@ -347,7 +347,34 @@ object SingleCell {
       .select(col("f1"), col("f2"), col("n_pairs"), r(col("pearson"), 6).as("pearson"))
   }
 
+  // ---------------------------------------------------------------
+  // 74. term grouping by similarity + threshold
+  // (funx_enrichment.R:174-234): pairwise Jaccard between term member
+  // sets (term = p_name word, members = parts carrying it), edges at
+  // J ≥ 0.08, connected components → term group (min term id). The
+  // pair space is |terms|² with terms in the dozens — the inverted
+  // index join is bounded by construction.
+  def termGroupsQuery(s: SparkSession, dir: String): DataFrame = {
+    val membership = Tables.part(s, dir)
+      .select(explode(split(col("p_name"), " ")).as("term"), col("p_partkey"))
+      .distinct()
+    val sizes = membership.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val inter = membership.as("a")
+      .join(membership.as("b"),
+        col("a.p_partkey") === col("b.p_partkey") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sizes.select(col("term").as("t1"), col("n").as("n1")), "t1")
+      .join(sizes.select(col("term").as("t2"), col("n").as("n2")), "t2")
+      .withColumn("jac", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jac") >= 0.08)
+    graft.api.Similarity.connectedComponents(pairs, col("t1"), col("t2"))
+      .select(col("vertex").as("term"), col("component").as("group_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "term_groups"           -> (termGroupsQuery _),
     "de_wilcoxon"           -> (deWilcoxonQuery _),
     "auc_module_score"      -> (aucModuleScoreQuery _),
     "feature_corr"          -> (featureCorrQuery _),
@@ -371,6 +398,32 @@ object SingleCell {
     "pseudotime_assoc"      -> (pseudotimeAssoc _))
 
   val oracles: Map[String, String] = Map(
+    "term_groups" ->
+      """WITH RECURSIVE membership AS (
+           SELECT DISTINCT unnest(string_split(p_name, ' ')) AS term, p_partkey
+           FROM part),
+         sizes AS (SELECT term, count(*) AS n FROM membership GROUP BY 1),
+         inter AS (
+           SELECT a.term AS t1, b.term AS t2, count(*) AS i
+           FROM membership a JOIN membership b
+             ON a.p_partkey = b.p_partkey AND a.term < b.term
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT t1, t2 FROM inter
+           JOIN sizes s1 ON t1 = s1.term
+           JOIN sizes s2 ON t2 = s2.term
+           WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.08),
+         edges AS (SELECT t1 AS a, t2 AS b FROM pairs
+                   UNION SELECT t2, t1 FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         verts AS (SELECT DISTINCT a AS vertex FROM edges)
+         SELECT v.vertex AS term,
+                least(v.vertex, min(r.b)) AS group_id
+         FROM verts v LEFT JOIN reach r ON v.vertex = r.a
+         GROUP BY v.vertex""",
     "de_wilcoxon" -> {
       val q = graft.core.Stats.normalUpperTailSql("abs(z)")
       s"""WITH x AS (
