@@ -121,12 +121,57 @@ object Ann {
     topk(scored, 10)
   }
 
+  // ---------------------------------------------------------------
+  // 76. kNN-graph communities (wrapper.R:267-348: kNN graph +
+  // Louvain/Leiden re-expressed): k=5 cosine neighbors per vector,
+  // MUTUAL edges only (both endpoints list each other), connected
+  // components label the communities. Brute-force neighbor generation
+  // is the oracle path; at corpus scale the kNN edges come from the
+  // LSH/IVF candidate generation above instead.
+  def knnComponents(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val knn = graft.api.Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 5)
+      .select(col("qid"), col("neighbor_id").as("nid"))
+    val mutual = knn.as("x")
+      .join(knn.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+      .filter(col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("a"), col("x.nid").as("b"))
+    graft.api.Similarity.connectedComponents(mutual, col("a"), col("b"))
+      .select(col("vertex").as("vec_id"), col("component").as("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_components"      -> (knnComponents _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _))
 
   val oracles: Map[String, String] = Map(
+    "knn_components" ->
+      """WITH RECURSIVE scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rk
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
+         knn AS (SELECT qid, nid FROM scored WHERE rk <= 5),
+         mutual AS (
+           SELECT x.qid AS a, x.nid AS b FROM knn x
+           JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+           WHERE x.qid < x.nid),
+         edges AS (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         verts AS (SELECT DISTINCT a AS vertex FROM edges)
+         SELECT v.vertex AS vec_id,
+                least(v.vertex, min(r.b)) AS community
+         FROM verts v LEFT JOIN reach r ON v.vertex = r.a
+         GROUP BY v.vertex""",
     "ann_bruteforce_topk" ->
       """SELECT qid, neighbor_id, cos_sim, rk FROM (
            SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,

@@ -57,7 +57,7 @@ class PlanSpec extends SparkSpecBase {
     val allowedQuadratic = Set(
       "dedup_embedding", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
       "dedup_ngram_jaccard", "threshold_tally", "feature_filter", "enrichment_ora",
-      "tfidf_top_terms")
+      "tfidf_top_terms", "knn_components")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
