@@ -93,7 +93,22 @@ object Sessions {
       .withColumn("rolling_sum", r(sum(col("value")).over(w), 4))
   }
 
+  // ---------------------------------------------------------------
+  // 77. semi-structured JSON parsing: extract typed fields from the
+  // events' JSON props column and aggregate — the metadata-sidecar
+  // pattern of every ingestion pipeline. get_json_object is codegen'd
+  // and schema-on-read; no inference pass, no UDF.
+  def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        r(avg(col("k")), 6).as("avg_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_props"      -> (eventsJsonProps _),
     "rolling_events"         -> (rollingEvents _),
     "sessionize_events"      -> (sessionizeEvents _),
     "windowed_events"        -> (windowedEvents _),
@@ -101,6 +116,11 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+         FROM events GROUP BY 1""",
     "rolling_events" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
          count(*) OVER w AS rolling_n,

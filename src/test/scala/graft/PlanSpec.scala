@@ -51,6 +51,33 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"text_quality must not shuffle:\n$plan")
   }
 
+  test("decontaminate broadcasts the eval shingle set (train side never pair-joins)") {
+    val plan = formatted(dedup.Dedup.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"train shingles must stream through a broadcast, not a sort-merge join:\n$plan")
+  }
+
+  test("pack_sequences windows per shard — no single-partition global sort") {
+    val plan = formatted(text.TextOps.packSequences(spark, sf))
+    assert(plan.contains("Window"), plan)
+    // the window partition spec must carry the shard key
+    assert(plan.contains("partitionBy") || plan.contains("PartitionSpec") ||
+      plan.toLowerCase.contains("source"),
+      s"pack window must be partitioned by the shard column:\n$plan")
+  }
+
+  test("de_markers is one aggregation pass over the fact join (no fact-row window)") {
+    val plan = sc.SingleCell.deMarkersQuery(spark, sf).queryExecution.sparkPlan.toString
+    // windows may only appear AFTER the per-feature aggregation (the BH
+    // adjust over the tiny stats table needs exactly 3 window
+    // functions: rank, total count, running min); the fact table itself
+    // must reach an aggregate without a window sort
+    val windowFns = "windowspecdefinition".r.findAllIn(plan).length
+    assert(plan.contains("HashAggregate"), plan)
+    assert(windowFns == 3, s"expected exactly the 3 BH window functions, got $windowFns:\n$plan")
+  }
+
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines
