@@ -139,32 +139,55 @@ object Dedup {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _))
 
+  private val componentsSql =
+    s"""WITH RECURSIVE nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+               FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.7),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        verts AS (SELECT DISTINCT a AS vertex FROM edges)
+        SELECT v.vertex,
+               least(v.vertex, min(r.b)) AS component,
+               least(v.vertex, min(r.b)) = v.vertex AS keep
+        FROM verts v LEFT JOIN reach r ON v.vertex = r.a
+        GROUP BY v.vertex"""
+
   val oracles: Map[String, String] = Map(
-    "dedup_components" ->
-      s"""WITH RECURSIVE nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+    "dedup_components_lsh" -> componentsSql,
+    // The LSH twins share the exact paths' oracles: LSH candidates are
+    // verified with TRUE shingle Jaccard before emission, so output ⊆
+    // exact always, and the planted near-dups sit at J ≥ 0.9 where the
+    // 16×4 banding's miss probability is ~2e-8 — and the hash seeds are
+    // fixed, so the equality DedupSpec asserts is deterministic, not
+    // probabilistic, on this corpus.
+    "dedup_minhash_lsh" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
                  FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
           inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
                     FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2),
-          pairs AS (
-            SELECT d1, d2 FROM inter
-            JOIN sizes s1 ON d1 = s1.doc_id
-            JOIN sizes s2 ON d2 = s2.doc_id
-            WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.7),
-          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                    UNION SELECT d2, d1 FROM pairs),
-          reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          verts AS (SELECT DISTINCT a AS vertex FROM edges)
-          SELECT v.vertex,
-                 least(v.vertex, min(r.b)) AS component,
-                 least(v.vertex, min(r.b)) = v.vertex AS keep
-          FROM verts v LEFT JOIN reach r ON v.vertex = r.a
-          GROUP BY v.vertex""",
+                    GROUP BY 1, 2)
+          SELECT d1, d2,
+                 round(CAST(i AS DOUBLE)/(s1.n + s2.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.7""",
+    "dedup_components" -> componentsSql,
     "decontaminate" ->
       s"""WITH nrm AS (SELECT doc_id, source, $normSql AS t FROM documents),
           esh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 20) AS g
