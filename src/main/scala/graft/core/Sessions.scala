@@ -107,7 +107,32 @@ object Sessions {
         sum(col("k")).as("sum_k"),
         r(avg(col("k")), 6).as("avg_k"))
 
+  // ---------------------------------------------------------------
+  // 78. grouped quantiles: exact interpolated p50/p95/p99 of value per
+  // event_type. Group count is tiny (the percentile state is per-group
+  // sorted values — at 100 TB swap percentile→percentile_approx, a
+  // single-pass bounded-memory sketch; Stats.quantileApproxCol).
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r(graft.core.Stats.quantileCol(col("value"), 0.5), 6).as("p50"),
+        r(graft.core.Stats.quantileCol(col("value"), 0.95), 6).as("p95"),
+        r(graft.core.Stats.quantileCol(col("value"), 0.99), 6).as("p99"))
+
+  // ---------------------------------------------------------------
+  // 79. fixed-width histogram per event_type: integer bucketing is a
+  // pure map-side key, one shuffle on (type, bucket).
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        r(min(col("value")), 4).as("lo"), r(max(col("value")), 4).as("hi"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_quantiles"        -> (groupQuantiles _),
+    "value_histogram"        -> (valueHistogram _),
     "events_json_props"      -> (eventsJsonProps _),
     "rolling_events"         -> (rollingEvents _),
     "sessionize_events"      -> (sessionizeEvents _),
@@ -116,6 +141,16 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "group_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.95), 6) AS p95,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY 1""",
+    "value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+         count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+         FROM events GROUP BY 1, 2""",
     "events_json_props" ->
       """SELECT event_type, count(*) AS n,
          sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
