@@ -130,7 +130,24 @@ object Sessions {
       .agg(count(lit(1)).as("n"),
         r(min(col("value")), 4).as("lo"), r(max(col("value")), 4).as("hi"))
 
+  // ---------------------------------------------------------------
+  // 80. cohort retention: users bucketed by first-activity day, distinct
+  // actives per (cohort, age). Two shuffles on user_id (the cohort agg
+  // and the join reuse the same partitioning), one on the cohort key —
+  // the per-user cohort table is user-cardinality sized and joins on
+  // the user key, never broadcast.
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400L * 1000 * 1000
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div 1000 div $DayUs").as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_retention"       -> (cohortRetention _),
     "group_quantiles"        -> (groupQuantiles _),
     "value_histogram"        -> (valueHistogram _),
     "events_json_props"      -> (eventsJsonProps _),
@@ -141,6 +158,14 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT cohort_day, day - cohort_day AS age_days,
+                count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+         GROUP BY 1, 2""",
     "group_quantiles" ->
       """SELECT event_type, count(*) AS n,
          round(quantile_cont(value, 0.5), 6) AS p50,

@@ -81,8 +81,15 @@ object Ann {
   def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(s, dir).withColumn("bucket",
       graft.functions.VectorFunctions.hyperplaneBucket(col("v"), LshPlanes))
+    // multi-probe: each query also probes the LshPlanes buckets at
+    // hamming distance 1 (the standard recall lever — flipping the
+    // least-confident hyperplane signs) for (planes+1)× candidates
+    // while still scanning only a fraction of the corpus. Buckets
+    // partition the vectors, so probes never duplicate a candidate.
     val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr(s"""transform(sequence(0, $LshPlanes),
+          p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
     val scored = vecs.join(broadcast(qs), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cs", cosCol)

@@ -30,7 +30,10 @@ class AnnSpec extends SparkSpecBase {
     }
     val recall = recalls.sum / recalls.size
     info(s"LSH recall@10 = $recall")
-    assert(recall > 0.0, "LSH found none of the true neighbors")
+    // multi-probe scans ~6/32 buckets ≈ 19% of the corpus; random
+    // sampling at that rate would give recall ≈ 0.19 — hyperplane
+    // locality must clearly beat it (measured 0.42, deterministic)
+    assert(recall > 0.3, s"LSH recall $recall no better than random sampling")
     // every reported similarity must not exceed the true best
     lsh.foreach { case (q, ns) =>
       assert(ns.head._2 <= brute(q).head._2 + 1e-9)
