@@ -120,7 +120,7 @@ object Ann {
     val probed = qs.crossJoin(broadcast(centDf))
       .withColumn("dist", expr("aggregate(zip_with(qv, cv, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 2)
+      .filter(col("prk") <= 4) // nprobe=4 of 16 cells: ~1/4 corpus scanned
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))

@@ -47,9 +47,10 @@ class AnnSpec extends SparkSpecBase {
       ns.map(_._1).toSet.intersect(brute(q).map(_._1).toSet).size / 10.0
     }
     val recall = recalls.sum / recalls.size
-    info(s"IVF recall@10 (nprobe=2/16) = $recall")
-    // nprobe=2 of 16 cells scans ~1/8 of the corpus; random sampling
-    // would give recall ≈ 0.125 — nearest-centroid probing must beat it.
-    assert(recall > 0.125, s"IVF recall $recall no better than random sampling")
+    info(s"IVF recall@10 (nprobe=4/16) = $recall")
+    // nprobe=4 of 16 cells scans ~1/4 of the corpus; random sampling
+    // would give recall ≈ 0.25 — nearest-centroid probing must clearly
+    // beat it (measured 0.61, deterministic: seeded KMeans).
+    assert(recall > 0.4, s"IVF recall $recall no better than random sampling")
   }
 }
