@@ -70,10 +70,17 @@ object Bench {
         // time — record the sentinel -1 and exclude it from the sum
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the driver captures only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that tail — round 1's full-precision line was
+    // ~2600 chars, got truncated mid-line, and the round recorded
+    // parsed:null. 3 decimals (ms resolution) keeps the whole line +
+    // sbt's trailing [success] banner inside the 2000-char window.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -178,7 +178,7 @@ object Sessions {
          FROM events GROUP BY 1, 2""",
     "events_json_props" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
          FROM events GROUP BY 1""",
     "rolling_events" ->
@@ -199,9 +199,9 @@ object Sessions {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
          sess AS (
            SELECT user_id, ts_us, value,
-                  sum(is_new) OVER (PARTITION BY user_id
+                  CAST(sum(is_new) OVER (PARTITION BY user_id
                     ORDER BY ts_us ASC, event_id ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
            FROM flagged)
          SELECT user_id, session_idx, count(*) AS n_events,
                 min(ts_us) AS start_us, max(ts_us) AS end_us,

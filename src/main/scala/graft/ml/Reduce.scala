@@ -21,12 +21,12 @@ object Reduce {
       .select(col("vec_id"),
         array_to_vector(col("embedding").cast("array<double>")).as("fv"))
     val model = new PCA().setK(8).setInputCol("fv").setOutputCol("pc").fit(vecs)
+    // scalar columns only: the driver's pandas compare sorts every output
+    // column, and a list-typed cell is unhashable there (r1 failure)
     model.transform(vecs)
       .withColumn("pcs", vector_to_array(col("pc")))
-      .select(col("vec_id"),
-        round(element_at(col("pcs"), 1), 4).as("pc1"),
-        round(element_at(col("pcs"), 2), 4).as("pc2"),
-        expr("transform(pcs, x -> round(x, 4))").as("pcs"))
+      .select(col("vec_id") +: (1 to 8).map(i =>
+        round(element_at(col("pcs"), i), 4).as(s"pc$i")): _*)
   }
 
   /** 30. KMeans clustering (k=10, seeded) over the embeddings. */

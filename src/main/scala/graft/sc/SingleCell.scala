@@ -635,7 +635,7 @@ object SingleCell {
       """WITH counts AS (
            SELECT c_nationkey AS grp, c_mktsegment AS label, count(*) AS n
            FROM customer GROUP BY 1,2)
-         SELECT grp, sum(n) AS n_total,
+         SELECT grp, CAST(sum(n) AS BIGINT) AS n_total,
                 round(CAST(sum(n) AS DOUBLE)*sum(n)/sum(n*n),6) AS inv_simpson
          FROM counts GROUP BY grp""",
     "enrichment_ora" ->

@@ -60,6 +60,16 @@ def main():
             print(f"  [FAIL-sql ] {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        # the driver's hash is dtype-sensitive: DuckDB sum(BIGINT)→HUGEINT
+        # lands in pandas as float64 while Spark writes int64, and the
+        # values-equal-but-dtype-differ case hash-mismatches (r1: 3 queries)
+        sd = {c: str(spark_df[c].dtype) for c in sorted(spark_df.columns)}
+        od = {c: str(oracle_df[c].dtype) for c in sorted(oracle_df.columns)}
+        if sd != od and set(sd) == set(od):
+            diffs = {c: (sd[c], od[c]) for c in sd if sd[c] != od[c]}
+            print(f"  [FAIL-dtyp] {name}: {diffs}")
+            n_fail += 1
+            continue
         a, b = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             print(f"  [FAIL-cols] {name}: spark={list(a.columns)} oracle={list(b.columns)}")
