@@ -100,20 +100,25 @@ object Similarity {
 
   /** Brute-force cosine top-k: every query vector scored against the
     * full corpus (broadcast queries, one corpus scan — the exact
-    * baseline for ANN evaluation). */
+    * baseline for ANN evaluation). Per-query top-k runs through the
+    * native bounded-heap aggregate (graft.functions.TopKByScore):
+    * map-side partial heaps ship ≤k candidates per query per partition,
+    * so the exchange is O(queries·k), never O(corpus·queries) — the
+    * rank-window formulation this replaced sorted every scored pair
+    * through a single shuffle. */
   def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, qId: Column, qVec: Column, k: Int): DataFrame = {
     val c = Analytics.spread(corpus.select(id.as("vid"), vec.cast("array<double>").as("v")))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = queries.select(qId.as("qid"), qVec.cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vid").asc)
     c.join(broadcast(q), col("vid") =!= col("qid"))
       .withColumn("cs", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .select(col("qid"), col("vid"), col("cs"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vid").as("neighbor_id"), col("cs").as("cos_sim"), col("rk"))
+      .groupBy(col("qid"))
+      .agg(topKByScore(col("cs"), col("vid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("neighbor_id"),
+        col("e.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
   }
 
   /** Training-set decontamination: flag train docs sharing ≥ minShared
@@ -149,6 +154,14 @@ object Similarity {
     * iterations; near-dup graphs are shallow). Driver coordinates only
     * the convergence check (a count) — no data is collected. Returns
     * (vertex, component) where component = min vertex id reachable. */
+  /** Edge count below which components run as single-task union-find:
+    * 10M edges ≈ a few hundred MB of hash state, comfortably one task.
+    * Near-dup/kNN edge lists are the VERIFIED-pair output — orders of
+    * magnitude smaller than the corpus that produced them — so at 100 TB
+    * this path still usually applies; truly giant graphs take the
+    * distributed propagation loop below. */
+  private val UnionFindMaxEdges = 10_000_000L
+
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
       maxIter: Int = 20): DataFrame = {
     // localCheckpoint (NOT persist): every iteration's plan references the
@@ -161,6 +174,11 @@ object Similarity {
       .unionByName(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
       .localCheckpoint()
+    // sizing probe (edges are checkpointed — this is a block count, not
+    // a recompute): small graphs pay ONE task of union-find instead of
+    // per-iteration job scheduling, which dominates end-to-end time when
+    // the propagation loop runs on a few thousand edges
+    if (edges.count() <= UnionFindMaxEdges) return unionFindLocal(edges)
     // the first propagation round is folded into the init: every vertex
     // starts at min(self, neighbors) — one aggregation instead of a
     // distinct + a full join round
@@ -175,20 +193,73 @@ object Similarity {
         .join(labels.withColumnRenamed("vertex", "dst"), "dst")
         .groupBy(col("src").as("vertex"))
         .agg(min(col("component")).as("nbr_min"))
-      // one pass computes the new label AND keeps the old one so the
-      // convergence check reads the checkpointed result, not a re-join.
-      // The checkpoint is LAZY: the count() below materializes it — one
-      // Spark job per iteration, not two.
-      val step = labels.join(neighborMin, Seq("vertex"), "left")
+      val stepped = labels.join(neighborMin, Seq("vertex"), "left")
         .select(col("vertex"), col("component").as("old"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("mid"))
+      // pointer jumping (path halving): adopt the label OF my label —
+      // label(v) is always a vertex id in v's component, so label(label(v))
+      // is too, and labels only decrease. Neighbor-min alone needs
+      // O(diameter) rounds (chains in near-dup graphs run long); the jump
+      // compresses paths geometrically → O(log diameter) rounds. Both
+      // sides of the self-join read this iteration's small label table;
+      // lineage is truncated per round so the plan stays O(1).
+      val step = stepped.join(
+          stepped.select(col("vertex").as("mid"), col("mid").as("jumped")),
+          Seq("mid"), "left")
+        .select(col("vertex"), col("old"),
+          least(col("mid"), coalesce(col("jumped"), col("mid"))).as("component"))
         .localCheckpoint(eager = false)
+      // the checkpoint is LAZY: this count materializes it — one Spark
+      // job per iteration — and doubles as the convergence check
       val changed = step.filter(col("component") =!= col("old")).count()
       labels = step.select(col("vertex"), col("component"))
       converged = changed == 0
       iter += 1
     }
     labels
+  }
+
+  /** Single-task union-find with path compression: unions always point
+    * the larger root at the smaller, so every root IS its component's
+    * minimum vertex id — the same (vertex, min-reachable) contract as
+    * the distributed loop. Generic over the vertex column type (long
+    * ids for docs/vectors, strings for term graphs). */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    import org.apache.spark.sql.types._
+    edges.schema("src").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        unionFind(edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)])
+      case StringType => unionFind(edges.as[(String, String)])
+      case t => throw new IllegalArgumentException(
+        s"connectedComponents vertex type $t: expected integral or string")
+    }
+  }
+
+  private def unionFind[T](ds: org.apache.spark.sql.Dataset[(T, T)])(
+      implicit ord: Ordering[T]): DataFrame = {
+    ds.coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[T, T]
+        def find(x: T): T = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) {
+            if (ord.lt(rs, rd)) parent(rd) = rs else parent(rs) = rd
+          }
+        }
+        parent.keys.toVector.iterator.map(v => (v, find(v)))
+      }(ds.encoder)
+      .toDF("vertex", "component")
   }
 
   /** Backward as-of join: for each left row, the latest right row with

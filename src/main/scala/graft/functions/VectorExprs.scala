@@ -214,6 +214,10 @@ object VectorFunctions {
     GraftGlue.column(CharShingleHashes(toExpr(c), n))
   def hyperplaneBucket(c: Column, planes: Int): Column =
     GraftGlue.column(HyperplaneBucket(toExpr(c), planes))
+  /** Aggregate: top-k (id, score) pairs by (score desc, id asc). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    GraftGlue.column(
+      TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint

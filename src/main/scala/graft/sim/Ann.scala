@@ -41,15 +41,14 @@ object Ann {
     vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
 
-  private def topk(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id").asc)
-    // project the vector arrays away BEFORE the window shuffle — only
-    // (qid, vec_id, cs) rides through the rank sort
-    scored.select(col("qid"), col("vec_id"), col("cs"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), r(col("cs"), 6).as("cos_sim"), col("rk"))
-  }
+  // per-query top-k via the native bounded-heap aggregate: candidates
+  // fold into map-side k-heaps, the exchange carries O(queries·k) rows
+  private def topk(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.VectorFunctions.topKByScore(col("cs"), col("vec_id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("neighbor_id"),
+        r(col("e.score"), 6).as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
 
   // ---------------------------------------------------------------
   // 37. brute-force cosine top-k: queries × corpus scored exhaustively.

@@ -87,6 +87,27 @@ class VectorExprsPropSpec extends SparkSpecBase {
     }
   }
 
+  test("topKByScore matches the rank-window formulation incl. score ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // scores drawn from a tiny set so ties are common — the tie-break
+    // (score desc, id asc) must match row_number() exactly
+    val rows = samples(Gen.choose(0, 5), 400).zipWithIndex
+      .map { case (s, i) => (i.toLong % 7, i.toLong, s.toDouble / 4) }
+    val df = rows.toDF("grp", "id", "score")
+    val viaAgg = df.groupBy(col("grp"))
+      .agg(topKByScore(col("score"), col("id"), 5).as("tk"))
+      .select(col("grp"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("grp"), col("e.id").as("id"), col("e.score").as("score"),
+        (col("pos") + 1).as("rk"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("grp"), col("id"), col("score"), col("rk"))
+    val a = viaAgg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = viaWindow.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("dotProduct equals the reference on random vectors") {
     import spark.implicits._
     val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 12)
