@@ -39,10 +39,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
     var i = 0
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
+      // Kirsch–Mitzenmacher: two base hashes, h_j = h1 + j·h2 — the
+      // per-shingle cost is 2 byte-passes + numHashes adds, not
+      // numHashes byte-passes; LSH collision behavior is preserved
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1)
       var j = 0
+      var h = h1
       while (j < numHashes) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j)
         if (h < sig(j)) sig(j) = h
+        h += h2
         j += 1
       }
       i += 1
@@ -62,10 +68,14 @@ case class MinHashSig(child: Expression, numHashes: Int)
         java.util.Arrays.fill($sig, Long.MAX_VALUE);
         for (int $i = 0; $i < $c.numElements(); $i++) {
           UTF8String $s = $c.getUTF8String($i);
+          long ${h}1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0);
+          long ${h}2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 1);
+          long $h = ${h}1;
           for (int $j = 0; $j < $numHashes; $j++) {
-            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $j);
             if ($h < $sig[$j]) $sig[$j] = $h;
+            $h += ${h}2;
           }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -351,10 +361,14 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     var i = 1
     while (i <= last) {
       val s = t.substringSQL(i, n)
+      // Kirsch–Mitzenmacher double hashing — see MinHashSig
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1)
       var j = 0
+      var h = h1
       while (j < numHashes) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j)
         if (h < sig(j)) sig(j) = h
+        h += h2
         j += 1
       }
       i += 1
@@ -378,10 +392,14 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
         java.util.Arrays.fill($sig, Long.MAX_VALUE);
         for (int $i = 1; $i <= $last; $i++) {
           UTF8String $s = $c.substringSQL($i, $n);
+          long ${h}1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0);
+          long ${h}2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 1);
+          long $h = ${h}1;
           for (int $j = 0; $j < $numHashes; $j++) {
-            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $j);
             if ($h < $sig[$j]) $sig[$j] = $h;
+            $h += ${h}2;
           }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
