@@ -78,10 +78,11 @@ object Bench {
     // the driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that tail — round 1's full-precision line was
     // ~2600 chars, got truncated mid-line, and the round recorded
-    // parsed:null. 3 decimals (ms resolution) keeps the whole line +
-    // sbt's trailing [success] banner inside the 2000-char window.
+    // parsed:null. 2 decimals (10 ms resolution) keeps the whole line +
+    // sbt's trailing [success] banner inside the 2000-char window with
+    // headroom for ~60 per-query entries.
     def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

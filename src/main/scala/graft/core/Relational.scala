@@ -214,7 +214,46 @@ object Relational {
       .select(col("key").as("user_id"), col("n"),
         round(col("sum_value"), 4).as("sum_value"))
 
+  // ---------------------------------------------------------------
+  // Hierarchical ROLLUP aggregates (detail → per-flag subtotal → grand
+  // total in ONE pass): Spark's Expand feeds a single hash aggregation,
+  // so the three grouping levels cost one shuffle, not three scans.
+  // NULL grouping markers are projected to 'ALL' (these columns are
+  // non-null in the data) so the oracle compare is marker-stable.
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("sum_price"))
+
+  // ---------------------------------------------------------------
+  // Equi-depth decile binning WITHOUT a global sort: exact interpolated
+  // boundary computation (one aggregation; percentile_approx at corpus
+  // scale), then per-row bucket assignment against the broadcast
+  // boundary array — the plan stays one scan + one tiny agg, vs the
+  // ntile() formulation that drags every row through a single-partition
+  // window sort.
+  def decileBins(s: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.orders(s, dir).agg(
+      graft.core.Stats.quantilesCol(col("o_totalprice"),
+        (1 to 9).map(_ / 10.0)).as("qs"))
+    Tables.orders(s, dir).crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        expr("aggregate(qs, 0, (acc, q) -> acc + IF(o_totalprice > q, 1, 0))").cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 4).as("lo"),
+        round(max(col("o_totalprice")), 4).as("hi"),
+        round(avg(col("o_totalprice")), 6).as("mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_pricing"         -> (rollupPricing _),
+    "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
     "user_spend_salted"      -> (userSpendSalted _),
     "q1_pricing_summary"     -> (q1PricingSummary _),
@@ -231,6 +270,21 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "decile_bins" ->
+      """WITH b AS (
+           SELECT quantile_cont(o_totalprice,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM orders)
+         SELECT CAST(list_sum(list_transform(qs,
+                  q -> CASE WHEN o_totalprice > q THEN 1 ELSE 0 END)) AS BIGINT) AS decile,
+                count(*) AS n, round(min(o_totalprice), 4) AS lo,
+                round(max(o_totalprice), 4) AS hi, round(avg(o_totalprice), 6) AS mean
+         FROM orders, b GROUP BY 1""",
     "weighted_sample" ->
       """WITH u AS (
            SELECT c_mktsegment, c_custkey, c_acctbal + 1000.0 AS w,

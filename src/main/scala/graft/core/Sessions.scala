@@ -146,7 +146,41 @@ object Sessions {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  // ---------------------------------------------------------------
+  // Latest-per-key snapshot (SCD-style current-state view of an event
+  // stream): one shuffle via max(struct(ts, id, payload)) — the struct
+  // max is a partial-aggregable single pass, no per-key window sort;
+  // (ts, event_id) is a total order so the pick is deterministic.
+  def latestPerKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"),
+        r(col("m.value"), 4).as("value"))
+
+  // ---------------------------------------------------------------
+  // Winsorized moments per event_type: exact p05/p95 per group (one
+  // aggregation; percentile_approx at corpus scale), broadcast back,
+  // clamp, re-aggregate — two bounded-key shuffles, no windows.
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(graft.core.Stats.quantileCol(col("value"), 0.05).as("p05"),
+        graft.core.Stats.quantileCol(col("value"), 0.95).as("p95"))
+    val clamped = ev.join(broadcast(bounds), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+    clamped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r(avg(col("w")), 6).as("wins_mean"),
+        r(stddev_pop(col("w")), 6).as("wins_std"),
+        r(min(col("p05")), 6).as("p05"), r(min(col("p95")), 6).as("p95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "latest_per_key"         -> (latestPerKey _),
+    "winsorized_stats"       -> (winsorizedStats _),
     "cohort_retention"       -> (cohortRetention _),
     "group_quantiles"        -> (groupQuantiles _),
     "value_histogram"        -> (valueHistogram _),
@@ -158,6 +192,28 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "latest_per_key" ->
+      """SELECT user_id, event_type, ts_us, event_id, round(value, 4) AS value
+         FROM (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1""",
+    "winsorized_stats" ->
+      """WITH b AS (
+           SELECT event_type, quantile_cont(value, 0.05) AS p05,
+                  quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT e.event_type, least(greatest(e.value, b.p05), b.p95) AS w,
+                  b.p05, b.p95
+           FROM events e JOIN b ON e.event_type = b.event_type)
+         SELECT event_type, count(*) AS n,
+                round(avg(w), 6) AS wins_mean,
+                round(stddev_pop(w), 6) AS wins_std,
+                round(min(p05), 6) AS p05, round(min(p95), 6) AS p95
+         FROM c GROUP BY 1""",
     "cohort_retention" ->
       """WITH ev AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -63,6 +63,11 @@ object Stats {
   /** Exact interpolated quantile (DuckDB `quantile_cont` analog). */
   def quantileCol(c: Column, q: Double): Column = percentile(c, lit(q))
 
+  /** Exact interpolated quantiles at several probabilities in ONE
+    * aggregation pass (array-valued, like quantile_cont(x, [..])). */
+  def quantilesCol(c: Column, qs: Seq[Double]): Column =
+    percentile(c, array(qs.map(lit): _*))
+
   /** Approximate quantile (t-digest style sketch, single pass, bounded
     * memory) — the 100 TB path when exactness isn't contractual.
     * accuracy = 1/relativeError; 10000 ≈ 0.01% rank error. */

@@ -129,7 +129,30 @@ object Dedup {
       shingle = 20, minShared = 5)
   }
 
+  // ---------------------------------------------------------------
+  // Blocked fuzzy match (entity-resolution building block): candidate
+  // pairs come from an EQUI-join on the blocking key (brand, type) —
+  // a plain shuffle join with bounded blocks — and only candidates pay
+  // the edit-distance check. Never an all-pairs theta join; at corpus
+  // scale the blocking key is whatever cheap canopy (prefix, phonetic,
+  // LSH band) keeps blocks bounded.
+  def fuzzyBlockedJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+        // banded DP capped at the threshold (exact ≤ 2, early-exit
+        // above) — ~10× less work than the full-matrix builtin
+        graft.functions.BoundedLevenshtein.column(
+          col("a.p_name"), col("b.p_name"), 2).as("dist"))
+      .filter(col("dist") <= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_blocked_join"  -> (fuzzyBlockedJoin _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "decontaminate"       -> (decontaminate _),
@@ -166,6 +189,13 @@ object Dedup {
         GROUP BY v.vertex"""
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_blocked_join" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+          AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "dedup_components_lsh" -> componentsSql,
     // The LSH twins share the exact paths' oracles: LSH candidates are
     // verified with TRUE shingle Jaccard before emission, so output ⊆

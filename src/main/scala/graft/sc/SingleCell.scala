@@ -373,7 +373,28 @@ object SingleCell {
       .select(col("vertex").as("term"), col("component").as("group_id"))
   }
 
+  // ---------------------------------------------------------------
+  // KL divergence of each nation's segment composition vs the global
+  // composition (distribution-shift / batch-effect screen — the
+  // directed counterpart of the inverse-Simpson diversity check).
+  // Three bounded-key aggregations, global totals broadcast.
+  def klMktsegment(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val nat = seg.groupBy(col("c_nationkey")).agg(sum(col("n")).as("n_tot"))
+    val gl = seg.groupBy(col("c_mktsegment")).agg(sum(col("n")).as("g"))
+    val gtot = gl.agg(sum(col("g")).as("g_tot"))
+    seg.join(nat, "c_nationkey").join(broadcast(gl), "c_mktsegment")
+      .crossJoin(broadcast(gtot))
+      .groupBy(col("c_nationkey").as("nation"),
+        col("n_tot").cast("long").as("n_customers"))
+      .agg(r(sum((col("n") / col("n_tot")) *
+        log((col("n") / col("n_tot")) / (col("g") / col("g_tot")))), 6).as("kl_div"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kl_mktsegment"         -> (klMktsegment _),
     "term_groups"           -> (termGroupsQuery _),
     "de_wilcoxon"           -> (deWilcoxonQuery _),
     "auc_module_score"      -> (aucModuleScoreQuery _),
@@ -398,6 +419,16 @@ object SingleCell {
     "pseudotime_assoc"      -> (pseudotimeAssoc _))
 
   val oracles: Map[String, String] = Map(
+    "kl_mktsegment" ->
+      """WITH seg AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2),
+         nat AS (SELECT c_nationkey, sum(n) AS n_tot FROM seg GROUP BY 1),
+         gl AS (SELECT c_mktsegment, sum(n) AS g FROM seg GROUP BY 1),
+         gtot AS (SELECT sum(g) AS g_tot FROM gl)
+         SELECT seg.c_nationkey AS nation, CAST(nat.n_tot AS BIGINT) AS n_customers,
+                round(sum((seg.n / nat.n_tot) * ln((seg.n / nat.n_tot) / (gl.g / gtot.g_tot))), 6) AS kl_div
+         FROM seg JOIN nat USING (c_nationkey) JOIN gl USING (c_mktsegment), gtot
+         GROUP BY 1, 2""",
     "term_groups" ->
       """WITH RECURSIVE membership AS (
            SELECT DISTINCT unnest(string_split(p_name, ' ')) AS term, p_partkey

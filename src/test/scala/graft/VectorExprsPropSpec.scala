@@ -108,6 +108,21 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("boundedLevenshtein: exact within the cap, capped above it") {
+    import spark.implicits._
+    val words = samples(Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')), 60)
+      .map(_.mkString)
+    val pairs = for (a <- words.take(20); b <- words.take(20)) yield (a, b)
+    val df = pairs.toDF("a", "b")
+      .withColumn("full", levenshtein(col("a"), col("b")).cast("long"))
+      .withColumn("capped", graft.functions.BoundedLevenshtein.column(col("a"), col("b"), 2))
+    df.collect().foreach { r =>
+      val (full, capped) = (r.getLong(2), r.getLong(3))
+      if (full <= 2) assert(capped == full, s"${r.getString(0)} / ${r.getString(1)}")
+      else assert(capped == 3, s"${r.getString(0)} / ${r.getString(1)}: got $capped")
+    }
+  }
+
   test("dotProduct equals the reference on random vectors") {
     import spark.implicits._
     val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 12)
