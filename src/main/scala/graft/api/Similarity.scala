@@ -148,6 +148,38 @@ object Similarity {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination — the scale path of [[decontaminate]]
+    * for eval sets too big to broadcast as a hash set: the eval shingle
+    * hashes fold into ONE bloom filter (driver-built here; at cluster
+    * scale a treeAggregate), shipped as a literal into the native
+    * codegen'd BloomFilterMightContain predicate on the train scan.
+    * Train docs keep the same one-scan/no-pair-join plan shape. False
+    * positives can only OVER-count n_shared (never under), so at fpp ≪
+    * minShared/|shingles per doc| the flag set matches the exact path;
+    * there are no false negatives by bloom construction. */
+  def decontaminateBloom(train: DataFrame, id: Column, text: Column,
+      evalSet: DataFrame, evalText: Column,
+      shingle: Int = 20, minShared: Int = 5, fpp: Double = 1e-4): DataFrame = {
+    val eSh = evalSet.select(
+      explode(charShingleHashes(normalizeText(evalText), shingle)).as("g")).distinct()
+    val expected = math.max(eSh.count(), 64L)
+    val bf = eSh.stat.bloomFilter("g", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = org.apache.spark.sql.GraftGlue.column(
+      graft.functions.BloomMightContain(bos.toByteArray,
+        org.apache.spark.sql.GraftGlue.expression(col("g"))))
+    val tSh = Analytics.spread(train.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"),
+        explode(charShingleHashes(normalizeText(col("__t")), shingle)).as("g"))
+    val shared = tSh.filter(mightContain)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train.select(id.as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation: each vertex repeatedly adopts the minimum
     * label in its neighborhood until fixpoint (≤ graph diameter

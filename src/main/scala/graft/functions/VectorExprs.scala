@@ -264,7 +264,7 @@ case class CharShingles(child: Expression, n: Int)
       s"""
         int $len = $c.numChars();
         int $last = java.lang.Math.max($len - ${n - 1}, 1);
-        java.util.LinkedHashSet<UTF8String> $set = new java.util.LinkedHashSet<UTF8String>();
+        java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
         for (int $i = 1; $i <= $last; $i++) {
           $set.add($c.substringSQL($i, $n));
         }
@@ -318,9 +318,9 @@ case class JaccardSim(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val union = ctx.freshName("union")
       s"""
-        java.util.HashSet<UTF8String> $setA = new java.util.HashSet<UTF8String>();
+        java.util.HashSet $setA = new java.util.HashSet();
         for (int $i = 0; $i < $a.numElements(); $i++) { $setA.add($a.getUTF8String($i)); }
-        java.util.HashSet<UTF8String> $setB = new java.util.HashSet<UTF8String>();
+        java.util.HashSet $setB = new java.util.HashSet();
         int $inter = 0;
         for (int $i = 0; $i < $b.numElements(); $i++) {
           UTF8String $s = $b.getUTF8String($i);
@@ -523,19 +523,23 @@ case class CharShingleHashes(child: Expression, n: Int)
       val out = ctx.freshName("out")
       val it = ctx.freshName("it")
       val j = ctx.freshName("j")
+      // RAW collection types + explicit boxing: Janino compiles no
+      // generics and no autoboxing — the generic version failed to
+      // compile and silently dropped the WHOLE stage to interpreted eval
       s"""
         int $len = $c.numChars();
         int $last = java.lang.Math.max($len - ${n - 1}, 1);
-        java.util.LinkedHashSet<Long> $set = new java.util.LinkedHashSet<Long>();
+        java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
         for (int $i = 1; $i <= $last; $i++) {
           UTF8String $s = $c.substringSQL($i, $n);
-          $set.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0L));
+          $set.add(java.lang.Long.valueOf(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0L)));
         }
         long[] $out = new long[$set.size()];
-        java.util.Iterator<Long> $it = $set.iterator();
+        java.util.Iterator $it = $set.iterator();
         int $j = 0;
-        while ($it.hasNext()) { $out[$j++] = $it.next().longValue(); }
+        while ($it.hasNext()) { $out[$j++] = ((java.lang.Long) $it.next()).longValue(); }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """
     })
@@ -602,16 +606,16 @@ case class RepetitionStats(child: Expression)
       val v = ctx.freshName("v")
       s"""
         int $n = $c.numElements();
-        java.util.HashSet<UTF8String> $words = new java.util.HashSet<UTF8String>();
+        java.util.HashSet $words = new java.util.HashSet();
         for (int $i = 0; $i < $n; $i++) { $words.add($c.getUTF8String($i)); }
-        java.util.HashMap<UTF8String, Integer> $grams = new java.util.HashMap<UTF8String, Integer>();
+        java.util.HashMap $grams = new java.util.HashMap();
         int $top = 0;
         for (int $i = 0; $i + 1 < $n; $i++) {
           UTF8String $g = UTF8String.concat($c.getUTF8String($i),
             graft.functions.RepetitionStats$$.MODULE$$.SEP(), $c.getUTF8String($i + 1));
           Integer $cur = ($grams.get($g) == null) ? null : (Integer) $grams.get($g);
           int $v = ($cur == null) ? 1 : $cur.intValue() + 1;
-          $grams.put($g, $v);
+          $grams.put($g, java.lang.Integer.valueOf($v));
           if ($v > $top) $top = $v;
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
