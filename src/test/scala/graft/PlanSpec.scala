@@ -78,6 +78,27 @@ class PlanSpec extends SparkSpecBase {
     assert(windowFns == 3, s"expected exactly the 3 BH window functions, got $windowFns:\n$plan")
   }
 
+  test("decile_bins assigns buckets without any sort (boundaries, not ntile)") {
+    val plan = formatted(core.Relational.decileBins(spark, sf))
+    assert(!plan.contains("Sort"), s"bucket assignment must not sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"boundary array must broadcast:\n$plan")
+  }
+
+  test("latest_per_key is one aggregation, no per-key window sort") {
+    val plan = formatted(core.Sessions.latestPerKey(spark, sf))
+    assert(!plan.contains("WindowExec"), s"latest pick must be a struct-max aggregate:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"expected partial-aggregable max:\n$plan")
+  }
+
+  test("brute-force topk aggregates map-side (partial topk_by before the exchange)") {
+    val plan = sim.Ann.annBruteforceTopk(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by"),
+      s"TopKByScore must partial-aggregate before the shuffle (is the " +
+        s"ObjectHashAggregate sort-fallback threshold set?):\n$plan")
+  }
+
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines
