@@ -178,7 +178,23 @@ object Sessions {
         r(min(col("p05")), 6).as("p05"), r(min(col("p95")), 6).as("p95"))
   }
 
+  // ---------------------------------------------------------------
+  // Per-user EWMA (α=0.3) over the time-ordered value sequence — the
+  // recursive smoothing no window frame expresses. One shuffle into
+  // per-user ordered arrays (bounded by events-per-user), then a
+  // higher-order fold; the fold seeds with the FIRST element to mirror
+  // DuckDB's list_reduce semantics exactly.
+  def ewmaUserValue(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(ts_us, value))), e -> e.value)").as("vs"))
+      .select(col("user_id"), size(col("vs")).cast("long").as("n"),
+        r(expr("""aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
+                   element_at(vs, 1), (acc, x) -> acc * 0.7 + x * 0.3)"""), 6).as("ewma"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ewma_user_value"        -> (ewmaUserValue _),
     "latest_per_key"         -> (latestPerKey _),
     "winsorized_stats"       -> (winsorizedStats _),
     "cohort_retention"       -> (cohortRetention _),
@@ -192,6 +208,13 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "ewma_user_value" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         l AS (SELECT user_id, list(value ORDER BY ts_us ASC, value ASC) AS vs
+               FROM e GROUP BY 1)
+         SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+                round(list_reduce(vs, (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma
+         FROM l""",
     "latest_per_key" ->
       """SELECT user_id, event_type, ts_us, event_id, round(value, 4) AS value
          FROM (
