@@ -251,7 +251,24 @@ object Relational {
         round(avg(col("o_totalprice")), 6).as("mean"))
   }
 
+  // ---------------------------------------------------------------
+  // make-unique naming (wrapper.R:38 make_uniqueAsInSeu / R's
+  // make.unique): first occurrence keeps the name, later occurrences
+  // get ".1", ".2", … in id order. Window partitions are per-name
+  // occurrence lists (bounded by duplicate multiplicity).
+  def makeUniqueNames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_name")).orderBy(col("p_partkey").asc)
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"))
+      .withColumn("occ", row_number().over(w) - 1)
+      .select(col("p_partkey"), col("p_name"),
+        when(col("occ") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit("."), col("occ"))).as("unique_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "make_unique_names"      -> (makeUniqueNames _),
     "rollup_pricing"         -> (rollupPricing _),
     "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
@@ -270,6 +287,14 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "make_unique_names" ->
+      """SELECT p_partkey, p_name,
+         CASE WHEN occ = 0 THEN p_name
+              ELSE p_name || '.' || CAST(occ AS VARCHAR) END AS unique_name
+         FROM (
+           SELECT p_partkey, p_name,
+                  row_number() OVER (PARTITION BY p_name ORDER BY p_partkey ASC) - 1 AS occ
+           FROM part)""",
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -193,7 +193,24 @@ object Sessions {
         r(expr("""aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
                    element_at(vs, 1), (acc, x) -> acc * 0.7 + x * 0.3)"""), 6).as("ewma"))
 
+  // ---------------------------------------------------------------
+  // Value-per-bin along a continuous axis (tradeseq.R:131
+  // get_value_per_bin: pseudotime → equal-width bins → mean per bin,
+  // here over event time per type). Bin assignment is pure integer
+  // arithmetic against the broadcast global range — exact in both
+  // engines, no float edge cases, one scan + one bounded-key shuffle.
+  def valuePerBin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val range = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+    ev.crossJoin(broadcast(range))
+      .withColumn("bin",
+        expr("((ts_us - mn) * 20) div (mx - mn + 1)"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), r(avg(col("value")), 6).as("mean_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_per_bin"          -> (valuePerBin _),
     "ewma_user_value"        -> (ewmaUserValue _),
     "latest_per_key"         -> (latestPerKey _),
     "winsorized_stats"       -> (winsorizedStats _),
@@ -208,6 +225,12 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "value_per_bin" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+         rng AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e)
+         SELECT event_type, ((ts_us - mn) * 20) // (mx - mn + 1) AS bin,
+                count(*) AS n, round(avg(value), 6) AS mean_value
+         FROM e, rng GROUP BY 1, 2""",
     "ewma_user_value" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
          l AS (SELECT user_id, list(value ORDER BY ts_us ASC, value ASC) AS vs

@@ -108,7 +108,10 @@ class PlanSpec extends SparkSpecBase {
       "dedup_embedding", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
       "dedup_ngram_jaccard", "threshold_tally", "feature_filter", "enrichment_ora",
       "tfidf_top_terms", "knn_components",
-      "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment")
+      "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
+      // pairwise_ks broadcasts the 10-row group-pair table into an
+      // OR-predicate tag join; value_per_bin attaches a 1-row range
+      "pairwise_ks", "value_per_bin")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
