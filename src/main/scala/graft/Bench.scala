@@ -83,10 +83,30 @@ object Bench {
     // headroom for ~60 per-query entries.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // hard cap: if the per-query map would push the line past the tail
+    // window, drop the FASTEST queries from the map (never from the
+    // total) until it fits — a complete-but-parseable line beats a
+    // complete-but-truncated one. Failed queries (-1) always stay.
+    def render(rs: Seq[(String, Double)]): String = {
+      val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val maxLen = 1850
+    var kept = results
+    var line = render(kept)
+    while (line.length > maxLen && kept.nonEmpty) {
+      val dropped = kept.filter(_._2 >= 0).minByOption(_._2).map(_._1)
+      dropped match {
+        case Some(name) =>
+          System.err.println(s"[bench] line over $maxLen chars: dropping $name from per-query map (still in total)")
+          kept = kept.filterNot(_._1 == name)
+        case None => kept = Seq.empty
+      }
+      line = render(kept)
+    }
+    println(line)
     spark.stop()
   }
 }
