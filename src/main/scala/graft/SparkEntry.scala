@@ -13,6 +13,7 @@ object SparkEntry {
     Seq(
       (core.Relational.queries, core.Relational.oracles),
       (sc.SingleCell.queries, sc.SingleCell.oracles),
+      (sc.BulkQc.queries, sc.BulkQc.oracles),
       (text.TextOps.queries, text.TextOps.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),

@@ -1,0 +1,275 @@
+package graft.sc
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bulk/pseudobulk RNA QC analytics (SURVEY.md §2.2, reference
+  * qc_rna.R:73-115 + wrapper.R:54-68).
+  *
+  * The reference's bulk-QC script is a chain of DESeq2/RNAseqQC calls
+  * whose *tables behind the plots* are what we compute: per-sample
+  * totals, library-complexity curves (plot_library_complexity,
+  * qc_rna.R:79), median-of-ratios size factors (the normalization core
+  * of vst(dds), qc_rna.R:92), pairwise sample MA statistics
+  * (plot_sample_MAs, qc_rna.R:101-103), euclidean sample distances
+  * (plot_sample_clustering, qc_rna.R:105-107), and the barcode
+  * rank/knee curve (plot_barcodeRanks, wrapper.R:54-68 →
+  * DropletUtils::barcodeRanks).
+  *
+  * Scale shape: ONE partial-aggregated shuffle reduces the 100 TB fact
+  * table to a pseudobulk matrix bounded by |samples| × |features|
+  * (thousands × tens-of-thousands — megabytes). Everything downstream
+  * (ratios, medians, pair joins, window ranks) operates on that bounded
+  * table, so the per-pair self-joins here are NOT O(n²) in the corpus —
+  * they are O(|samples|²) on an already-tiny aggregate, the same
+  * contract DESeq2 itself assumes.
+  */
+object BulkQc {
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  /** Pseudobulk counts: sample (= o_orderpriority, the batch analog)
+    * × gene (= l_partkey) summed counts, cast to double so downstream
+    * ratio/log math is double on both Spark and the DuckDB oracle. */
+  private def pseudobulk(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("sample"), col("l_partkey").as("gene"))
+      .agg(sum(col("l_quantity")).cast("double").as("cnt"))
+
+  private val pseudobulkSql =
+    """SELECT o_orderpriority AS sample, l_partkey AS gene,
+              CAST(sum(l_quantity) AS DOUBLE) AS cnt
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // 97. DESeq2 median-of-ratios size factors (qc_rna.R:92: vst(dds)
+  // normalizes by estimateSizeFactors first). Per-gene geometric mean
+  // across samples (genes present in ALL samples only — the DESeq2
+  // rule, since a zero kills the geomean), then per-sample median of
+  // count/geomean ratios. The geomean table is |genes| rows and the
+  // sample count is a 1-row broadcast — no wide shuffle after the
+  // pseudobulk reduction.
+  def sizeFactors(s: SparkSession, dir: String): DataFrame = {
+    val pb = pseudobulk(s, dir)
+    val nSamples = pb.agg(countDistinct(col("sample")).as("n_samples"))
+    val geo = pb.groupBy(col("gene"))
+      .agg(avg(log(col("cnt"))).as("lngeo"), count(lit(1)).as("n_present"))
+    pb.join(broadcast(geo.crossJoin(nSamples)
+        .where(col("n_present") === col("n_samples"))
+        .select(col("gene"), col("lngeo"))), Seq("gene"))
+      .select(col("sample"), (col("cnt") / exp(col("lngeo"))).as("ratio"))
+      .groupBy(col("sample"))
+      .agg(r(expr("percentile(ratio, 0.5)"), 6).as("size_factor"))
+  }
+
+  private val sizeFactorsSql =
+    s"""WITH pb AS ($pseudobulkSql),
+        ns AS (SELECT count(DISTINCT sample) AS n_samples FROM pb),
+        geo AS (SELECT gene, avg(ln(cnt)) AS lngeo, count(*) AS n_present
+                FROM pb GROUP BY 1),
+        complete AS (SELECT g.gene, g.lngeo FROM geo g, ns
+                     WHERE g.n_present = ns.n_samples)
+        SELECT pb.sample, round(median(pb.cnt / exp(c.lngeo)), 6) AS size_factor
+        FROM pb JOIN complete c USING (gene) GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 98. library-complexity curve (qc_rna.R:79 plot_library_complexity):
+  // per sample, the cumulative fraction of total counts captured by the
+  // top-N most-expressed genes. Window is partitioned BY SAMPLE over
+  // the bounded pseudobulk — never a global sort of the fact table.
+  def libraryComplexity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("sample"))
+      .orderBy(col("cnt").desc, col("gene").asc)
+    val cum = pseudobulk(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("sample"))))
+    cum.where(col("rnk").isin(10, 25, 50, 100, 250, 500, 1000))
+      .select(col("sample"), col("rnk").cast("long").as("top_n"),
+        r(col("cum") / col("tot"), 6).as("cum_frac"))
+  }
+
+  private val libraryComplexitySql =
+    s"""WITH pb AS ($pseudobulkSql),
+        ranked AS (
+          SELECT sample, cnt,
+                 row_number() OVER (PARTITION BY sample ORDER BY cnt DESC, gene) AS top_n,
+                 sum(cnt) OVER (PARTITION BY sample ORDER BY cnt DESC, gene
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY sample) AS tot
+          FROM pb)
+        SELECT sample, top_n, round(cum / tot, 6) AS cum_frac
+        FROM ranked WHERE top_n IN (10, 25, 50, 100, 250, 500, 1000)"""
+
+  // ---------------------------------------------------------------
+  // 99. pairwise euclidean sample distances (qc_rna.R:105-107
+  // plot_sample_clustering's distance matrix) over log2(1+count)
+  // vectors. Missing genes are implicit zeros, handled algebraically:
+  // d² = ‖x1‖² + ‖x2‖² − 2·x1·x2 needs only the INNER join on gene for
+  // the dot product plus per-sample norms — no dense grid, no outer
+  // join, and the same identity holds at any gene cardinality.
+  def sampleDists(s: SparkSession, dir: String): DataFrame = {
+    val vec = pseudobulk(s, dir)
+      .select(col("sample"), col("gene"), log2(col("cnt") + 1).as("x"))
+    val norms = vec.groupBy(col("sample")).agg(sum(col("x") * col("x")).as("n2"))
+    val dots = vec.as("a").join(vec.as("b"),
+        col("a.gene") === col("b.gene") && col("a.sample") < col("b.sample"))
+      .groupBy(col("a.sample").as("s1"), col("b.sample").as("s2"))
+      .agg(sum(col("a.x") * col("b.x")).as("dot"))
+    dots.join(broadcast(norms).as("n1"), col("s1") === col("n1.sample"))
+      .join(broadcast(norms).as("n2b"), col("s2") === col("n2b.sample"))
+      .select(col("s1"), col("s2"),
+        r(sqrt(greatest(lit(0.0), col("n1.n2") + col("n2b.n2") - lit(2.0) * col("dot"))), 6)
+          .as("dist"))
+  }
+
+  private val sampleDistsSql =
+    s"""WITH pb AS ($pseudobulkSql),
+        vec AS (SELECT sample, gene, log2(cnt + 1) AS x FROM pb),
+        norms AS (SELECT sample, sum(x * x) AS n2 FROM vec GROUP BY 1),
+        dots AS (
+          SELECT a.sample AS s1, b.sample AS s2, sum(a.x * b.x) AS dot
+          FROM vec a JOIN vec b ON a.gene = b.gene AND a.sample < b.sample
+          GROUP BY 1, 2)
+        SELECT d.s1, d.s2,
+               round(sqrt(greatest(0.0, n1.n2 + n2.n2 - 2.0 * d.dot)), 6) AS dist
+        FROM dots d
+        JOIN norms n1 ON d.s1 = n1.sample
+        JOIN norms n2 ON d.s2 = n2.sample"""
+
+  // ---------------------------------------------------------------
+  // 100. pairwise sample MA statistics (qc_rna.R:101-103
+  // plot_sample_MAs): per sample pair, per gene M = log2(1+x1) −
+  // log2(1+x2) over the UNION of genes (missing → 0), summarized to
+  // median M, mean |M|, and ±1 log2FC fractions. The dense grid is
+  // |samples| × |genes| — bounded pseudobulk size, built with a
+  // broadcast cross join, never a fact-table blowup.
+  def maStats(s: SparkSession, dir: String): DataFrame = {
+    val pb = pseudobulk(s, dir)
+    val samples = pb.select(col("sample")).distinct()
+    val genes = pb.select(col("gene")).distinct()
+    val grid = genes.crossJoin(broadcast(samples))
+      .join(pb, Seq("sample", "gene"), "left")
+      .select(col("sample"), col("gene"),
+        log2(coalesce(col("cnt"), lit(0.0)) + 1).as("x"))
+    grid.as("a").join(grid.as("b"),
+        col("a.gene") === col("b.gene") && col("a.sample") < col("b.sample"))
+      .where(col("a.x") + col("b.x") > 0)
+      .select(col("a.sample").as("s1"), col("b.sample").as("s2"),
+        // rounded before thresholding: Spark's and the oracle's log2
+        // differ in the last ulp, which flips genes sitting exactly on
+        // the |M| = 1 boundary
+        round(col("a.x") - col("b.x"), 6).as("m"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_genes"),
+        r(expr("percentile(m, 0.5)"), 6).as("median_m"),
+        r(avg(abs(col("m"))), 6).as("mean_abs_m"),
+        r(avg(when(col("m") > 1, 1.0).otherwise(0.0)), 6).as("frac_up"),
+        r(avg(when(col("m") < -1, 1.0).otherwise(0.0)), 6).as("frac_down"))
+  }
+
+  private val maStatsSql =
+    s"""WITH pb AS ($pseudobulkSql),
+        samples AS (SELECT DISTINCT sample FROM pb),
+        genes AS (SELECT DISTINCT gene FROM pb),
+        grid AS (
+          SELECT s.sample, g.gene, log2(coalesce(pb.cnt, 0.0) + 1) AS x
+          FROM genes g CROSS JOIN samples s
+          LEFT JOIN pb ON pb.sample = s.sample AND pb.gene = g.gene),
+        m AS (
+          SELECT a.sample AS s1, b.sample AS s2, round(a.x - b.x, 6) AS m
+          FROM grid a JOIN grid b
+            ON a.gene = b.gene AND a.sample < b.sample
+          WHERE a.x + b.x > 0)
+        SELECT s1, s2, count(*) AS n_genes,
+               round(median(m), 6) AS median_m,
+               round(avg(abs(m)), 6) AS mean_abs_m,
+               round(avg(CASE WHEN m > 1 THEN 1.0 ELSE 0.0 END), 6) AS frac_up,
+               round(avg(CASE WHEN m < -1 THEN 1.0 ELSE 0.0 END), 6) AS frac_down
+        FROM m GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // 101. barcode rank/knee curve (wrapper.R:54-68 plot_barcodeRanks →
+  // DropletUtils::barcodeRanks): entities ranked by total counts
+  // (competition rank, ties collapse to one curve point), log-log
+  // curvature via the change in slope between adjacent distinct
+  // points; the knee is the most-negative slope change. The windows
+  // run over the DISTINCT-totals curve (bounded by the value domain,
+  // not the entity count) — the only entity-wide work is the initial
+  // partial-agg shuffle.
+  def barcodeRanks(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("double").as("total"))
+    val curve = totals.groupBy(col("total")).agg(count(lit(1)).as("n_entities"))
+    val wOrd = Window.orderBy(col("total").desc)
+    val withRank = curve
+      .withColumn("rnk",
+        coalesce(sum(col("n_entities")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1)
+    val ll = withRank
+      .withColumn("lr", log(col("rnk").cast("double")))
+      .withColumn("lt", log(col("total")))
+    val byRank = Window.orderBy(col("rnk"))
+    val curv = ll
+      .withColumn("s1",
+        (col("lt") - lag(col("lt"), 1).over(byRank)) /
+          (col("lr") - lag(col("lr"), 1).over(byRank)))
+      .withColumn("s2",
+        (lead(col("lt"), 1).over(byRank) - col("lt")) /
+          (lead(col("lr"), 1).over(byRank) - col("lr")))
+      .withColumn("slope_change", col("s2") - col("s1"))
+    curv
+      .withColumn("is_knee",
+        col("slope_change") ===
+          min(col("slope_change")).over(Window.partitionBy()) &&
+          col("slope_change").isNotNull)
+      .select(col("rnk").as("rank"), col("total"), col("n_entities"),
+        r(col("slope_change"), 6).as("slope_change"), col("is_knee"))
+  }
+
+  private val barcodeRanksSql =
+    """WITH totals AS (
+         SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS total
+         FROM lineitem GROUP BY 1),
+       curve AS (SELECT total, count(*) AS n_entities FROM totals GROUP BY 1),
+       ranked AS (
+         SELECT total, n_entities,
+                coalesce(sum(n_entities) OVER (ORDER BY total DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rank,
+                ln(total) AS lt
+         FROM curve),
+       ll AS (SELECT *, ln(CAST(rank AS DOUBLE)) AS lr FROM ranked),
+       curv AS (
+         SELECT rank, total, n_entities,
+                (lt - lag(lt) OVER (ORDER BY rank)) /
+                  (lr - lag(lr) OVER (ORDER BY rank)) AS sl1,
+                (lead(lt) OVER (ORDER BY rank) - lt) /
+                  (lead(lr) OVER (ORDER BY rank) - lr) AS sl2
+         FROM ll)
+       SELECT CAST(rank AS BIGINT) AS rank, total, n_entities,
+              round(sl2 - sl1, 6) AS slope_change,
+              (sl2 - sl1) IS NOT NULL AND
+                sl2 - sl1 = min(sl2 - sl1) OVER () AS is_knee
+       FROM curv"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "size_factors"       -> (sizeFactors _),
+    "library_complexity" -> (libraryComplexity _),
+    "sample_dists"       -> (sampleDists _),
+    "ma_stats"           -> (maStats _),
+    "barcode_ranks"      -> (barcodeRanks _))
+
+  val oracles: Map[String, String] = Map(
+    "size_factors"       -> sizeFactorsSql,
+    "library_complexity" -> libraryComplexitySql,
+    "sample_dists"       -> sampleDistsSql,
+    "ma_stats"           -> maStatsSql,
+    "barcode_ranks"      -> barcodeRanksSql)
+}
