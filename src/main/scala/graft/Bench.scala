@@ -96,15 +96,18 @@ object Bench {
     val maxLen = 1850
     var kept = results
     var line = render(kept)
-    while (line.length > maxLen && kept.nonEmpty) {
-      val dropped = kept.filter(_._2 >= 0).minByOption(_._2).map(_._1)
-      dropped match {
+    var undroppable = false
+    while (!undroppable && line.length > maxLen && kept.nonEmpty) {
+      kept.filter(_._2 >= 0).minByOption(_._2).map(_._1) match {
         case Some(name) =>
           System.err.println(s"[bench] line over $maxLen chars: dropping $name from per-query map (still in total)")
           kept = kept.filterNot(_._1 == name)
-        case None => kept = Seq.empty
+          line = render(kept)
+        case None =>
+          // only failed (-1) entries remain — they must stay visible, so
+          // accept the long line rather than emptying the map
+          undroppable = true
       }
-      line = render(kept)
     }
     println(line)
     spark.stop()

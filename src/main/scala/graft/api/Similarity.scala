@@ -202,9 +202,19 @@ object Similarity {
     // Checkpointing pins the materialized partitions and restarts the
     // plan at O(1) size each round — on a cluster this is the standard
     // iterative-graph pattern (GraphX/GraphFrames do the same).
-    val edges = pairs.select(a.as("src"), b.as("dst"))
+    // normalize integral vertex ids to long up front so the output
+    // schema is the same whichever path runs below (the union-find path
+    // widens to long for its hash state; without this the distributed
+    // path would preserve e.g. int and the schema would silently depend
+    // on edge count)
+    val edges0 = pairs.select(a.as("src"), b.as("dst"))
       .unionByName(pairs.select(b.as("src"), a.as("dst")))
-      .distinct()
+    import org.apache.spark.sql.types._
+    val edges = (edges0.schema("src").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        edges0.select(col("src").cast("long"), col("dst").cast("long"))
+      case _ => edges0
+    }).distinct()
       .localCheckpoint()
     // sizing probe (edges are checkpointed — this is a block count, not
     // a recompute): small graphs pay ONE task of union-find instead of

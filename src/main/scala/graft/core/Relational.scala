@@ -241,9 +241,12 @@ object Relational {
     val bounds = Tables.orders(s, dir).agg(
       graft.core.Stats.quantilesCol(col("o_totalprice"),
         (1 to 9).map(_ / 10.0)).as("qs"))
+    // boundaries rounded to 6dp on BOTH sides before the > comparison:
+    // Spark percentile and DuckDB quantile_cont interpolate independently,
+    // and a last-ulp difference at a boundary would flip a row's decile
     Tables.orders(s, dir).crossJoin(broadcast(bounds))
       .withColumn("decile",
-        expr("aggregate(qs, 0, (acc, q) -> acc + IF(o_totalprice > q, 1, 0))").cast("long"))
+        expr("aggregate(transform(qs, q -> round(q, 6)), 0, (acc, q) -> acc + IF(o_totalprice > q, 1, 0))").cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 4).as("lo"),
@@ -306,7 +309,7 @@ object Relational {
            SELECT quantile_cont(o_totalprice,
              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM orders)
          SELECT CAST(list_sum(list_transform(qs,
-                  q -> CASE WHEN o_totalprice > q THEN 1 ELSE 0 END)) AS BIGINT) AS decile,
+                  q -> CASE WHEN o_totalprice > round(q, 6) THEN 1 ELSE 0 END)) AS BIGINT) AS decile,
                 count(*) AS n, round(min(o_totalprice), 4) AS lo,
                 round(max(o_totalprice), 4) AS hi, round(avg(o_totalprice), 6) AS mean
          FROM orders, b GROUP BY 1""",

@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,9 +22,15 @@ final class TopKBuffer(val k: Int) {
   var size = 0
 
   // "worse": lower score, ties broken by LARGER id (so the floor is the
-  // element row_number()-over-(score desc, id asc) would rank last)
-  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // element row_number()-over-(score desc, id asc) would rank last).
+  // java.lang.Double.compare gives the total order Spark's sort uses:
+  // NaN greater than everything (NaN-first under DESC), never the
+  // primitive-< trap where NaN compares false both ways and an admitted
+  // NaN can neither be evicted nor block admission correctly.
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def swap(i: Int, j: Int): Unit = {
     val ts = scores(i); scores(i) = scores(j); scores(j) = ts
@@ -53,7 +59,11 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  def insert(s: Double, id: Long): Unit = {
+  def insert(s0: Double, id: Long): Unit = {
+    // normalize -0.0 to 0.0: Spark's sort sees normalized floats
+    // (NormalizeFloatingNumbers), so the window tie-break never
+    // distinguishes the two zeros and neither may we
+    val s = if (s0 == 0.0d) 0.0d else s0
     if (size < k) {
       scores(size) = s; ids(size) = id; size += 1; siftUp(size - 1)
     } else if (worse(scores(0), ids(0), s, id)) {
@@ -61,12 +71,19 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** (id, score) pairs ordered by (score desc, id asc). */
+  /** (id, score) pairs ordered by (score desc, id asc) under the same
+    * total order as `worse` (NaN first, like Spark's DESC sort). */
   def sorted: Array[(Long, Double)] = {
     val out = new Array[(Long, Double)](size)
     var i = 0
     while (i < size) { out(i) = (ids(i), scores(i)); i += 1 }
-    out.sortBy { case (id, s) => (-s, id) }
+    java.util.Arrays.sort(out, new java.util.Comparator[(Long, Double)] {
+      override def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    })
+    out
   }
 }
 
@@ -83,9 +100,18 @@ final class TopKBuffer(val k: Int) {
 case class TopKByScore(
     left: Expression, right: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(k > 0, s"topk_by requires k > 0, got $k")
+
+  // Analysis-time contract: score coerces to double, id to long (so an
+  // int id or float score widens via an inserted Cast instead of hitting
+  // update()'s asInstanceOf as an executor ClassCastException; an
+  // incompatible type fails analysis).
+  // (return type inferred: AbstractDataType is private[sql], but
+  // Seq[DataType] conforms to the declared Seq[AbstractDataType])
+  override def inputTypes = Seq(DoubleType, LongType)
 
   override def prettyName: String = "topk_by"
   override def nullable: Boolean = false

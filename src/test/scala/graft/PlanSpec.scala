@@ -111,7 +111,12 @@ class PlanSpec extends SparkSpecBase {
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
       // pairwise_ks broadcasts the 10-row group-pair table into an
       // OR-predicate tag join; value_per_bin attaches a 1-row range
-      "pairwise_ks", "value_per_bin")
+      "pairwise_ks", "value_per_bin",
+      // ma_stats crosses the two aggregated DIM sets (samples × genes)
+      // to build the dense log-CPM scaffold MA analysis requires
+      // (missing entry ≡ count 0) — a bounded scaffold materialization,
+      // not a fact-fact pair join
+      "ma_stats")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
