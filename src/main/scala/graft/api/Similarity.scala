@@ -75,13 +75,21 @@ object Similarity {
     val chunks = d.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS cv))")).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.chunk"), col("e.cv"))
-    chunks.as("a").join(chunks.as("b"),
+    // shuffle-hash on both sides (NOT the default broadcast): the two
+    // shuffle Exchanges canonicalize identically so ReuseExchange runs
+    // the regex+simhash scan ONCE and replays it from shuffle files for
+    // the probe side — a broadcast build would recompute the full
+    // signature subtree for the build side
+    chunks.as("a").hint("shuffle_hash").join(chunks.as("b").hint("shuffle_hash"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .dropDuplicates("d1", "d2")
+      // hamming is pair-deterministic, so filter BEFORE the distinct:
+      // the dedup shuffle then carries only near-dup pairs, not every
+      // chunk collision
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
   }
 
   /** Cosine near-duplicate pairs over a vector column — brute-force

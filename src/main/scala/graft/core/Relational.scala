@@ -238,15 +238,19 @@ object Relational {
   // ntile() formulation that drags every row through a single-partition
   // window sort.
   def decileBins(s: SparkSession, dir: String): DataFrame = {
-    val bounds = Tables.orders(s, dir).agg(
-      graft.core.Stats.quantilesCol(col("o_totalprice"),
-        (1 to 9).map(_ / 10.0)).as("qs"))
     // boundaries rounded to 6dp on BOTH sides before the > comparison:
     // Spark percentile and DuckDB quantile_cont interpolate independently,
-    // and a last-ulp difference at a boundary would flip a row's decile
+    // and a last-ulp difference at a boundary would flip a row's decile.
+    // The rounding transform runs HERE, on the one-row bounds aggregate —
+    // inside the per-row fold it would re-evaluate the interpreted lambda
+    // 9× per fact row (measured 0.9s → 1.5s on the sf0.1 bench).
+    val bounds = Tables.orders(s, dir).agg(
+      graft.core.Stats.quantilesCol(col("o_totalprice"),
+        (1 to 9).map(_ / 10.0)).as("qs0"))
+      .select(expr("transform(qs0, q -> round(q, 6))").as("qs"))
     Tables.orders(s, dir).crossJoin(broadcast(bounds))
       .withColumn("decile",
-        expr("aggregate(transform(qs, q -> round(q, 6)), 0, (acc, q) -> acc + IF(o_totalprice > q, 1, 0))").cast("long"))
+        expr("aggregate(qs, 0, (acc, q) -> acc + IF(o_totalprice > q, 1, 0))").cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 4).as("lo"),
