@@ -392,7 +392,125 @@ object Analytics {
       .select(col("feature"), col("n"),
         when(isnan(col("c")), lit(null)).otherwise(col("c")).as("assoc"))
 
+  /** Per-feature simple OLS of y on x with full inference — the
+    * tradeSeq associationTest analog done properly: slope, intercept,
+    * R², slope t-statistic (se from Σ-decomposition: SSE = Syy −
+    * Sxy²/Sxx, se = √(SSE/(n−2)/Sxx)), two-sided normal-approx p
+    * (Stats.normalUpperTail), BH-adjusted across features. ONE
+    * aggregation pass over the fact table — regr_* aggregates are all
+    * partial-aggregable, and the stats table is feature-sized. */
+  def groupedOls(df: DataFrame, feature: Column, x: Column,
+      y: Column): DataFrame = {
+    val t = df.select(feature.as("feature"), x.as("__x"), y.as("__y"))
+    val s = t.groupBy(col("feature")).agg(
+      regr_count(col("__y"), col("__x")).as("n"),
+      regr_slope(col("__y"), col("__x")).as("slope"),
+      regr_intercept(col("__y"), col("__x")).as("intercept"),
+      regr_r2(col("__y"), col("__x")).as("r2"),
+      regr_sxx(col("__y"), col("__x")).as("__sxx"),
+      regr_syy(col("__y"), col("__x")).as("__syy"),
+      regr_sxy(col("__y"), col("__x")).as("__sxy"))
+    val sse = col("__syy") - col("__sxy") * col("__sxy") / nullif(col("__sxx"), lit(0.0))
+    val se = sqrt(sse / (col("n") - lit(2.0)) / nullif(col("__sxx"), lit(0.0)))
+    val scored = s
+      .withColumn("t_stat", col("slope") / nullif(se, lit(0.0)))
+      .withColumn("p_value",
+        coalesce(least(lit(1.0), lit(2.0) * Stats.normalUpperTail(abs(col("t_stat")))), lit(1.0)))
+      .drop("__sxx", "__syy", "__sxy")
+    bhAdjust(scored, col("p_value"), col("feature"))
+  }
+
+  /** Per-feature Spearman rank correlation of y vs x (the tie-robust
+    * monotone-association twin of orderedAssociation). Average ranks
+    * via row_number + tie-group mean — the group average of consecutive
+    * integers is assignment-order independent, so no tiebreak column is
+    * needed and both engines agree exactly. Windows partition per
+    * feature (per-feature row counts, never corpus-wide sorts). */
+  def spearmanAssociation(df: DataFrame, feature: Column, x: Column,
+      y: Column): DataFrame = {
+    val t = df.select(feature.as("feature"), x.as("__x"), y.as("__y"))
+    val ranked = t
+      .withColumn("__rx0", row_number().over(
+        Window.partitionBy(col("feature")).orderBy(col("__x").asc)))
+      .withColumn("__rx", avg(col("__rx0")).over(
+        Window.partitionBy(col("feature"), col("__x"))))
+      .withColumn("__ry0", row_number().over(
+        Window.partitionBy(col("feature")).orderBy(col("__y").asc)))
+      .withColumn("__ry", avg(col("__ry0")).over(
+        Window.partitionBy(col("feature"), col("__y"))))
+    ranked.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n"), corr(col("__rx"), col("__ry")).as("c"))
+      .select(col("feature"), col("n"),
+        when(isnan(col("c")), lit(null)).otherwise(col("c")).as("rho"))
+  }
+
   // ----------------------------------------------------- wrangling
+
+  /** Interval-interval overlap join (GRanges findOverlaps analog, the
+    * core genomic-ranges primitive): each interval is replicated into
+    * the fixed-width bins it covers, the join runs as an EQUI join on
+    * (key, bin), and the exact overlap predicate screens the bin
+    * collisions — bounded fan-out (span/binWidth per interval) instead
+    * of an O(n·m) theta join, the scalable interval-join shape. Pick
+    * binWidth near the typical interval span. `lId`/`rId` must be
+    * unique per interval (pair dedup keys). `lKey`/`rKey` are optional
+    * equi keys (chromosome / user) that co-partition the join. */
+  def intervalOverlapJoin(left: DataFrame, lId: Column, lStart: Column,
+      lEnd: Column, right: DataFrame, rId: Column, rStart: Column,
+      rEnd: Column, binWidth: Long, lKey: Column = lit(0),
+      rKey: Column = lit(0)): DataFrame = {
+    val la = left.select(lKey.as("__k"), lId.as("l_id"),
+        lStart.cast("long").as("l_start"), lEnd.cast("long").as("l_end"))
+      .withColumn("__bin", explode(sequence(
+        expr(s"l_start div $binWidth"), expr(s"l_end div $binWidth"))))
+    val rb = right.select(rKey.as("__k"), rId.as("r_id"),
+        rStart.cast("long").as("r_start"), rEnd.cast("long").as("r_end"))
+      .withColumn("__bin", explode(sequence(
+        expr(s"r_start div $binWidth"), expr(s"r_end div $binWidth"))))
+    la.join(rb, Seq("__k", "__bin"))
+      .filter(col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .dropDuplicates("l_id", "r_id")
+      .select(col("l_id"), col("r_id"), col("l_start"), col("l_end"),
+        col("r_start"), col("r_end"),
+        (least(col("l_end"), col("r_end")) - greatest(col("l_start"), col("r_start")))
+          .as("overlap"))
+  }
+
+  /** Gini coefficient of a value per group (inequality screen — the
+    * library-evenness diagnostic next to inverseSimpson): ranks within
+    * the group via one per-group window (deterministic tiebreak on the
+    * id), closed-form G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over the sorted
+    * values. Window partitions are per-group, never global. */
+  def giniByGroup(df: DataFrame, group: Column, id: Column,
+      value: Column): DataFrame = {
+    val t = df.select(group.as("group"), id.as("__id"), value.as("__v"))
+    val w = Window.partitionBy(col("group")).orderBy(col("__v").asc, col("__id").asc)
+    t.withColumn("__i", row_number().over(w))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__tot"),
+        sum(col("__i") * col("__v")).as("__iw"))
+      .select(col("group"), col("n"),
+        (lit(2.0) * col("__iw") / (col("n") * nullif(col("__tot"), lit(0.0)))
+          - (col("n") + lit(1.0)) / col("n")).as("gini"))
+  }
+
+  /** Shannon entropy of a label distribution per group, with the
+    * log(k)-normalized evenness (integrate.R:188-266's diversity screen
+    * next to the inverse-Simpson LISI analog). Two bounded-key
+    * aggregations; p·ln p is exact arithmetic in both engines. */
+  def shannonEntropy(df: DataFrame, group: Column, label: Column): DataFrame =
+    df.select(group.as("group"), label.as("__l"))
+      .groupBy(col("group"), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("group"))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_labels"),
+        (-sum(col("__c") * log(col("__c")))).as("__part"))
+      .select(col("group"), col("n"), col("n_labels"),
+        // −Σ p ln p = ln n − (Σ c ln c)/n, computed in count space so
+        // partials merge without knowing n
+        (log(col("n")) + col("__part") / col("n")).as("entropy"),
+        when(col("n_labels") > 1,
+          (log(col("n")) + col("__part") / col("n")) / log(col("n_labels")))
+          .as("evenness"))
 
   /** Stratified deterministic subsample: n per group, ordered by a
     * content hash so the result is reproducible on any cluster

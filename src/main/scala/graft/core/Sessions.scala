@@ -209,7 +209,36 @@ object Sessions {
       .agg(count(lit(1)).as("n"), r(avg(col("value")), 6).as("mean_value"))
   }
 
+  // ---------------------------------------------------------------
+  // 104. interval-interval overlap join (GRanges findOverlaps analog —
+  // the genomic-ranges primitive behind every annotate-peaks /
+  // feature-overlap step, here over time ranges): user sessions vs
+  // ±15-min purchase attribution windows of the same user. Runs as a
+  // binned equi-join on (user, hour-bucket) with bounded fan-out —
+  // see Analytics.intervalOverlapJoin.
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val sess = graft.api.Analytics.sessionize(
+        ev, col("user_id"), col("ts_us"), col("event_id"), GapUs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+      .withColumn("session_key", col("user_id") * 1000000L + col("session_idx"))
+    val QuarterUs = 900L * 1000 * 1000
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        (col("ts_us") - QuarterUs).as("w_start"),
+        (col("ts_us") + QuarterUs).as("w_end"))
+    graft.api.Analytics.intervalOverlapJoin(
+        sess, col("session_key"), col("s_start"), col("s_end"),
+        pur, col("event_id"), col("w_start"), col("w_end"),
+        binWidth = 3600L * 1000 * 1000,
+        lKey = col("user_id"), rKey = col("p_user"))
+      .select(col("l_id").as("session_key"), col("r_id").as("event_id"),
+        col("overlap").as("overlap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_overlap"       -> (intervalOverlap _),
     "value_per_bin"          -> (valuePerBin _),
     "ewma_user_value"        -> (ewmaUserValue _),
     "latest_per_key"         -> (latestPerKey _),
@@ -225,6 +254,35 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+         sess0 AS (
+           SELECT user_id, ts_us,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts_us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM flagged),
+         sess AS (
+           SELECT user_id, session_idx,
+                  min(ts_us) AS s_start, max(ts_us) AS s_end
+           FROM sess0 GROUP BY 1, 2),
+         p AS (
+           SELECT event_id, user_id, ts_us - 900000000 AS w_start,
+                  ts_us + 900000000 AS w_end
+           FROM e WHERE event_type = 'purchase')
+         SELECT s.user_id * 1000000 + s.session_idx AS session_key,
+                p.event_id,
+                least(s.s_end, p.w_end) - greatest(s.s_start, p.w_start) AS overlap_us
+         FROM sess s JOIN p
+           ON s.user_id = p.user_id
+          AND s.s_start <= p.w_end AND p.w_start <= s.s_end""",
     "value_per_bin" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
          rng AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e)

@@ -259,17 +259,100 @@ object BulkQc {
                 sl2 - sl1 = min(sl2 - sl1) OVER () AS is_knee
        FROM curv"""
 
+  // ---------------------------------------------------------------
+  // 106. N50/L50 assembly-style length statistics per group (the
+  // classic sequence-assembly summary; here part sizes per brand):
+  // N50 = the length at which the descending cumulative sum first
+  // reaches half the total, L50 = how many items that takes. All
+  // windows partition per group; cum×2 ≥ tot is exact integer math.
+  def n50Stats(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_size").cast("long").as("len"))
+    val wOrd = Window.partitionBy(col("p_brand"))
+      .orderBy(col("len").desc, col("p_partkey").asc)
+    val wp = Window.partitionBy(col("p_brand"))
+    t.withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("len")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("len")).over(wp))
+      .withColumn("n_parts", count(lit(1)).over(wp))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("p_brand"))
+      .agg(max(col("n_parts")).as("n_parts"), max(col("tot")).as("total_len"),
+        min(struct(col("rk"), col("len"))).as("m"))
+      .select(col("p_brand").as("brand"), col("n_parts"), col("total_len"),
+        col("m.rk").as("l50"), col("m.len").as("n50"))
+  }
+
+  private val n50StatsSql =
+    """WITH t AS (
+         SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS len FROM part),
+       r AS (
+         SELECT p_brand, len,
+                row_number() OVER (PARTITION BY p_brand
+                  ORDER BY len DESC, p_partkey ASC) AS rk,
+                sum(len) OVER (PARTITION BY p_brand
+                  ORDER BY len DESC, p_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(len) OVER (PARTITION BY p_brand) AS tot,
+                count(*) OVER (PARTITION BY p_brand) AS n_parts
+         FROM t)
+       SELECT p_brand AS brand, max(n_parts) AS n_parts,
+              CAST(max(tot) AS BIGINT) AS total_len,
+              CAST(min(rk) AS BIGINT) AS l50,
+              CAST(min_by(len, rk) AS BIGINT) AS n50
+       FROM r WHERE cum * 2 >= tot GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 107. Gini coefficient of customer spend per nation (inequality
+  // screen — the evenness companion of the diversity analytics; in
+  // expression terms: how concentrated is a sample's library?).
+  // Spend is rounded to 4dp BEFORE ranking so both engines sort the
+  // same values (summation-order ulp jitter must not reorder ranks).
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("spend"))
+    val t = spend.join(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    graft.api.Analytics.giniByGroup(t, col("c_nationkey"), col("o_custkey"),
+        col("spend"))
+      .select(col("group").as("nation_key"), col("n"), r(col("gini"), 6).as("gini"))
+  }
+
+  private val giniSpendSql =
+    """WITH sp AS (
+         SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+         FROM orders GROUP BY 1),
+       t AS (
+         SELECT c_nationkey AS nation_key, o_custkey, spend
+         FROM sp JOIN customer ON o_custkey = c_custkey),
+       rk AS (
+         SELECT nation_key, spend,
+                row_number() OVER (PARTITION BY nation_key
+                  ORDER BY spend ASC, o_custkey ASC) AS i
+         FROM t)
+       SELECT nation_key, count(*) AS n,
+              round(2.0 * sum(i * spend) / (count(*) * nullif(sum(spend), 0.0))
+                    - (count(*) + 1.0) / count(*), 6) AS gini
+       FROM rk GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "size_factors"       -> (sizeFactors _),
     "library_complexity" -> (libraryComplexity _),
     "sample_dists"       -> (sampleDists _),
     "ma_stats"           -> (maStats _),
-    "barcode_ranks"      -> (barcodeRanks _))
+    "barcode_ranks"      -> (barcodeRanks _),
+    "n50_stats"          -> (n50Stats _),
+    "gini_spend"         -> (giniSpend _))
 
   val oracles: Map[String, String] = Map(
     "size_factors"       -> sizeFactorsSql,
     "library_complexity" -> libraryComplexitySql,
     "sample_dists"       -> sampleDistsSql,
     "ma_stats"           -> maStatsSql,
-    "barcode_ranks"      -> barcodeRanksSql)
+    "barcode_ranks"      -> barcodeRanksSql,
+    "n50_stats"          -> n50StatsSql,
+    "gini_spend"         -> giniSpendSql)
 }

@@ -262,6 +262,47 @@ object SingleCell {
   }
 
   // ---------------------------------------------------------------
+  // 102. per-feature OLS association with inference (tradeseq.R's
+  // associationTest analog, fitted properly): slope/intercept/R²/t/p
+  // of expression vs pseudotime in years (year units keep slope
+  // magnitudes O(0.1) so 6dp rounding is meaningful). One aggregation
+  // pass — see Analytics.groupedOls.
+  def trajectoryOls(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.api.Analytics.groupedOls(x, col("l_partkey"),
+        unix_timestamp(col("o_orderdate")).cast("double") / lit(31557600.0),
+        col("l_quantity"))
+      .select(col("feature"), col("n").cast("long").as("n"),
+        r(col("slope"), 6).as("slope"), r(col("intercept"), 6).as("intercept"),
+        r(col("r2"), 6).as("r2"), r(col("t_stat"), 6).as("t_stat"),
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
+  // ---------------------------------------------------------------
+  // 103. per-feature Spearman association (tie-robust monotone twin of
+  // #31; slingshot pseudotime correlations are rank-based in spirit).
+  def spearmanAssoc(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.api.Analytics.spearmanAssociation(x, col("l_partkey"),
+        unix_timestamp(col("o_orderdate")).cast("double"), col("l_quantity"))
+      .select(col("feature"), col("n"), r(col("rho"), 6).as("rho"))
+  }
+
+  // ---------------------------------------------------------------
+  // 105. Shannon entropy + evenness of the label mix per group
+  // (integrate.R:188-266 diversity screen — the log-scale companion of
+  // #23 inverse_simpson).
+  def entropyByGroup(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.shannonEntropy(Tables.customer(s, dir),
+        col("c_nationkey"), col("c_mktsegment"))
+      .select(col("group").as("nation_key"), col("n"), col("n_labels"),
+        r(col("entropy"), 6).as("entropy"), r(col("evenness"), 6).as("evenness"))
+
+  // ---------------------------------------------------------------
   // 54 (beyond inventory). quantile normalization of the expression
   // matrix: per-entity ranks replaced by cross-entity rank means.
   def quantileNormalizeMatrix(s: SparkSession, dir: String): DataFrame =
@@ -453,9 +494,74 @@ object SingleCell {
     "variance_explained"    -> (varianceExplained _),
     "hvg_mean_var"          -> (hvgMeanVar _),
     "batch_standardize"     -> (batchStandardize _),
-    "pseudotime_assoc"      -> (pseudotimeAssoc _))
+    "pseudotime_assoc"      -> (pseudotimeAssoc _),
+    "trajectory_ols"        -> (trajectoryOls _),
+    "spearman_assoc"        -> (spearmanAssoc _),
+    "entropy_by_group"      -> (entropyByGroup _))
 
   val oracles: Map[String, String] = Map(
+    "trajectory_ols" -> {
+      val q = graft.core.Stats.normalUpperTailSql("abs(t_stat)")
+      s"""WITH x AS (
+           SELECT l_partkey AS feature,
+                  CAST(epoch(o_orderdate) AS DOUBLE)/31557600.0 AS xv,
+                  l_quantity AS yv
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         s AS (
+           SELECT feature,
+                  regr_count(yv, xv) AS n,
+                  regr_slope(yv, xv) AS slope,
+                  regr_intercept(yv, xv) AS intercept,
+                  regr_r2(yv, xv) AS r2,
+                  regr_sxx(yv, xv) AS sxx,
+                  regr_syy(yv, xv) AS syy,
+                  regr_sxy(yv, xv) AS sxy
+           FROM x GROUP BY 1),
+         scored AS (
+           SELECT feature, n, slope, intercept, r2,
+                  slope / nullif(sqrt((syy - sxy*sxy/nullif(sxx, 0.0))
+                                      / (n - 2.0) / nullif(sxx, 0.0)), 0.0) AS t_stat
+           FROM s),
+         p AS (
+           SELECT *, coalesce(least(1.0, 2.0 * $q), 1.0) AS p_value FROM scored),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY p_value ASC, feature ASC) AS rk,
+                  count(*) OVER () AS m
+           FROM p)
+         SELECT feature, CAST(n AS BIGINT) AS n, round(slope,6) AS slope,
+                round(intercept,6) AS intercept, round(r2,6) AS r2,
+                round(t_stat,6) AS t_stat, round(p_value,6) AS p_value,
+                round(least(1.0, min(p_value*m/rk) OVER (ORDER BY rk ASC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
+         FROM ranked"""
+    },
+    "spearman_assoc" ->
+      """WITH x AS (
+           SELECT l_partkey AS feature, CAST(epoch(o_orderdate) AS DOUBLE) AS xv,
+                  l_quantity AS yv
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         r0 AS (
+           SELECT feature, xv, yv,
+                  row_number() OVER (PARTITION BY feature ORDER BY xv ASC) AS rx0,
+                  row_number() OVER (PARTITION BY feature ORDER BY yv ASC) AS ry0
+           FROM x),
+         a AS (
+           SELECT feature,
+                  avg(rx0) OVER (PARTITION BY feature, xv) AS rx,
+                  avg(ry0) OVER (PARTITION BY feature, yv) AS ry
+           FROM r0)
+         SELECT feature, count(*) AS n, round(corr(rx, ry), 6) AS rho
+         FROM a GROUP BY 1""",
+    "entropy_by_group" ->
+      """WITH c AS (
+           SELECT c_nationkey AS nation_key, c_mktsegment AS l, count(*) AS cnt
+           FROM customer GROUP BY 1, 2)
+         SELECT nation_key, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_labels,
+                round(ln(sum(cnt)) - sum(cnt*ln(cnt))/sum(cnt), 6) AS entropy,
+                CASE WHEN count(*) > 1
+                     THEN round((ln(sum(cnt)) - sum(cnt*ln(cnt))/sum(cnt))
+                                / ln(count(*)), 6) END AS evenness
+         FROM c GROUP BY 1""",
     "pairwise_ks" ->
       """WITH counts AS (
            SELECT event_type AS t, value, count(*) AS c FROM events GROUP BY 1, 2),

@@ -184,6 +184,90 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(out == Map(1L -> true, 2L -> false))
   }
 
+  test("intervalOverlapJoin matches the naive theta join on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // spans from sub-bin to multi-bin so bin replication paths all fire
+    val left = (1 to 120).map { i =>
+      val s = rnd.nextInt(5000); (i.toLong, s.toLong, (s + rnd.nextInt(800)).toLong)
+    }.toDF("id", "s", "e")
+    val right = (1 to 120).map { i =>
+      val s = rnd.nextInt(5000); (i.toLong, s.toLong, (s + rnd.nextInt(300)).toLong)
+    }.toDF("id", "s", "e")
+    val binned = api.Analytics.intervalOverlapJoin(
+        left, col("id"), col("s"), col("e"),
+        right, col("id"), col("s"), col("e"), binWidth = 250L)
+      .select("l_id", "r_id", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = left.as("a").join(right.as("b"),
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.id"), col("b.id"),
+        least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("groupedOls recovers a planted linear trend with near-zero p") {
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      ("f1", i.toDouble, 3.0 + 0.5 * i + (if (i % 2 == 0) 0.1 else -0.1))
+    } ++ (1 to 200).map { i =>
+      // pure alternating noise, no trend: slope ~0, |t| small, p large
+      ("f2", i.toDouble, 7.0 + (if (i % 2 == 0) 0.1 else -0.1))
+    }
+    val out = api.Analytics.groupedOls(rows.toDF("f", "x", "y"),
+        col("f"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f1 = out("f1")
+    assert(math.abs(f1.getAs[Double]("slope") - 0.5) < 1e-3)
+    assert(f1.getAs[Double]("p_value") < 1e-6)
+    assert(f1.getAs[Double]("r2") > 0.99)
+    val f2 = out("f2")
+    assert(math.abs(f2.getAs[Double]("slope")) < 1e-2)
+    assert(f2.getAs[Double]("p_value") > 0.1)
+  }
+
+  test("spearmanAssociation is 1 for any monotone map, sign-flips, and handles ties") {
+    import spark.implicits._
+    val mono = (1 to 50).map(i => ("f", i.toDouble, math.exp(i / 10.0)))
+    val anti = (1 to 50).map(i => ("g", i.toDouble, -math.log(i + 1.0)))
+    val out = api.Analytics.spearmanAssociation(
+        (mono ++ anti).toDF("f", "x", "y"), col("f"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
+    assert(math.abs(out("f") - 1.0) < 1e-9)
+    assert(math.abs(out("g") + 1.0) < 1e-9)
+    // tie-heavy: rho must still be deterministic and within [-1, 1]
+    val ties = (1 to 40).map(i => ("t", (i / 10).toDouble, (i / 7).toDouble))
+    val rho = api.Analytics.spearmanAssociation(ties.toDF("f", "x", "y"),
+        col("f"), col("x"), col("y")).collect()(0).getAs[Double]("rho")
+    assert(rho > 0.8 && rho <= 1.0)
+  }
+
+  test("giniByGroup: 0 for equal values, near 1-1/n for one-holder concentration") {
+    import spark.implicits._
+    val eq = (1 to 10).map(i => ("a", i.toLong, 5.0))
+    val conc = (1 to 9).map(i => ("b", i.toLong, 0.0)) :+ (("b", 10L, 100.0))
+    val out = api.Analytics.giniByGroup((eq ++ conc).toDF("g", "id", "v"),
+        col("g"), col("id"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(math.abs(out("a")) < 1e-9)
+    assert(math.abs(out("b") - 0.9) < 1e-9)
+  }
+
+  test("shannonEntropy: 0 for a single label, ln(k) for uniform labels") {
+    import spark.implicits._
+    val one = (1 to 8).map(i => ("g1", "only"))
+    val uni = (1 to 8).map(i => ("g2", s"l${i % 4}"))
+    val out = api.Analytics.shannonEntropy((one ++ uni).toDF("g", "l"),
+        col("g"), col("l"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("g1").getAs[Double]("entropy")) < 1e-9)
+    assert(out("g1").getAs[Any]("evenness") == null)
+    assert(math.abs(out("g2").getAs[Double]("entropy") - math.log(4.0)) < 1e-9)
+    assert(math.abs(out("g2").getAs[Double]("evenness") - 1.0) < 1e-9)
+  }
+
   test("varianceExplained is 1 for perfectly-separated groups, ~0 for identical") {
     import spark.implicits._
     val sep = Seq(("f1","a",1.0),("f1","a",1.0),("f1","b",9.0),("f1","b",9.0))
