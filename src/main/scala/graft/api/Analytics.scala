@@ -494,6 +494,46 @@ object Analytics {
           - (col("n") + lit(1.0)) / col("n")).as("gini"))
   }
 
+  /** Per-group association between two categorical columns: Pearson χ²
+    * (via the margin identity χ² = Σ o²/e − N, which needs only the
+    * OBSERVED cells — empty grid cells contribute zero, so no dense
+    * scaffold), Wilson–Hilferty normal approximation of the χ² tail
+    * (cube-root transform → the shared Zelen–Severo Φ, exact arithmetic
+    * in both engines), mutual information in nats, and Cramér's V.
+    * Everything is two bounded-key aggregations over the cell table —
+    * margins attach via per-group windows, never a fact re-scan. */
+  def categoricalAssociation(df: DataFrame, group: Column, a: Column,
+      b: Column): DataFrame = {
+    val cells = df.select(group.as("group"), a.as("__a"), b.as("__b"))
+      .groupBy(col("group"), col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val wg = Window.partitionBy(col("group"))
+    val withMargins = cells
+      .withColumn("__rt", sum(col("__c")).over(Window.partitionBy(col("group"), col("__a"))))
+      .withColumn("__ct", sum(col("__c")).over(Window.partitionBy(col("group"), col("__b"))))
+      .withColumn("__n", sum(col("__c")).over(wg))
+    val agg = withMargins.groupBy(col("group")).agg(
+      max(col("__n")).as("n"),
+      countDistinct(col("__a")).as("r"),
+      countDistinct(col("__b")).as("c"),
+      sum(col("__c") * col("__c") * col("__n") / (col("__rt") * col("__ct"))).as("__sum_o2e"),
+      sum(col("__c") * log(col("__c") * col("__n") / (col("__rt") * col("__ct")))).as("__mi_num"))
+    val chi2 = greatest(col("__sum_o2e") - col("n"), lit(0.0))
+    val dof = ((col("r") - 1) * (col("c") - 1)).cast("double")
+    // Wilson–Hilferty: (χ²/df)^(1/3) ≈ N(1 − 2/(9df), 2/(9df))
+    val z = (cbrt(chi2 / dof) - (lit(1.0) - lit(2.0) / (lit(9.0) * dof))) /
+      sqrt(lit(2.0) / (lit(9.0) * dof))
+    // the Zelen–Severo polynomial is for z ≥ 0; reflect for negative z
+    val pTail = when(z >= 0, Stats.normalUpperTail(z))
+      .otherwise(lit(1.0) - Stats.normalUpperTail(-z))
+    agg.select(col("group"), col("n").cast("long").as("n"), col("r"), col("c"),
+      chi2.as("chi2"), dof.cast("long").as("dof"),
+      when(dof > 0, coalesce(least(lit(1.0), pTail), lit(0.0))).as("p_chi2"),
+      (col("__mi_num") / col("n")).as("mutual_info"),
+      when(dof > 0, sqrt(chi2 / (col("n") * least(col("r") - 1, col("c") - 1))))
+        .as("cramers_v"))
+  }
+
   /** Shannon entropy of a label distribution per group, with the
     * log(k)-normalized evenness (integrate.R:188-266's diversity screen
     * next to the inverse-Simpson LISI analog). Two bounded-key

@@ -274,7 +274,64 @@ object Relational {
           .otherwise(concat(col("p_name"), lit("."), col("occ"))).as("unique_name"))
   }
 
+  // ---------------------------------------------------------------
+  // 108. categorical association per group (the inference companion of
+  // #8 crosstab): χ² via the margin identity (observed cells only),
+  // Wilson–Hilferty p through the shared Φ, mutual information,
+  // Cramér's V — segment×priority association within each nation.
+  def catAssoc(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    graft.api.Analytics.categoricalAssociation(t, col("c_nationkey"),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .select(col("group").as("nation_key"), col("n"), col("r"), col("c"),
+        r(col("chi2"), 4).as("chi2"), col("dof"),
+        r(col("p_chi2"), 6).as("p_chi2"),
+        r(col("mutual_info"), 6).as("mutual_info"),
+        r(col("cramers_v"), 6).as("cramers_v"))
+  }
+
+  private val catAssocSql = {
+    val qPos = graft.core.Stats.normalUpperTailSql("zz")
+    val qNeg = graft.core.Stats.normalUpperTailSql("-zz")
+    s"""WITH t AS (
+         SELECT c_nationkey AS g, c_mktsegment AS a, o_orderpriority AS b
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       cells AS (
+         SELECT g, a, b, CAST(count(*) AS DOUBLE) AS cc FROM t GROUP BY 1, 2, 3),
+       m AS (
+         SELECT g, a, b, cc,
+                sum(cc) OVER (PARTITION BY g, a) AS rt,
+                sum(cc) OVER (PARTITION BY g, b) AS ct,
+                sum(cc) OVER (PARTITION BY g) AS n
+         FROM cells),
+       agg AS (
+         SELECT g, max(n) AS n,
+                count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+                sum(cc*cc*n/(rt*ct)) AS s,
+                sum(cc*ln(cc*n/(rt*ct))) AS minum
+         FROM m GROUP BY 1),
+       sc AS (
+         SELECT g, n, r, c, greatest(s - n, 0.0) AS chi2,
+                CAST((r-1)*(c-1) AS DOUBLE) AS dof, minum
+         FROM agg),
+       z AS (
+         SELECT *, (cbrt(chi2/dof) - (1.0 - 2.0/(9.0*dof)))/sqrt(2.0/(9.0*dof)) AS zz
+         FROM sc)
+       SELECT g AS nation_key, CAST(n AS BIGINT) AS n, r, c,
+              round(chi2, 4) AS chi2, CAST(dof AS BIGINT) AS dof,
+              round(CASE WHEN dof > 0 THEN coalesce(least(1.0,
+                CASE WHEN zz >= 0 THEN $qPos ELSE 1.0 - $qNeg END), 0.0) END, 6) AS p_chi2,
+              round(minum/n, 6) AS mutual_info,
+              round(CASE WHEN dof > 0
+                THEN sqrt(chi2/(n*least(r-1, c-1))) END, 6) AS cramers_v
+       FROM z"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cat_assoc"              -> (catAssoc _),
     "make_unique_names"      -> (makeUniqueNames _),
     "rollup_pricing"         -> (rollupPricing _),
     "decile_bins"            -> (decileBins _),
@@ -294,6 +351,7 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "cat_assoc" -> catAssocSql,
     "make_unique_names" ->
       """SELECT p_partkey, p_name,
          CASE WHEN occ = 0 THEN p_name

@@ -237,7 +237,38 @@ object Sessions {
         col("overlap").as("overlap_us"))
   }
 
+  // ---------------------------------------------------------------
+  // 109. ordered funnel conversion (view → click → purchase) per
+  // session: sequential first-times via three STACKED window mins over
+  // the SAME (user, session) partition — one sort, no self-joins; a
+  // later stage only counts if it happens at-or-after the previous
+  // stage's first time. The final stage tallies are a single-row agg.
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val sess = graft.api.Analytics.sessionize(
+        ev, col("user_id"), col("ts_us"), col("event_id"), GapUs)
+      .select(col("user_id"), col("session_idx"), col("event_type"), col("ts_us"))
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+    val staged = sess
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" &&
+        col("ts_us") >= col("tv"), col("ts_us"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" &&
+        col("ts_us") >= col("tc"), col("ts_us"))).over(w))
+    staged.groupBy(col("user_id"), col("session_idx"))
+      .agg(max(col("tv")).as("v"), max(col("tc")).as("c"), max(col("tp")).as("p"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("v")).as("n_view"),
+        count(col("c")).as("n_view_click"),
+        count(col("p")).as("n_full_funnel"),
+        r(count(col("c")).cast("double") / nullif(count(col("v")).cast("double"), lit(0.0)), 6)
+          .as("rate_click"),
+        r(count(col("p")).cast("double") / nullif(count(col("c")).cast("double"), lit(0.0)), 6)
+          .as("rate_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion"      -> (funnelConversion _),
     "interval_overlap"       -> (intervalOverlap _),
     "value_per_bin"          -> (valuePerBin _),
     "ewma_user_value"        -> (ewmaUserValue _),
@@ -254,6 +285,43 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         flagged AS (
+           SELECT user_id, event_id, event_type, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+         sess0 AS (
+           SELECT user_id, event_type, ts_us,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts_us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM flagged),
+         t1 AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                  OVER (PARTITION BY user_id, session_idx) AS tv
+           FROM sess0),
+         t2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= tv THEN ts_us END)
+                  OVER (PARTITION BY user_id, session_idx) AS tc
+           FROM t1),
+         t3 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= tc THEN ts_us END)
+                  OVER (PARTITION BY user_id, session_idx) AS tp
+           FROM t2),
+         per_sess AS (
+           SELECT user_id, session_idx, max(tv) AS v, max(tc) AS c, max(tp) AS p
+           FROM t3 GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions,
+                count(v) AS n_view,
+                count(c) AS n_view_click,
+                count(p) AS n_full_funnel,
+                round(CAST(count(c) AS DOUBLE) / nullif(CAST(count(v) AS DOUBLE), 0.0), 6) AS rate_click,
+                round(CAST(count(p) AS DOUBLE) / nullif(CAST(count(c) AS DOUBLE), 0.0), 6) AS rate_purchase
+         FROM per_sess""",
     "interval_overlap" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
          flagged AS (

@@ -268,6 +268,29 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(math.abs(out("g2").getAs[Double]("evenness") - 1.0) < 1e-9)
   }
 
+  test("categoricalAssociation matches the hand-computed 2x2 chi-square") {
+    import spark.implicits._
+    // classic 2x2: rows (10,20 / 30,40) -> chi2 = N*(ad-bc)^2/((a+b)(c+d)(a+c)(b+d))
+    val rows =
+      Seq.fill(10)(("g", "x", "u")) ++ Seq.fill(20)(("g", "x", "v")) ++
+      Seq.fill(30)(("g", "y", "u")) ++ Seq.fill(40)(("g", "y", "v"))
+    val out = api.Analytics.categoricalAssociation(rows.toDF("g", "a", "b"),
+      col("g"), col("a"), col("b")).collect()(0)
+    val expected = 100.0 * math.pow(10.0 * 40 - 20.0 * 30, 2) / (30.0 * 70 * 40 * 60)
+    assert(math.abs(out.getAs[Double]("chi2") - expected) < 1e-9)
+    assert(out.getAs[Long]("dof") == 1L)
+    val p = out.getAs[Double]("p_chi2")
+    assert(p > 0 && p < 1)
+    // independent table -> chi2 0, MI 0, p ~ 1
+    val ind = Seq.fill(10)(("g", "x", "u")) ++ Seq.fill(10)(("g", "x", "v")) ++
+      Seq.fill(10)(("g", "y", "u")) ++ Seq.fill(10)(("g", "y", "v"))
+    val o2 = api.Analytics.categoricalAssociation(ind.toDF("g", "a", "b"),
+      col("g"), col("a"), col("b")).collect()(0)
+    assert(math.abs(o2.getAs[Double]("chi2")) < 1e-9)
+    assert(math.abs(o2.getAs[Double]("mutual_info")) < 1e-9)
+    assert(o2.getAs[Double]("p_chi2") > 0.95)
+  }
+
   test("varianceExplained is 1 for perfectly-separated groups, ~0 for identical") {
     import spark.implicits._
     val sep = Seq(("f1","a",1.0),("f1","a",1.0),("f1","b",9.0),("f1","b",9.0))
