@@ -55,6 +55,46 @@ object GraftExtensions {
           CharShingleHashes(t, n.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "char_shingle_hashes expects (text) or (text, <literal int n>)")
+      }),
+    ("minhash_sig_text",
+      "minhash_sig_text(text[, n[, hashes]]) — fused normalize+shingle(n, default 5)+minhash(default 64) signature",
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => MinHashSigText(t, 5, 64)
+        case Seq(t, n) if n.foldable =>
+          MinHashSigText(t, n.eval().asInstanceOf[Number].intValue(), 64)
+        case Seq(t, n, h) if n.foldable && h.foldable =>
+          MinHashSigText(t, n.eval().asInstanceOf[Number].intValue(),
+            h.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig_text expects (text[, <literal int n>[, <literal int hashes>]])")
+      }),
+    ("long_match_frac",
+      "long_match_frac(a, b) — fraction of positions where two long arrays agree",
+      (es: Seq[Expression]) => { arity("long_match_frac", 2)(es); LongMatchFrac(es(0), es(1)) }),
+    ("hyperplane_bucket",
+      "hyperplane_bucket(vec[, planes]) — random-hyperplane LSH sign bucket (default 16 planes)",
+      (es: Seq[Expression]) => es match {
+        case Seq(v) => HyperplaneBucket(v, 16)
+        case Seq(v, p) if p.foldable =>
+          HyperplaneBucket(v, p.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_bucket expects (vec) or (vec, <literal int planes>)")
+      }),
+    ("bounded_levenshtein",
+      "bounded_levenshtein(a, b, max) — banded edit distance, max+1 when above the cap",
+      (es: Seq[Expression]) => es match {
+        case Seq(a, b, m) if m.foldable =>
+          BoundedLevenshtein(a, b, m.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "bounded_levenshtein expects (a, b, <literal int max>)")
+      }),
+    ("topk_by",
+      "topk_by(score, id, k) — aggregate: array of the k (id, score) structs with the highest scores",
+      (es: Seq[Expression]) => es match {
+        case Seq(s, i, k) if k.foldable =>
+          TopKByScore(s, i, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "topk_by expects (score, id, <literal int k>)")
       }))
 
   def register(ext: SparkSessionExtensions): Unit =

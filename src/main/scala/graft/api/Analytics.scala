@@ -582,6 +582,27 @@ object Analytics {
         aggs.tail.map { case (n, (_, m)) => m(s"__p_$n").as(n) }.toSeq: _*)
   }
 
+  /** Salted equi-join for skewed keys when the small side is too big
+    * to broadcast (the broadcast path needs no salt — use it first):
+    * every big-side row picks ONE deterministic salt, the small side is
+    * replicated across ALL `salts`, and the join runs on (key, salt) —
+    * a hot key's rows now land on `salts` reducers instead of one.
+    * Result-identical to a plain inner join on `key` (spec-proven);
+    * small-side cost is a bounded `salts`× replication. With AQE's
+    * skew-join handling this is the manual fallback for when runtime
+    * stats miss the skew (e.g. a single giant key after a filter). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, s"saltedJoin requires salts > 0, got $salts")
+    // deterministic per-row salt from the whole row content: no RNG
+    // state, stable across retries/speculative tasks
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Deterministic weighted sampling without replacement, n per
     * stratum (Efraimidis–Spirakis A-ES): key = u^(1/w) with u a
     * content-hash uniform — reproducible on any cluster AND expressible

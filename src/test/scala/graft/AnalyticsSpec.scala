@@ -268,6 +268,21 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(math.abs(out("g2").getAs[Double]("evenness") - 1.0) < 1e-9)
   }
 
+  test("saltedJoin equals the plain inner join on skewed keys") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a long tail
+    val big = ((1 to 900).map(i => (1L, s"b$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"t$i"))).toDF("k", "payload")
+    val small = (1 to 50).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val salted = api.Analytics.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val plain = big.join(small, "k").select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.size == 900 + 49) // hot key 1 and tail keys 2..50
+  }
+
   test("categoricalAssociation matches the hand-computed 2x2 chi-square") {
     import spark.implicits._
     // classic 2x2: rows (10,20 / 30,40) -> chi2 = N*(ad-bc)^2/((a+b)(c+d)(a+c)(b+d))

@@ -28,5 +28,27 @@ class ExtensionsSpec extends SparkSpecBase {
     val csh = spark.sql("SELECT size(char_shingle_hashes('abcdef', 5)) AS n")
       .collect()(0).getInt(0)
     assert(csh == 2) // hashes of 'abcde', 'bcdef'
+    val mst = spark.sql("SELECT size(minhash_sig_text('hello world!', 5, 32)) AS n")
+      .collect()(0).getInt(0)
+    assert(mst == 32)
+    val lmf = spark.sql(
+      "SELECT long_match_frac(array(1L,2L,3L,4L), array(1L,9L,3L,9L)) AS f")
+      .collect()(0).getDouble(0)
+    assert(math.abs(lmf - 0.5) < 1e-12)
+    val hb = spark.sql(
+      "SELECT hyperplane_bucket(array(0.1D, -0.5D, 2.0D), 8) AS b")
+      .collect()(0).getLong(0)
+    assert(hb >= 0 && hb < 256)
+    val bl = spark.sql("SELECT bounded_levenshtein('kitten', 'sitting', 2) AS d")
+      .collect()(0).getLong(0)
+    assert(bl == 3L, "distance 3 exceeds cap 2 -> reported as max+1")
+    val bl2 = spark.sql("SELECT bounded_levenshtein('kitten', 'sitten', 2) AS d")
+      .collect()(0).getLong(0)
+    assert(bl2 == 1L)
+    val tk = spark.sql(
+      """SELECT topk_by(s, i, 2) AS tk FROM VALUES
+         (1.0D, 10L), (5.0D, 20L), (3.0D, 30L) AS t(s, i)""")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => r.getLong(0)) == Seq(20L, 30L), "top-2 ids by score desc")
   }
 }
