@@ -275,6 +275,68 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // 111. pivot_wider (the inverse of #9 melt; tidyr::pivot_wider /
+  // data.table::dcast): per-customer spend by priority as wide columns.
+  // Explicit pivot values keep it ONE pass (no value-discovery scan)
+  // and make the output schema static — the scalable form of pivot.
+  def pivotWide(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum(col("o_totalprice")))
+      .select(col("o_custkey"),
+        r(coalesce(col("1-URGENT"), lit(0.0)), 2).as("urgent"),
+        r(coalesce(col("2-HIGH"), lit(0.0)), 2).as("high"),
+        r(coalesce(col("3-MEDIUM"), lit(0.0)), 2).as("medium"),
+        r(coalesce(col("4-NOT SPECIFIED"), lit(0.0)), 2).as("not_specified"),
+        r(coalesce(col("5-LOW"), lit(0.0)), 2).as("low"))
+
+  private val pivotWideSql =
+    """SELECT o_custkey,
+         round(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0.0), 2) AS urgent,
+         round(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 0.0), 2) AS high,
+         round(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 0.0), 2) AS medium,
+         round(coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 0.0), 2) AS not_specified,
+         round(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0.0), 2) AS low
+       FROM orders GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 112. semi/anti join coverage (dplyr semi_join/anti_join — the
+  // reference's filter-by-membership idiom): per nation, customers WITH
+  // orders (left_semi) vs WITHOUT (left_anti). Both plan as one
+  // shuffle-free-probe join against the distinct custkey set; neither
+  // materializes order columns.
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey").as("nation_key"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  private val semiAntiJoinSql =
+    """WITH w AS (
+         SELECT c_nationkey, count(*) AS n_with_orders
+         FROM customer WHERE EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1),
+       wo AS (
+         SELECT c_nationkey, count(*) AS n_without_orders
+         FROM customer WHERE NOT EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1)
+       SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS nation_key,
+              coalesce(n_with_orders, 0) AS n_with_orders,
+              coalesce(n_without_orders, 0) AS n_without_orders
+       FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey"""
+
+  // ---------------------------------------------------------------
   // 108. categorical association per group (the inference companion of
   // #8 crosstab): χ² via the margin identity (observed cells only),
   // Wilson–Hilferty p through the shared Φ, mutual information,
@@ -331,6 +393,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_wide"             -> (pivotWide _),
+    "semi_anti_join"         -> (semiAntiJoin _),
     "cat_assoc"              -> (catAssoc _),
     "make_unique_names"      -> (makeUniqueNames _),
     "rollup_pricing"         -> (rollupPricing _),
@@ -351,6 +415,8 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "pivot_wide" -> pivotWideSql,
+    "semi_anti_join" -> semiAntiJoinSql,
     "cat_assoc" -> catAssocSql,
     "make_unique_names" ->
       """SELECT p_partkey, p_name,

@@ -151,7 +151,59 @@ object Dedup {
       .filter(col("dist") <= 2)
   }
 
+  // ---------------------------------------------------------------
+  // 113. cross-source contamination matrix: for every source pair, how
+  // many distinct 20-char shingles they share — the corpus-level audit
+  // behind per-doc decontamination (#64). Distinct (source, shingle)
+  // pairs self-join on the shingle; the join fan-out is Σ df² over
+  // shingles with df = #sources sharing it, bounded by the SOURCE count
+  // (a handful), never the doc count. Shingles travel as xxhash64
+  // longs (CharShingleHashes, the decontaminate trick): the oracle
+  // counts string shingles, and hash counts equal string counts unless
+  // xxhash64 collides on this corpus (≈ |shingles|²/2⁶⁵ < 1e-7 at the
+  // correctness SF — far below the LSH oracle's own banding-miss
+  // bound). Longs on the wire cut the distinct+join shuffle ~4× vs
+  // 20-char strings (4.5s → ~1.6s at sf0.1).
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.VectorFunctions.charShingleHashes(norm(col("text")), 20)).as("g"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // shuffle-hash on both sides: the two join exchanges (partitioned
+    // on g) canonicalize identically, so ReuseExchange runs the
+    // explode+distinct subtree ONCE and replays it from shuffle files
+    // for the probe side — a broadcast/SMJ plan would recompute it.
+    // (A collect_set-per-shingle formulation was tried and is 2× WORSE:
+    // ~8M one-element object-agg groups cost more than the join.)
+    sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes).as("z1"), col("s1") === col("z1.source"))
+      .join(broadcast(sizes).as("z2"), col("s2") === col("z2.source"))
+      .select(col("s1"), col("s2"), col("shared"),
+        col("z1.n").as("n1"), col("z2.n").as("n2"),
+        r(col("shared").cast("double") /
+          (col("z1.n") + col("z2.n") - col("shared")), 6).as("jaccard"))
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH nrm AS (SELECT source, $normSql AS t FROM documents),
+        sh AS (SELECT DISTINCT source, substr(t, CAST(i AS INT), 20) AS g
+               FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)),
+        sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+                  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT s1, s2, shared, z1.n AS n1, z2.n AS n2,
+               round(CAST(shared AS DOUBLE)/(z1.n + z2.n - shared), 6) AS jaccard
+        FROM inter
+        JOIN sizes z1 ON s1 = z1.source
+        JOIN sizes z2 ON s2 = z2.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap"      -> (sourceOverlap _),
     "fuzzy_blocked_join"  -> (fuzzyBlockedJoin _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
@@ -189,6 +241,7 @@ object Dedup {
         GROUP BY v.vertex"""
 
   val oracles: Map[String, String] = Map(
+    "source_overlap" -> sourceOverlapSql,
     "fuzzy_blocked_join" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
