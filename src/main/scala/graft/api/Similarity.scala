@@ -45,7 +45,10 @@ object Similarity {
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"struct(b AS band, xxhash64(slice(sig, b*$rowsPerBand+1, $rowsPerBand)) AS bh))")).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
-    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+    // shuffle-hash self-join: the two identical band exchanges
+    // canonicalize equal → ReuseExchange shuffles the band table once
+    val cand = bandsDf.as("a").hint("shuffle_hash")
+      .join(bandsDf.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -139,7 +139,9 @@ object Dedup {
   def fuzzyBlockedJoin(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
-    p.as("a").join(p.as("b"),
+    // shuffle-hash self-join on the blocking key: identical exchanges
+    // → ReuseExchange scans the part table once
+    p.as("a").hint("shuffle_hash").join(p.as("b").hint("shuffle_hash"),
         col("a.p_brand") === col("b.p_brand") &&
           col("a.p_type") === col("b.p_type") &&
           col("a.p_partkey") < col("b.p_partkey"))

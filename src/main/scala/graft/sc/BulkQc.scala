@@ -118,7 +118,12 @@ object BulkQc {
     val vec = pseudobulk(s, dir)
       .select(col("sample"), col("gene"), log2(col("cnt") + 1).as("x"))
     val norms = vec.groupBy(col("sample")).agg(sum(col("x") * col("x")).as("n2"))
-    val dots = vec.as("a").join(vec.as("b"),
+    // shuffle-hash on both sides: the two identical per-gene exchanges
+    // canonicalize equal, so ReuseExchange computes the pseudobulk
+    // subtree ONCE and replays it for the probe side (an SMJ would add
+    // sorts; a broadcast build would recompute the aggregation).
+    val dots = vec.as("a").hint("shuffle_hash")
+      .join(vec.as("b").hint("shuffle_hash"),
         col("a.gene") === col("b.gene") && col("a.sample") < col("b.sample"))
       .groupBy(col("a.sample").as("s1"), col("b.sample").as("s2"))
       .agg(sum(col("a.x") * col("b.x")).as("dot"))
@@ -158,7 +163,9 @@ object BulkQc {
       .join(pb, Seq("sample", "gene"), "left")
       .select(col("sample"), col("gene"),
         log2(coalesce(col("cnt"), lit(0.0)) + 1).as("x"))
-    grid.as("a").join(grid.as("b"),
+    // shuffle-hash self-join: identical grid exchanges → ReuseExchange
+    // builds the dense grid once (see sampleDists)
+    grid.as("a").hint("shuffle_hash").join(grid.as("b").hint("shuffle_hash"),
         col("a.gene") === col("b.gene") && col("a.sample") < col("b.sample"))
       .where(col("a.x") + col("b.x") > 0)
       .select(col("a.sample").as("s1"), col("b.sample").as("s2"),

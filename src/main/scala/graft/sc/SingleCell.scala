@@ -400,8 +400,8 @@ object SingleCell {
       .select(explode(split(col("p_name"), " ")).as("term"), col("p_partkey"))
       .distinct()
     val sizes = membership.groupBy(col("term")).agg(count(lit(1)).as("n"))
-    val inter = membership.as("a")
-      .join(membership.as("b"),
+    val inter = membership.as("a").hint("shuffle_hash")
+      .join(membership.as("b").hint("shuffle_hash"),
         col("a.p_partkey") === col("b.p_partkey") && col("a.term") < col("b.term"))
       .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
       .agg(count(lit(1)).as("i"))
