@@ -38,6 +38,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("native topk_by aggregate partial-merges inside a streaming windowed agg") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val agg = ms.toDF().toDF("ts", "id", "score")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.VectorFunctions.topKByScore(col("score"), col("id"), 2).as("tk"))
+    val q = agg.writeStream.format("memory").queryName("stream_topk")
+      .outputMode("complete").start()
+    try {
+      ms.addData((ts(0), 1L, 1.0), (ts(1), 2L, 5.0))
+      q.processAllAvailable()
+      // second micro-batch merges into the SAME window's heap state
+      ms.addData((ts(2), 3L, 3.0), (ts(3), 4L, 0.5))
+      q.processAllAvailable()
+      val ids = spark.table("stream_topk")
+        .selectExpr("explode(tk.id) AS id").as[Long].collect().toSet
+      assert(ids == Set(2L, 3L), s"expected top-2 ids {2,3}, got $ids")
+    } finally q.stop()
+  }
+
   test("sessionizer merges an out-of-order event and lowers the session start") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
