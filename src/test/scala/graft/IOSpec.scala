@@ -51,6 +51,37 @@ class IOSpec extends SparkSpecBase {
     assert(seg.count() == expected)
   }
 
+  test("text and binaryFile sources read raw corpus payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_raw").toFile
+    try {
+      java.nio.file.Files.writeString(new java.io.File(dir, "a.txt").toPath,
+        "line one\nline two\n")
+      java.nio.file.Files.write(new java.io.File(dir, "img.bin").toPath,
+        Array[Byte](1, 2, 3, 4, 5))
+      val lines = sources.IO.readText(spark, new java.io.File(dir, "a.txt").getPath)
+      assert(lines.collect().map(_.getString(0)).toSet == Set("line one", "line two"))
+      val bins = sources.IO.readBinaryFiles(spark, dir.getPath, glob = "*.bin")
+      val row = bins.collect()(0)
+      assert(row.getAs[Long]("length") == 5L)
+      assert(row.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4, 5))
+      assert(bins.count() == 1, "glob must exclude the .txt file")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("compact rewrites a many-file dataset into the sized file count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_compact").toFile
+    val in = new java.io.File(dir, "in").getPath
+    val out = new java.io.File(dir, "out").getPath
+    try {
+      Tables.orders(spark, sf).repartition(16).write.parquet(in)
+      assert(spark.read.parquet(in).inputFiles.length == 16)
+      sources.IO.compact(spark, in, out, targetFileMB = 512)
+      // well under 512 MB total -> exactly one output file, same rows
+      assert(spark.read.parquet(out).inputFiles.length == 1)
+      assert(spark.read.parquet(out).count() == spark.read.parquet(in).count())
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("equi-join of two tables bucketed on the key plans no shuffle") {
     // the in-memory catalog forgets tables between JVMs but their
     // warehouse directories survive — clear both or the write errors
