@@ -54,10 +54,68 @@ object Reduce {
       .select(col("vec_id"), col("label"), col("prediction").as("cluster"))
   }
 
+  /** 115. label-centroid (simplified) silhouette — embedding-space
+    * health per label: a(i) = distance to the OWN label centroid,
+    * b(i) = distance to the nearest OTHER centroid, silhouette =
+    * (b−a)/max(a,b) averaged per label. Centroids are a 10-row
+    * broadcast; distances use the codegen'd DotProduct via
+    * d² = ‖x‖²+‖c‖²−2x·c, so the corpus is ONE narrow pass — no
+    * per-dimension explode of the fact table (the oracle uses the
+    * exploded Σ(x−c)² form; both agree well inside 6dp rounding). */
+  def labelSilhouette(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cents = e
+      .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("clabel"), col("dim")).agg(avg(col("x")).as("c"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    val d = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        sqrt(greatest(lit(0.0),
+          dot(col("v"), col("v")) + dot(col("cv"), col("cv"))
+            - lit(2.0) * dot(col("v"), col("cv")))).as("dist"))
+    d.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg((col("b") - col("a")) /
+          nullif(greatest(col("a"), col("b")), lit(0.0))), 6).as("mean_silhouette"),
+        round(avg(col("a")), 6).as("mean_intra"),
+        round(avg(col("b")), 6).as("mean_nearest_other"))
+  }
+
+  private val labelSilhouetteSql =
+    """WITH pts AS (
+         SELECT vec_id, label,
+                CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS x, dim
+         FROM embeddings,
+              LATERAL unnest(generate_series(1, len(embedding))) AS u(dim)),
+       cents AS (
+         SELECT label AS clabel, dim, avg(x) AS c FROM pts GROUP BY 1, 2),
+       d2 AS (
+         SELECT p.vec_id, p.label, c.clabel,
+                sqrt(sum((p.x - c.c)*(p.x - c.c))) AS dist
+         FROM pts p JOIN cents c ON p.dim = c.dim GROUP BY 1, 2, 3),
+       per AS (
+         SELECT vec_id, label,
+                max(CASE WHEN clabel = label THEN dist END) AS a,
+                min(CASE WHEN clabel <> label THEN dist END) AS b
+         FROM d2 GROUP BY 1, 2)
+       SELECT label, count(*) AS n,
+              round(avg((b - a)/nullif(greatest(a, b), 0.0)), 6) AS mean_silhouette,
+              round(avg(a), 6) AS mean_intra,
+              round(avg(b), 6) AS mean_nearest_other
+       FROM per GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pca_embeddings"    -> (pcaEmbeddings _),
     "kmeans_clusters"   -> (kmeansClusters _),
-    "bisecting_clusters" -> (bisectingClusters _))
+    "bisecting_clusters" -> (bisectingClusters _),
+    "label_silhouette"  -> (labelSilhouette _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "label_silhouette" -> labelSilhouetteSql)
 }

@@ -116,7 +116,11 @@ class PlanSpec extends SparkSpecBase {
       // to build the dense log-CPM scaffold MA analysis requires
       // (missing entry ≡ count 0) — a bounded scaffold materialization,
       // not a fact-fact pair join
-      "ma_stats")
+      "ma_stats",
+      // label_silhouette crosses each point with the LABEL-count-sized
+      // centroid broadcast (10 rows) — every point must see every
+      // centroid by definition of the metric
+      "label_silhouette")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
