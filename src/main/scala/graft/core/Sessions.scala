@@ -267,7 +267,51 @@ object Sessions {
           .as("rate_purchase"))
   }
 
+  // ---------------------------------------------------------------
+  // 116. rolling z-score anomaly flags per user: each event scored
+  // against its own trailing-hour mean/std (RANGE frame — Spark
+  // advances the frame bounds monotonically, O(n) per user partition).
+  // The |z| > 2 flag compares the ROUNDED z so a last-ulp difference
+  // in the incremental variance can't flip a boundary row vs the oracle.
+  def rollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc)
+      .rangeBetween(-HourUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_pop(col("value")).over(w))
+      .withColumn("z", round((col("value") - col("mu")) / nullif(col("sd"), lit(0.0)), 4))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_window"),
+        round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"), col("z"),
+        coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+  }
+
+  // ---------------------------------------------------------------
+  // 117. inter-event time statistics per user: lag deltas in one
+  // per-user window pass, then mean/median/std gap and the burstiness
+  // index (σ−μ)/(σ+μ) — the session-rhythm screen (−1 periodic,
+  // 0 Poisson, →1 bursty).
+  def intereventStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("gap", (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap")), 4).as("mean_gap_us"),
+        round(graft.core.Stats.medianCol(col("gap")), 4).as("median_gap_us"),
+        round(stddev_pop(col("gap")), 4).as("sd_gap_us"),
+        round((stddev_pop(col("gap")) - avg(col("gap"))) /
+          nullif(stddev_pop(col("gap")) + avg(col("gap")), lit(0.0)), 6).as("burstiness"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_anomaly"        -> (rollingAnomaly _),
+    "interevent_stats"       -> (intereventStats _),
     "funnel_conversion"      -> (funnelConversion _),
     "interval_overlap"       -> (intervalOverlap _),
     "value_per_bin"          -> (valuePerBin _),
@@ -285,6 +329,34 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "rolling_anomaly" ->
+      """SELECT event_id, user_id, ts_us, n_window,
+                round(mu, 4) AS mu, round(sd, 4) AS sd, z,
+                coalesce(abs(z) > 2.0, false) AS is_anomaly
+         FROM (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  count(*) OVER w AS n_window,
+                  avg(value) OVER w AS mu,
+                  stddev_pop(value) OVER w AS sd,
+                  round((value - avg(value) OVER w)
+                        / nullif(stddev_pop(value) OVER w, 0.0), 4) AS z
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))""",
+    "interevent_stats" ->
+      """WITH g AS (
+           SELECT user_id,
+                  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts) ASC, event_id ASC) AS DOUBLE) AS gap
+           FROM events)
+         SELECT user_id, count(*) AS n_gaps,
+                round(avg(gap), 4) AS mean_gap_us,
+                round(median(gap), 4) AS median_gap_us,
+                round(stddev_pop(gap), 4) AS sd_gap_us,
+                round((stddev_pop(gap) - avg(gap))
+                      / nullif(stddev_pop(gap) + avg(gap), 0.0), 6) AS burstiness
+         FROM g WHERE gap IS NOT NULL GROUP BY 1""",
     "funnel_conversion" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
          flagged AS (

@@ -237,7 +237,48 @@ object TextOps {
         r(col("pmi_raw"), 6).as("pmi"), col("rk"))
   }
 
+  // ---------------------------------------------------------------
+  // 118. Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+  // ln(rank) for the top-1000 tokens — slope ≈ −1 for natural language,
+  // so deviation is a corpus-health screen (template spam flattens it,
+  // truncation steepens it). The rank window runs over the ALREADY
+  // top-k-limited vocabulary (1000 rows), never the corpus; the only
+  // corpus-wide work is one token-count shuffle.
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(1000)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc)).cast("double"))
+    ranked.agg(
+      count(lit(1)).as("n_tokens"),
+      round(regr_slope(log(col("c")), log(col("rank"))), 6).as("zipf_slope"),
+      round(regr_intercept(log(col("c")), log(col("rank"))), 6).as("zipf_intercept"),
+      round(regr_r2(log(col("c")), log(col("rank"))), 6).as("r2"))
+  }
+
+  private val zipfFitSql =
+    raw"""WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT tok, count(*) AS c FROM toks WHERE tok <> ''
+           GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 1000),
+         ranked AS (
+           SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE) AS rank
+           FROM counts)
+         SELECT count(*) AS n_tokens,
+                round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+                round(regr_intercept(ln(c), ln(rank)), 6) AS zipf_intercept,
+                round(regr_r2(ln(c), ln(rank)), 6) AS r2
+         FROM ranked"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zipf_fit"         -> (zipfFit _),
     "bm25_top_terms"   -> (bm25TopTerms _),
     "pmi_bigrams"      -> (pmiBigrams _),
     "dataset_split"    -> (datasetSplit _),
@@ -297,6 +338,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "zipf_fit" -> zipfFitSql,
     "bm25_top_terms" ->
       """WITH terms AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
