@@ -108,6 +108,29 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("topKByScore handles NaN and -0.0 like the rank window (total order)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // NaN sorts FIRST under DESC in Spark's sort; -0.0 ties 0.0 with the
+    // id tie-break deciding — the heap must implement the same total
+    // order (java.lang.Double.compare), or a NaN admitted early would
+    // pin the heap and a -0.0/0.0 pair would rank by sign
+    val rows = Seq(
+      (0L, 1L, Double.NaN), (0L, 2L, 5.0), (0L, 3L, Double.NaN),
+      (0L, 4L, -0.0), (0L, 5L, 0.0), (0L, 6L, 7.0), (0L, 7L, -3.0))
+    val df = rows.toDF("grp", "id", "score")
+    val viaAgg = df.groupBy(col("grp"))
+      .agg(topKByScore(col("score"), col("id"), 5).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("e.id"), (col("pos") + 1).as("rk"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("id"), col("rk"))
+    val a = viaAgg.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = viaWindow.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b, s"agg=$a window=$b")
+  }
+
   test("boundedLevenshtein: exact within the cap, capped above it") {
     import spark.implicits._
     val words = samples(Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')), 60)
