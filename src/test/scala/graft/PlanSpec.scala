@@ -99,6 +99,20 @@ class PlanSpec extends SparkSpecBase {
         s"ObjectHashAggregate sort-fallback threshold set?):\n$plan")
   }
 
+  test("interval_overlap plans as an equi join on (user, bin), not a theta join") {
+    val plan = formatted(core.Sessions.intervalOverlap(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap must bin-join, not theta-join:\n$plan")
+  }
+
+  test("funnel_conversion's three stacked window mins share one sort") {
+    val plan = core.Sessions.funnelConversion(spark, sf).queryExecution.executedPlan.toString
+    // all three stage windows partition by (user, session): one exchange
+    // + one sort must satisfy them all
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts <= 2, s"expected the stage windows to reuse one sort, got $sorts:\n${plan.take(3000)}")
+  }
+
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines
