@@ -349,7 +349,11 @@ object Relational {
     graft.api.Analytics.categoricalAssociation(t, col("c_nationkey"),
         col("c_mktsegment"), col("o_orderpriority"))
       .select(col("group").as("nation_key"), col("n"), col("r"), col("c"),
-        r(col("chi2"), 4).as("chi2"), col("dof"),
+        // double-round: χ² from integer counts is rational and can sit
+        // EXACTLY on a 4dp midpoint (e.g. 4.78125), where engine ulp
+        // jitter flips the round. 6dp first snaps both engines to the
+        // identical double; the 4dp round of identical input then agrees.
+        r(r(col("chi2"), 6), 4).as("chi2"), col("dof"),
         r(col("p_chi2"), 6).as("p_chi2"),
         r(col("mutual_info"), 6).as("mutual_info"),
         r(col("cramers_v"), 6).as("cramers_v"))
@@ -383,7 +387,7 @@ object Relational {
          SELECT *, (cbrt(chi2/dof) - (1.0 - 2.0/(9.0*dof)))/sqrt(2.0/(9.0*dof)) AS zz
          FROM sc)
        SELECT g AS nation_key, CAST(n AS BIGINT) AS n, r, c,
-              round(chi2, 4) AS chi2, CAST(dof AS BIGINT) AS dof,
+              round(round(chi2, 6), 4) AS chi2, CAST(dof AS BIGINT) AS dof,
               round(CASE WHEN dof > 0 THEN coalesce(least(1.0,
                 CASE WHEN zz >= 0 THEN $qPos ELSE 1.0 - $qNeg END), 0.0) END, 6) AS p_chi2,
               round(minum/n, 6) AS mutual_info,
