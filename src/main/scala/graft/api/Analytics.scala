@@ -666,6 +666,43 @@ object Analytics {
       .drop("__shard", "__id", "__tok")
   }
 
+  /** Whole-document first-fit-decreasing packing into token-budget
+    * bins, per shard — the padding-minimizing twin of packSequences
+    * (which concat-and-chunks, splitting documents across sequence
+    * boundaries). FFD is inherently sequential, so it runs per shard
+    * via typed mapGroups (the documented last-resort tier): the shard
+    * key bounds the in-memory state, exactly like the sessionizer's
+    * per-user state — shard your corpus so a shard's doc list fits an
+    * executor (the packer's contract at any scale). Deterministic:
+    * docs sorted by (tokens desc, id asc), first-fit into the
+    * lowest-indexed bin with room; oversize docs get their own bin,
+    * flagged. Output: (shard, id, tokens, bin, oversize). */
+  def packSequencesBestFit(df: DataFrame, shard: Column, id: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(shard.cast("string").as("shard"), id.cast("long").as("id"),
+        tokens.cast("long").as("tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (s, it) =>
+        val docs = it.toArray.sortBy { case (_, i, t) => (-t, i) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (_, i, t) =>
+          if (t > budget) {
+            loads += budget // oversize: own (full) bin, never refilled
+            (s, i, t, (loads.length - 1).toLong, true)
+          } else {
+            var b = 0
+            while (b < loads.length && loads(b) + t > budget) b += 1
+            if (b == loads.length) loads += t else loads(b) += t
+            (s, i, t, b.toLong, false)
+          }
+        }
+      }
+      .toDF("shard", "id", "tokens", "bin", "oversize")
+  }
+
   /** Gap sessionization over (key, ordered timestamp): cumulative
     * new-session counter; both windows share one shuffle. */
   def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,

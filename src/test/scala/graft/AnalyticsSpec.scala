@@ -268,6 +268,32 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(math.abs(out("g2").getAs[Double]("evenness") - 1.0) < 1e-9)
   }
 
+  test("packSequencesBestFit: every doc once, no bin over budget, beats naive packing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 300).map(i =>
+      ("s" + (i % 3), i.toLong, (rnd.nextInt(900) + 100).toLong)) :+
+      (("s0", 9999L, 5000L)) // oversize doc
+    val budget = 1000L
+    val out = api.Analytics.packSequencesBestFit(docs.toDF("sh", "id", "tok"),
+        col("sh"), col("id"), col("tok"), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.map(_._2).sorted.toSeq == docs.map(_._2).sorted, "every doc exactly once")
+    // bin loads within budget (oversize docs excepted, and flagged)
+    val loads = out.filterNot(_._5).groupBy(o => (o._1, o._4)).view.mapValues(_.map(_._3).sum)
+    assert(loads.values.forall(_ <= budget), s"over-budget bin: ${loads.filter(_._2 > budget)}")
+    assert(out.count(_._5) == 1 && out.find(_._5).get._2 == 9999L)
+    // FFD uses no more bins than naive in-id-order first-fit-on-last-bin
+    for (s <- Seq("s0", "s1", "s2")) {
+      val ffdBins = out.filter(o => o._1 == s && !o._5).map(_._4).distinct.length
+      val seq = docs.filter(d => d._1 == s && d._3 <= budget).sortBy(_._2)
+      var bins = 1; var load = 0L
+      seq.foreach { d => if (load + d._3 > budget) { bins += 1; load = d._3 } else load += d._3 }
+      assert(ffdBins <= bins, s"$s: FFD $ffdBins bins > naive $bins")
+    }
+  }
+
   test("saltedJoin equals the plain inner join on skewed keys") {
     import spark.implicits._
     // one hot key (90% of rows) + a long tail
