@@ -79,6 +79,56 @@ object StreamSessionize {
         col("p_ts"), col("c_ts"), col("c_val"))
   }
 
+  case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelAcc(t_view: Long, t_click: Long, t_purchase: Long, last_ms: Long)
+  case class FunnelOut(user_id: Long, viewed: Boolean, clicked: Boolean,
+    purchased: Boolean, ms_to_complete: Long)
+
+  /** Stateful ordered-funnel tracker — the streaming twin of
+    * Sessions.funnelConversion: per user, advance view → click →
+    * purchase only when each stage happens at-or-after the previous
+    * stage's first time. Emits a completed funnel immediately (state
+    * resets for the next one) or the partial progress when the
+    * event-time watermark passes the inactivity timeout. State is one
+    * small record per active user, timeout-evicted — bounded forever. */
+  def funnel(events: Dataset[FunnelEv],
+      timeoutMs: Long = 60L * 60 * 1000): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelAcc, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[FunnelAcc]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator(FunnelOut(userId, a.t_view >= 0, a.t_click >= 0, false, -1L))
+          } else {
+            var a = state.getOption.getOrElse(FunnelAcc(-1L, -1L, -1L, 0L))
+            val out = Seq.newBuilder[FunnelOut]
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              a = a.copy(last_ms = math.max(a.last_ms, t))
+              e.event_type match {
+                case "view" if a.t_view < 0 => a = a.copy(t_view = t)
+                case "click" if a.t_view >= 0 && a.t_click < 0 && t >= a.t_view =>
+                  a = a.copy(t_click = t)
+                case "purchase" if a.t_click >= 0 && t >= a.t_click =>
+                  out += FunnelOut(userId, true, true, true, t - a.t_view)
+                  a = FunnelAcc(-1L, -1L, -1L, t) // funnel complete: reset
+                case _ => ()
+              }
+            }
+            if (a.t_view >= 0) {
+              state.update(a)
+              state.setTimeoutTimestamp(a.last_ms + timeoutMs)
+            } else if (state.exists) state.remove()
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stateful gap sessionizer: one state record per user; a session is
     * emitted when the event-time watermark passes its gap timeout (or a
     * new event arrives beyond the gap). State size is O(active users).

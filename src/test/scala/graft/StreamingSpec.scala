@@ -38,6 +38,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming funnel completes in order, ignores out-of-order stages, times out partials") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamSessionize.FunnelEv]
+    val q = StreamSessionize.funnel(ms.toDS())
+      .writeStream.format("memory").queryName("funnels").outputMode("append").start()
+    try {
+      import StreamSessionize.FunnelEv
+      ms.addData(
+        // user 1: clean view -> click -> purchase
+        FunnelEv(1L, ts(0), "view"), FunnelEv(1L, ts(2), "click"), FunnelEv(1L, ts(4), "purchase"),
+        // user 2: purchase BEFORE any view/click must not complete
+        FunnelEv(2L, ts(0), "purchase"), FunnelEv(2L, ts(1), "view"),
+        // user 3: view then click, never purchases -> partial on timeout
+        FunnelEv(3L, ts(0), "view"), FunnelEv(3L, ts(1), "click"))
+      q.processAllAvailable()
+      // advance event time far past user 2/3's inactivity timeout
+      ms.addData(FunnelEv(9L, ts(300), "view"))
+      q.processAllAvailable()
+      ms.addData(FunnelEv(9L, ts(600), "view")) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val out = spark.table("funnels").as[StreamSessionize.FunnelOut].collect()
+        .map(f => f.user_id -> ((f.viewed, f.clicked, f.purchased, f.ms_to_complete))).toMap
+      assert(out(1L) == ((true, true, true, 4L * 60 * 1000)), s"user 1: ${out.get(1L)}")
+      assert(out(2L) == ((true, false, false, -1L)), s"user 2: ${out.get(2L)}")
+      assert(out(3L) == ((true, true, false, -1L)), s"user 3: ${out.get(3L)}")
+    } finally q.stop()
+  }
+
   test("native topk_by aggregate partial-merges inside a streaming windowed agg") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
