@@ -597,7 +597,7 @@ object Analytics {
     // deterministic per-row salt from the whole row content: no RNG
     // state, stable across retries/speculative tasks
     val b = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)).cast("int"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, Seq(key, "__salt")).drop("__salt")

@@ -335,7 +335,7 @@ object Similarity {
     val lNorm = left.select(leftKey.as("__k"), leftTs.as("__t"),
       lit(null).cast("long").as("__tb"), lit(1).as("__side"),
       lit(null).cast(rNorm.schema("asof_match").dataType).as("asof_match"),
-      struct(left.columns.map(col): _*).as("left_row"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("left_row"))
     val rAligned = rNorm.withColumn("left_row",
       lit(null).cast(lNorm.schema("left_row").dataType))
     val w = Window.partitionBy(col("__k"))
