@@ -48,7 +48,10 @@ object Bench {
     // min of N consecutive runs per query: single-run numbers on a
     // shared box swing ±50% with machine load; the minimum is the
     // reproducible steady-state cost that projects to cluster scale
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // (3 runs: whole-suite sweeps observed ±20% drift between full
+    // passes under load — the third sample reliably catches the
+    // steady state the first two sometimes both miss)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
