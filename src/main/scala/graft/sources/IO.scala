@@ -98,8 +98,13 @@ object IO {
     * scan); coalesce avoids a shuffle when shrinking the file count. */
   def compact(s: SparkSession, inPath: String, outPath: String,
       targetFileMB: Int = 512): Unit = {
-    val bytes = s.read.parquet(inPath).inputFiles
-      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    // Hadoop FS API, not java.io.File: input may live on any filesystem
+    // (hdfs://, s3a://, file://) — resolve per path
+    val conf = s.sessionState.newHadoopConf()
+    val bytes = s.read.parquet(inPath).inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     s.read.parquet(inPath).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
