@@ -41,9 +41,13 @@ object Analytics {
     val splits =
       if (files.isEmpty) 0L
       else {
-        val fs = org.apache.hadoop.fs.FileSystem.get(s.sessionState.newHadoopConf())
+        // per-path filesystem resolution (NOT FileSystem.get, which
+        // returns the DEFAULT fs): inputs may live on a scheme other
+        // than the cluster default (s3a on an hdfs-default cluster)
+        val conf = s.sessionState.newHadoopConf()
         files.map { f =>
-          val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+          val p = new org.apache.hadoop.fs.Path(f)
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen
           math.max(1L, (len + maxSplit - 1) / maxSplit)
         }.sum
       }
