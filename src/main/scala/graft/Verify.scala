@@ -32,6 +32,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: $e")
         Option(e.getCause).foreach(c => System.err.println(s"[verify]   cause: $c"))
       }
+      finally spark.catalog.clearCache() // drop per-query persists (LSH sigs etc.)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
