@@ -275,6 +275,39 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // 121. skim/glimpse-style table profile (the tidyverse data-audit
+  // idiom): one aggregation pass emitting per-column null counts,
+  // exact distincts, and numeric/date ranges for the orders table.
+  // Multiple countDistincts expand through ONE Expand pass — still a
+  // single scan; at 100 TB swap countDistinct for approx_count_distinct
+  // (Analytics.approxDistinct) and the plan loses the Expand entirely.
+  def profileTable(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
+      countDistinct(col("o_custkey")).as("custkey_distinct"),
+      countDistinct(col("o_orderpriority")).as("priority_distinct"),
+      countDistinct(col("o_orderstatus")).as("status_distinct"),
+      r(min(col("o_totalprice")), 4).as("totalprice_min"),
+      r(max(col("o_totalprice")), 4).as("totalprice_max"),
+      r(avg(col("o_totalprice")), 4).as("totalprice_mean"),
+      min(col("o_orderdate")).cast("string").as("orderdate_min"),
+      max(col("o_orderdate")).cast("string").as("orderdate_max"))
+
+  private val profileTableSql =
+    """SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+         count(DISTINCT o_custkey) AS custkey_distinct,
+         count(DISTINCT o_orderpriority) AS priority_distinct,
+         count(DISTINCT o_orderstatus) AS status_distinct,
+         round(min(o_totalprice), 4) AS totalprice_min,
+         round(max(o_totalprice), 4) AS totalprice_max,
+         round(avg(o_totalprice), 4) AS totalprice_mean,
+         CAST(min(o_orderdate) AS VARCHAR) AS orderdate_min,
+         CAST(max(o_orderdate) AS VARCHAR) AS orderdate_max
+       FROM orders"""
+
+  // ---------------------------------------------------------------
   // 111. pivot_wider (the inverse of #9 melt; tidyr::pivot_wider /
   // data.table::dcast): per-customer spend by priority as wide columns.
   // Explicit pivot values keep it ONE pass (no value-discovery scan)
@@ -397,6 +430,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table"          -> (profileTable _),
     "pivot_wide"             -> (pivotWide _),
     "semi_anti_join"         -> (semiAntiJoin _),
     "cat_assoc"              -> (catAssoc _),
@@ -419,6 +453,7 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "profile_table" -> profileTableSql,
     "pivot_wide" -> pivotWideSql,
     "semi_anti_join" -> semiAntiJoinSql,
     "cat_assoc" -> catAssocSql,
