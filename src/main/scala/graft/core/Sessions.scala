@@ -196,9 +196,12 @@ object Sessions {
   // ---------------------------------------------------------------
   // Value-per-bin along a continuous axis (tradeseq.R:131
   // get_value_per_bin: pseudotime → equal-width bins → mean per bin,
-  // here over event time per type). Bin assignment is pure integer
-  // arithmetic against the broadcast global range — exact in both
-  // engines, no float edge cases, one scan + one bounded-key shuffle.
+  // here over event time per type; the reference's fun_per_bin =
+  // "percent_expressing" mode is the pct_expressing column — the
+  // fraction of nonzero values per bin, tradeseq.R:133-139). Bin
+  // assignment is pure integer arithmetic against the broadcast global
+  // range — exact in both engines, no float edge cases, one scan + one
+  // bounded-key shuffle.
   def valuePerBin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
     val range = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
@@ -206,7 +209,8 @@ object Sessions {
       .withColumn("bin",
         expr("((ts_us - mn) * 20) div (mx - mn + 1)"))
       .groupBy(col("event_type"), col("bin"))
-      .agg(count(lit(1)).as("n"), r(avg(col("value")), 6).as("mean_value"))
+      .agg(count(lit(1)).as("n"), r(avg(col("value")), 6).as("mean_value"),
+        r(avg(when(col("value") =!= 0.0, 1.0).otherwise(0.0)), 6).as("pct_expressing"))
   }
 
   // ---------------------------------------------------------------
@@ -427,7 +431,8 @@ object Sessions {
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
          rng AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e)
          SELECT event_type, ((ts_us - mn) * 20) // (mx - mn + 1) AS bin,
-                count(*) AS n, round(avg(value), 6) AS mean_value
+                count(*) AS n, round(avg(value), 6) AS mean_value,
+                round(avg(CASE WHEN value <> 0.0 THEN 1.0 ELSE 0.0 END), 6) AS pct_expressing
          FROM e, rng GROUP BY 1, 2""",
     "ewma_user_value" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
