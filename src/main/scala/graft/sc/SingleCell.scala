@@ -332,6 +332,32 @@ object SingleCell {
   // separates a group): per-feature Welch t of the URGENT batch vs the
   // rest, log2FC, normal-approx two-sided p (Stats.normalUpperTail),
   // BH adjust. One agg pass; stats table is feature-sized.
+  // ---------------------------------------------------------------
+  // 122. start-vs-end trajectory contrast (tradeseq.R:43-129
+  // run_de_tests_tradeseq's startVsEndTest analog): per feature, Welch
+  // t of values in the EARLIEST 10% of the time axis vs the LATEST 10%.
+  // Tail cutoffs are pure integer arithmetic on the broadcast day range
+  // (mn + (mx−mn) div 10) — range-based like value_per_bin's bins, so
+  // there is no interpolated-quantile boundary to disagree on. Reuses
+  // the deMarkers aggregation (one pass over the tail rows).
+  def startVsEnd(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("day", expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400"))
+    val range = x.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val tagged = x.crossJoin(broadcast(range))
+      .withColumn("early", col("day") <= expr("mn + (mx - mn) div 10"))
+      .withColumn("late", col("day") >= expr("mx - (mx - mn) div 10"))
+      .filter(col("early") || col("late"))
+    graft.api.Analytics.deMarkers(tagged, col("l_partkey"), col("early"),
+        col("l_quantity"))
+      .select(col("feature"), col("n_a"), col("n_b"),
+        r(col("mean_a"), 6).as("mean_a"), r(col("mean_b"), 6).as("mean_b"),
+        r(col("log2fc"), 6).as("log2fc"), r(col("t_stat"), 6).as("t_stat"),
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
   def deMarkersQuery(s: SparkSession, dir: String): DataFrame = {
     val x = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
@@ -497,9 +523,48 @@ object SingleCell {
     "pseudotime_assoc"      -> (pseudotimeAssoc _),
     "trajectory_ols"        -> (trajectoryOls _),
     "spearman_assoc"        -> (spearmanAssoc _),
-    "entropy_by_group"      -> (entropyByGroup _))
+    "entropy_by_group"      -> (entropyByGroup _),
+    "start_vs_end"          -> (startVsEnd _))
 
   val oracles: Map[String, String] = Map(
+    "start_vs_end" -> {
+      val q = graft.core.Stats.normalUpperTailSql("abs(t_stat)")
+      s"""WITH x0 AS (
+           SELECT l_partkey AS feature, l_quantity AS x,
+                  CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         rng AS (SELECT min(day) AS mn, max(day) AS mx FROM x0),
+         x AS (
+           SELECT feature, x, day <= mn + (mx - mn) // 10 AS a
+           FROM x0, rng
+           WHERE day <= mn + (mx - mn) // 10 OR day >= mx - (mx - mn) // 10),
+         s AS (
+           SELECT feature,
+                  count(CASE WHEN a THEN 1 END) AS n_a,
+                  count(CASE WHEN NOT a THEN 1 END) AS n_b,
+                  avg(CASE WHEN a THEN x END) AS mean_a,
+                  avg(CASE WHEN NOT a THEN x END) AS mean_b,
+                  var_samp(CASE WHEN a THEN x END) AS var_a,
+                  var_samp(CASE WHEN NOT a THEN x END) AS var_b
+           FROM x GROUP BY 1),
+         scored AS (
+           SELECT feature, n_a, n_b, mean_a, mean_b,
+                  log2((mean_a + 1.0)/(mean_b + 1.0)) AS log2fc,
+                  (mean_a - mean_b)/nullif(sqrt(var_a/n_a + var_b/n_b), 0.0) AS t_stat
+           FROM s),
+         p AS (
+           SELECT *, coalesce(least(1.0, 2.0 * $q), 1.0) AS p_value FROM scored),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY p_value ASC, feature ASC) AS rk,
+                  count(*) OVER () AS m
+           FROM p)
+         SELECT feature, n_a, n_b, round(mean_a,6) AS mean_a,
+                round(mean_b,6) AS mean_b, round(log2fc,6) AS log2fc,
+                round(t_stat,6) AS t_stat, round(p_value,6) AS p_value,
+                round(least(1.0, min(p_value*m/rk) OVER (ORDER BY rk ASC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
+         FROM ranked"""
+    },
     "trajectory_ols" -> {
       val q = graft.core.Stats.normalUpperTailSql("abs(t_stat)")
       s"""WITH x AS (

@@ -124,8 +124,9 @@ class PlanSpec extends SparkSpecBase {
       "tfidf_top_terms", "knn_components",
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
       // pairwise_ks broadcasts the 10-row group-pair table into an
-      // OR-predicate tag join; value_per_bin attaches a 1-row range
-      "pairwise_ks", "value_per_bin",
+      // OR-predicate tag join; value_per_bin and start_vs_end attach a
+      // 1-row global range
+      "pairwise_ks", "value_per_bin", "start_vs_end",
       // ma_stats crosses the two aggregated DIM sets (samples × genes)
       // to build the dense log-CPM scaffold MA analysis requires
       // (missing entry ≡ count 0) — a bounded scaffold materialization,
