@@ -149,13 +149,58 @@ object Ann {
       .select(col("vertex").as("vec_id"), col("component").as("community"))
   }
 
+  // ---------------------------------------------------------------
+  // 123. per-cell LISI (integrate.R:188-266 measure_label_groupdiversity
+  // method "lisi" → immunogenomics/LISI): the LOCAL inverse Simpson of
+  // the label mix among each cell's k=30 cosine neighbors — the
+  // faithful per-cell form whose per-group cousin is #23. Neighborhoods
+  // come from the same top-k machinery as #37 (bounded-heap aggregate,
+  // O(q·k) exchange); at corpus scale feed LSH/IVF candidates instead
+  // of the brute-force scorer, identical downstream.
+  def localLisi(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val knn = graft.api.Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 30)
+      .select(col("qid"), col("neighbor_id"))
+    val counts = knn
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .groupBy(col("qid"), col("nlabel")).agg(count(lit(1)).as("c"))
+      .groupBy(col("qid"))
+      .agg(sum(col("c")).as("k_eff"), sum(col("c") * col("c")).as("c2"))
+    counts
+      .join(emb.select(col("vec_id"), col("label")), col("qid") === col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("k_eff").cast("long").as("k_eff"),
+        round(col("k_eff") * col("k_eff") / col("c2").cast("double"), 6).as("lisi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "local_lisi"          -> (localLisi _),
     "knn_components"      -> (knnComponents _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _))
 
   val oracles: Map[String, String] = Map(
+    "local_lisi" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, c.label AS nlabel,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rk
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
+         counts AS (
+           SELECT qid, nlabel, count(*) AS c FROM scored WHERE rk <= 30
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT qid, CAST(sum(c) AS BIGINT) AS k_eff,
+                  sum(c*c) AS c2
+           FROM counts GROUP BY 1)
+         SELECT e.vec_id, e.label, a.k_eff,
+                round(a.k_eff * a.k_eff / CAST(a.c2 AS DOUBLE), 6) AS lisi
+         FROM agg a JOIN embeddings e ON a.qid = e.vec_id""",
     "knn_components" ->
       """WITH RECURSIVE scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS nid,

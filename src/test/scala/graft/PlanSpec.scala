@@ -120,6 +120,9 @@ class PlanSpec extends SparkSpecBase {
     // the BNL there is a scalar attach, not a quadratic pair join
     val allowedQuadratic = Set(
       "dedup_embedding", "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
+      // local_lisi's neighborhoods come from the documented brute-force
+      // scorer (LSH/IVF candidates are the scale path)
+      "local_lisi",
       "dedup_ngram_jaccard", "threshold_tally", "feature_filter", "enrichment_ora",
       "tfidf_top_terms", "knn_components",
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
