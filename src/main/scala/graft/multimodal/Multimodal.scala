@@ -51,6 +51,21 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Build the media table from real files on any filesystem via the
+    * binaryFile source (IO.readBinaryFiles): path-hash ids, extension
+    * as format, stride-derived frame count — the ingestion end of the
+    * decode pipeline above. */
+  def mediaRecordsFromFiles(s: SparkSession, path: String,
+      glob: String = "*"): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.sources.IO.readBinaryFiles(s, path, glob)
+      .select(xxhash64(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("fmt"),
+        (floor(octet_length(col("content")) / 100) + 1).cast("int").as("n_frames"))
+      .as[MediaRecord]
+  }
+
   /** 44. metadata math over the opaque payload — SQL-checkable half of
     * the plumbing (octet length, checksum, frame count, sampled frame
     * offsets). The typed decode path is asserted in ScalaTest. */

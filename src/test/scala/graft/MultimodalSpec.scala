@@ -40,4 +40,22 @@ class MultimodalSpec extends SparkSpecBase {
     val recs = multimodal.Multimodal.mediaRecords(spark, sf).collect()
     recs.foreach(r => assert(meta(r.doc_id) == r.payload.length.toLong))
   }
+
+  test("binaryFile ingestion feeds the typed decode pipeline end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.img").toPath,
+        Array.tabulate[Byte](250)(i => (i % 128).toByte))
+      java.nio.file.Files.write(new java.io.File(dir, "b.img").toPath,
+        Array[Byte](10, 20, 30))
+      java.nio.file.Files.writeString(new java.io.File(dir, "skip.txt").toPath, "no")
+      val recs = multimodal.Multimodal.mediaRecordsFromFiles(spark, dir.getPath, "*.img")
+      val feats = multimodal.Multimodal.decodeAll(recs).collect()
+      assert(feats.length == 2, "glob must keep only the .img payloads")
+      val byLen = feats.map(f => f.byte_len -> f).toMap
+      assert(byLen(3).mean_level == 20.0)
+      assert(byLen(250).n_frames == 3) // 250 bytes at stride 100
+      assert(recs.collect().forall(_.fmt == "img"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
