@@ -116,6 +116,9 @@ object Sessions {
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
+        r(min(col("value")), 6).as("vmin"),
+        r(max(col("value")), 6).as("vmax"),
+        r(avg(col("value")), 6).as("vmean"),
         r(graft.core.Stats.quantileCol(col("value"), 0.5), 6).as("p50"),
         r(graft.core.Stats.quantileCol(col("value"), 0.95), 6).as("p95"),
         r(graft.core.Stats.quantileCol(col("value"), 0.99), 6).as("p99"))
@@ -473,6 +476,9 @@ object Sessions {
          GROUP BY 1, 2""",
     "group_quantiles" ->
       """SELECT event_type, count(*) AS n,
+         round(min(value), 6) AS vmin,
+         round(max(value), 6) AS vmax,
+         round(avg(value), 6) AS vmean,
          round(quantile_cont(value, 0.5), 6) AS p50,
          round(quantile_cont(value, 0.95), 6) AS p95,
          round(quantile_cont(value, 0.99), 6) AS p99
