@@ -213,6 +213,7 @@ object VectorFunctions {
   def simhash64(c: Column): Column = GraftGlue.column(SimHash64(toExpr(c)))
   def dot(a: Column, b: Column): Column = GraftGlue.column(DotProduct(toExpr(a), toExpr(b)))
   def charShingles(c: Column, n: Int = 5): Column = GraftGlue.column(CharShingles(toExpr(c), n))
+  def charNgrams(c: Column, n: Int): Column = GraftGlue.column(CharNgrams(toExpr(c), n))
   def jaccardSim(a: Column, b: Column): Column = GraftGlue.column(JaccardSim(toExpr(a), toExpr(b)))
   def minhashSigText(c: Column, n: Int = 5, numHashes: Int = 64): Column =
     GraftGlue.column(MinHashSigText(toExpr(c), n, numHashes))
@@ -273,6 +274,54 @@ case class CharShingles(child: Expression, n: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+/** ALL character n-grams of a string, in order WITH multiplicity —
+  * the language-model-counting sibling of CharShingles (which dedups
+  * for set similarity). Codegen'd: the higher-order
+  * transform(sequence(...)) formulation evaluates an interpreted
+  * lambda per n-gram (2× slower measured), and exploding positions
+  * first drags the whole string through the Generate. */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    val last = math.max(len - (n - 1), 1)
+    val out = new Array[AnyRef](last)
+    var i = 1
+    while (i <= last) { out(i - 1) = t.substringSQL(i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val len = ctx.freshName("len")
+      val last = ctx.freshName("last")
+      val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i")
+      s"""
+        int $len = $c.numChars();
+        int $last = java.lang.Math.max($len - ${n - 1}, 1);
+        Object[] $arr = new Object[$last];
+        for (int $i = 1; $i <= $last; $i++) {
+          $arr[$i - 1] = $c.substringSQL($i, $n);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
 }
 

@@ -277,7 +277,46 @@ object TextOps {
                 round(regr_r2(ln(c), ln(rank)), 6) AS r2
          FROM ranked"""
 
+  // ---------------------------------------------------------------
+  // 124. character-bigram LM score — the perplexity proxy of data
+  // cleaning: score every document by the mean log-probability of its
+  // character bigrams under the CORPUS's own bigram distribution
+  // (gibberish/markup/binary-ish text scores far below prose). Two
+  // passes: a bounded-vocab bigram count (|charset|² keys), then one
+  // scan re-joining each doc's bigram stream to the broadcast counts.
+  // Every bigram is corpus-attested, so no smoothing term is needed.
+  def charLmScore(s: SparkSession, dir: String): DataFrame = {
+    val t = trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.charNgrams(col("t"), 2)).as("g"))
+    val counts = bi.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).cast("double").as("tt"))
+    bi.join(broadcast(counts), "g")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        r(avg(log(col("c") / col("tt"))), 6).as("lm_score"))
+  }
+
+  private val charLmScoreSql =
+    raw"""WITH nrm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         bi AS (
+           SELECT doc_id, substr(t, CAST(i AS INT), 2) AS g
+           FROM nrm, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)
+           WHERE length(t) >= 2),
+         cnt AS (SELECT g, count(*) AS c FROM bi GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM cnt)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(c / tt)), 6) AS lm_score
+         FROM bi JOIN cnt USING (g), tot GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "char_lm_score"    -> (charLmScore _),
     "zipf_fit"         -> (zipfFit _),
     "bm25_top_terms"   -> (bm25TopTerms _),
     "pmi_bigrams"      -> (pmiBigrams _),
@@ -338,6 +377,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "char_lm_score" -> charLmScoreSql,
     "zipf_fit" -> zipfFitSql,
     "bm25_top_terms" ->
       """WITH terms AS (

@@ -126,6 +126,8 @@ class PlanSpec extends SparkSpecBase {
       "dedup_ngram_jaccard", "threshold_tally", "feature_filter", "enrichment_ora",
       "tfidf_top_terms", "knn_components",
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
+      // char_lm_score attaches the 1-row corpus bigram total
+      "char_lm_score",
       // pairwise_ks broadcasts the 10-row group-pair table into an
       // OR-predicate tag join; value_per_bin and start_vs_end attach a
       // 1-row global range

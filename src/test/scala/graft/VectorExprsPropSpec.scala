@@ -131,6 +131,21 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(a == b, s"agg=$a window=$b")
   }
 
+  test("charNgrams equals the substring reference with multiplicity and order") {
+    import spark.implicits._
+    val texts = samples(Gen.listOfN(12, Gen.oneOf('a', 'b', ' ')), 80)
+      .map(_.mkString) :+ "x" :+ "ab" // short-string edges
+    val df = texts.toDF("t")
+    val viaExpr = df.select(col("t"),
+        graft.functions.VectorFunctions.charNgrams(col("t"), 3).as("gs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { t =>
+      val ref = if (t.length <= 3) Seq(t)
+        else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+      assert(viaExpr(t) == ref, s"'$t'")
+    }
+  }
+
   test("boundedLevenshtein: exact within the cap, capped above it") {
     import spark.implicits._
     val words = samples(Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')), 60)
