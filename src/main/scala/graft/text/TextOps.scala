@@ -287,18 +287,26 @@ object TextOps {
   // Every bigram is corpus-attested, so no smoothing term is needed.
   def charLmScore(s: SparkSession, dir: String): DataFrame = {
     val t = trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))
-    val bi = Tables.documents(s, dir)
+    // per-doc bigram counts FIRST: the global counts and the scoring
+    // probe then both hang off the same (doc_id, g) exchange, so
+    // ReuseExchange runs the explode once (two raw explode consumers
+    // cost ~1s extra at sf0.1). The mean log-prob is computed in its
+    // weighted form Σ dc·ln(p) / Σ dc — identical value, and the
+    // oracle mirrors the same grouping so summation order agrees
+    // within 6dp rounding.
+    val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"), t.as("t"))
       .filter(length(col("t")) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.VectorFunctions.charNgrams(col("t"), 2)).as("g"))
-    val counts = bi.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("dc"))
+    val counts = perDoc.groupBy(col("g")).agg(sum(col("dc")).as("c"))
     val tot = counts.agg(sum(col("c")).cast("double").as("tt"))
-    bi.join(broadcast(counts), "g")
+    perDoc.join(broadcast(counts), "g")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        r(avg(log(col("c") / col("tt"))), 6).as("lm_score"))
+      .agg(sum(col("dc")).cast("long").as("n_bigrams"),
+        r(sum(col("dc") * log(col("c") / col("tt"))) / sum(col("dc")), 6).as("lm_score"))
   }
 
   private val charLmScoreSql =
@@ -309,11 +317,12 @@ object TextOps {
            SELECT doc_id, substr(t, CAST(i AS INT), 2) AS g
            FROM nrm, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)
            WHERE length(t) >= 2),
-         cnt AS (SELECT g, count(*) AS c FROM bi GROUP BY 1),
+         per_doc AS (SELECT doc_id, g, count(*) AS dc FROM bi GROUP BY 1, 2),
+         cnt AS (SELECT g, sum(dc) AS c FROM per_doc GROUP BY 1),
          tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM cnt)
-         SELECT doc_id, count(*) AS n_bigrams,
-                round(avg(ln(c / tt)), 6) AS lm_score
-         FROM bi JOIN cnt USING (g), tot GROUP BY 1"""
+         SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_bigrams,
+                round(sum(dc * ln(c / tt)) / sum(dc), 6) AS lm_score
+         FROM per_doc JOIN cnt USING (g), tot GROUP BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "char_lm_score"    -> (charLmScore _),
