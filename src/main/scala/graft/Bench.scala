@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components",
-    "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters")
+    "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters",
+    "kmeans_elbow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -14,12 +14,15 @@ object SparkEntry {
       (core.Relational.queries, core.Relational.oracles),
       (sc.SingleCell.queries, sc.SingleCell.oracles),
       (sc.BulkQc.queries, sc.BulkQc.oracles),
+      (sc.Annotate.queries, sc.Annotate.oracles),
+      (sc.Trajectory.queries, sc.Trajectory.oracles),
       (text.TextOps.queries, text.TextOps.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),
       (ml.Reduce.queries, ml.Reduce.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
-      (core.Sessions.queries, core.Sessions.oracles)
+      (core.Sessions.queries, core.Sessions.oracles),
+      (core.Scores.queries, core.Scores.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -707,6 +707,232 @@ object Analytics {
       .toDF("shard", "id", "tokens", "bin", "oversize")
   }
 
+  /** SingleR-style correlation annotation (compare_annotation.R:57-113's
+    * upstream: the score matrix its `singler_obj` carries): correlate
+    * each entity's value vector against per-label reference centroids
+    * over a FIXED feature panel of `panelSize` dims (missing features
+    * = 0), assign the best-correlated label, report the score and the
+    * SingleR "delta" (top − runner-up).
+    *
+    * Never materializes the dense entity×panel grid: Pearson over n
+    * fixed dims needs only Σx, Σx², Σxc from an entity's PRESENT rows
+    * (absent dims contribute 0) plus the per-label panel constants
+    * Σc, Σc² — so the plan is one groupBy on (entity, label) after a
+    * broadcast join to the (label × panel) centroid table (|labels| ×
+    * panelSize rows, tiny by construction). Scales linearly in matrix
+    * rows with a bounded ×|labels| fan-out; the per-entity argmax
+    * window partition is |labels| rows.
+    *
+    * `m` is the long matrix (entity, feature ∈ [0, panelSize), value);
+    * `entityLabels` maps entity → training label (the reference atlas,
+    * reference.R:75-165). Scores are rounded to 6dp BEFORE the argmax
+    * so rank order is engine-stable. */
+  def annotateByCorrelation(m: DataFrame, entity: Column, feature: Column,
+      value: Column, entityLabels: DataFrame, labelEntity: Column,
+      label: Column, panelSize: Int): DataFrame = {
+    val n = lit(panelSize.toDouble)
+    val lab = entityLabels.select(labelEntity.as("__le"), label.as("__own"))
+    // ONE fact shuffle, everything else pipelined on it: the labeled
+    // matrix is repartitioned by entity (this IS the partitioning every
+    // downstream step needs — not an extra exchange), so the (entity,
+    // fb) rollup, the per-entity sparse vector, the entity counts, and
+    // the final argmax all plan WITHOUT further fact-sized exchanges;
+    // only the bounded centroid aggregates (≤ |labels|·panel keys after
+    // map-side partials) shuffle again. The naive branch-per-concept
+    // form re-scanned and re-shuffled the fact table four times and
+    // paid a ×|labels| fan-out hash-agg (6.6s → 1.x s at sf0.1).
+    val raw = m.select(entity.as("entity"), feature.as("fb"), value.as("x"))
+      .join(lab, col("entity") === col("__le")).drop("__le")
+      .repartition(col("entity"))
+    val m2 = raw.groupBy(col("entity"), col("fb"), col("__own")).agg(sum(col("x")).as("x"))
+    val nEnt = m2.groupBy(col("__own")).agg(countDistinct(col("entity")).as("__n_ent"))
+    val cent = m2.groupBy(col("__own"), col("fb")).agg(sum(col("x")).as("__csx"))
+      .join(broadcast(nEnt), "__own")
+      .select(col("__own").as("label"), col("fb"), (col("__csx") / col("__n_ent")).as("c"))
+    // panel constants: absent (label, fb) cells are exact zeros and
+    // contribute nothing to Σc / Σc², so summing present cells is exact
+    val labelStats = cent.groupBy(col("label"))
+      .agg(sum(col("c")).as("__sc"), sum(col("c") * col("c")).as("__scc"))
+    val centMap = cent.groupBy(col("label"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("fb"), col("c")))))
+        .as("__cmp"))
+      .join(broadcast(labelStats), "label")
+    // per-entity sparse vector (sorted for deterministic summation
+    // order) + its moments, in one pipelined agg
+    val ent = m2.groupBy(col("entity"))
+      .agg(sort_array(collect_list(struct(col("fb"), col("x")))).as("__lst"),
+        sum(col("x")).as("__sx"), sum(col("x") * col("x")).as("__sxx"))
+    // Σ x·c as a sparse dot against the broadcast centroid map —
+    // entities are ~panel-sparse, so this walks only present features
+    val scored = ent.crossJoin(broadcast(centMap))
+      .withColumn("__sxc", aggregate(col("__lst"), lit(0.0), (acc, s) =>
+        acc + s.getField("x") *
+          coalesce(element_at(col("__cmp"), s.getField("fb")), lit(0.0))))
+    val varX = col("__sxx") - col("__sx") * col("__sx") / n
+    val varC = col("__scc") - col("__sc") * col("__sc") / n
+    val withScore = scored.withColumn("score", round(
+      when(varX > 0 && varC > 0,
+        (col("__sxc") - col("__sx") * col("__sc") / n) / sqrt(varX * varC)), 6))
+    // argmax + runner-up WITHOUT a rank window: each entity carries
+    // exactly |labels| scored rows, so a sorted collect_list is a
+    // bounded-size object agg riding the same entity partitioning (no
+    // exchange, no per-entity sort shuffle). Sort key (−score, label)
+    // ≡ the oracle's (score DESC, label ASC); a null score (degenerate
+    // variance) sorts last via the +MaxValue key.
+    val ns = when(col("score").isNull, lit(Double.MaxValue)).otherwise(-col("score"))
+    withScore.groupBy(col("entity"))
+      .agg(sort_array(collect_list(struct(ns.as("ns"), col("label").as("l"),
+        col("score").as("sc"))), asc = true).as("__a"))
+      .select(col("entity"),
+        element_at(col("__a"), 1).getField("l").as("top_label"),
+        element_at(col("__a"), 1).getField("sc").as("score"),
+        round(element_at(col("__a"), 1).getField("sc") -
+          element_at(col("__a"), 2).getField("sc"), 6).as("delta_next"))
+  }
+
+  /** GSEA enrichment score per gene set (the ranked companion of the
+    * over-representation test, funx_enrichment.R:19-158): rank ALL
+    * features by `stat` descending, walk the list accumulating
+    * +stat/Σ_set stat on set members and −1/(N−m) on non-members; ES is
+    * the maximum signed deviation of the running sum (classic weighted
+    * KS statistic, p=1). `sets` maps set_label → member feature.
+    *
+    * The feature axis is bounded (genes / vocabulary), so the tagged
+    * list is |features| × |sets| rows and each running-sum window
+    * partition is |features| rows — never corpus-sized. `stat` should
+    * arrive pre-rounded so both engines rank identical doubles. */
+  def gseaScore(features: DataFrame, feature: Column, stat: Column,
+      sets: DataFrame, setLabel: Column, setMember: Column): DataFrame = {
+    val f = features.select(feature.as("feature"), stat.as("stat"))
+    val mem = sets.select(setLabel.as("__set"), setMember.as("__mf")).distinct()
+    // alias through distinct so the join below compares two DISTINCT
+    // attributes (set_label vs __set), never mem's column with itself
+    val setNames = mem.select(col("__set").as("set_label")).distinct()
+    val nFeat = f.agg(count(lit(1)).as("__n_feat"))
+    val tagged = f.crossJoin(broadcast(setNames))
+      .join(broadcast(mem), col("set_label") === col("__set") &&
+        col("feature") === col("__mf"), "left_outer")
+      .select(col("feature"), col("stat"), col("set_label"),
+        col("__mf").isNotNull.as("__hit"))
+    val setStats = tagged.filter(col("__hit")).groupBy(col("set_label"))
+      .agg(count(lit(1)).as("n_members"), sum(col("stat")).as("__s_sum"))
+    val w = Window.partitionBy(col("set_label"))
+      .orderBy(col("stat").desc, col("feature").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.join(broadcast(setStats), "set_label").crossJoin(broadcast(nFeat))
+      .withColumn("__step", when(col("__hit"), col("stat") / col("__s_sum"))
+        .otherwise(lit(-1.0) / (col("__n_feat") - col("n_members"))))
+      .withColumn("__run", sum(col("__step")).over(w))
+      .groupBy(col("set_label"), col("n_members"))
+      .agg(max(col("__run")).as("__mx"), min(col("__run")).as("__mn"))
+      .select(col("set_label"), col("n_members"),
+        round(when(col("__mx") >= -col("__mn"), col("__mx"))
+          .otherwise(col("__mn")), 6).as("es"))
+  }
+
+  /** emptyDrops-style ambient test (wrapper.R:70-76 plot_ambientPval →
+    * DropletUtils::emptyDrops): entities with total ≤ the `lowQuantile`
+    * total form the ambient pool; its Laplace-smoothed feature profile
+    * is the null multinomial, and every entity ABOVE the threshold gets
+    * a G-statistic 2·Σ c·ln(c/(T·p)) against it with a Wilson–Hilferty
+    * χ²(panelSize−1) p-value (deterministic analytic form in place of
+    * the reference's Monte-Carlo p — same decision semantics). Low p ⇒
+    * the barcode deviates from ambient ⇒ a real cell.
+    *
+    * The ambient profile is a panelSize-row broadcast; the test is one
+    * groupBy over present (entity, feature) rows — zeros contribute 0.
+    * The threshold is rounded to 6dp so both engines cut identically. */
+  def ambientTest(m: DataFrame, entity: Column, feature: Column, value: Column,
+      panelSize: Int, lowQuantile: Double = 0.25, pCut: Double = 0.01): DataFrame = {
+    val mx = m.select(entity.as("entity"), feature.as("fb"), value.as("x"))
+    val tot = mx.groupBy(col("entity")).agg(sum(col("x")).as("total"))
+    val thr = tot.agg(round(Stats.quantileCol(col("total"), lowQuantile), 6).as("__thr"))
+    val withThr = mx.join(tot, "entity").crossJoin(broadcast(thr))
+    val amb = withThr.filter(col("total") <= col("__thr"))
+      .groupBy(col("fb")).agg(sum(col("x")).as("__amb"))
+    val ambTot = amb.agg(sum(col("__amb")).as("__amb_tot"))
+    val dof = lit((panelSize - 1).toDouble)
+    val g = withThr.filter(col("total") > col("__thr"))
+      .join(broadcast(amb), Seq("fb"), "left_outer").crossJoin(broadcast(ambTot))
+      .withColumn("__p", (coalesce(col("__amb"), lit(0.0)) + lit(1.0)) /
+        (col("__amb_tot") + lit(panelSize.toDouble)))
+      .groupBy(col("entity"), col("total"))
+      .agg((lit(2.0) * sum(col("x") * log(col("x") / (col("total") * col("__p")))))
+        .as("g_stat"))
+    val z = (cbrt(col("g_stat") / dof) - (lit(1.0) - lit(2.0) / (lit(9.0) * dof))) /
+      sqrt(lit(2.0) / (lit(9.0) * dof))
+    val pTail = when(z >= 0, Stats.normalUpperTail(z))
+      .otherwise(lit(1.0) - Stats.normalUpperTail(-z))
+    g.withColumn("p_value", round(coalesce(least(lit(1.0), pTail), lit(0.0)), 6))
+      // flag from the ROUNDED p so both engines cut identically
+      .withColumn("looks_cell", col("p_value") < pCut)
+      .select(col("entity"), col("total"), round(col("g_stat"), 6).as("g_stat"),
+        col("p_value"), col("looks_cell"))
+  }
+
+  /** ROC AUC of a score against a binary label, per group — the
+    * Mann-Whitney U form over per-value counts (tie-averaged midranks),
+    * the standard audit of a model-based quality-filter score. Exact
+    * rational arithmetic from integer counts; one bounded window over
+    * DISTINCT score values per group (pre-bin huge-cardinality scores
+    * through the quantile sketch first at corpus scale). */
+  def rocAuc(df: DataFrame, group: Column, score: Column,
+      positive: Column): DataFrame = {
+    val counts = df.select(group.as("group"), score.as("__s"),
+        positive.cast("int").as("__y"))
+      .groupBy(col("group"), col("__s"))
+      .agg(sum(col("__y")).as("__n1"), sum(lit(1) - col("__y")).as("__n0"))
+    val w = Window.partitionBy(col("group")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cum", sum(col("__n1") + col("__n0")).over(w))
+      // tie-averaged midrank of this value block = rank before it + (block+1)/2
+      .withColumn("__midrank",
+        (col("__cum") - (col("__n1") + col("__n0"))).cast("double") +
+          (col("__n1") + col("__n0") + 1).cast("double") / 2.0)
+      .groupBy(col("group"))
+      .agg(sum(col("__n1")).as("n_pos"), sum(col("__n0")).as("n_neg"),
+        sum(col("__midrank") * col("__n1")).as("__r1"))
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__r1") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg"))), 6).as("auc"))
+  }
+
+  /** Population stability index between a baseline and a comparison
+    * slice of a score distribution, per group: 10 fixed-width bins over
+    * the group's GLOBAL [min, max] span, Laplace-smoothed proportions,
+    * PSI = Σ (p−q)·ln(p/q) — the standard drift monitor for quality /
+    * classifier scores between pipeline runs. Bin edges are exact
+    * min/max arithmetic (no summation), so both engines bin
+    * identically; bins with no mass still enter via smoothing. */
+  def psi(df: DataFrame, group: Column, value: Column, inBaseline: Column,
+      nBins: Int = 10): DataFrame = {
+    val v = df.select(group.as("group"), value.as("__v"),
+      inBaseline.cast("int").as("__b"))
+    val span = v.groupBy(col("group"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val binned = v.join(broadcast(span), "group")
+      .withColumn("__bin", when(col("__mx") > col("__mn"), least(lit(nBins - 1),
+        floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn")) * nBins)
+          .cast("int"))).otherwise(lit(0)))
+      .groupBy(col("group"), col("__bin"))
+      .agg(sum(col("__b")).as("__c1"), sum(lit(1) - col("__b")).as("__c0"))
+    // dense bin grid: empty bins still carry smoothed mass
+    val grid = span.select(col("group"))
+      .crossJoin(broadcast(v.sparkSession.range(nBins).select(col("id").cast("int").as("__bin"))))
+    grid.join(binned, Seq("group", "__bin"), "left_outer")
+      .withColumn("__c1", coalesce(col("__c1"), lit(0L)))
+      .withColumn("__c0", coalesce(col("__c0"), lit(0L)))
+      .withColumn("__t1", sum(col("__c1")).over(Window.partitionBy(col("group"))))
+      .withColumn("__t0", sum(col("__c0")).over(Window.partitionBy(col("group"))))
+      .withColumn("__p", (col("__c1") + lit(0.5)) / (col("__t1") + lit(0.5) * nBins))
+      .withColumn("__q", (col("__c0") + lit(0.5)) / (col("__t0") + lit(0.5) * nBins))
+      .groupBy(col("group"))
+      .agg(max(col("__t1")).as("n_baseline"), max(col("__t0")).as("n_current"),
+        round(sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6).as("psi"))
+  }
+
   /** Gap sessionization over (key, ordered timestamp): cumulative
     * new-session counter; both windows share one shuffle. */
   def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,

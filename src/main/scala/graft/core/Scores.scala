@@ -1,0 +1,134 @@
+package graft.core
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Score-quality analytics (SURVEY.md §2.9): the audit layer a
+  * model-scored data pipeline needs around its quality/classifier
+  * scores — discrimination (ROC AUC) and drift (PSI) — next to the
+  * distribution-shift screens (KL #86, pairwise KS #94).
+  */
+object Scores {
+
+  // ---------------------------------------------------------------
+  // 128. ROC AUC of a quality score against a binary label, per group:
+  // does n_chars discriminate English docs within each source? The
+  // Mann-Whitney midrank form over per-value counts — exact rational
+  // arithmetic, one bounded window over distinct score values.
+  def scoreAuc(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.rocAuc(Tables.documents(s, dir),
+        col("source"), col("n_chars"), col("lang") === "en")
+      .select(col("group").as("source"), col("n_pos"), col("n_neg"), col("auc"))
+
+  private val scoreAucSql =
+    """WITH counts AS (
+         SELECT source, n_chars AS s,
+                count(CASE WHEN lang = 'en' THEN 1 END) AS n1,
+                count(CASE WHEN lang <> 'en' THEN 1 END) AS n0
+         FROM documents GROUP BY 1, 2),
+       mr AS (
+         SELECT source, n1, n0,
+                CAST(sum(n1 + n0) OVER (PARTITION BY source ORDER BY s ASC
+                     ROWS UNBOUNDED PRECEDING) - (n1 + n0) AS DOUBLE)
+                  + CAST(n1 + n0 + 1 AS DOUBLE) / 2.0 AS midrank
+         FROM counts)
+       SELECT source, CAST(sum(n1) AS BIGINT) AS n_pos,
+              CAST(sum(n0) AS BIGINT) AS n_neg,
+              round(CASE WHEN sum(n1) > 0 AND sum(n0) > 0 THEN
+                (sum(midrank * n1) - CAST(sum(n1) AS DOUBLE) * (sum(n1) + 1) / 2.0)
+                  / (CAST(sum(n1) AS DOUBLE) * sum(n0)) END, 6) AS auc
+       FROM mr GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 129. PSI score drift per event type between the first and second
+  // half of the stream (by the global ns-timestamp midpoint — exact
+  // integer arithmetic, no double rounding at e18 magnitudes): 10
+  // fixed-width bins over each type's global value span, smoothed.
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"), col("ts_ns"))
+    val rng = e.agg(min(col("ts_ns")).as("__mnts"), max(col("ts_ns")).as("__mxts"))
+    val tagged = e.crossJoin(broadcast(rng))
+      // `div` = exact integral division: ns timestamps sit at ~1.8e18,
+      // past double's 2^53 exact range, so `/` (double) would misplace
+      // the midpoint cut
+      .withColumn("__base", col("ts_ns") <= expr("__mnts + (__mxts - __mnts) div 2"))
+    graft.api.Analytics.psi(tagged, col("event_type"), col("value"), col("__base"))
+      .select(col("group").as("event_type"), col("n_baseline"),
+        col("n_current"), col("psi"))
+  }
+
+  private val psiDriftSql =
+    """WITH rng AS (
+         SELECT min(epoch_ns(ts)) AS mnts, max(epoch_ns(ts)) AS mxts FROM events),
+       e AS (
+         SELECT event_type, value,
+                (epoch_ns(ts) <= mnts + (mxts - mnts) // 2) AS b
+         FROM events, rng),
+       span AS (
+         SELECT event_type, min(value) AS vmn, max(value) AS vmx FROM e GROUP BY 1),
+       binned AS (
+         SELECT e.event_type,
+                CASE WHEN vmx > vmn THEN least(9,
+                  CAST(floor((value - vmn) / (vmx - vmn) * 10) AS INT))
+                ELSE 0 END AS bin,
+                count(CASE WHEN b THEN 1 END) AS c1,
+                count(CASE WHEN NOT b THEN 1 END) AS c0
+         FROM e JOIN span ON e.event_type = span.event_type GROUP BY 1, 2),
+       grid AS (
+         SELECT event_type, bin
+         FROM span CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin)),
+       dense AS (
+         SELECT grid.event_type, grid.bin,
+                coalesce(c1, 0) AS c1, coalesce(c0, 0) AS c0
+         FROM grid LEFT JOIN binned
+           ON grid.event_type = binned.event_type AND grid.bin = binned.bin),
+       tot AS (
+         SELECT event_type, c1, c0,
+                sum(c1) OVER (PARTITION BY event_type) AS t1,
+                sum(c0) OVER (PARTITION BY event_type) AS t0
+         FROM dense)
+       SELECT event_type, CAST(max(t1) AS BIGINT) AS n_baseline,
+              CAST(max(t0) AS BIGINT) AS n_current,
+              round(sum(((c1 + 0.5) / (t1 + 5.0) - (c0 + 0.5) / (t0 + 5.0))
+                * ln(((c1 + 0.5) / (t1 + 5.0)) / ((c0 + 0.5) / (t0 + 5.0)))), 6) AS psi
+       FROM tot GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 135. time-decayed aggregate per entity (the feature-store recency
+  // smoother; exponential half-life weighting to the corpus's newest
+  // timestamp): Σ v·2^(−age/halflife), half-life 24 h. One bounded-key
+  // aggregation; ages are exact long ns diffs cast to double hours
+  // (diffs span days ≪ 2⁵³, so the cast is exact).
+  def decayedSum(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("value"), col("ts_ns"))
+    val mx = e.agg(max(col("ts_ns")).as("__mxts"))
+    e.crossJoin(broadcast(mx))
+      .withColumn("__age_h",
+        (col("__mxts") - col("ts_ns")).cast("double") / lit(3.6e12))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") *
+          exp(lit(-math.log(2.0) / 24.0) * col("__age_h"))), 6).as("decayed_sum"),
+        round(sum(col("value")), 4).as("total"))
+  }
+
+  private val decayedSumSql =
+    """WITH mx AS (SELECT max(epoch_ns(ts)) AS mxts FROM events)
+       SELECT user_id, count(*) AS n_events,
+              round(sum(value * exp(-ln(2)/24.0 *
+                (CAST(mxts - epoch_ns(ts) AS DOUBLE)/3600000000000.0))), 6)
+                AS decayed_sum,
+              round(sum(value), 4) AS total
+       FROM events, mx GROUP BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "score_auc"   -> (scoreAuc _),
+    "psi_drift"   -> (psiDrift _),
+    "decayed_sum" -> (decayedSum _))
+
+  val oracles: Map[String, String] = Map(
+    "score_auc"   -> scoreAucSql,
+    "psi_drift"   -> psiDriftSql,
+    "decayed_sum" -> decayedSumSql)
+}

@@ -110,7 +110,38 @@ object Reduce {
               round(avg(b), 6) AS mean_nearest_other
        FROM per GROUP BY 1"""
 
+  /** 131. evaluate-k sweep (tradeseq.R:6-40 run_evaluatek_ntimes: pick
+    * the knot count by repeated fits across a k range — re-expressed as
+    * the clustering elbow): KMeans training cost (within-cluster SSE)
+    * for k = 2..8, repeated `n` times with distinct seeds (the
+    * reference's seed_val = 290 base), reporting mean/min cost per k.
+    * Rows-only: MLlib estimator fits aren't SQL-expressible; the spec
+    * asserts the cost curve is monotone between the endpoints. Each fit
+    * is distributed; the sweep loop is driver-side over 7×2 tiny fits
+    * and the result is a 7-row table. */
+  def kmeansElbow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = Tables.embeddings(s, dir)
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+    vecs.persist()
+    try {
+      val rows = for (k <- 2 to 8) yield {
+        val costs = for (rep <- 0 until 2) yield {
+          val m = new KMeans().setK(k).setSeed(290L + rep).setFeaturesCol("fv").fit(vecs)
+          m.summary.trainingCost
+        }
+        (k, costs.min, costs.sum / costs.size)
+      }
+      import s.implicits._
+      rows.toDF("k", "min_cost", "mean_cost")
+        .select(col("k"), round(col("min_cost"), 4).as("min_cost"),
+          round(col("mean_cost"), 4).as("mean_cost"))
+    } finally { vecs.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_elbow"      -> (kmeansElbow _),
     "pca_embeddings"    -> (pcaEmbeddings _),
     "kmeans_clusters"   -> (kmeansClusters _),
     "bisecting_clusters" -> (bisectingClusters _),

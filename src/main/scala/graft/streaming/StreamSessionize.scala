@@ -79,6 +79,45 @@ object StreamSessionize {
         col("p_ts"), col("c_ts"), col("c_val"))
   }
 
+  /** Streaming PSI drift monitor — the streaming twin of
+    * core.Scores.psiDrift: per tumbling window and event type, bin the
+    * value stream against a STATIC baseline's bin edges and compare the
+    * window's bin mix to the baseline proportions with the smoothed
+    * PSI. Everything reduces to ONE streaming aggregation (bin counts
+    * as 10 conditional-count columns, the cross-bin PSI combine is
+    * plain post-agg column arithmetic), so it runs in append mode with
+    * watermark-bounded state — the multi-aggregation formulation
+    * Structured Streaming forbids is never needed.
+    *
+    * `baseline`: (event_type, vmn, vmx, q0..q9) — the reference
+    * proportions, precomputed offline (e.g. by Analytics.psi's binning
+    * over the training corpus) and broadcast to every micro-batch. */
+  def psiMonitor(events: DataFrame, baseline: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val nBins = 10
+    val binned = events
+      .withWatermark("ts", watermark)
+      .join(broadcast(baseline.select(col("event_type"), col("vmn"), col("vmx"))),
+        Seq("event_type"))
+      .withColumn("__bin", when(col("vmx") > col("vmn"), least(lit(nBins - 1),
+        floor((col("value") - col("vmn")) / (col("vmx") - col("vmn")) * nBins)
+          .cast("int"))).otherwise(lit(0)))
+    val counts = binned
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (0 until nBins).map(i =>
+          count(when(col("__bin") === i, lit(1))).as(s"__c$i")): _*)
+    val terms = (0 until nBins).map { i =>
+      val p = (col(s"__c$i") + lit(0.5)) / (col("n") + lit(0.5 * nBins))
+      val q = col(s"q$i")
+      (p - q) * log(p / q)
+    }
+    counts
+      .join(broadcast(baseline), Seq("event_type"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), terms.reduce(_ + _).as("psi"))
+  }
+
   case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class FunnelAcc(t_view: Long, t_click: Long, t_purchase: Long, last_ms: Long)
   case class FunnelOut(user_id: Long, viewed: Boolean, clicked: Boolean,

@@ -324,7 +324,44 @@ object TextOps {
                 round(sum(dc * ln(c / tt)) / sum(dc), 6) AS lm_score
          FROM per_doc JOIN cnt USING (g), tot GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 130. duplicated-span audit (the C4/RealNews sentence-level dedup
+  // signal): split every doc on '. ', keep spans ≥ 20 chars, count how
+  // many docs carry each span, and score each doc by its fraction of
+  // corpus-duplicated spans. Spans travel as xxhash64 longs (the
+  // source_overlap trick — the oracle counts strings; collision odds
+  // |spans|²/2⁶⁵ are far below any other bound here); the distinct
+  // pair set and the frequency join hang off the SAME (hash) exchange
+  // via shuffle_hash hints, so the explode runs once.
+  def paraDedup(s: SparkSession, dir: String): DataFrame = {
+    val sent = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+      .filter(length(col("sent")) >= 20)
+      .select(col("doc_id"), xxhash64(col("sent")).as("h"))
+      .distinct()
+    val freq = sent.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sent.hint("shuffle_hash").join(freq.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_span"),
+        count(when(col("df") >= 2, lit(1))).as("n_dup"))
+      .select(col("doc_id"), col("n_span"), col("n_dup"),
+        r(col("n_dup").cast("double") / col("n_span"), 6).as("dup_frac"))
+  }
+
+  private val paraDedupSql =
+    """WITH sent AS (
+         SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
+         WHERE length(s) >= 20),
+       freq AS (SELECT s, count(*) AS df FROM sent GROUP BY 1)
+       SELECT doc_id, count(*) AS n_span,
+              count(CASE WHEN df >= 2 THEN 1 END) AS n_dup,
+              round(CAST(count(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE)
+                    / count(*), 6) AS dup_frac
+       FROM sent JOIN freq USING (s) GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "para_dedup"       -> (paraDedup _),
     "char_lm_score"    -> (charLmScore _),
     "zipf_fit"         -> (zipfFit _),
     "bm25_top_terms"   -> (bm25TopTerms _),
@@ -386,6 +423,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "para_dedup" -> paraDedupSql,
     "char_lm_score" -> charLmScoreSql,
     "zipf_fit" -> zipfFitSql,
     "bm25_top_terms" ->

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the annotation/score/drift operators added in
+  * round 3 (SURVEY.md §2.9 #125-131): crafted inputs with known
+  * answers for the generic API, plus structural invariants for the
+  * MLlib elbow sweep (rows-only at the driver gate).
+  */
+class AnnotateScoresSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("annotateByCorrelation assigns the label whose centroid matches") {
+    // two labels with orthogonal profiles over a 4-dim panel; each
+    // entity is a noisy copy of one profile → must recover its label
+    val m = Seq(
+      // entities 1, 2 ~ label A profile (high on dims 0, 1)
+      (1L, 0, 10.0), (1L, 1, 8.0), (1L, 2, 1.0),
+      (2L, 0, 9.0), (2L, 1, 7.0), (2L, 3, 2.0),
+      // entities 3, 4 ~ label B profile (high on dims 2, 3)
+      (3L, 2, 11.0), (3L, 3, 9.0), (3L, 0, 1.0),
+      (4L, 2, 10.0), (4L, 3, 8.0), (4L, 1, 2.0)
+    ).toDF("entity", "fb", "x")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("e", "label")
+    val out = api.Analytics.annotateByCorrelation(m, col("entity"), col("fb"),
+        col("x"), labels, col("e"), col("label"), panelSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))
+  }
+
+  test("gseaScore: top-concentrated set scores near +1, es within [-1, 1]") {
+    // 10 features ranked by stat; set "top" = the 3 best, set "bottom"
+    // = the 3 worst. ES(top) must be strongly positive and > ES(bottom).
+    val feats = (1 to 10).map(i => (i, (11 - i).toDouble)).toDF("feature", "stat")
+    val sets = (Seq(1, 2, 3).map(("top", _)) ++ Seq(8, 9, 10).map(("bottom", _)))
+      .toDF("set_label", "member")
+    val es = api.Analytics.gseaScore(feats, col("feature"), col("stat"),
+        sets, col("set_label"), col("member"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(es("top") > 0.8 && es("top") <= 1.0)
+    assert(es("bottom") < 0.0 && es("bottom") >= -1.0)
+    assert(es("top") > es("bottom"))
+  }
+
+  test("ambientTest flags profile-deviant entities, not ambient-like ones") {
+    // ambient pool: many small entities spread evenly over 4 dims; one
+    // big entity matches the pool profile (high p), another
+    // concentrates all mass on one dim (low p → looks_cell)
+    val low = (1 to 20).flatMap(e => (0 until 4).map(d => (e.toLong, d, 5.0)))
+    val even = (0 until 4).map(d => (100L, d, 250.0))
+    val spiky = Seq((200L, 0, 1000.0))
+    val m = (low ++ even ++ spiky).toDF("entity", "fb", "x")
+    val out = api.Analytics.ambientTest(m, col("entity"), col("fb"), col("x"),
+        panelSize = 4, lowQuantile = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(200L), "concentrated entity must reject the ambient null")
+    assert(!out(100L), "profile-matching entity must look ambient")
+    assert(!out.contains(1L), "pool entities are not tested")
+  }
+
+  test("rocAuc matches the closed form on a known arrangement") {
+    // perfect separation → AUC 1; anti-separation → AUC 0; one swap of
+    // adjacent scores on 2×2 → AUC 0.75
+    val perfect = Seq(("g", 1.0, false), ("g", 2.0, false), ("g", 3.0, true), ("g", 4.0, true))
+    // positives {2, 4} vs negatives {1, 3}: 3 of 4 pairs concordant
+    val swapped = Seq(("g", 1.0, false), ("g", 2.0, true), ("g", 3.0, false), ("g", 4.0, true))
+    def auc(rows: Seq[(String, Double, Boolean)]): Double =
+      api.Analytics.rocAuc(rows.toDF("g", "s", "y"), col("g"), col("s"), col("y"))
+        .collect().head.getDouble(3)
+    assert(auc(perfect) === 1.0)
+    assert(auc(perfect.map { case (g, s, y) => (g, -s, y) }) === 0.0)
+    assert(auc(swapped) === 0.75)
+    // all ties → 0.5 by midrank convention
+    assert(auc(Seq(("g", 1.0, true), ("g", 1.0, false))) === 0.5)
+  }
+
+  test("psi is ~0 for identical slices and grows under shift") {
+    val same = (1 to 100).flatMap(i => Seq(("g", i.toDouble, true), ("g", i.toDouble, false)))
+    val psiSame = api.Analytics.psi(same.toDF("g", "v", "b"), col("g"), col("v"), col("b"))
+      .collect().head.getDouble(3)
+    assert(math.abs(psiSame) < 1e-9)
+    val shifted = (1 to 100).map(i => ("g", i.toDouble, true)) ++
+      (1 to 100).map(i => ("g", i.toDouble + 80.0, false))
+    val psiShift = api.Analytics.psi(shifted.toDF("g", "v", "b"), col("g"), col("v"), col("b"))
+      .collect().head.getDouble(3)
+    assert(psiShift > 0.5, s"shifted PSI should be large, got $psiShift")
+  }
+
+  test("paraDedup scores repeated spans and ignores short fragments") {
+    val docs = Seq(
+      (1L, "this sentence is repeated across documents. unique little tail one. x"),
+      (2L, "this sentence is repeated across documents. unique little tail two. y"),
+      (3L, "completely singular content lives here alone. unique little tail three")
+    ).toDF("doc_id", "text")
+    val sent = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("s"))
+      .filter(length(col("s")) >= 20)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+    val freq = sent.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val out = sent.join(freq, "h").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), count(when(col("df") >= 2, lit(1))).as("d"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._2 === 1L && out(2L)._2 === 1L, "shared span counted once per doc")
+    assert(out(3L)._2 === 0L, "singular doc has no duplicated spans")
+  }
+
+  test("clusterMst is a deterministic spanning tree over label centroids") {
+    val edges = sc.Trajectory.clusterMst(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(edges.length === verts.length - 1, "spanning tree has k-1 edges")
+    assert(edges.forall(_._3 > 0.0))
+    // connectivity: union-find over the edge list reaches one component
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(v: Int): Int = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    edges.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+    assert(verts.map(find).distinct.length === 1, "tree must be connected")
+    val again = sc.Trajectory.clusterMst(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(edges.sorted.sameElements(again.sorted), "MST must be deterministic")
+  }
+
+  test("kmeansElbow cost curve decreases from k=2 to k=8") {
+    val out = ml.Reduce.kmeansElbow(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === (2 to 8).toSet)
+    assert(out(8) < out(2), "more clusters must not cost more SSE at the endpoints")
+    assert(out.values.forall(_ >= 0.0))
+  }
+}

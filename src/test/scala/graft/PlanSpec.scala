@@ -140,7 +140,16 @@ class PlanSpec extends SparkSpecBase {
       // label_silhouette crosses each point with the LABEL-count-sized
       // centroid broadcast (10 rows) — every point must see every
       // centroid by definition of the metric
-      "label_silhouette")
+      "label_silhouette",
+      // annotate_corr crosses each entity with the |labels|-row centroid
+      // broadcast (correlation against EVERY reference label is the
+      // operator); gsea_es tags every ranked feature into every
+      // |sets|-row set; cluster_mst crosses the |labels|² centroid pairs
+      "annotate_corr", "gsea_es", "cluster_mst",
+      // ambient_pval / pattern_diff / decayed_sum / psi_drift attach
+      // 1-row global scalars (threshold, day range, max-ts, ns-range) or
+      // the 10-row bin grid
+      "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

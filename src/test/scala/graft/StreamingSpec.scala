@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming PSI monitor flags drifted windows against the static baseline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // uniform 10-bin baseline over [0, 10)
+    val baseline = Seq(("a", 0.0, 10.0)).toDF("event_type", "vmn", "vmx")
+      .select(col("event_type") +: col("vmn") +: col("vmx") +:
+        (0 until 10).map(i => lit(0.1).as(s"q$i")): _*)
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamSessionize.psiMonitor(
+        ms.toDF().toDF("ts", "event_type", "value"), baseline)
+      .writeStream.format("memory").queryName("psi_mon").outputMode("append").start()
+    try {
+      // window 1: one value per bin — exactly the baseline mix → PSI 0
+      ms.addData((0 until 10).map(i => (ts(i.toLong), "a", i + 0.5)): _*)
+      // window 2 (next hour): all mass in bin 0 → large PSI
+      ms.addData((0 until 10).map(i => (ts(60 + i.toLong), "a", 0.5)): _*)
+      q.processAllAvailable()
+      ms.addData((ts(240), "a", 5.0)) // advance watermark past both windows
+      q.processAllAvailable()
+      ms.addData((ts(480), "a", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("psi_mon")
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(3)).toMap
+      val w1 = Base * 60 * 1000
+      val w2 = (Base + 60) * 60 * 1000
+      assert(out.contains(w1) && math.abs(out(w1)) < 1e-9,
+        s"baseline-mix window must score ~0 PSI: $out")
+      assert(out.contains(w2) && out(w2) > 1.0,
+        s"drifted window must score large PSI: $out")
+    } finally q.stop()
+  }
+
   test("native topk_by aggregate partial-merges inside a streaming windowed agg") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
