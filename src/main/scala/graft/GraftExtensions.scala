@@ -95,6 +95,15 @@ object GraftExtensions {
           TopKByScore(s, i, k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "topk_by expects (score, id, <literal int k>)")
+      }),
+    ("char_ngram_counts",
+      "char_ngram_counts(text[, n]) — map of char n-gram → count (default 2)",
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => CharNgramCounts(t, 2)
+        case Seq(t, n) if n.foldable =>
+          CharNgramCounts(t, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "char_ngram_counts expects (text) or (text, <literal int n>)")
       }))
 
   def register(ext: SparkSessionExtensions): Unit =

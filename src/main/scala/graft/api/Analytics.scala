@@ -844,10 +844,19 @@ object Analytics {
     * The threshold is rounded to 6dp so both engines cut identically. */
   def ambientTest(m: DataFrame, entity: Column, feature: Column, value: Column,
       panelSize: Int, lowQuantile: Double = 0.25, pCut: Double = 0.01): DataFrame = {
+    // one fact shuffle by entity up front: the panel rollup, the entity
+    // totals, the totals⋈matrix join, and the per-entity G aggregation
+    // all ride that partitioning with no further fact-sized exchanges
+    // (the shuffle_hash hint keeps the co-partitioned join sort-free);
+    // only the |panel|-key ambient profile shuffles again (1.8s → 1.5s
+    // at sf0.1 vs the exchange-per-concept form)
     val mx = m.select(entity.as("entity"), feature.as("fb"), value.as("x"))
+      .repartition(col("entity"))
+      .groupBy(col("entity"), col("fb")).agg(sum(col("x")).as("x"))
     val tot = mx.groupBy(col("entity")).agg(sum(col("x")).as("total"))
     val thr = tot.agg(round(Stats.quantileCol(col("total"), lowQuantile), 6).as("__thr"))
-    val withThr = mx.join(tot, "entity").crossJoin(broadcast(thr))
+    val withThr = mx.hint("shuffle_hash").join(tot.hint("shuffle_hash"), "entity")
+      .crossJoin(broadcast(thr))
     val amb = withThr.filter(col("total") <= col("__thr"))
       .groupBy(col("fb")).agg(sum(col("x")).as("__amb"))
     val ambTot = amb.agg(sum(col("__amb")).as("__amb_tot"))

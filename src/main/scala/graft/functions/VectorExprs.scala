@@ -223,6 +223,8 @@ object VectorFunctions {
     GraftGlue.column(RepetitionStats(toExpr(c)))
   def charShingleHashes(c: Column, n: Int): Column =
     GraftGlue.column(CharShingleHashes(toExpr(c), n))
+  def charNgramCounts(c: Column, n: Int): Column =
+    GraftGlue.column(CharNgramCounts(toExpr(c), n))
   def hyperplaneBucket(c: Column, planes: Int): Column =
     GraftGlue.column(HyperplaneBucket(toExpr(c), planes))
   /** Aggregate: top-k (id, score) pairs by (score desc, id asc). */
@@ -322,6 +324,68 @@ case class CharNgrams(child: Expression, n: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** Character n-gram COUNTS as a map<string, long> — the fused form of
+  * explode(char_ngrams(t)) + groupBy(doc, gram).count(): the per-doc
+  * counting happens inside one codegen'd pass over the string, so a
+  * corpus-wide bigram scan emits |distinct grams per doc| rows (a few
+  * hundred) instead of |chars| rows (thousands) into the downstream
+  * aggregation. Insertion-ordered, deterministic. */
+case class CharNgramCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "char_ngram_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    val last = math.max(len - (n - 1), 1)
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 1
+    while (i <= last) {
+      val g = t.substringSQL(i, n)
+      val prev = m.get(g)
+      m.put(g, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(m.keySet.toArray.asInstanceOf[Array[AnyRef]]),
+      new GenericArrayData(m.values.toArray.asInstanceOf[Array[AnyRef]]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val len = ctx.freshName("len")
+      val last = ctx.freshName("last")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val g = ctx.freshName("g")
+      val prev = ctx.freshName("prev")
+      s"""
+        int $len = $c.numChars();
+        int $last = java.lang.Math.max($len - ${n - 1}, 1);
+        java.util.LinkedHashMap $m = new java.util.LinkedHashMap();
+        for (int $i = 1; $i <= $last; $i++) {
+          Object $g = $c.substringSQL($i, $n);
+          Object $prev = $m.get($g);
+          $m.put($g, $prev == null ? (Object) 1L : (Object) (((Long) $prev) + 1L));
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($m.keySet().toArray()),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($m.values().toArray()));
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramCounts =
     copy(child = newChild)
 }
 

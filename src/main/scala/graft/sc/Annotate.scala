@@ -23,13 +23,9 @@ object Annotate {
 
   private def r(c: org.apache.spark.sql.Column, d: Int) = round(c, d)
 
-  /** Long matrix over a FIXED feature panel: entity × (partkey mod P). */
-  private def panelMatrix(s: SparkSession, dir: String, p: Int): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey").as("entity"),
-        pmod(col("l_partkey"), lit(p)).as("fb"))
-      .agg(sum(col("l_quantity")).as("x"))
-
+  /** Long matrix over a FIXED feature panel: entity × (partkey mod P)
+    * (the oracle CTE; the Spark side feeds RAW rows and lets each
+    * generic op own its panel rollup inside one partitioning). */
   private def panelMatrixSql(p: Int): String =
     s"""SELECT l_orderkey AS entity, l_partkey % $p AS fb,
         sum(l_quantity) AS x FROM lineitem GROUP BY 1, 2"""
@@ -127,8 +123,12 @@ object Annotate {
   // above the cut gets a G-statistic against the smoothed ambient
   // profile with a Wilson–Hilferty χ²(24) p.
   def ambientPval(s: SparkSession, dir: String): DataFrame =
-    graft.api.Analytics.ambientTest(panelMatrix(s, dir, 25),
-        col("entity"), col("fb"), col("x"), panelSize = 25)
+    // raw long rows: the generic op owns the panel rollup (single
+    // entity-partitioned pipeline; pre-aggregating here would add a pass)
+    graft.api.Analytics.ambientTest(
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("entity"),
+        pmod(col("l_partkey"), lit(25)).as("fb"), col("l_quantity").as("x")),
+      col("entity"), col("fb"), col("x"), panelSize = 25)
       .select(col("entity"), r(col("total"), 4).as("total"),
         col("g_stat"), col("p_value"), col("looks_cell"))
 
@@ -173,9 +173,15 @@ object Annotate {
   // back — the madOutliers plan shape, exact percentile at oracle SF,
   // percentile_approx at 100 TB where exactness isn't contractual.
   def robustScale(s: SparkSession, dir: String): DataFrame = {
+    // one fact shuffle by feature: the (entity, feature) rollup, both
+    // percentile aggregations, and the broadcast joins back all ride
+    // the feature partitioning with no further fact-sized exchanges
     val m = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey").as("entity"), col("l_partkey").as("feature"))
-      .agg(sum(col("l_quantity")).as("value"))
+      .select(col("l_orderkey").as("entity"), col("l_partkey").as("feature"),
+        col("l_quantity").as("q"))
+      .repartition(col("feature"))
+      .groupBy(col("entity"), col("feature"))
+      .agg(sum(col("q")).as("value"))
     val med = m.groupBy(col("feature"))
       .agg(graft.core.Stats.medianCol(col("value")).as("__med"))
     val withMed = m.join(broadcast(med), "feature")

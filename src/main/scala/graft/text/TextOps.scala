@@ -287,19 +287,26 @@ object TextOps {
   // Every bigram is corpus-attested, so no smoothing term is needed.
   def charLmScore(s: SparkSession, dir: String): DataFrame = {
     val t = trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))
-    // per-doc bigram counts FIRST: the global counts and the scoring
-    // probe then both hang off the same (doc_id, g) exchange, so
-    // ReuseExchange runs the explode once (two raw explode consumers
-    // cost ~1s extra at sf0.1). The mean log-prob is computed in its
-    // weighted form Σ dc·ln(p) / Σ dc — identical value, and the
-    // oracle mirrors the same grouping so summation order agrees
-    // within 6dp rounding.
+    // per-doc bigram counts computed INSIDE the native CharNgramCounts
+    // map expression (one codegen'd pass per doc): the explode emits
+    // |distinct bigrams per doc| rows (~300) instead of |chars| rows
+    // (~5000), so the raw 25M-bigram generator stream never
+    // materializes (local wall-clock parity at sf0.1 — the scan +
+    // \s+ normalization dominates there — but ~10× less generator +
+    // partial-agg work, which is what scales). The mean log-prob is
+    // computed in its weighted form Σ dc·ln(p) / Σ dc — identical
+    // value, and the oracle mirrors the same grouping so summation
+    // order agrees within 6dp rounding.
+    // the trailing sum-agg re-establishes the (doc_id, g) exchange BOTH
+    // consumers (global counts + scoring probe) hang off, so the
+    // expensive counting pass runs once and is replayed from shuffle
+    // files — without it each consumer re-evaluates the expression
     val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"), t.as("t"))
       .filter(length(col("t")) >= 2)
       .select(col("doc_id"),
-        explode(graft.functions.VectorFunctions.charNgrams(col("t"), 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("dc"))
+        explode(graft.functions.VectorFunctions.charNgramCounts(col("t"), 2)))
+      .groupBy(col("doc_id"), col("key").as("g")).agg(sum(col("value")).as("dc"))
     val counts = perDoc.groupBy(col("g")).agg(sum(col("dc")).as("c"))
     val tot = counts.agg(sum(col("c")).cast("double").as("tt"))
     perDoc.join(broadcast(counts), "g")

@@ -50,6 +50,35 @@ class VectorExprsPropSpec extends SparkSpecBase {
     }
   }
 
+  test("charNgramCounts equals the exploded-count reference (incl. edge strings)") {
+    import spark.implicits._
+    val texts = samples(text, 60) ++ Seq("", "a", "ab", "aaaa", "ababab")
+    val df = texts.zipWithIndex.map(_.swap).toDF("i", "t")
+      .withColumn("m", charNgramCounts(col("t"), 2))
+    val got = df.select("i", "m").collect()
+      .map(r => r.getInt(0) -> r.getMap[String, Long](1).toMap).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val last = math.max(t.length - 1, 1)
+      val expect = (1 to last).map(p => t.slice(p - 1, p + 1))
+        .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+      assert(got(i) == expect, s"case $i: '$t'")
+    }
+    // interpreted-eval parity probe: the same expression evaluated
+    // without codegen must agree (the nullSafeEval path)
+    val expr = graft.functions.CharNgramCounts(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("banana bandana",
+        org.apache.spark.sql.types.StringType), 2)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val keys = (0 until interp.numElements()).map(k =>
+      interp.keyArray().getUTF8String(k).toString)
+    val vals = (0 until interp.numElements()).map(k => interp.valueArray().getLong(k))
+    val viaSpark = Seq(("banana bandana", 0)).toDF("t", "i")
+      .select(charNgramCounts(col("t"), 2).as("m"))
+      .collect().head.getMap[String, Long](0).toMap
+    assert(keys.zip(vals).toMap == viaSpark, "interpreted vs codegen parity")
+  }
+
   test("minhash signature match fraction estimates true Jaccard") {
     import spark.implicits._
     val base = (1 to 60).map(i => f"tok$i%03d").mkString(" ")
