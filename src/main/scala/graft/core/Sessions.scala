@@ -316,7 +316,112 @@ object Sessions {
           nullif(stddev_pop(col("gap")) + avg(col("gap")), lit(0.0)), 6).as("burstiness"))
   }
 
+  // ---------------------------------------------------------------
+  // 136. event-transition matrix (first-order Markov structure of the
+  // clickstream): per user, lag the ordered event stream, count
+  // (prev → next) pairs, row-normalize per source state. One window
+  // shuffle on user (bounded per-user partitions), then a bounded
+  // |types|² aggregation.
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val wp = Window.partitionBy(col("prev_type"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        r(col("n").cast("double") / sum(col("n")).over(wp), 6).as("prob"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH ordered AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev
+         FROM events),
+       c AS (
+         SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+         FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n,
+              round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6)
+                AS prob
+       FROM c"""
+
+  // ---------------------------------------------------------------
+  // 137. Kaplan–Meier survival curve over days-to-first-purchase
+  // (right-censored at each user's last activity): per-user durations
+  // are one bounded aggregation; the KM product Π(1 − d/n) runs as
+  // exp(Σ ln) over the DISTINCT-duration table (a few hundred rows —
+  // the bhAdjust-style bounded global window), never over raw events.
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("tp"),
+        max(col("ts_ns")).as("tl"))
+      .select(
+        when(col("tp").isNotNull,
+          expr("(tp - t0) div 86400000000000"))
+          .otherwise(expr("(tl - t0) div 86400000000000")).as("duration_days"),
+        col("tp").isNotNull.as("event"))
+    val counts = perUser.groupBy(col("duration_days"))
+      .agg(count(when(col("event"), lit(1))).as("d"),
+        count(when(!col("event"), lit(1))).as("c"))
+    val total = counts.agg(sum(col("d") + col("c")).as("__n_total"))
+    val wOrd = Window.orderBy(col("duration_days").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n_total") - coalesce(sum(col("d") + col("c"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // d = n_risk (everyone at risk dies — only possible at the last
+      // duration) would be ln(0): Spark ln returns NULL there and the
+      // oracle engine raises, so both sides special-case survival = 0
+      .withColumn("survival",
+        r(when(col("d") === col("n_risk"), lit(0.0))
+          .otherwise(exp(sum(when(col("d") === col("n_risk"), lit(0.0))
+            .otherwise(log(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+            .over(wCum))), 6))
+      .select(col("duration_days"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("n_risk"), col("survival"))
+  }
+
+  private val survivalKmSql =
+    """WITH per_user AS (
+         SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+                ELSE (tl - t0) // 86400000000000 END AS duration_days,
+                tp IS NOT NULL AS event
+         FROM (
+           SELECT user_id, min(epoch_ns(ts)) AS t0,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS tp,
+                  max(epoch_ns(ts)) AS tl
+           FROM events GROUP BY 1)),
+       c AS (
+         SELECT duration_days,
+                count(CASE WHEN event THEN 1 END) AS d,
+                count(CASE WHEN NOT event THEN 1 END) AS c
+         FROM per_user GROUP BY 1),
+       t AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM c),
+       r AS (
+         SELECT duration_days, d, c,
+                n_total - coalesce(sum(d + c) OVER (ORDER BY duration_days ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+         FROM c, t)
+       SELECT duration_days, d AS n_events, c AS n_censored,
+              CAST(n_risk AS BIGINT) AS n_risk,
+              round(CASE WHEN d = n_risk THEN 0.0 ELSE
+                exp(sum(CASE WHEN d = n_risk THEN 0.0
+                        ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+                OVER (ORDER BY duration_days ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6)
+                AS survival
+       FROM r"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions"      -> (eventTransitions _),
+    "survival_km"            -> (survivalKm _),
     "rolling_anomaly"        -> (rollingAnomaly _),
     "interevent_stats"       -> (intereventStats _),
     "funnel_conversion"      -> (funnelConversion _),
@@ -336,6 +441,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "event_transitions" -> eventTransitionsSql,
+    "survival_km"       -> survivalKmSql,
     "rolling_anomaly" ->
       """SELECT event_id, user_id, ts_us, n_window,
                 round(mu, 4) AS mu, round(sd, 4) AS sd, z,

@@ -146,10 +146,11 @@ class PlanSpec extends SparkSpecBase {
       // operator); gsea_es tags every ranked feature into every
       // |sets|-row set; cluster_mst crosses the |labels|² centroid pairs
       "annotate_corr", "gsea_es", "cluster_mst",
-      // ambient_pval / pattern_diff / decayed_sum / psi_drift attach
-      // 1-row global scalars (threshold, day range, max-ts, ns-range) or
-      // the 10-row bin grid
-      "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift")
+      // ambient_pval / pattern_diff / decayed_sum / psi_drift /
+      // survival_km attach 1-row global scalars (threshold, day range,
+      // max-ts, ns-range, total-at-risk) or the 10-row bin grid
+      "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift",
+      "survival_km")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
