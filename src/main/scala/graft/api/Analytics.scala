@@ -266,6 +266,35 @@ object Analytics {
       .drop("__f", "__x", "__y", "__a", "__b", "__my")
   }
 
+  /** Per-feature TWO-covariate OLS residuals (integrate.R:51-181's
+    * vars.to.regress with multiple variables — e.g. batch effect AND
+    * library size): closed-form normal-equation solve per feature via
+    * Cramer's rule on population (co)variances, coefficients broadcast
+    * back, fact rows unshuffled. Collinear/degenerate covariates
+    * (det ≤ 0) fall back to the mean-centered residual. */
+  def regressOut2(df: DataFrame, feature: Column, x1: Column, x2: Column,
+      y: Column): DataFrame = {
+    val t = df.withColumn("__f", feature).withColumn("__x1", x1)
+      .withColumn("__x2", x2).withColumn("__y", y)
+    val coef = t.groupBy(col("__f")).agg(
+      var_pop(col("__x1")).as("__s11"), var_pop(col("__x2")).as("__s22"),
+      covar_pop(col("__x1"), col("__x2")).as("__s12"),
+      covar_pop(col("__x1"), col("__y")).as("__s1y"),
+      covar_pop(col("__x2"), col("__y")).as("__s2y"),
+      avg(col("__x1")).as("__m1"), avg(col("__x2")).as("__m2"),
+      avg(col("__y")).as("__my"))
+    val det = col("__s11") * col("__s22") - col("__s12") * col("__s12")
+    val b1 = (col("__s1y") * col("__s22") - col("__s2y") * col("__s12")) / det
+    val b2 = (col("__s2y") * col("__s11") - col("__s1y") * col("__s12")) / det
+    t.join(broadcast(coef), "__f")
+      .withColumn("residual",
+        when(det.isNull || det <= 0, col("__y") - col("__my"))
+          .otherwise(col("__y") - col("__my") -
+            b1 * (col("__x1") - col("__m1")) - b2 * (col("__x2") - col("__m2"))))
+      .drop("__f", "__x1", "__x2", "__y", "__s11", "__s22", "__s12",
+        "__s1y", "__s2y", "__m1", "__m2", "__my")
+  }
+
   /** Per-batch z-standardization of a value column (integrate.R:51-181
     * re-expressed): batch moments broadcast back, fact rows unshuffled. */
   def batchStandardize(df: DataFrame, batch: String, x: Column): DataFrame = {

@@ -327,6 +327,91 @@ object SingleCell {
   }
 
   // ---------------------------------------------------------------
+  // 141. deterministic downsample-to-depth (DropletUtils::
+  // downsampleCounts / scuttle's equal-depth normalization next to the
+  // CPM path, reference.R:157-160): scale every entity's counts to a
+  // common target depth and round by LARGEST REMAINDER so each
+  // downsampled entity sums exactly to the target — deterministic
+  // (no multinomial RNG), cluster-invariant, and exactly mirrored by
+  // the oracle since every step is IEEE-exact arithmetic on integers.
+  // One shuffle on entity; all three windows share the partitioning.
+  def downsampleCounts(s: SparkSession, dir: String): DataFrame = {
+    val target = 50L
+    val wE = Window.partitionBy(col("entity"))
+    val wR = Window.partitionBy(col("entity"))
+      .orderBy((col("scaled") - col("base")).desc, col("feature").asc)
+    matrix(s, dir)
+      .withColumn("tot", sum(col("value")).over(wE))
+      .filter(col("tot") >= target)
+      .withColumn("scaled", col("value") * target / col("tot"))
+      .withColumn("base", floor(col("scaled")))
+      .withColumn("extra", lit(target) - sum(col("base")).over(wE))
+      .withColumn("rk", row_number().over(wR))
+      .select(col("entity"), col("feature"),
+        (col("base") + when(col("rk") <= col("extra"), lit(1)).otherwise(lit(0)))
+          .cast("long").as("ds_count"))
+  }
+
+  private val downsampleCountsSql =
+    s"""WITH m AS ($matrixSql),
+        t AS (
+          SELECT entity, feature, value,
+                 sum(value) OVER (PARTITION BY entity) AS tot
+          FROM m),
+        f AS (
+          SELECT entity, feature, value * 50 / tot AS scaled,
+                 floor(value * 50 / tot) AS base
+          FROM t WHERE tot >= 50),
+        r AS (
+          SELECT entity, feature, base,
+                 50 - sum(base) OVER (PARTITION BY entity) AS extra,
+                 row_number() OVER (PARTITION BY entity
+                   ORDER BY scaled - base DESC, feature ASC) AS rk
+          FROM f)
+        SELECT entity, feature,
+               CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+                 AS ds_count
+        FROM r"""
+
+  // ---------------------------------------------------------------
+  // 140. two-covariate regress-out (integrate.R:51-181 vars.to.regress
+  // with several variables): per-feature OLS on (order date, order
+  // total) jointly, residuals via the broadcast Cramer solve.
+  def regressOut2Matrix(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.api.Analytics.regressOut2(x, col("l_partkey"),
+        unix_timestamp(col("o_orderdate")).cast("double") / 1e9,
+        col("o_totalprice") / 1000.0, col("l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        r(col("residual"), 6).as("residual"))
+  }
+
+  private val regressOut2Sql =
+    """WITH x AS (
+         SELECT l_orderkey, l_linenumber, l_partkey,
+                CAST(epoch(o_orderdate) AS DOUBLE)/1e9 AS x1,
+                o_totalprice/1000.0 AS x2, l_quantity AS y
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       coef AS (
+         SELECT l_partkey,
+                var_pop(x1) AS s11, var_pop(x2) AS s22,
+                covar_pop(x1, x2) AS s12,
+                covar_pop(x1, y) AS s1y, covar_pop(x2, y) AS s2y,
+                avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my
+         FROM x GROUP BY 1)
+       SELECT x.l_orderkey, x.l_linenumber, x.l_partkey,
+              round(CASE WHEN (s11*s22 - s12*s12) IS NULL
+                           OR (s11*s22 - s12*s12) <= 0 THEN y - my
+                    ELSE y - my
+                      - ((s1y*s22 - s2y*s12)/(s11*s22 - s12*s12))*(x1 - m1)
+                      - ((s2y*s11 - s1y*s12)/(s11*s22 - s12*s12))*(x2 - m2)
+                    END, 6) AS residual
+       FROM x JOIN coef ON x.l_partkey = coef.l_partkey"""
+
+  // ---------------------------------------------------------------
   // 63 (beyond inventory). marker detection / differential expression
   // (marker*.R gene sets + wrapper.R:267-348 clustering → what
   // separates a group): per-feature Welch t of the URGENT batch vs the
@@ -505,6 +590,8 @@ object SingleCell {
     "feature_corr"          -> (featureCorrQuery _),
     "de_markers"            -> (deMarkersQuery _),
     "regress_out"           -> (regressOutMatrix _),
+    "regress_out2"          -> (regressOut2Matrix _),
+    "downsample_counts"     -> (downsampleCounts _),
     "quantile_normalize"    -> (quantileNormalizeMatrix _),
     "qc_cell_metrics"       -> (qcCellMetrics _),
     "qc_mad_outliers"       -> (qcMadOutliers _),
@@ -792,6 +879,8 @@ object SingleCell {
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
          FROM ranked"""
     },
+    "regress_out2" -> regressOut2Sql,
+    "downsample_counts" -> downsampleCountsSql,
     "regress_out" ->
       """WITH x AS (
            SELECT l_orderkey, l_linenumber, l_partkey,
