@@ -327,6 +327,64 @@ object SingleCell {
   }
 
   // ---------------------------------------------------------------
+  // 142. HVG by trend ratio (scran::modelGeneVar's shape, with a
+  // binned-median trend standing in for the loess — wrapper.R:259-264's
+  // denoised-PCA input): per-feature mean/variance, 20 fixed-width bins
+  // over ln(mean), per-bin MEDIAN variance as the technical trend,
+  // biological signal = variance/trend, top-200 flagged. Mean/variance
+  // are rounded to 6dp BEFORE binning/ratio so both engines bin and
+  // rank identical doubles (engine ulp in avg() would otherwise flip
+  // boundary bins). Feature-sized tables throughout; the rank window
+  // is the bounded bhAdjust class.
+  def hvgTrend(s: SparkSession, dir: String): DataFrame = {
+    val stats = matrix(s, dir)
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n"), r(avg(col("value")), 6).as("mean"),
+        r(var_samp(col("value")), 6).as("variance"))
+      .filter(col("n") >= 2 && col("variance").isNotNull)
+      .withColumn("lm", log(col("mean")))
+    val rng = stats.agg(min(col("lm")).as("__mn"), max(col("lm")).as("__mx"))
+    val binned = stats.crossJoin(broadcast(rng))
+      .withColumn("bin", when(col("__mx") > col("__mn"), least(lit(19),
+        floor((col("lm") - col("__mn")) / (col("__mx") - col("__mn")) * 20)
+          .cast("int"))).otherwise(lit(0)))
+    val trend = binned.groupBy(col("bin"))
+      .agg(graft.core.Stats.medianCol(col("variance")).as("trend"))
+    val wRank = Window.orderBy(col("ratio").desc, col("feature").asc)
+    binned.join(broadcast(trend), "bin")
+      .withColumn("ratio", r(col("variance") / col("trend"), 6))
+      .withColumn("is_hvg", row_number().over(wRank) <= 200)
+      .select(col("feature"), col("n"), col("mean"), col("variance"),
+        r(col("trend"), 6).as("trend"), col("ratio"), col("is_hvg"))
+  }
+
+  private val hvgTrendSql =
+    s"""WITH m AS ($matrixSql),
+        stats AS (
+          SELECT feature, count(*) AS n, round(avg(value), 6) AS mean,
+                 round(var_samp(value), 6) AS variance
+          FROM m GROUP BY 1),
+        s2 AS (
+          SELECT feature, n, mean, variance, ln(mean) AS lm
+          FROM stats WHERE n >= 2 AND variance IS NOT NULL),
+        rng AS (SELECT min(lm) AS mn, max(lm) AS mx FROM s2),
+        binned AS (
+          SELECT s2.*, CASE WHEN mx > mn THEN least(19,
+                   CAST(floor((lm - mn) / (mx - mn) * 20) AS INT))
+                 ELSE 0 END AS bin
+          FROM s2, rng),
+        trend AS (
+          SELECT bin, median(variance) AS trend FROM binned GROUP BY 1),
+        scored AS (
+          SELECT feature, n, mean, variance, trend,
+                 round(variance / trend, 6) AS ratio
+          FROM binned JOIN trend USING (bin))
+        SELECT feature, n, mean, variance, round(trend, 6) AS trend, ratio,
+               row_number() OVER (ORDER BY ratio DESC, feature ASC) <= 200
+                 AS is_hvg
+        FROM scored"""
+
+  // ---------------------------------------------------------------
   // 141. deterministic downsample-to-depth (DropletUtils::
   // downsampleCounts / scuttle's equal-depth normalization next to the
   // CPM path, reference.R:157-160): scale every entity's counts to a
@@ -592,6 +650,7 @@ object SingleCell {
     "regress_out"           -> (regressOutMatrix _),
     "regress_out2"          -> (regressOut2Matrix _),
     "downsample_counts"     -> (downsampleCounts _),
+    "hvg_trend"             -> (hvgTrend _),
     "quantile_normalize"    -> (quantileNormalizeMatrix _),
     "qc_cell_metrics"       -> (qcCellMetrics _),
     "qc_mad_outliers"       -> (qcMadOutliers _),
@@ -881,6 +940,7 @@ object SingleCell {
     },
     "regress_out2" -> regressOut2Sql,
     "downsample_counts" -> downsampleCountsSql,
+    "hvg_trend" -> hvgTrendSql,
     "regress_out" ->
       """WITH x AS (
            SELECT l_orderkey, l_linenumber, l_partkey,

@@ -89,6 +89,39 @@ object IO {
 
   def readTable(s: SparkSession, table: String): DataFrame = s.table(table)
 
+  /** SCD-1 upsert (the merge a table format does, expressed as a pure
+    * plan over plain parquet): union current ∪ updates, keep the row
+    * with the highest `version` per `key` — via the latest_per_key
+    * struct-max (one aggregation, no per-key window sort). Version
+    * ties break deterministically by the remaining columns' struct
+    * order. Rewrite the result atomically (write temp → swap) in the
+    * caller's maintenance job; at table-format scale the same plan is
+    * the MERGE source. Columns must match by name. */
+  def upsert(current: DataFrame, updates: DataFrame, key: String,
+      version: String): DataFrame = {
+    // named imports: functions._ would shadow the `version` parameter
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val all = current.unionByName(updates)
+    val rest = all.columns.filterNot(c => c == key || c == version).toSeq
+    all.groupBy(col(key))
+      .agg(max(struct((version +: rest).map(col): _*)).as("__s"))
+      .select(col(key) +: (version +: rest).map(c => col(s"__s.$c").as(c)): _*)
+  }
+
+  /** Streaming upsert sink: apply `upsert` per micro-batch through
+    * foreachBatch against a caller-maintained current-state accessor —
+    * the standard pattern for maintaining an SCD-1 table from a CDC
+    * stream when the sink is a plain file/table store. The callback
+    * receives (currentState, microBatch) and must persist + return the
+    * merged state; exactly-once comes from the streaming checkpoint +
+    * an idempotent (overwrite-by-swap) persist. */
+  def upsertSink(stream: DataFrame, key: String, version: String)(
+      persist: DataFrame => Unit)(
+      currentState: () => DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      persist(upsert(currentState(), batch, key, version))
+    }
+
   /** Small-file compaction: rewrite a parquet dataset into files of
     * roughly `targetFileMB` each. Small-file explosions (streaming
     * sinks, over-parallel writes) poison later scans with per-file

@@ -20,6 +20,46 @@ class IOSpec extends SparkSpecBase {
       orig.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("upsert keeps the highest-version row per key and inserts new keys") {
+    import spark.implicits._
+    val current = Seq((1L, 1L, "a"), (2L, 5L, "b")).toDF("k", "v", "payload")
+    val updates = Seq((1L, 3L, "a2"), (2L, 4L, "stale"), (3L, 1L, "new"))
+      .toDF("k", "v", "payload")
+    val merged = sources.IO.upsert(current, updates, "k", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(merged === Map(
+      1L -> ((3L, "a2")),   // updated: 3 > 1
+      2L -> ((5L, "b")),    // stale update ignored: 4 < 5
+      3L -> ((1L, "new")))) // insert
+    // idempotent: re-applying the same updates changes nothing
+    val again = sources.IO.upsert(sources.IO.upsert(current, updates, "k", "v"),
+      updates, "k", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again === merged)
+  }
+
+  test("streaming upsertSink maintains SCD-1 state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    var state = Seq((1L, 1L, "orig")).toDF("k", "v", "payload")
+    val q = sources.IO.upsertSink(ms.toDF().toDF("k", "v", "payload"), "k", "v") {
+      merged => state = merged.collect().toSeq // persist = materialize
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toDF("k", "v", "payload")
+    } { () => state }
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, 2L, "upd"), (2L, 1L, "ins"))
+      q.processAllAvailable()
+      ms.addData((1L, 1L, "stale"), (2L, 3L, "upd2"))
+      q.processAllAvailable()
+      val out = state.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(out === Map(1L -> ((2L, "upd")), 2L -> ((3L, "upd2"))))
+    } finally q.stop()
+  }
+
   test("json-lines round-trip preserves rows") {
     val orig = Tables.region(spark, sf)
     val dir = tmp("json")

@@ -150,7 +150,7 @@ class PlanSpec extends SparkSpecBase {
       // survival_km attach 1-row global scalars (threshold, day range,
       // max-ts, ns-range, total-at-risk) or the 10-row bin grid
       "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift",
-      "survival_km")
+      "survival_km", "hvg_trend")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
