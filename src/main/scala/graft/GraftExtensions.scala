@@ -96,6 +96,14 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "topk_by expects (score, id, <literal int k>)")
       }),
+    ("approx_heavy_hitters",
+      "approx_heavy_hitters(item, k) — aggregate: Misra-Gries frequent items, ≤ k counters, error ≤ N/(k+1)",
+      (es: Seq[Expression]) => es match {
+        case Seq(i, k) if k.foldable =>
+          ApproxHeavyHitters(i, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "approx_heavy_hitters expects (item, <literal int k>)")
+      }),
     ("char_ngram_counts",
       "char_ngram_counts(text[, n]) — map of char n-gram → count (default 2)",
       (es: Seq[Expression]) => es match {

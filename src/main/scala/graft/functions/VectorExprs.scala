@@ -231,6 +231,10 @@ object VectorFunctions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     GraftGlue.column(
       TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
+  /** Aggregate: Misra-Gries frequent items, ≤ k counters per group. */
+  def approxHeavyHitters(item: Column, k: Int): Column =
+    GraftGlue.column(
+      ApproxHeavyHitters(toExpr(item), k).toAggregateExpression())
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint

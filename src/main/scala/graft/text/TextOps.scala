@@ -367,7 +367,34 @@ object TextOps {
                     / count(*), 6) AS dup_frac
        FROM sent JOIN freq USING (s) GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 145. approximate heavy hitters per group (native Misra-Gries
+  // aggregate — ≤ k counters per group per partition on the exchange,
+  // the scale path for "top frequent values" when the value cardinality
+  // would make the exact (group, value) count-shuffle the bottleneck).
+  // The oracle is EXACT counting: with |langs| ≤ k the summary
+  // degenerates to exact counts, so the query verifies the whole
+  // aggregate path end-to-end; the property spec covers the k <
+  // cardinality approximation guarantee.
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(graft.functions.VectorFunctions.approxHeavyHitters(col("lang"), 8).as("hh"))
+      .select(col("source"), posexplode(col("hh")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("item"), col("col.est_count").as("est_count"))
+
+  private val heavyHittersSql =
+    """WITH c AS (
+         SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+       SELECT source,
+              row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC)
+                AS rk,
+              lang AS item, n AS est_count
+       FROM c"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters"    -> (heavyHitters _),
     "para_dedup"       -> (paraDedup _),
     "char_lm_score"    -> (charLmScore _),
     "zipf_fit"         -> (zipfFit _),
@@ -430,6 +457,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "heavy_hitters" -> heavyHittersSql,
     "para_dedup" -> paraDedupSql,
     "char_lm_score" -> charLmScoreSql,
     "zipf_fit" -> zipfFitSql,

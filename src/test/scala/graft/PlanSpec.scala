@@ -113,6 +113,33 @@ class PlanSpec extends SparkSpecBase {
     assert(sorts <= 2, s"expected the stage windows to reuse one sort, got $sorts:\n${plan.take(3000)}")
   }
 
+  test("annotate_corr plans one fact shuffle and no rank-window sort") {
+    val plan = sc.Annotate.annotateCorr(spark, sf).queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // 1 repartition(entity) + the bounded centroid-side aggs (tiny keys)
+    assert(exchanges.nonEmpty && exchanges.length <= 5,
+      s"annotate_corr should shuffle the fact side once (+tiny agg exchanges), got ${exchanges.length}")
+    assert(!plan.toString.contains("WindowExec"),
+      "argmax must be the sorted collect_list agg, not a rank window")
+  }
+
+  test("downsample_counts rides one entity shuffle for all three windows") {
+    val plan = sc.SingleCell.downsampleCounts(spark, sf).queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 2,
+      s"windows must share the entity partitioning, got ${exchanges.length} exchanges:\n$plan")
+  }
+
+  test("ambient_pval joins co-partitioned sides without a sort-merge") {
+    val plan = sc.Annotate.ambientPval(spark, sf).queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"matrix-totals join must be hash-based on the shared partitioning:\n$plan")
+  }
+
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines

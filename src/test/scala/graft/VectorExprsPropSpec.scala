@@ -79,6 +79,33 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(keys.zip(vals).toMap == viaSpark, "interpreted vs codegen parity")
   }
 
+  test("approxHeavyHitters: exact when distinct <= k, MG bound when over") {
+    import spark.implicits._
+    // exact regime: 5 distinct values, k = 8 — counts must equal truth
+    val small = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c") ++
+      Seq.fill(5)("d") ++ Seq.fill(1)("e")
+    val exact = small.toDF("v")
+      .agg(approxHeavyHitters(col("v"), 8).as("hh"))
+      .select(explode(col("hh"))).select(col("col.item"), col("col.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === Map("a" -> 30L, "b" -> 20L, "c" -> 10L, "d" -> 5L, "e" -> 1L))
+    // approximate regime: 1 heavy item among 100 light ones, k = 8.
+    // Misra-Gries under-counts by at most N/(k+1); the heavy item must
+    // survive with an estimate within that bound.
+    val heavy = Seq.fill(1000)("HOT") ++
+      (1 to 100).flatMap(i => Seq.fill(10)(f"cold$i%03d"))
+    val n = heavy.length
+    val hh = heavy.toDF("v")
+      .repartition(4) // force partial buffers + merges
+      .agg(approxHeavyHitters(col("v"), 8).as("hh"))
+      .select(explode(col("hh"))).select(col("col.item"), col("col.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.contains("HOT"), s"heavy item must survive: $hh")
+    assert(hh("HOT") <= 1000L, "MG never over-counts")
+    assert(hh("HOT") >= 1000L - n / (8 + 1), s"error bound violated: ${hh("HOT")}")
+    assert(hh.size <= 8, "at most k counters")
+  }
+
   test("minhash signature match fraction estimates true Jaccard") {
     import spark.implicits._
     val base = (1 to 60).map(i => f"tok$i%03d").mkString(" ")
