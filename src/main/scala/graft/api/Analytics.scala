@@ -379,6 +379,65 @@ object Analytics {
         col("p_value"), col("p_adj"))
   }
 
+  /** Per-feature Kruskal–Wallis rank test across k groups — the
+    * multi-cluster generalization of wilcoxonMarkers (scran's
+    * findMarkers over >2 clusters): tie-averaged ranks over distinct
+    * (feature, value) counts, H with the tie correction, χ²(k−1) p via
+    * Wilson–Hilferty, BH adjust. Rank windows run over value-
+    * cardinality-sized partitions (the wilcoxon trick), never raw rows.
+    */
+  def kruskalWallis(df: DataFrame, feature: Column, group: Column,
+      x: Column): DataFrame = {
+    val cells = df.select(feature.as("feature"), group.as("__g"), x.as("__x"))
+      .groupBy(col("feature"), col("__x"), col("__g"))
+      .agg(count(lit(1)).cast("double").as("cg"))
+    val wVal = Window.partitionBy(col("feature"), col("__x"))
+    // RANGE frame so every (value, group) row sees the cumulative count
+    // through its WHOLE value tie-block
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("__x").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cnt", sum(col("cg")).over(wVal))
+      .withColumn("cum", sum(col("cg")).over(wCum))
+      .withColumn("avg_rank", col("cum") - (col("cnt") - lit(1.0)) / lit(2.0))
+    val byGroup = ranked.groupBy(col("feature"), col("__g"))
+      .agg(sum(col("cg")).as("n_g"), sum(col("cg") * col("avg_rank")).as("r_g"))
+    val ties = cells.groupBy(col("feature"), col("__x"))
+      .agg(sum(col("cg")).as("cnt"))
+      .groupBy(col("feature"))
+      .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("__tie"))
+    // Σ R_g²/n_g is summed in GROUP-SORTED order via an explicit fold:
+    // ranks/counts are half-integers (exact in double), each division
+    // is IEEE-deterministic, so a deterministic summation order makes H
+    // BIT-identical across engines (the oracle folds the same sorted
+    // list) — H is a rational near-decimal statistic, so no rounding
+    // precision is safe against engine ulp (a 7dp-midpoint value burned
+    // the double-round here); bit-equality is, and H ships unrounded.
+    val stats = byGroup
+      .withColumn("__term", col("r_g") * col("r_g") / col("n_g"))
+      .groupBy(col("feature"))
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k_groups"),
+        expr("aggregate(transform(sort_array(collect_list(struct(__g, __term)))," +
+          " s -> s.__term), 0.0D, (a, x) -> a + x)").as("__sum_r2n"))
+      .join(ties, "feature")
+    val h = lit(12.0) / (col("n") * (col("n") + lit(1.0))) * col("__sum_r2n") -
+      lit(3.0) * (col("n") + lit(1.0))
+    val c = lit(1.0) - col("__tie") / (col("n") * col("n") * col("n") - col("n"))
+    val hc = h / nullif(c, lit(0.0))
+    val dof = (col("k_groups") - 1).cast("double")
+    val z = (cbrt(hc / dof) - (lit(1.0) - lit(2.0) / (lit(9.0) * dof))) /
+      sqrt(lit(2.0) / (lit(9.0) * dof))
+    val pTail = when(z >= 0, Stats.normalUpperTail(z))
+      .otherwise(lit(1.0) - Stats.normalUpperTail(-z))
+    val scored = stats
+      .withColumn("h_stat", hc)
+      .withColumn("p_value", when(dof > 0 && hc.isNotNull,
+        coalesce(least(lit(1.0), pTail), lit(0.0))))
+    bhAdjust(scored.filter(col("p_value").isNotNull), col("p_value"), col("feature"))
+      .select(col("feature"), col("n").cast("long").as("n"), col("k_groups"),
+        col("h_stat"), col("p_value"), col("p_adj"))
+  }
+
   /** AUCell-like gene-set activity per entity: rank features within
     * each entity by value (desc), AUC of the set-recovery curve over
     * the top `topN` ranks. Window partitions are per-entity feature

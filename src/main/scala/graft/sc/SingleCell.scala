@@ -327,6 +327,79 @@ object SingleCell {
   }
 
   // ---------------------------------------------------------------
+  // 146. Kruskal–Wallis across the 5 priority groups per feature — the
+  // k-group rank test scran::findMarkers needs when clusters > 2
+  // (multi-cluster generalization of #68 de_wilcoxon).
+  def kruskalWallisQuery(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.api.Analytics.kruskalWallis(x, col("l_partkey"),
+        col("o_orderpriority"), col("l_quantity"))
+      // h_stat ships UNROUNDED: it is bit-identical across engines by
+      // construction (ordered fold), and as a near-decimal rational it
+      // has no safe rounding precision
+      .select(col("feature"), col("n"), col("k_groups"), col("h_stat"),
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
+  private val kruskalWallisSql = {
+    val qPos = graft.core.Stats.normalUpperTailSql("zz")
+    val qNeg = graft.core.Stats.normalUpperTailSql("-zz")
+    s"""WITH x AS (
+         SELECT l_partkey AS feature, o_orderpriority AS grp, l_quantity AS v
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       cells AS (
+         SELECT feature, v, grp, CAST(count(*) AS DOUBLE) AS cg
+         FROM x GROUP BY 1, 2, 3),
+       ranked AS (
+         SELECT feature, grp, cg,
+                sum(cg) OVER (PARTITION BY feature, v) AS cnt,
+                sum(cg) OVER (PARTITION BY feature ORDER BY v ASC
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM cells),
+       by_group AS (
+         SELECT feature, grp, sum(cg) AS n_g,
+                sum(cg * (cum - (cnt - 1.0) / 2.0)) AS r_g
+         FROM ranked GROUP BY 1, 2),
+       folded AS (
+         SELECT feature, sum(n_g) AS n, count(*) AS k_groups,
+                list_reduce(list_prepend(0.0, list(r_g*r_g/n_g ORDER BY grp)),
+                  (a, b) -> a + b) AS sum_r2n
+         FROM by_group GROUP BY 1),
+       ties AS (
+         SELECT feature, sum(cnt*cnt*cnt - cnt) AS tie
+         FROM (SELECT feature, v, sum(cg) AS cnt FROM cells GROUP BY 1, 2)
+         GROUP BY 1),
+       stats AS (
+         SELECT folded.feature, n, k_groups, sum_r2n, tie
+         FROM folded JOIN ties ON folded.feature = ties.feature),
+       scored AS (
+         SELECT feature, n, k_groups,
+                (12.0 / (n * (n + 1.0)) * sum_r2n - 3.0 * (n + 1.0))
+                  / nullif(1.0 - tie / (n*n*n - n), 0.0) AS hc,
+                CAST(k_groups - 1 AS DOUBLE) AS dof
+         FROM stats),
+       z AS (
+         SELECT *, (cbrt(hc/dof) - (1.0 - 2.0/(9.0*dof))) / sqrt(2.0/(9.0*dof)) AS zz
+         FROM scored WHERE dof > 0 AND hc IS NOT NULL),
+       p AS (
+         SELECT feature, n, k_groups, hc,
+                coalesce(least(1.0,
+                  CASE WHEN zz >= 0 THEN $qPos ELSE 1.0 - $qNeg END), 0.0) AS p_value
+         FROM z),
+       ranked_p AS (
+         SELECT *, row_number() OVER (ORDER BY p_value ASC, feature ASC) AS rk,
+                count(*) OVER () AS m
+         FROM p)
+       SELECT feature, CAST(n AS BIGINT) AS n, k_groups,
+              hc AS h_stat, round(p_value, 6) AS p_value,
+              round(least(1.0, min(p_value*m/rk) OVER (ORDER BY rk ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS p_adj
+       FROM ranked_p"""
+  }
+
+  // ---------------------------------------------------------------
   // 142. HVG by trend ratio (scran::modelGeneVar's shape, with a
   // binned-median trend standing in for the loess — wrapper.R:259-264's
   // denoised-PCA input): per-feature mean/variance, 20 fixed-width bins
@@ -651,6 +724,7 @@ object SingleCell {
     "regress_out2"          -> (regressOut2Matrix _),
     "downsample_counts"     -> (downsampleCounts _),
     "hvg_trend"             -> (hvgTrend _),
+    "kruskal_wallis"        -> (kruskalWallisQuery _),
     "quantile_normalize"    -> (quantileNormalizeMatrix _),
     "qc_cell_metrics"       -> (qcCellMetrics _),
     "qc_mad_outliers"       -> (qcMadOutliers _),
@@ -941,6 +1015,7 @@ object SingleCell {
     "regress_out2" -> regressOut2Sql,
     "downsample_counts" -> downsampleCountsSql,
     "hvg_trend" -> hvgTrendSql,
+    "kruskal_wallis" -> kruskalWallisSql,
     "regress_out" ->
       """WITH x AS (
            SELECT l_orderkey, l_linenumber, l_partkey,
