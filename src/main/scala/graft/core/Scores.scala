@@ -122,13 +122,64 @@ object Scores {
               round(sum(value), 4) AS total
        FROM events, mx GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 147. calibration / reliability bins (the ECE table for a
+  // quality-classifier score): normalize the score to [0,1] per group,
+  // 10 fixed bins, per bin the mean confidence vs the observed positive
+  // rate and their gap — the table behind a reliability diagram and the
+  // Σ(n_b/N)|conf−acc| expected-calibration-error. Exact integer
+  // normalization spans; bin math identical to psi's.
+  def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"), (col("lang") === "en").cast("int").as("__y"))
+    val span = d.groupBy(col("source"))
+      .agg(min(col("n_chars")).as("__mn"), max(col("n_chars")).as("__mx"))
+    d.join(broadcast(span), "source")
+      .withColumn("__u", when(col("__mx") > col("__mn"),
+        (col("n_chars") - col("__mn")).cast("double") / (col("__mx") - col("__mn")))
+        .otherwise(lit(0.0)))
+      .withColumn("bin", least(lit(9), floor(col("__u") * 10).cast("int")).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__u")), 6).as("confidence"),
+        count(when(col("__y") === 1, lit(1))).as("__pos"))
+      .select(col("source"), col("bin"), col("n"), col("confidence"),
+        round(col("__pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("confidence") -
+          round(col("__pos").cast("double") / col("n"), 6)), 6).as("gap"))
+  }
+
+  private val calibrationBinsSql =
+    """WITH d AS (
+         SELECT source, n_chars, (lang = 'en') AS y FROM documents),
+       span AS (
+         SELECT source, min(n_chars) AS mn, max(n_chars) AS mx
+         FROM d GROUP BY 1),
+       u AS (
+         SELECT d.source,
+                CASE WHEN mx > mn
+                  THEN CAST(n_chars - mn AS DOUBLE) / (mx - mn)
+                  ELSE 0.0 END AS u, y
+         FROM d JOIN span ON d.source = span.source),
+       b AS (
+         SELECT source, CAST(least(9, CAST(floor(u * 10) AS INT)) AS BIGINT) AS bin,
+                count(*) AS n, round(avg(u), 6) AS confidence,
+                count(CASE WHEN y THEN 1 END) AS pos
+         FROM u GROUP BY 1, 2)
+       SELECT source, bin, n, confidence,
+              round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+              round(abs(confidence - round(CAST(pos AS DOUBLE) / n, 6)), 6) AS gap
+       FROM b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "score_auc"   -> (scoreAuc _),
-    "psi_drift"   -> (psiDrift _),
-    "decayed_sum" -> (decayedSum _))
+    "score_auc"        -> (scoreAuc _),
+    "psi_drift"        -> (psiDrift _),
+    "decayed_sum"      -> (decayedSum _),
+    "calibration_bins" -> (calibrationBins _))
 
   val oracles: Map[String, String] = Map(
-    "score_auc"   -> scoreAucSql,
-    "psi_drift"   -> psiDriftSql,
-    "decayed_sum" -> decayedSumSql)
+    "score_auc"        -> scoreAucSql,
+    "psi_drift"        -> psiDriftSql,
+    "decayed_sum"      -> decayedSumSql,
+    "calibration_bins" -> calibrationBinsSql)
 }
