@@ -350,6 +350,56 @@ object Sessions {
        FROM c"""
 
   // ---------------------------------------------------------------
+  // 149. top session paths (clickstream path mining): the ordered
+  // event-type sequence of every 30-min-gap session, globally ranked by
+  // frequency — what funnels exist, not just whether the canonical one
+  // converts (#109). Path strings assemble from a SORTED collect_list
+  // inside the session aggregation (deterministic (ts, event_id)
+  // order); the global rank runs over the distinct-path count table.
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.api.Analytics.sessionize(
+      Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+      col("user_id"), col("ts_us"), col("event_id"), GapUs)
+    val paths = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(expr("concat_ws('>', transform(sort_array(collect_list(" +
+        "struct(ts_us, event_id, event_type))), s -> s.event_type))").as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("path").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("path"), col("n"))
+  }
+
+  private val topPathsSql =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+         FROM events),
+       l AS (
+         SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+           ORDER BY ts_us ASC, event_id ASC) AS prev
+         FROM e),
+       flagged AS (
+         SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+         FROM l),
+       sess AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id
+           ORDER BY ts_us ASC, event_id ASC
+           ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged),
+       paths AS (
+         SELECT user_id, sid,
+                string_agg(event_type, '>' ORDER BY ts_us ASC, event_id ASC)
+                  AS path
+         FROM sess GROUP BY 1, 2),
+       counts AS (SELECT path, count(*) AS n FROM paths GROUP BY 1)
+       SELECT rk, path, n FROM (
+         SELECT path, n,
+                row_number() OVER (ORDER BY n DESC, path ASC) AS rk
+         FROM counts)
+       WHERE rk <= 20"""
+
+  // ---------------------------------------------------------------
   // 137. Kaplan–Meier survival curve over days-to-first-purchase
   // (right-censored at each user's last activity): per-user durations
   // are one bounded aggregation; the KM product Π(1 − d/n) runs as
@@ -421,6 +471,7 @@ object Sessions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_transitions"      -> (eventTransitions _),
+    "top_paths"              -> (topPaths _),
     "survival_km"            -> (survivalKm _),
     "rolling_anomaly"        -> (rollingAnomaly _),
     "interevent_stats"       -> (intereventStats _),
@@ -442,6 +493,7 @@ object Sessions {
 
   val oracles: Map[String, String] = Map(
     "event_transitions" -> eventTransitionsSql,
+    "top_paths"         -> topPathsSql,
     "survival_km"       -> survivalKmSql,
     "rolling_anomaly" ->
       """SELECT event_id, user_id, ts_us, n_window,

@@ -78,6 +78,46 @@ object Dedup {
       .select(col("d1"), col("d2"), r(col("jaccard"), 6).as("jaccard"))
 
   // ---------------------------------------------------------------
+  // 148. containment near-dup pairs: the ASYMMETRIC companion of #33 —
+  // containment = |A∩B|/min(|A|,|B|) catches quote/subset relations
+  // (one doc embedded in a larger one) that the symmetric Jaccard
+  // misses when the size ratio is large. Same exact inverted-index
+  // plan as #33 (the oracle path; at scale feed candidates from LSH
+  // with the same verification predicate).
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = docsNorm(s, dir)
+      .select(col("doc_id"), explode(shinglesExpr("t")).as("g"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("containment",
+        col("i").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.9)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        r(col("containment"), 6).as("containment"))
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+               FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT d1, d2, s1.n AS n1, s2.n AS n2,
+               round(CAST(i AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+        FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(i AS DOUBLE) / least(s1.n, s2.n) >= 0.9"""
+
+  // ---------------------------------------------------------------
   // 35. SimHash (64-bit): per-word hash votes per bit, sign → bit;
   // near-dups = pairs within hamming distance 3, found via 4×16-bit
   // chunk banding (any exact-matching chunk → candidate, guaranteed to
@@ -211,6 +251,7 @@ object Dedup {
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "decontaminate"       -> (decontaminate _),
     "dedup_exact"         -> (dedupExact _),
+    "dedup_containment"   -> (dedupContainment _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -243,6 +284,7 @@ object Dedup {
         GROUP BY v.vertex"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "source_overlap" -> sourceOverlapSql,
     "fuzzy_blocked_join" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
