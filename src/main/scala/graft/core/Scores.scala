@@ -171,13 +171,138 @@ object Scores {
               round(abs(confidence - round(CAST(pos AS DOUBLE) / n, 6)), 6) AS gap
        FROM b"""
 
+  // ---------------------------------------------------------------
+  // 150. RFM quintile segmentation (recency / frequency / monetary —
+  // the classic user-value partitioning): per-user metrics in one
+  // aggregation; quintile boundaries are a 1-row exact-quantile
+  // aggregate over the ROUNDED metrics (deterministic input ⇒ both
+  // engines interpolate identical rationals), rounded 6dp, broadcast
+  // back for the per-user fold-count assignment (the decile_bins
+  // pattern — no sort, no ntile window). Recency scores inverted (most
+  // recent = 5).
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts_ns"), col("value"))
+    val mx = e.agg(max(expr(s"ts_ns div $DayNs")).as("__mxd"))
+    val perUser = e.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg((max(col("__mxd")) - max(expr(s"ts_ns div $DayNs"))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 4).as("monetary"))
+    val bounds = perUser.agg(
+      expr("transform(percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D)), q -> round(q, 6))").as("rb"),
+      expr("transform(percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D)), q -> round(q, 6))").as("fb"),
+      expr("transform(percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D)), q -> round(q, 6))").as("mb"))
+    perUser.crossJoin(broadcast(bounds))
+      .withColumn("r_score",
+        expr("5 - aggregate(rb, 0, (acc, q) -> acc + IF(recency_days > q, 1, 0))").cast("long"))
+      .withColumn("f_score",
+        expr("1 + aggregate(fb, 0, (acc, q) -> acc + IF(frequency > q, 1, 0))").cast("long"))
+      .withColumn("m_score",
+        expr("1 + aggregate(mb, 0, (acc, q) -> acc + IF(monetary > q, 1, 0))").cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH mx AS (
+         SELECT max(epoch_ns(ts) // 86400000000000) AS mxd FROM events),
+       per_user AS (
+         SELECT user_id,
+                mxd - max(epoch_ns(ts) // 86400000000000) AS recency_days,
+                count(*) AS frequency,
+                round(sum(value), 4) AS monetary
+         FROM events, mx GROUP BY user_id, mxd),
+       bounds AS (
+         SELECT list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+                  q -> round(q, 6)) AS rb,
+                list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+                  q -> round(q, 6)) AS fb,
+                list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+                  q -> round(q, 6)) AS mb
+         FROM per_user),
+       scored AS (
+         SELECT user_id, recency_days, frequency, monetary,
+                5 - (CASE WHEN recency_days > rb[1] THEN 1 ELSE 0 END
+                   + CASE WHEN recency_days > rb[2] THEN 1 ELSE 0 END
+                   + CASE WHEN recency_days > rb[3] THEN 1 ELSE 0 END
+                   + CASE WHEN recency_days > rb[4] THEN 1 ELSE 0 END) AS r_score,
+                1 + (CASE WHEN frequency > fb[1] THEN 1 ELSE 0 END
+                   + CASE WHEN frequency > fb[2] THEN 1 ELSE 0 END
+                   + CASE WHEN frequency > fb[3] THEN 1 ELSE 0 END
+                   + CASE WHEN frequency > fb[4] THEN 1 ELSE 0 END) AS f_score,
+                1 + (CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END
+                   + CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END) AS m_score
+         FROM per_user, bounds)
+       SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+              frequency, monetary,
+              CAST(r_score AS BIGINT) AS r_score,
+              CAST(f_score AS BIGINT) AS f_score,
+              CAST(m_score AS BIGINT) AS m_score,
+              CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+       FROM scored"""
+
+  // ---------------------------------------------------------------
+  // 151. hour-of-day uniformity χ² (seasonality screen per event type):
+  // goodness-of-fit of the 24 hour-bucket counts against uniform —
+  // χ² = (24/N)·Σn_h² − N needs only OBSERVED cells (empty hours fold
+  // into the identity). χ² is computed from exact integer counts with
+  // one expression shape on both engines, so it ships bit-identical
+  // and unrounded (the kruskal_wallis rational-statistic rule).
+  def hourlyUniformity(s: SparkSession, dir: String): DataFrame = {
+    val byHour = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("(ts_ns div 3600000000000) % 24").as("__h"))
+      .agg(count(lit(1)).as("__nh"))
+    val stats = byHour.groupBy(col("event_type"))
+      .agg(sum(col("__nh")).as("n"), sum(col("__nh") * col("__nh")).as("__s2"))
+    val chi2 = lit(24.0) / col("n") * col("__s2") - col("n")
+    val dof = lit(23.0)
+    val z = (cbrt(chi2 / dof) - (lit(1.0) - lit(2.0) / (lit(9.0) * dof))) /
+      sqrt(lit(2.0) / (lit(9.0) * dof))
+    val pTail = when(z >= 0, graft.core.Stats.normalUpperTail(z))
+      .otherwise(lit(1.0) - graft.core.Stats.normalUpperTail(-z))
+    stats.select(col("event_type"), col("n"), chi2.as("chi2"),
+      round(coalesce(least(lit(1.0), pTail), lit(0.0)), 6).as("p_uniform"))
+  }
+
+  private val hourlyUniformitySql = {
+    val qPos = graft.core.Stats.normalUpperTailSql("zz")
+    val qNeg = graft.core.Stats.normalUpperTailSql("-zz")
+    s"""WITH by_hour AS (
+         SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS h,
+                count(*) AS nh
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type, CAST(sum(nh) AS BIGINT) AS n,
+                CAST(sum(nh * nh) AS BIGINT) AS s2
+         FROM by_hour GROUP BY 1),
+       z AS (
+         SELECT event_type, n, 24.0 / n * s2 - n AS chi2,
+                (cbrt((24.0 / n * s2 - n) / 23.0) - (1.0 - 2.0/(9.0*23.0)))
+                  / sqrt(2.0/(9.0*23.0)) AS zz
+         FROM stats)
+       SELECT event_type, n, chi2,
+              round(coalesce(least(1.0,
+                CASE WHEN zz >= 0 THEN $qPos ELSE 1.0 - $qNeg END), 0.0), 6)
+                AS p_uniform
+       FROM z"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments"     -> (rfmSegments _),
+    "hourly_uniformity" -> (hourlyUniformity _),
     "score_auc"        -> (scoreAuc _),
     "psi_drift"        -> (psiDrift _),
     "decayed_sum"      -> (decayedSum _),
     "calibration_bins" -> (calibrationBins _))
 
   val oracles: Map[String, String] = Map(
+    "rfm_segments"      -> rfmSegmentsSql,
+    "hourly_uniformity" -> hourlyUniformitySql,
     "score_auc"        -> scoreAucSql,
     "psi_drift"        -> psiDriftSql,
     "decayed_sum"      -> decayedSumSql,

@@ -177,7 +177,9 @@ class PlanSpec extends SparkSpecBase {
       // survival_km attach 1-row global scalars (threshold, day range,
       // max-ts, ns-range, total-at-risk) or the 10-row bin grid
       "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift",
-      "survival_km", "hvg_trend")
+      "survival_km", "hvg_trend",
+      // rfm_segments attaches the 1-row day-max and quintile-bounds aggs
+      "rfm_segments")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
