@@ -118,6 +118,38 @@ object StreamSessionize {
         col("n"), terms.reduce(_ + _).as("psi"))
   }
 
+  /** Streaming NEAR-dup detection — the streaming twin of the batch
+    * MinHash-LSH pipeline (graft.api.Similarity.nearDupPairsLsh):
+    * every doc explodes into its 16 LSH band keys; a band key already
+    * claimed inside the watermark horizon is dropped by
+    * dropDuplicatesWithinWatermark, so a doc's surviving ("fresh")
+    * band count measures its novelty — a near-duplicate of anything
+    * seen in the horizon shares most bands and keeps few. Emits
+    * (window_start, doc_id, fresh_bands); flag docs with fresh_bands ≤
+    * `dupThreshold` as near-dups. Both stateful stages are
+    * watermark-bounded (band-dedup state + windowed agg state), so
+    * state never grows beyond the horizon — the property that makes
+    * streaming near-dup viable at all. Exact-dup is a special case
+    * (fresh_bands = 0). */
+  def nearDupStream(docs: DataFrame, watermark: String = "1 hour",
+      numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sig = graft.functions.VectorFunctions.minhashSigText(
+      col("text"), 5, numBands * rowsPerBand)
+    val bands = docs
+      .withColumn("__sig", sig)
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> " +
+          s"xxhash64(b, slice(__sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          .as(Seq("band", "band_hash")))
+    bands
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("band", "band_hash")
+      .groupBy(window(col("ts"), watermark), col("doc_id"))
+      .agg(count(lit(1)).as("fresh_bands"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("fresh_bands"))
+  }
+
   case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class FunnelAcc(t_view: Long, t_click: Long, t_purchase: Long, last_ms: Long)
   case class FunnelOut(user_id: Long, viewed: Boolean, clicked: Boolean,

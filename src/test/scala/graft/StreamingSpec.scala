@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: a close variant keeps few fresh bands, novel text keeps all") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 80).map(i => f"token$i%03d").mkString(" ")
+    val nearDup = base + " tail variation only"
+    val novel = (1 to 80).map(i => f"other$i%03d").mkString(" ")
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamSessionize.nearDupStream(
+        ms.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("near_dup").outputMode("append").start()
+    try {
+      ms.addData((1L, ts(0), base))
+      q.processAllAvailable() // doc 1 claims its bands first
+      ms.addData((2L, ts(1), nearDup), (3L, ts(2), novel))
+      q.processAllAvailable()
+      ms.addData((9L, ts(240), "advance watermark"))
+      q.processAllAvailable()
+      ms.addData((9L, ts(480), "advance more"))
+      q.processAllAvailable()
+      val out = spark.table("near_dup")
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(out(1L) === 16L, s"first doc keeps all bands: $out")
+      assert(out(3L) === 16L, s"novel doc keeps all bands: $out")
+      assert(out(2L) <= 8L, s"near-dup must lose most bands: $out")
+    } finally q.stop()
+  }
+
   test("streaming PSI monitor flags drifted windows against the static baseline") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
