@@ -207,17 +207,55 @@ object Dedup {
   // bound). Longs on the wire cut the distinct+join shuffle ~4× vs
   // 20-char strings (4.5s → ~1.6s at sf0.1).
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // source-set-as-bitmask formulation: with ≤ 64 sources (corpus
+    // source lists are small by definition — the guard falls back to
+    // the self-join form otherwise), each shingle's source set is one
+    // LONG built by a bit_or aggregate over the RAW explode (bit_or is
+    // idempotent, so no distinct pass), and every pairwise intersection
+    // + per-source size reads off the TINY distinct-mask histogram.
+    // ONE wide shuffle total (partial bit_or collapses per-partition
+    // duplicates) and no Σ df² join fan-out at any scale. Locally this
+    // is shuffle-bound either way (3.6 → 3.4s at sf0.1 — the 8M
+    // distinct-shingle exchange is the floor), but at corpus scale the
+    // self-join's Σ df² term over popular shingles grows quadratically
+    // in source count while the bitmask stays linear in shingles. (The
+    // collect_set formulation remains 2× worse than even the join.)
+    val srcs = Tables.documents(s, dir).select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted // |sources| rows — driver-bounded
+    if (srcs.length > 60) return sourceOverlapJoin(s, dir)
+    val idxDf = broadcast(srcs.toSeq.zipWithIndex.toDF("source", "sidx"))
+    val maskCounts = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.VectorFunctions.charShingleHashes(norm(col("text")), 20)).as("g"))
+      .join(idxDf, "source")
+      .groupBy(col("g")).agg(expr("bit_or(shiftleft(1L, sidx))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val pairsDf = broadcast((for {
+      i <- srcs.indices; j <- srcs.indices if i < j
+    } yield (srcs(i), srcs(j), i, j)).toDF("s1", "s2", "i", "j"))
+    val sizes = maskCounts.join(idxDf,
+        expr("((mask >> sidx) & 1) = 1"))
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    maskCounts.join(pairsDf,
+        expr("((mask >> i) & 1) = 1 AND ((mask >> j) & 1) = 1"))
+      .groupBy(col("s1"), col("s2")).agg(sum(col("cnt")).as("shared"))
+      .join(broadcast(sizes).as("z1"), col("s1") === col("z1.source"))
+      .join(broadcast(sizes).as("z2"), col("s2") === col("z2.source"))
+      .select(col("s1"), col("s2"), col("shared"),
+        col("z1.n").as("n1"), col("z2.n").as("n2"),
+        r(col("shared").cast("double") /
+          (col("z1.n") + col("z2.n") - col("shared")), 6).as("jaccard"))
+  }
+
+  /** The >64-source fallback: the original shingle-bucket self-join
+    * (bounded by Σ df² over sources sharing a shingle). */
+  private def sourceOverlapJoin(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("source"),
         explode(graft.functions.VectorFunctions.charShingleHashes(norm(col("text")), 20)).as("g"))
       .distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    // shuffle-hash on both sides: the two join exchanges (partitioned
-    // on g) canonicalize identically, so ReuseExchange runs the
-    // explode+distinct subtree ONCE and replays it from shuffle files
-    // for the probe side — a broadcast/SMJ plan would recompute it.
-    // (A collect_set-per-shingle formulation was tried and is 2× WORSE:
-    // ~8M one-element object-agg groups cost more than the join.)
     sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))

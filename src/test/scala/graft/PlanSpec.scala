@@ -179,7 +179,10 @@ class PlanSpec extends SparkSpecBase {
       "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift",
       "survival_km", "hvg_trend",
       // rfm_segments attaches the 1-row day-max and quintile-bounds aggs
-      "rfm_segments")
+      "rfm_segments",
+      // source_overlap probes the tiny distinct-mask histogram against
+      // the |sources|²-row pair table — both bounded by source count
+      "source_overlap")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
