@@ -389,6 +389,7 @@ object Analytics {
   def kruskalWallis(df: DataFrame, feature: Column, group: Column,
       x: Column): DataFrame = {
     val cells = df.select(feature.as("feature"), group.as("__g"), x.as("__x"))
+      .filter(col("__x").isNotNull && col("__g").isNotNull) // rank order is engine-ambiguous for nulls
       .groupBy(col("feature"), col("__x"), col("__g"))
       .agg(count(lit(1)).cast("double").as("cg"))
     val wVal = Window.partitionBy(col("feature"), col("__x"))
@@ -892,6 +893,7 @@ object Analytics {
   def gseaScore(features: DataFrame, feature: Column, stat: Column,
       sets: DataFrame, setLabel: Column, setMember: Column): DataFrame = {
     val f = features.select(feature.as("feature"), stat.as("stat"))
+      .filter(col("stat").isNotNull) // rank order is engine-ambiguous for nulls
     val mem = sets.select(setLabel.as("__set"), setMember.as("__mf")).distinct()
     // alias through distinct so the join below compares two DISTINCT
     // attributes (set_label vs __set), never mem's column with itself
@@ -975,8 +977,12 @@ object Analytics {
     * through the quantile sketch first at corpus scale). */
   def rocAuc(df: DataFrame, group: Column, score: Column,
       positive: Column): DataFrame = {
+    // null scores/labels are dropped (the standard convention), which
+    // also keeps cross-engine rank order deterministic — Spark and SQL
+    // engines disagree on null sort placement
     val counts = df.select(group.as("group"), score.as("__s"),
         positive.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy(col("group"), col("__s"))
       .agg(sum(col("__y")).as("__n1"), sum(lit(1) - col("__y")).as("__n0"))
     val w = Window.partitionBy(col("group")).orderBy(col("__s").asc)
@@ -1006,7 +1012,8 @@ object Analytics {
   def psi(df: DataFrame, group: Column, value: Column, inBaseline: Column,
       nBins: Int = 10): DataFrame = {
     val v = df.select(group.as("group"), value.as("__v"),
-      inBaseline.cast("int").as("__b"))
+        inBaseline.cast("int").as("__b"))
+      .filter(col("__v").isNotNull && col("__b").isNotNull) // null-safe binning
     val span = v.groupBy(col("group"))
       .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
     val binned = v.join(broadcast(span), "group")

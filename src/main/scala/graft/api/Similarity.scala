@@ -205,6 +205,39 @@ object Similarity {
     * distributed propagation loop below. */
   private val UnionFindMaxEdges = 10_000_000L
 
+  /** Fixed-iteration PageRank over an undirected edge list (damping
+    * 0.85, `iters` power iterations from the uniform vector) — the
+    * centrality companion of connectedComponents for the kNN graph
+    * (which vectors anchor their neighborhood). Each iteration is one
+    * join + bounded-key aggregation on the EDGE list (linear in edges),
+    * localCheckpoint'ed so the plan stays O(1) per round (the
+    * components lesson). Symmetric edges mean no dangling mass; the
+    * vertex count attaches as a broadcast scalar, not a driver action.
+    * Isolated vertices (no edges) are out of the graph, as in
+    * components. */
+  def pageRank(edges0: DataFrame, a: Column, b: Column, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val sym = edges0.select(a.as("src"), b.as("dst"))
+      .union(edges0.select(b.as("src"), a.as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val verts = sym.select(col("src").as("v")).distinct()
+    val nvDf = broadcast(verts.agg(count(lit(1)).cast("double").as("__nv")))
+    var pr = verts.crossJoin(nvDf)
+      .select(col("v"), (lit(1.0) / col("__nv")).as("r"))
+    for (_ <- 1 to iters) {
+      pr = pr.join(sym, col("v") === col("src"))
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("__d")).as("__in"))
+        .crossJoin(nvDf)
+        .select(col("dst").as("v"),
+          (lit(1.0 - damping) / col("__nv") + lit(damping) * col("__in")).as("r"))
+        .localCheckpoint()
+    }
+    pr.select(col("v").as("vertex"), col("r").as("pagerank"))
+  }
+
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
       maxIter: Int = 20): DataFrame = {
     // localCheckpoint (NOT persist): every iteration's plan references the

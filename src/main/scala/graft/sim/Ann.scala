@@ -176,7 +176,58 @@ object Ann {
         round(col("k_eff") * col("k_eff") / col("c2").cast("double"), 6).as("lisi"))
   }
 
+  // ---------------------------------------------------------------
+  // 153. PageRank over the mutual-kNN graph (the centrality view of
+  // the #76 communities: which vectors anchor their neighborhood —
+  // wrapper.R:267-348's graph, a different lens). Five fixed power
+  // iterations at damping 0.85; the oracle unrolls the same five
+  // layers (aggregation in a recursive CTE term is not portable).
+  def pagerankKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val knn = graft.api.Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 5)
+      .select(col("qid"), col("neighbor_id").as("nid"))
+    val mutual = knn.as("x")
+      .join(knn.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+      .filter(col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("a"), col("x.nid").as("b"))
+    graft.api.Similarity.pageRank(mutual, col("a"), col("b"))
+      .select(col("vertex").as("vec_id"),
+        round(col("pagerank"), 6).as("pagerank"))
+  }
+
+  private val pagerankKnnSql = {
+    val step = (i: Int) =>
+      s"""pr$i AS (
+           SELECT e.b AS v, (1.0 - 0.85) / nv + 0.85 * sum(p.r / d.d) AS r
+           FROM pr${i - 1} p
+           JOIN edges e ON p.v = e.a
+           JOIN deg d ON p.v = d.v, n
+           GROUP BY e.b, nv)"""
+    s"""WITH scored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
+       knn AS (SELECT qid, nid FROM scored WHERE rk <= 5),
+       mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       edges AS (SELECT a, b FROM mutual UNION ALL SELECT b, a FROM mutual),
+       deg AS (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
+       verts AS (SELECT DISTINCT a AS v FROM edges),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM verts),
+       pr0 AS (SELECT v, 1.0 / nv AS r FROM verts, n),
+       ${(1 to 5).map(step).mkString(",\n       ")}
+       SELECT v AS vec_id, round(r, 6) AS pagerank FROM pr5"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank_knn"        -> (pagerankKnn _),
     "local_lisi"          -> (localLisi _),
     "knn_components"      -> (knnComponents _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
@@ -184,6 +235,7 @@ object Ann {
     "ann_ivf_topk"        -> (annIvfTopk _))
 
   val oracles: Map[String, String] = Map(
+    "pagerank_knn" -> pagerankKnnSql,
     "local_lisi" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.label AS nlabel,
