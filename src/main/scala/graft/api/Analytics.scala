@@ -388,8 +388,12 @@ object Analytics {
     */
   def kruskalWallis(df: DataFrame, feature: Column, group: Column,
       x: Column): DataFrame = {
+    // one fact shuffle by feature: the cell rollup, both rank windows,
+    // the per-group sums, the tie terms, and their join all ride the
+    // feature partitioning (every later key set contains `feature`)
     val cells = df.select(feature.as("feature"), group.as("__g"), x.as("__x"))
       .filter(col("__x").isNotNull && col("__g").isNotNull) // rank order is engine-ambiguous for nulls
+      .repartition(col("feature"))
       .groupBy(col("feature"), col("__x"), col("__g"))
       .agg(count(lit(1)).cast("double").as("cg"))
     val wVal = Window.partitionBy(col("feature"), col("__x"))

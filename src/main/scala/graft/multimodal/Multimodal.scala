@@ -117,11 +117,53 @@ object Multimodal {
         col("col").cast("long").as("offset"),
         expr("CAST(ascii(substring(CAST(payload AS STRING), col + 1, 1)) AS DOUBLE)").as("level"))
 
+  // ---------------------------------------------------------------
+  // 154. cross-asset frame dedup: fingerprint every sampled frame (a
+  // 16-byte content window at the frame offset — the stub stand-in for
+  // a perceptual frame hash), count how many assets carry each
+  // fingerprint, score each asset by its duplicated-frame fraction —
+  // the video-pipeline twin of para_dedup (shared intros/outros/stock
+  // footage across assets). Fingerprints travel as xxhash64 longs; the
+  // distinct set and the frequency join share one exchange
+  // (shuffle_hash hints). ASCII-safe: the synthetic corpus text is
+  // ASCII so byte windows ≡ char windows, which is what lets the
+  // oracle mirror the fingerprint exactly.
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val fr = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, length(text) - 1, 100)")).as("off"), col("text"))
+      .select(col("doc_id"), xxhash64(expr("substring(text, off + 1, 16)")).as("h"))
+      .distinct()
+    val freq = fr.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    fr.hint("shuffle_hash").join(freq.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("df") >= 2, lit(1))).as("n_dup"))
+      .select(col("doc_id"), col("n_frames"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_frames"), 6).as("dup_frac"))
+  }
+
+  private val frameDedupSql =
+    """WITH fr AS (
+         SELECT DISTINCT doc_id, substr(text, CAST(i AS INT) + 1, 16) AS fp
+         FROM documents,
+         LATERAL unnest(generate_series(0, length(text) - 1, 100)) AS u(i)
+         WHERE length(text) > 0),
+       freq AS (SELECT fp, count(*) AS df FROM fr GROUP BY 1)
+       SELECT doc_id, count(*) AS n_frames,
+              count(CASE WHEN df >= 2 THEN 1 END) AS n_dup,
+              round(CAST(count(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE)
+                    / count(*), 6) AS dup_frac
+       FROM fr JOIN freq USING (fp) GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"   -> (multimodalMeta _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "frame_dedup"       -> (frameDedup _))
 
   val oracles: Map[String, String] = Map(
+    "frame_dedup" -> frameDedupSql,
     "multimodal_frames" ->
       """SELECT doc_id,
          CAST(i // 100 AS BIGINT) AS frame_idx,
