@@ -121,6 +121,24 @@ class AnnotateScoresSpec extends SparkSpecBase {
     assert(edges.sorted.sameElements(again.sorted), "MST must be deterministic")
   }
 
+  test("pageRank: star center dominates, ranks conserve mass, cycle is uniform") {
+    import api.Similarity
+    // star: center 0 connected to 1..6 — center must rank highest
+    val star = (1 to 6).map(i => (0L, i.toLong)).toDF("a", "b")
+    val ranks = Similarity.pageRank(star, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(0L) > ranks(1L) * 2, s"center must dominate: $ranks")
+    assert((1 to 6).map(i => ranks(i.toLong)).distinct.length == 1,
+      "leaves are symmetric")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6,
+      s"ranks sum to 1 on a dangling-free graph: ${ranks.values.sum}")
+    // cycle: perfect symmetry → exactly uniform at every iteration
+    val cycle = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong)).toDF("a", "b")
+    val cr = Similarity.pageRank(cycle, col("a"), col("b"))
+      .collect().map(_.getDouble(1))
+    assert(cr.forall(r => math.abs(r - 0.2) < 1e-12), s"cycle must stay uniform: ${cr.toSeq}")
+  }
+
   test("kmeansElbow cost curve decreases from k=2 to k=8") {
     val out = ml.Reduce.kmeansElbow(spark, sf)
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
