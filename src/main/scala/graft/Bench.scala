@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
+    "dup_pairs_by_source",
     "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters",
     "kmeans_elbow")
 

@@ -118,6 +118,44 @@ object Dedup {
         WHERE CAST(i AS DOUBLE) / least(s1.n, s2.n) >= 0.9"""
 
   // ---------------------------------------------------------------
+  // 156. near-dup pair rates by source pair: where do the duplicates
+  // LIVE — within a source or across two (the audit that decides
+  // whether dedup must run globally or can shard per source). Consumes
+  // the exact pair list (oracle path, Bench-excluded with it); at
+  // scale feed the LSH pairs — identical downstream.
+  def dupPairsBySource(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("d1"), col("d2"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("__s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("__s2")), "d2")
+      .groupBy(least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val dupPairsBySourceSql =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+               FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.7)
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs
+        JOIN documents a ON d1 = a.doc_id
+        JOIN documents b ON d2 = b.doc_id
+        GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
   // 35. SimHash (64-bit): per-word hash votes per bit, sign → bit;
   // near-dups = pairs within hamming distance 3, found via 4×16-bit
   // chunk banding (any exact-matching chunk → candidate, guaranteed to
@@ -290,6 +328,7 @@ object Dedup {
     "decontaminate"       -> (decontaminate _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_containment"   -> (dedupContainment _),
+    "dup_pairs_by_source" -> (dupPairsBySource _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -323,6 +362,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_containment" -> dedupContainmentSql,
+    "dup_pairs_by_source" -> dupPairsBySourceSql,
     "source_overlap" -> sourceOverlapSql,
     "fuzzy_blocked_join" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,

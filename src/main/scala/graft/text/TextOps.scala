@@ -393,7 +393,32 @@ object TextOps {
               lang AS item, n AS est_count
        FROM c"""
 
+  // ---------------------------------------------------------------
+  // 155. corpus length profile per source — the first corpus-health
+  // table a data pipeline prints: doc counts and the length
+  // distribution (exact quantiles at this SF; percentile_approx at
+  // corpus scale, per the Stats contract). Bounded-key aggregation.
+  def lengthProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        r(avg(col("n_chars")), 6).as("mean_chars"),
+        r(graft.core.Stats.quantileCol(col("n_chars"), 0.1), 6).as("p10"),
+        r(graft.core.Stats.quantileCol(col("n_chars"), 0.5), 6).as("p50"),
+        r(graft.core.Stats.quantileCol(col("n_chars"), 0.9), 6).as("p90"))
+
+  private val lengthProfileSql =
+    """SELECT source, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              round(avg(n_chars), 6) AS mean_chars,
+              round(quantile_cont(n_chars, 0.1), 6) AS p10,
+              round(quantile_cont(n_chars, 0.5), 6) AS p50,
+              round(quantile_cont(n_chars, 0.9), 6) AS p90
+       FROM documents GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "length_profile"   -> (lengthProfile _),
     "heavy_hitters"    -> (heavyHitters _),
     "para_dedup"       -> (paraDedup _),
     "char_lm_score"    -> (charLmScore _),
@@ -457,6 +482,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "length_profile" -> lengthProfileSql,
     "heavy_hitters" -> heavyHittersSql,
     "para_dedup" -> paraDedupSql,
     "char_lm_score" -> charLmScoreSql,

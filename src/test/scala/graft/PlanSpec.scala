@@ -150,7 +150,7 @@ class PlanSpec extends SparkSpecBase {
       // local_lisi's neighborhoods come from the documented brute-force
       // scorer (LSH/IVF candidates are the scale path)
       "local_lisi",
-      "dedup_ngram_jaccard", "dedup_containment", "threshold_tally", "feature_filter", "enrichment_ora",
+      "dedup_ngram_jaccard", "dedup_containment", "dup_pairs_by_source", "threshold_tally", "feature_filter", "enrichment_ora",
       "tfidf_top_terms", "knn_components", "pagerank_knn",
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
       // char_lm_score attaches the 1-row corpus bigram total
