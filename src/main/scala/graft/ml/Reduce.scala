@@ -140,7 +140,39 @@ object Reduce {
     } finally { vecs.unpersist(); () }
   }
 
+  /** 157. embedding norm statistics per label — the cheapest
+    * embedding-space health screen (collapsed or exploding embeddings
+    * show up as degenerate norm distributions long before a silhouette
+    * is computed). One narrow codegen'd pass (DotProduct) + a
+    * bounded-key aggregation. */
+  def embeddingNormStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        sqrt(dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 6).as("mean_norm"),
+        round(stddev_samp(col("nrm")), 6).as("std_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+  }
+
+  private val embeddingNormStatsSql =
+    """WITH nrms AS (
+         SELECT label,
+                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+         FROM embeddings)
+       SELECT label, count(*) AS n,
+              round(avg(nrm), 6) AS mean_norm,
+              round(stddev_samp(nrm), 6) AS std_norm,
+              round(min(nrm), 6) AS min_norm,
+              round(max(nrm), 6) AS max_norm
+       FROM nrms GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_norm_stats" -> (embeddingNormStats _),
     "kmeans_elbow"      -> (kmeansElbow _),
     "pca_embeddings"    -> (pcaEmbeddings _),
     "kmeans_clusters"   -> (kmeansClusters _),
@@ -148,5 +180,6 @@ object Reduce {
     "label_silhouette"  -> (labelSilhouette _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_norm_stats" -> embeddingNormStatsSql,
     "label_silhouette" -> labelSilhouetteSql)
 }
