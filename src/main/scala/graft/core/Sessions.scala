@@ -300,20 +300,33 @@ object Sessions {
   // per-user window pass, then mean/median/std gap and the burstiness
   // index (σ−μ)/(σ+μ) — the session-rhythm screen (−1 periodic,
   // 0 Poisson, →1 bursty).
+  //
+  // Cross-engine determinism (the round-3 hash-mismatch fix): gaps are
+  // integer µs, so per-user Σgap < 2^53 is EXACT under any summation
+  // order — avg (exact sum / count) and interpolated median (exact
+  // half-integer midpoint) are therefore bit-identical doubles in Spark
+  // and DuckDB, and are emitted UNROUNDED (rounding them is what broke
+  // round 3: a half-µs median in seconds lands exactly on a 4dp decimal
+  // midpoint, where Spark's BigDecimal HALF_UP and DuckDB's
+  // multiply-then-round disagree). stddev_pop IS engine-dependent
+  // (Σgap² ~ 2.5e21 loses ulps), so it alone is rounded — at SECONDS
+  // scale (~5e4), where 4dp needs only ~9 matching significant digits.
   def intereventStats(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
+    val us = lit(1e6)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
       .withColumn("gap", (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double"))
       .filter(col("gap").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),
-        round(avg(col("gap")), 4).as("mean_gap_us"),
-        round(graft.core.Stats.medianCol(col("gap")), 4).as("median_gap_us"),
-        round(stddev_pop(col("gap")), 4).as("sd_gap_us"),
-        round((stddev_pop(col("gap")) - avg(col("gap"))) /
-          nullif(stddev_pop(col("gap")) + avg(col("gap")), lit(0.0)), 6).as("burstiness"))
+        (avg(col("gap")) / us).as("mean_gap_s"),
+        (graft.core.Stats.medianCol(col("gap")) / us).as("median_gap_s"),
+        round(stddev_pop(col("gap") / us), 4).as("sd_gap_s"),
+        round((stddev_pop(col("gap") / us) - avg(col("gap")) / us) /
+          nullif(stddev_pop(col("gap") / us) + avg(col("gap")) / us, lit(0.0)), 6)
+          .as("burstiness"))
   }
 
   // ---------------------------------------------------------------
@@ -517,11 +530,12 @@ object Sessions {
                     ORDER BY epoch_us(ts) ASC, event_id ASC) AS DOUBLE) AS gap
            FROM events)
          SELECT user_id, count(*) AS n_gaps,
-                round(avg(gap), 4) AS mean_gap_us,
-                round(median(gap), 4) AS median_gap_us,
-                round(stddev_pop(gap), 4) AS sd_gap_us,
-                round((stddev_pop(gap) - avg(gap))
-                      / nullif(stddev_pop(gap) + avg(gap), 0.0), 6) AS burstiness
+                avg(gap) / 1000000.0 AS mean_gap_s,
+                median(gap) / 1000000.0 AS median_gap_s,
+                round(stddev_pop(gap / 1000000.0), 4) AS sd_gap_s,
+                round((stddev_pop(gap / 1000000.0) - avg(gap) / 1000000.0)
+                      / nullif(stddev_pop(gap / 1000000.0)
+                               + avg(gap) / 1000000.0, 0.0), 6) AS burstiness
          FROM g WHERE gap IS NOT NULL GROUP BY 1""",
     "funnel_conversion" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
