@@ -132,6 +132,40 @@ object Similarity {
         col("e.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** LSH-bucketed cosine top-k where EVERY corpus vector is a query —
+    * the kNN-GRAPH scale path, where [[bruteForceTopK]]'s
+    * broadcast-the-queries trick cannot apply (the query side IS the
+    * corpus: broadcasting it OOMs and scoring it is O(n²)). Candidates
+    * come from a bucket-equi SELF-join on random-hyperplane sign
+    * buckets with hamming-1 multi-probe on the query side (flip each
+    * plane's sign bit once): per-vector candidate volume is
+    * (planes+1) · n/2^planes — raise `planes` with corpus size
+    * (planes ≈ log2(n / target_bucket)) to keep buckets bounded, the
+    * same lever as annLshTopk. Buckets partition the corpus, so the
+    * probe set never duplicates a candidate. Both join sides are
+    * shuffle-hash on the bounded bucket key; per-query top-k folds
+    * through the native bounded-heap aggregate (O(n·k) exchange).
+    * Approximate by construction — pair it with a brute-force oracle
+    * and a recall spec, as the `_lsh` query twins do. */
+  def lshTopK(corpus: DataFrame, id: Column, vec: Column, k: Int,
+      planes: Int = 5): DataFrame = {
+    val c = Analytics.spread(corpus.select(id.as("vid"), vec.cast("array<double>").as("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val probes = c.select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+      explode(expr(s"""transform(sequence(0, $planes),
+        p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
+    c.hint("shuffle_hash")
+      .join(probes.hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("cs", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .groupBy(col("qid"))
+      .agg(topKByScore(col("cs"), col("vid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("neighbor_id"),
+        col("e.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Training-set decontamination: flag train docs sharing ≥ minShared
     * distinct character n-gram shingles with ANY doc in the eval set —
     * the standard benchmark-leakage filter for pretraining corpora.

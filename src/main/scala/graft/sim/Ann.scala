@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   *  - brute-force cosine top-k — the exact baseline/oracle path;
   *  - random-hyperplane LSH buckets — sub-linear candidate generation,
   *    the shuffle key is the sign-pattern bucket id (bounded fan-out);
-  *  - IVF (KMeans-partitioned, nprobe=2) — the classic coarse-quantizer
+  *  - IVF (KMeans-partitioned, nprobe=4) — the classic coarse-quantizer
   *    layout; at 100 TB the centroid table broadcasts and each query
   *    only scans its probed partitions.
+  *
+  * The kNN-GRAPH queries (#76 communities, #123 LISI, #153 PageRank)
+  * each ship as a pair: the brute-force-fed base query is the ORACLE
+  * path (exact neighbors, DuckDB-verifiable, O(n²) — never the plan
+  * you run at corpus scale), and a `_lsh` twin feeds the identical
+  * graph tail from Similarity.lshTopK's bucket self-join (linear in
+  * bucket-bounded candidates — the 100 TB path, recall-spec'd against
+  * the oracle in AnnSpec).
   *
   * All vector math is double-precision higher-order folds over the
   * packed array column — no per-dimension rows, no UDFs.
@@ -98,7 +106,7 @@ object Ann {
   // ---------------------------------------------------------------
   // 39. IVF-style ANN: MLlib KMeans (k=16, seeded) as the coarse
   // quantizer; every vector is assigned to its cell, queries probe the
-  // nprobe=2 nearest centroids and scan only those cells. Centroids are
+  // nprobe=4 nearest centroids and scan only those cells. Centroids are
   // a broadcast-sized table by construction.
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -128,26 +136,52 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
-  // 76. kNN-graph communities (wrapper.R:267-348: kNN graph +
-  // Louvain/Leiden re-expressed): k=5 cosine neighbors per vector,
-  // MUTUAL edges only (both endpoints list each other), connected
-  // components label the communities. Brute-force neighbor generation
-  // is the oracle path; at corpus scale the kNN edges come from the
-  // LSH/IVF candidate generation above instead.
-  def knnComponents(s: SparkSession, dir: String): DataFrame = {
+  // Shared kNN-edge builders for the graph queries (#76/#123/#153).
+  // `exact = true` is the ORACLE feed: bruteForceTopK broadcasts the
+  // whole corpus as the query side and scores all n² pairs — exact and
+  // DuckDB-matchable, but a broadcast OOM + quadratic scan at corpus
+  // scale. `exact = false` is the SCALE feed: Similarity.lshTopK's
+  // hyperplane-bucket self-join (candidates bounded per bucket, no
+  // broadcast of the corpus) — approximate, recall-spec'd in AnnSpec.
+  private def knnEdges(s: SparkSession, dir: String, k: Int,
+      exact: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val knn = graft.api.Similarity.bruteForceTopK(
-        emb, col("vec_id"), col("embedding"),
-        emb, col("vec_id"), col("embedding"), k = 5)
-      .select(col("qid"), col("neighbor_id").as("nid"))
-    val mutual = knn.as("x")
+    if (exact)
+      graft.api.Similarity.bruteForceTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb, col("vec_id"), col("embedding"), k = k)
+        .select(col("qid"), col("neighbor_id").as("nid"))
+    else
+      graft.api.Similarity.lshTopK(
+          emb, col("vec_id"), col("embedding"), k = k, planes = LshPlanes)
+        .select(col("qid"), col("neighbor_id").as("nid"))
+  }
+
+  /** MUTUAL kNN edges (both endpoints list each other), a < b. */
+  private def mutualEdges(knn: DataFrame): DataFrame =
+    knn.as("x")
       .join(knn.as("y"),
         col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
       .filter(col("x.qid") < col("x.nid"))
       .select(col("x.qid").as("a"), col("x.nid").as("b"))
-    graft.api.Similarity.connectedComponents(mutual, col("a"), col("b"))
+
+  // ---------------------------------------------------------------
+  // 76. kNN-graph communities (wrapper.R:267-348: kNN graph +
+  // Louvain/Leiden re-expressed): k=5 cosine neighbors per vector,
+  // MUTUAL edges only (both endpoints list each other), connected
+  // components label the communities. Brute-force neighbor generation
+  // is the oracle path; knnComponentsLsh is the corpus-scale twin.
+  def knnComponents(s: SparkSession, dir: String): DataFrame =
+    knnComponentsFrom(knnEdges(s, dir, k = 5, exact = true))
+
+  /** Scale twin of #76: identical mutual-edge/components tail over the
+    * LSH-bucketed neighbor feed. */
+  def knnComponentsLsh(s: SparkSession, dir: String): DataFrame =
+    knnComponentsFrom(knnEdges(s, dir, k = 5, exact = false))
+
+  private def knnComponentsFrom(knn: DataFrame): DataFrame =
+    graft.api.Similarity.connectedComponents(mutualEdges(knn), col("a"), col("b"))
       .select(col("vertex").as("vec_id"), col("component").as("community"))
-  }
 
   // ---------------------------------------------------------------
   // 123. per-cell LISI (integrate.R:188-266 measure_label_groupdiversity
@@ -155,14 +189,18 @@ object Ann {
   // the label mix among each cell's k=30 cosine neighbors — the
   // faithful per-cell form whose per-group cousin is #23. Neighborhoods
   // come from the same top-k machinery as #37 (bounded-heap aggregate,
-  // O(q·k) exchange); at corpus scale feed LSH/IVF candidates instead
-  // of the brute-force scorer, identical downstream.
-  def localLisi(s: SparkSession, dir: String): DataFrame = {
+  // O(q·k) exchange); localLisiLsh is the corpus-scale twin (LSH
+  // candidate feed, identical downstream).
+  def localLisi(s: SparkSession, dir: String): DataFrame =
+    localLisiFrom(s, dir, knnEdges(s, dir, k = 30, exact = true))
+
+  /** Scale twin of #123: same label-mix tail over LSH neighborhoods. */
+  def localLisiLsh(s: SparkSession, dir: String): DataFrame =
+    localLisiFrom(s, dir, knnEdges(s, dir, k = 30, exact = false))
+
+  private def localLisiFrom(s: SparkSession, dir: String, knn0: DataFrame): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val knn = graft.api.Similarity.bruteForceTopK(
-        emb, col("vec_id"), col("embedding"),
-        emb, col("vec_id"), col("embedding"), k = 30)
-      .select(col("qid"), col("neighbor_id"))
+    val knn = knn0.select(col("qid"), col("nid").as("neighbor_id"))
     val counts = knn
       .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
         "neighbor_id")
@@ -182,21 +220,19 @@ object Ann {
   // wrapper.R:267-348's graph, a different lens). Five fixed power
   // iterations at damping 0.85; the oracle unrolls the same five
   // layers (aggregation in a recursive CTE term is not portable).
-  def pagerankKnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val knn = graft.api.Similarity.bruteForceTopK(
-        emb, col("vec_id"), col("embedding"),
-        emb, col("vec_id"), col("embedding"), k = 5)
-      .select(col("qid"), col("neighbor_id").as("nid"))
-    val mutual = knn.as("x")
-      .join(knn.as("y"),
-        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
-      .filter(col("x.qid") < col("x.nid"))
-      .select(col("x.qid").as("a"), col("x.nid").as("b"))
-    graft.api.Similarity.pageRank(mutual, col("a"), col("b"))
+  // pagerankKnnLsh is the corpus-scale twin.
+  def pagerankKnn(s: SparkSession, dir: String): DataFrame =
+    pagerankFrom(knnEdges(s, dir, k = 5, exact = true))
+
+  /** Scale twin of #153: same 5-iteration PageRank over the LSH-fed
+    * mutual-kNN graph. */
+  def pagerankKnnLsh(s: SparkSession, dir: String): DataFrame =
+    pagerankFrom(knnEdges(s, dir, k = 5, exact = false))
+
+  private def pagerankFrom(knn: DataFrame): DataFrame =
+    graft.api.Similarity.pageRank(mutualEdges(knn), col("a"), col("b"))
       .select(col("vertex").as("vec_id"),
         round(col("pagerank"), 6).as("pagerank"))
-  }
 
   private val pagerankKnnSql = {
     val step = (i: Int) =>
@@ -228,8 +264,11 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_knn"        -> (pagerankKnn _),
+    "pagerank_knn_lsh"    -> (pagerankKnnLsh _),
     "local_lisi"          -> (localLisi _),
+    "local_lisi_lsh"      -> (localLisiLsh _),
     "knn_components"      -> (knnComponents _),
+    "knn_components_lsh"  -> (knnComponentsLsh _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _))

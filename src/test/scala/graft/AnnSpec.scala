@@ -40,6 +40,55 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("whole-corpus LSH kNN feed beats random-sampling recall (graph-twin feed)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    def knnSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "neighbor_id").collect()
+        .map { case Row(q: Long, n: Long) => (q, n) }
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = knnSet(api.Similarity.bruteForceTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"), k = 5))
+    val lsh = knnSet(api.Similarity.lshTopK(
+      emb, col("vec_id"), col("embedding"), k = 5, planes = 5))
+    // every vector must get a neighborhood from its probed buckets
+    assert(lsh.size == exact.size, s"${lsh.size} LSH neighborhoods vs ${exact.size}")
+    val recalls = exact.map { case (q, ns) =>
+      lsh.getOrElse(q, Set.empty).intersect(ns).size.toDouble / ns.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(s"whole-corpus LSH kNN recall@5 = $recall")
+    // same candidate-volume argument as the ann_lsh spec: multi-probe
+    // scans ~6/32 buckets ≈ 19% of the corpus, so random sampling gives
+    // ~0.19 — hyperplane locality must clearly beat it
+    assert(recall > 0.3, s"LSH kNN recall $recall no better than random sampling")
+  }
+
+  test("LSH graph twins: components contract holds, PageRank mass conserved, LISI well-formed") {
+    // components: every community label is the min vertex id reachable,
+    // so community <= vec_id pointwise and each community labels itself
+    val comp = sim.Ann.knnComponentsLsh(spark, sf).collect()
+      .map { case Row(v: Long, c: Long) => (v, c) }
+    assert(comp.nonEmpty)
+    comp.foreach { case (v, c) => assert(c <= v, s"community $c > member $v") }
+    val roots = comp.map(_._2).toSet
+    assert(roots.subsetOf(comp.map(_._1).toSet), "components without their root vertex")
+    // pagerank: probability mass over the LSH graph sums to 1
+    val pr = sim.Ann.pagerankKnnLsh(spark, sf).collect()
+      .map { case Row(_: Long, p: Double) => p }
+    assert(math.abs(pr.sum - 1.0) < 1e-3, s"PageRank mass ${pr.sum}")
+    // lisi: one row per vector, k_eff from the probed buckets must fill
+    // the full k=30 neighborhood on this corpus, lisi in [1, k_eff]
+    val lisi = sim.Ann.localLisiLsh(spark, sf).collect()
+      .map { case Row(_: Long, _: Int, k: Long, l: Double) => (k, l) }
+    assert(lisi.length == 500)
+    lisi.foreach { case (k, l) =>
+      assert(k == 30, s"k_eff $k: probed buckets under-filled the neighborhood")
+      assert(l >= 1.0 - 1e-9 && l <= k + 1e-9, s"lisi $l outside [1, $k]")
+    }
+  }
+
   test("IVF top-k probes nearest cells with better-than-random recall") {
     val ivf = topkMap(sim.Ann.annIvfTopk(spark, sf))
     assert(ivf.nonEmpty)
