@@ -48,6 +48,12 @@ object Trajectory {
           dot(col("a.cv"), col("a.cv")) + dot(col("b.cv"), col("b.cv"))
             - lit(2.0) * dot(col("a.cv"), col("b.cv")))).as("dist"))
       .collect()
+    // degenerate corpus (< 2 distinct labels): no spanning edges — an
+    // empty edge list, not a driver crash on verts.head
+    if (pairs.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(Int, Int, Double)].toDF("from_label", "to_label", "dist")
+    }
     // Prim over the tiny collected matrix (k² entries, k = #clusters)
     val verts = pairs.flatMap(p => Seq(p.getInt(0), p.getInt(1))).distinct.sorted
     val d = pairs.map(p => ((p.getInt(0), p.getInt(1)), p.getDouble(2))).toMap
@@ -65,6 +71,151 @@ object Trajectory {
     import s.implicits._
     edges.toSeq.toDF("from_label", "to_label", "dist")
       .select(col("from_label"), col("to_label"), r(col("dist"), 6).as("dist"))
+  }
+
+  // ---------------------------------------------------------------
+  // 158. slingshot per-cell pseudotime (slingshot.R:8-57 run_slingshot →
+  // slingshot()'s projection step): lineages are root→leaf paths of the
+  // #132 centroid MST (root = min label, slingshot's start.clus made
+  // deterministic), and each cell's pseudotime along a lineage
+  // containing its label is its arc-length position on the path — the
+  // nearest-segment projection (principal-curve iteration replaced by
+  // the closed-form piecewise-linear projection, which keeps a DuckDB
+  // oracle possible: every step below is dot-product arithmetic).
+  //
+  // 100 TB shape: ONE distributed centroid aggregation (bounded
+  // |labels|×dim), then all graph/geometry work on the driver at k²
+  // size (k = #clusters — dozens, the same bound slingshot assumes,
+  // and the bound clusterMst already documents), then ONE broadcast
+  // join + codegen projection pass over the cells. The final argmin
+  // groupBy carries cells×lineages rows with map-side combine — no
+  // corpus shuffle, no iteration.
+  def pseudotimeAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    import s.implicits._
+    val cells = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cvs = collectCentroids(cells)
+    if (cvs.size < 2)
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("vec_id", "label", "lineage_id", "pseudotime")
+    val geom = lineageGeometry(cvs)
+    val segTable = geom.memberSegs.toDF(
+      "label", "lineage_id", "seg_idx", "ca", "cb", "aa", "ab", "len2", "seg_len", "cum")
+    val num = (col("vb") - col("va") - col("ab") + col("aa"))
+    val t = least(lit(1.0), greatest(lit(0.0), num / col("len2")))
+    cells.join(broadcast(segTable), "label")
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("va", dot(col("v"), col("ca")))
+      .withColumn("vb", dot(col("v"), col("cb")))
+      .withColumn("tt", t)
+      .withColumn("dist2",
+        (col("vv") - lit(2.0) * col("va") + col("aa"))
+          - lit(2.0) * col("tt") * num + col("tt") * col("tt") * col("len2"))
+      .withColumn("pt", col("cum") + col("tt") * col("seg_len"))
+      .groupBy(col("vec_id"), col("label"), col("lineage_id"))
+      .agg(min(struct(col("dist2"), col("seg_idx"), col("pt"))).as("m"))
+      .select(col("vec_id"), col("label"), col("lineage_id"),
+        r(col("m.pt"), 6).as("pseudotime"))
+  }
+
+  // ---------------------------------------------------------------
+  // 159. slingBranchID tally (slingshot.R:57's
+  // `table(slingshot::slingBranchID())` comment): how many cells belong
+  // to each lineage-membership combination. Membership is
+  // label-determined (a cell is on every lineage whose path contains
+  // its cluster), so the combo map is driver-built from the same
+  // geometry and the query is one broadcast join + bounded-key count.
+  def lineageMembership(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cvs = collectCentroids(cells)
+    if (cvs.size < 2)
+      return Seq.empty[(String, Long)].toDF("branch_id", "n_cells")
+    val branchDf = lineageGeometry(cvs).branch.toDF("label", "branch_id")
+    cells.join(broadcast(branchDf), "label")
+      .groupBy(col("branch_id")).agg(count(lit(1)).as("n_cells"))
+  }
+
+  /** Distributed per-label centroid pass, collected (k×dim doubles —
+    * bounded by cluster count, the clusterMst contract). */
+  private def collectCentroids(cells: DataFrame): Map[Int, Array[Double]] =
+    cells
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+      .collect()
+      .map(row => row.getInt(0) -> row.getSeq[Double](1).toArray)
+      .toMap
+
+  private case class LineageGeom(
+      memberSegs: Seq[(Int, Long, Int, Seq[Double], Seq[Double], Double, Double, Double, Double, Double)],
+      branch: Seq[(Int, String)])
+
+  /** Driver-side lineage geometry over the collected centroids: Prim
+    * MST with the canonical (dist, l1, l2) tie-break the oracle uses,
+    * root→leaf lineage paths (lineage ids = leaf labels ascending),
+    * per-segment dot-product geometry with cumulative arc length, and
+    * the label→lineage membership fan. Everything here is O(k³) on k =
+    * #clusters — driver-cheap by the same bound clusterMst documents. */
+  private def lineageGeometry(cvs: Map[Int, Array[Double]]): LineageGeom = {
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val labels = cvs.keys.toSeq.sorted
+    val root = labels.head
+    def edgeLen2(i: Int, j: Int): Double = {
+      val (a, b) = (cvs(i), cvs(j))
+      dotA(a, a) + dotA(b, b) - 2 * dotA(a, b)
+    }
+    val dist = (for { i <- labels; j <- labels if i < j }
+      yield (i, j) -> math.sqrt(math.max(0.0, edgeLen2(i, j)))).toMap
+    val inTree = scala.collection.mutable.Set(root)
+    val mstEdges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (inTree.size < labels.size) {
+      val (_, i, j) = dist.toSeq
+        .collect { case ((i, j), d) if inTree(i) != inTree(j) => (d, i, j) }
+        .minBy(identity)
+      inTree += (if (inTree(i)) j else i)
+      mstEdges += ((i, j))
+    }
+    val adj = mstEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val leaves = labels.filter(l => l != root && adj(l).size == 1)
+    def pathTo(leaf: Int): List[Int] = {
+      def dfs(cur: Int, prev: Int, acc: List[Int]): Option[List[Int]] =
+        if (cur == leaf) Some((cur :: acc).reverse)
+        else adj(cur).filter(_ != prev)
+          .view.flatMap(n => dfs(n, cur, cur :: acc)).headOption
+      dfs(root, -1, Nil).get
+    }
+    val paths: Seq[(Long, List[Int])] =
+      leaves.sorted.zipWithIndex.map { case (leaf, i) => ((i + 1).toLong, pathTo(leaf)) }
+    val memberSegs = for {
+      (lid, path) <- paths
+      member <- path
+      (Seq(la, lb), idx) <- path.sliding(2).zipWithIndex.toSeq
+    } yield {
+      val aa = dotA(cvs(la), cvs(la))
+      val bb = dotA(cvs(lb), cvs(lb))
+      val ab = dotA(cvs(la), cvs(lb))
+      val segLen = math.sqrt(math.max(0.0, aa + bb - 2 * ab))
+      // prefix-exclusive cumulative arc length, summed in path order
+      // (matches the oracle's ordered window sum)
+      val cum = path.sliding(2).take(idx).collect { case Seq(a, b) =>
+        math.sqrt(math.max(0.0, edgeLen2(a, b))) }.sum
+      (member, lid, idx + 1, cvs(la).toSeq, cvs(lb).toSeq,
+        aa, ab, math.max(aa + bb - 2 * ab, 1e-300), segLen, cum)
+    }
+    val branch = paths.flatMap { case (lid, path) => path.map(_ -> lid) }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.mkString(",")).toSeq
+      .sortBy(_._1)
+    LineageGeom(memberSegs, branch)
   }
 
   // ---------------------------------------------------------------
@@ -163,10 +314,122 @@ object Trajectory {
        FROM ranked"""
   }
 
+  /** Shared oracle prefix: centroids → pairwise distances → Prim MST
+    * (unrolled as 9 argmin layers — 10 labels at every SF, the same
+    * fixed-unroll device the pagerank oracle uses for its iterations)
+    * → recursive root→leaf walk → per-segment geometry + membership.
+    * MATERIALIZED throughout: the unrolled layers reference their
+    * predecessors twice, and DuckDB's default CTE inlining would
+    * re-evaluate the whole prefix exponentially. */
+  private val lineagePrefixSql = {
+    val primStep = (i: Int) =>
+      s"""e$i AS MATERIALIZED (SELECT * FROM e${i - 1} UNION ALL
+           (SELECT p.l1, p.l2, p.dist FROM pairs p
+            WHERE (p.l1 IN (SELECT v FROM t${i - 1})) != (p.l2 IN (SELECT v FROM t${i - 1}))
+            ORDER BY p.dist, p.l1, p.l2 LIMIT 1)),
+         t$i AS MATERIALIZED (SELECT l1 AS v FROM e$i UNION SELECT l2 FROM e$i)"""
+    s"""WITH RECURSIVE cells AS MATERIALIZED (
+         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       exploded AS MATERIALIZED (
+         SELECT label, t.x, t.dim FROM cells,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim) t),
+       cent AS MATERIALIZED (
+         SELECT label, list(c ORDER BY dim) AS cv
+         FROM (SELECT label, dim, avg(x) AS c FROM exploded GROUP BY 1, 2)
+         GROUP BY label),
+       pairs AS MATERIALIZED (
+         SELECT a.label AS l1, b.label AS l2,
+                sqrt(greatest(0.0, list_dot_product(a.cv, a.cv)
+                  + list_dot_product(b.cv, b.cv)
+                  - 2*list_dot_product(a.cv, b.cv))) AS dist
+         FROM cent a JOIN cent b ON a.label < b.label),
+       root AS MATERIALIZED (SELECT min(label) AS r FROM cent),
+       e1 AS MATERIALIZED (
+         SELECT p.l1, p.l2, p.dist FROM pairs p, root
+         WHERE p.l1 = r OR p.l2 = r
+         ORDER BY p.dist, p.l1, p.l2 LIMIT 1),
+       t1 AS MATERIALIZED (SELECT l1 AS v FROM e1 UNION SELECT l2 FROM e1),
+       ${(2 to 9).map(primStep).mkString(",\n       ")},
+       edges AS MATERIALIZED (SELECT l1 AS a, l2 AS b, dist FROM e9
+                 UNION ALL SELECT l2, l1, dist FROM e9),
+       walk AS (
+         SELECT r AS node, [r] AS path FROM root
+         UNION ALL
+         SELECT e.b, list_append(w.path, e.b)
+         FROM walk w JOIN edges e ON w.node = e.a
+         WHERE NOT list_contains(w.path, e.b)),
+       deg AS MATERIALIZED (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
+       lineages AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY w.node) AS lineage_id, w.path
+         FROM walk w JOIN deg ON w.node = deg.v, root
+         WHERE deg.d = 1 AND w.node != r),
+       segs AS MATERIALIZED (
+         SELECT l.lineage_id, s.seg_idx,
+                l.path[s.seg_idx] AS la, l.path[s.seg_idx+1] AS lb
+         FROM lineages l,
+         LATERAL (SELECT unnest(range(1, len(l.path))) AS seg_idx) s),
+       seg_geo AS MATERIALIZED (
+         SELECT s.lineage_id, s.seg_idx, ca.cv AS ca, cb.cv AS cb,
+                list_dot_product(ca.cv, ca.cv) AS aa,
+                list_dot_product(cb.cv, cb.cv) AS bb,
+                list_dot_product(ca.cv, cb.cv) AS ab
+         FROM segs s JOIN cent ca ON s.la = ca.label
+                     JOIN cent cb ON s.lb = cb.label),
+       seg_cum AS MATERIALIZED (
+         SELECT *, sqrt(greatest(0.0, aa + bb - 2*ab)) AS seg_len,
+                greatest(aa + bb - 2*ab, 1e-300) AS len2,
+                coalesce(sum(sqrt(greatest(0.0, aa + bb - 2*ab)))
+                  OVER (PARTITION BY lineage_id ORDER BY seg_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum
+         FROM seg_geo),
+       member AS MATERIALIZED (
+         SELECT l.lineage_id, m.lab FROM lineages l,
+         LATERAL (SELECT unnest(l.path) AS lab) m)"""
+  }
+
+  private val pseudotimeAssignSql =
+    s"""$lineagePrefixSql,
+       proj AS MATERIALIZED (
+         SELECT c.vec_id, c.label, g.lineage_id, g.seg_idx,
+                g.seg_len, g.len2, g.cum, g.aa, g.ab,
+                list_dot_product(c.v, c.v) AS vv,
+                list_dot_product(c.v, g.ca) AS va,
+                list_dot_product(c.v, g.cb) AS vb
+         FROM cells c JOIN member m ON c.label = m.lab
+         JOIN seg_cum g ON m.lineage_id = g.lineage_id),
+       tcalc AS MATERIALIZED (
+         SELECT *, least(1.0, greatest(0.0, (vb - va - ab + aa) / len2)) AS t
+         FROM proj),
+       scored AS MATERIALIZED (
+         SELECT vec_id, label, lineage_id, seg_idx, seg_len, cum, t,
+                (vv - 2.0*va + aa) - 2.0*t*(vb - va - ab + aa) + t*t*len2 AS dist2
+         FROM tcalc),
+       best AS (
+         SELECT *, row_number() OVER (PARTITION BY vec_id, lineage_id
+                    ORDER BY dist2 ASC, seg_idx ASC) AS rk
+         FROM scored)
+       SELECT vec_id, label, lineage_id,
+              round(cum + t*seg_len, 6) AS pseudotime
+       FROM best WHERE rk = 1"""
+
+  private val lineageMembershipSql =
+    s"""$lineagePrefixSql,
+       combo AS MATERIALIZED (
+         SELECT lab AS label,
+                string_agg(CAST(lineage_id AS VARCHAR), ','
+                  ORDER BY lineage_id) AS branch_id
+         FROM member GROUP BY lab)
+       SELECT branch_id, count(*) AS n_cells
+       FROM cells JOIN combo USING (label) GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cluster_mst"  -> (clusterMst _),
-    "pattern_diff" -> (patternDiff _))
+    "cluster_mst"        -> (clusterMst _),
+    "pattern_diff"       -> (patternDiff _),
+    "pseudotime_assign"  -> (pseudotimeAssign _),
+    "lineage_membership" -> (lineageMembership _))
 
   val oracles: Map[String, String] = Map(
-    "pattern_diff" -> patternDiffSql)
+    "pattern_diff"       -> patternDiffSql,
+    "pseudotime_assign"  -> pseudotimeAssignSql,
+    "lineage_membership" -> lineageMembershipSql)
 }

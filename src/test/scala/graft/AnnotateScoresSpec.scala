@@ -121,6 +121,36 @@ class AnnotateScoresSpec extends SparkSpecBase {
     assert(edges.sorted.sameElements(again.sorted), "MST must be deterministic")
   }
 
+  test("pseudotimeAssign: arc-length positions along MST lineages are well-formed") {
+    val mst = sc.Trajectory.clusterMst(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val pt = sc.Trajectory.pseudotimeAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pt.nonEmpty)
+    // pseudotime is an arc-length position: bounded by the total tree
+    // length (every lineage path is a subset of the MST edges)
+    val treeLen = mst.map(_._3).sum
+    assert(pt.forall(p => p._4 >= 0.0 && p._4 <= treeLen + 1e-6),
+      "pseudotime outside [0, total tree length]")
+    // a cell appears once per lineage containing its label, and every
+    // cell of a label gets the SAME lineage set (membership is
+    // label-determined)
+    val byCell = pt.groupBy(_._1)
+    assert(byCell.values.forall(rows => rows.map(_._3).distinct.length == rows.length),
+      "duplicate (cell, lineage) rows")
+    val labelLineages = pt.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    pt.groupBy(p => (p._1, p._2)).foreach { case ((_, label), rows) =>
+      assert(rows.map(_._3).toSet == labelLineages(label))
+    }
+    // the branch tally is consistent: total membership rows == Σ cells
+    // per combo weighted by combo size
+    val tally = sc.Trajectory.lineageMembership(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val comboWeighted = tally.map { case (b, n) => b.split(",").length * n }.sum
+    assert(comboWeighted == pt.length,
+      s"membership tally ($comboWeighted) disagrees with pseudotime rows (${pt.length})")
+  }
+
   test("pageRank: star center dominates, ranks conserve mass, cycle is uniform") {
     import api.Similarity
     // star: center 0 connected to 1..6 — center must rank highest
