@@ -226,7 +226,101 @@ object Trajectory {
   // are pure integer day arithmetic (no quantile boundary to disagree
   // on); one aggregation pass over the fact join, bounded
   // (feature × bin) intermediate.
-  def patternDiff(s: SparkSession, dir: String): DataFrame = {
+  def patternDiff(s: SparkSession, dir: String): DataFrame =
+    binnedWelchChi2(s, dir, col("o_orderpriority") === "1-URGENT", binMax = 9)
+
+  // ---------------------------------------------------------------
+  // 160. tradeseq earlyDETest analog (tradeseq.R:92 run_de_tests_
+  // tradeseq → earlyDETest): the same between-lineage binned-Welch
+  // contrast as patternTest, restricted to the EARLY third of the time
+  // axis (bins 0-2 — the post-branching window where fate-committing
+  // genes first diverge). Identical machinery, different bin mask.
+  def earlyDe(s: SparkSession, dir: String): DataFrame =
+    binnedWelchChi2(s, dir, col("o_orderpriority") === "1-URGENT", binMax = 2)
+
+  // ---------------------------------------------------------------
+  // 161. tradeseq conditionTest analog (tradeseq.R:74-79
+  // run_de_tests_tradeseq → conditionTest when fitGAM ran with
+  // conditions): contrast the binned profile between experimental
+  // CONDITIONS along the same trajectory — the same per-bin Welch
+  // χ² core with the dichotomy swapped from lineage to condition
+  // (deterministic supplier-parity split, orthogonal to the time axis
+  // by construction).
+  def conditionTest(s: SparkSession, dir: String): DataFrame =
+    binnedWelchChi2(s, dir, pmod(col("l_suppkey"), lit(2)) === 0, binMax = 9)
+
+  // ---------------------------------------------------------------
+  // 162. tradeseq diffEndTest analog (tradeseq.R:87-90
+  // run_de_tests_tradeseq → diffEndTest): do the lineages arrive at
+  // DIFFERENT endpoints — per feature, Welch t of lineage A vs B values
+  // restricted to the LATEST 10% of the time axis (the endpoint window,
+  // the same integer-arithmetic tail cutoff startVsEnd uses). Reuses
+  // the deMarkers single-contrast aggregation.
+  def diffEnd(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("day", expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400"))
+    val range = x.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val tail = x.crossJoin(broadcast(range))
+      .filter(col("day") >= expr("mx - (mx - mn) div 10"))
+    graft.api.Analytics.deMarkers(tail, col("l_partkey"),
+        col("o_orderpriority") === "1-URGENT", col("l_quantity"))
+      .select(col("feature"), col("n_a"), col("n_b"),
+        r(col("mean_a"), 6).as("mean_a"), r(col("mean_b"), 6).as("mean_b"),
+        r(col("log2fc"), 6).as("log2fc"), r(col("t_stat"), 6).as("t_stat"),
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
+  private val diffEndSql = {
+    val q = graft.core.Stats.normalUpperTailSql("abs(t_stat)")
+    s"""WITH x0 AS (
+         SELECT l_partkey AS feature, l_quantity AS x,
+                (o_orderpriority = '1-URGENT') AS a,
+                CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       rng AS (SELECT min(day) AS mn, max(day) AS mx FROM x0),
+       x AS (
+         SELECT feature, x, a FROM x0, rng
+         WHERE day >= mx - (mx - mn) // 10),
+       s AS (
+         SELECT feature,
+                count(CASE WHEN a THEN 1 END) AS n_a,
+                count(CASE WHEN NOT a THEN 1 END) AS n_b,
+                avg(CASE WHEN a THEN x END) AS mean_a,
+                avg(CASE WHEN NOT a THEN x END) AS mean_b,
+                var_samp(CASE WHEN a THEN x END) AS var_a,
+                var_samp(CASE WHEN NOT a THEN x END) AS var_b
+         FROM x GROUP BY 1),
+       scored AS (
+         SELECT feature, n_a, n_b, mean_a, mean_b,
+                log2((mean_a + 1.0)/(mean_b + 1.0)) AS log2fc,
+                (mean_a - mean_b)/nullif(sqrt(var_a/n_a + var_b/n_b), 0.0) AS t_stat
+         FROM s),
+       p AS (
+         SELECT *, coalesce(least(1.0, 2.0 * $q), 1.0) AS p_value FROM scored),
+       ranked AS (
+         SELECT *, row_number() OVER (ORDER BY p_value ASC, feature ASC) AS rk,
+                count(*) OVER () AS m
+         FROM p)
+       SELECT feature, n_a, n_b, round(mean_a,6) AS mean_a,
+              round(mean_b,6) AS mean_b, round(log2fc,6) AS log2fc,
+              round(t_stat,6) AS t_stat, round(p_value,6) AS p_value,
+              round(least(1.0, min(p_value*m/rk) OVER (ORDER BY rk ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
+       FROM ranked"""
+  }
+
+  /** Shared core of #133/#160/#161: per feature, Welch-contrast the `a`
+    * dichotomy's binned mean-value profile along the 10-bin day axis
+    * over bins ≤ binMax; per-bin t² sums into a χ²(#used bins) with a
+    * Wilson–Hilferty normal p and BH adjust. Bin edges are pure integer
+    * day arithmetic (no quantile boundary to disagree on); one
+    * aggregation pass over the fact join, bounded (feature × bin)
+    * intermediate. */
+  private def binnedWelchChi2(s: SparkSession, dir: String, aCol: Column,
+      binMax: Int): DataFrame = {
     val x = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
           col("o_orderpriority")),
@@ -235,7 +329,8 @@ object Trajectory {
     val range = x.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
     val binned = x.crossJoin(broadcast(range))
       .withColumn("bin", expr("((day - mn) * 10) div (mx - mn + 1)"))
-      .withColumn("a", col("o_orderpriority") === "1-URGENT")
+      .filter(col("bin") <= binMax)
+      .withColumn("a", aCol)
     val perBin = binned.groupBy(col("l_partkey").as("feature"), col("bin"))
       .agg(count(when(col("a"), lit(1))).as("n_a"),
         avg(when(col("a"), col("l_quantity"))).as("m_a"),
@@ -265,24 +360,34 @@ object Trajectory {
         r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
   }
 
-  private val patternDiffSql = {
+  private val patternDiffSql = binnedWelchChi2Sql(
+    "(o_orderpriority = '1-URGENT')", binMax = 9)
+  private val earlyDeSql = binnedWelchChi2Sql(
+    "(o_orderpriority = '1-URGENT')", binMax = 2)
+  private val conditionTestSql = binnedWelchChi2Sql(
+    "(l_suppkey % 2 = 0)", binMax = 9)
+
+  private def binnedWelchChi2Sql(aSql: String, binMax: Int): String = {
     val qPos = graft.core.Stats.normalUpperTailSql("zz")
     val qNeg = graft.core.Stats.normalUpperTailSql("-zz")
     s"""WITH x AS (
          SELECT l_partkey AS feature, l_quantity AS q,
-                (o_orderpriority = '1-URGENT') AS a,
+                $aSql AS a,
                 CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        rng AS (SELECT min(day) AS mn, max(day) AS mx FROM x),
+       binned AS (
+         SELECT *, ((day - mn) * 10) // (mx - mn + 1) AS bin
+         FROM x, rng),
        per_bin AS (
-         SELECT feature, ((day - mn) * 10) // (mx - mn + 1) AS bin,
+         SELECT feature, bin,
                 count(CASE WHEN a THEN 1 END) AS n_a,
                 avg(CASE WHEN a THEN q END) AS m_a,
                 var_samp(CASE WHEN a THEN q END) AS v_a,
                 count(CASE WHEN NOT a THEN 1 END) AS n_b,
                 avg(CASE WHEN NOT a THEN q END) AS m_b,
                 var_samp(CASE WHEN NOT a THEN q END) AS v_b
-         FROM x, rng GROUP BY 1, 2),
+         FROM binned WHERE bin <= $binMax GROUP BY 1, 2),
        per_feature AS (
          SELECT feature,
                 count(CASE WHEN n_a >= 2 AND n_b >= 2
@@ -425,11 +530,17 @@ object Trajectory {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_mst"        -> (clusterMst _),
     "pattern_diff"       -> (patternDiff _),
+    "early_de"           -> (earlyDe _),
+    "condition_test"     -> (conditionTest _),
+    "diff_end"           -> (diffEnd _),
     "pseudotime_assign"  -> (pseudotimeAssign _),
     "lineage_membership" -> (lineageMembership _))
 
   val oracles: Map[String, String] = Map(
     "pattern_diff"       -> patternDiffSql,
+    "early_de"           -> earlyDeSql,
+    "condition_test"     -> conditionTestSql,
+    "diff_end"           -> diffEndSql,
     "pseudotime_assign"  -> pseudotimeAssignSql,
     "lineage_membership" -> lineageMembershipSql)
 }
