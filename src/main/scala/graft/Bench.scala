@@ -23,7 +23,7 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
     "dup_pairs_by_source",
     "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters",
-    "kmeans_elbow")
+    "kmeans_elbow", "cluster_transitions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -140,6 +140,39 @@ object Reduce {
     } finally { vecs.unpersist(); () }
   }
 
+  /** 163. clustree analog (wrapper.R:350-360 plot_classific_tree /
+    * clustree: how clusters split as resolution increases): seeded
+    * KMeans assignments at successive k = 2..6, then the k→k+1
+    * contingency — overlap counts between clusterings at adjacent
+    * resolutions, i.e. the edge weights of the clustering tree the plot
+    * draws. Each fit is a distributed MLlib estimator over the
+    * persisted corpus; each transition is one vec_id equi-join +
+    * bounded (k × k+1)-key aggregation. Rows-only at the driver gate
+    * (estimator fits aren't SQL-expressible); ReduceSpec pins the
+    * mass-conservation identities instead. */
+  def clusterTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+    vecs.persist()
+    try {
+      val assigned = (2 to 6).map { k =>
+        val m = new KMeans().setK(k).setSeed(290L).setFeaturesCol("fv").fit(vecs)
+        k -> m.transform(vecs).select(col("vec_id"), col("prediction"))
+      }
+      assigned.sliding(2).collect { case Seq((k1, a), (k2, b)) =>
+        a.select(col("vec_id"), col("prediction").as("cluster_from"))
+          .join(b.select(col("vec_id"), col("prediction").as("cluster_to")), "vec_id")
+          .groupBy(col("cluster_from"), col("cluster_to"))
+          .agg(count(lit(1)).as("n_cells"))
+          .select(lit(k1).as("k_from"), col("cluster_from"),
+            lit(k2).as("k_to"), col("cluster_to"), col("n_cells"))
+      }.reduce(_ unionByName _)
+    } finally { vecs.unpersist(); () }
+  }
+
   /** 157. embedding norm statistics per label — the cheapest
     * embedding-space health screen (collapsed or exploding embeddings
     * show up as degenerate norm distributions long before a silhouette
@@ -174,6 +207,7 @@ object Reduce {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_norm_stats" -> (embeddingNormStats _),
     "kmeans_elbow"      -> (kmeansElbow _),
+    "cluster_transitions" -> (clusterTransitions _),
     "pca_embeddings"    -> (pcaEmbeddings _),
     "kmeans_clusters"   -> (kmeansClusters _),
     "bisecting_clusters" -> (bisectingClusters _),

@@ -57,15 +57,23 @@ object Annotate {
           SELECT cent0.label, fb, csx / n_ent AS c
           FROM cent0 JOIN nent ON cent0.label = nent.label),
         ls AS (SELECT label, sum(c) AS sc, sum(c*c) AS scc FROM cent GROUP BY 1),
+        -- sx/sxx from m ALONE (per entity, over all its present panel
+        -- features), centroids joined only for the cross-moment sxc —
+        -- mirroring the Spark plan exactly: restricting sx/sxx to the
+        -- fbs present in a label's centroid would silently diverge the
+        -- moment a label misses a panel dim at some SF
+        esums AS (
+          SELECT entity, sum(x) AS sx, sum(x*x) AS sxx FROM m GROUP BY 1),
         sums AS (
-          SELECT entity, label, sum(x*c) AS sxc, sum(x) AS sx, sum(x*x) AS sxx
+          SELECT entity, label, sum(x*c) AS sxc
           FROM m JOIN cent USING (fb) GROUP BY 1, 2),
         scored AS (
-          SELECT entity, sums.label,
+          SELECT sums.entity, sums.label,
                  round(CASE WHEN (sxx - sx*sx/50.0) > 0 AND (scc - sc*sc/50.0) > 0
                    THEN (sxc - sx*sc/50.0)
                         / sqrt((sxx - sx*sx/50.0) * (scc - sc*sc/50.0)) END, 6) AS score
-          FROM sums JOIN ls ON sums.label = ls.label),
+          FROM sums JOIN esums ON sums.entity = esums.entity
+          JOIN ls ON sums.label = ls.label),
         ranked AS (
           SELECT entity, label, score,
                  row_number() OVER (PARTITION BY entity ORDER BY score DESC, label ASC) AS rk,

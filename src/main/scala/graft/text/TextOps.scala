@@ -376,6 +376,11 @@ object TextOps {
   // degenerates to exact counts, so the query verifies the whole
   // aggregate path end-to-end; the property spec covers the k <
   // cardinality approximation guarantee.
+  // ORACLE PRECONDITION (do not relax silently): the oracle emits ALL
+  // (source, lang) rows while MG truncates (and may evict) past k, so
+  // the match holds only while every source has ≤ k = 8 distinct langs.
+  // The corpus has ≤ 5 at every SF; VectorExprsPropSpec pins the bound
+  // at the spec SF so corpus drift fails a test, not the silent oracle.
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(col("source"))

@@ -16,6 +16,23 @@ class ReduceSpec extends SparkSpecBase {
     assert(v1 >= v2, s"pc1 var $v1 < pc2 var $v2")
   }
 
+  test("cluster transitions conserve mass across resolutions (clustree contract)") {
+    val t = ml.Reduce.clusterTransitions(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(t.nonEmpty)
+    // every transition level accounts for the full corpus
+    t.groupBy(_._1).foreach { case (kFrom, rows) =>
+      assert(rows.map(_._5).sum == 500, s"k=$kFrom transition loses cells")
+      assert(rows.forall(r => r._2 >= 0 && r._2 < kFrom && r._4 >= 0 && r._4 < kFrom + 1))
+    }
+    // a cluster's outgoing overlap mass (as source of k→k+1) equals its
+    // incoming mass (as target of k-1→k): both are the cluster's size
+    val outMass = t.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._5).sum)
+    val inMass = t.groupBy(r => (r._3, r._4)).view.mapValues(_.map(_._5).sum)
+    for (((k, c), m) <- outMass if inMass.contains((k, c)))
+      assert(inMass((k, c)) == m, s"cluster ($k,$c) mass in ${inMass((k, c))} != out $m")
+  }
+
   test("KMeans assigns every vector to one of k clusters, deterministically") {
     val a = ml.Reduce.kmeansClusters(spark, sf)
     val clusters = a.select("cluster").distinct().collect().map(_.getInt(0)).toSet

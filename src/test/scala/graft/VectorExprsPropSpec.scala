@@ -106,6 +106,19 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(hh.size <= 8, "at most k counters")
   }
 
+  test("heavy_hitters oracle precondition: <= k distinct langs per source") {
+    // the heavy_hitters DuckDB oracle emits ALL (source, lang) rows and
+    // only matches the k=8 Misra-Gries summary while every source stays
+    // at <= 8 distinct langs — pin that corpus property here so drift
+    // fails a test instead of silently diverging the oracle
+    import org.apache.spark.sql.functions._
+    val maxLangs = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(countDistinct(col("lang")).as("n"))
+      .agg(max(col("n"))).collect().head.getLong(0)
+    assert(maxLangs <= 8, s"corpus now has $maxLangs distinct langs per source; " +
+      "raise the heavy_hitters k or cap the oracle at the same rank")
+  }
+
   test("minhash signature match fraction estimates true Jaccard") {
     import spark.implicits._
     val base = (1 to 60).map(i => f"tok$i%03d").mkString(" ")
