@@ -138,6 +138,89 @@ object Trajectory {
       .groupBy(col("branch_id")).agg(count(lit(1)).as("n_cells"))
   }
 
+  // ---------------------------------------------------------------
+  // 164. trajectory DE against the ASSIGNED pseudotime — the actual
+  // slingshot → tradeSeq composition reference.R runs (run_slingshot
+  // feeds pathStats pseudotime into fitGAM/associationTest,
+  // tradeseq.R:65-72): per (lineage, embedding dim), OLS of the dim's
+  // value against the #158 arc-length pseudotime, with slope/R²/t/p/BH.
+  // Unlike #102 (which regresses on a calendar proxy), the regressor
+  // here is produced in-engine by pseudotimeAssign. One broadcast
+  // projection pass (from #158) + a 64-way dim explode + ONE shuffle on
+  // the bounded (lineage, dim) key.
+  def pseudotimeDe(s: SparkSession, dir: String): DataFrame = {
+    val pt = pseudotimeAssign(s, dir)
+    val dims = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim0", "y")))
+      .select(col("vec_id"), (col("dim0") + lit(1)).cast("long").as("dim"), col("y"))
+    graft.api.Analytics.groupedOls(pt.join(dims, "vec_id"),
+        struct(col("lineage_id"), col("dim")), col("pseudotime"), col("y"))
+      .select(col("feature.lineage_id").as("lineage_id"),
+        col("feature.dim").as("dim"), col("n").cast("long").as("n"),
+        r(col("slope"), 6).as("slope"), r(col("intercept"), 6).as("intercept"),
+        r(col("r2"), 6).as("r2"), r(col("t_stat"), 6).as("t_stat"),
+        r(col("p_value"), 6).as("p_value"), r(col("p_adj"), 6).as("p_adj"))
+  }
+
+  private val pseudotimeDeSql = {
+    val q = graft.core.Stats.normalUpperTailSql("abs(t_stat)")
+    s"""$lineagePrefixSql,
+       proj AS MATERIALIZED (
+         SELECT c.vec_id, g.lineage_id, g.seg_idx,
+                g.seg_len, g.len2, g.cum, g.aa, g.ab,
+                list_dot_product(c.v, c.v) AS vv,
+                list_dot_product(c.v, g.ca) AS va,
+                list_dot_product(c.v, g.cb) AS vb
+         FROM cells c JOIN member m ON c.label = m.lab
+         JOIN seg_cum g ON m.lineage_id = g.lineage_id),
+       tcalc AS MATERIALIZED (
+         SELECT *, least(1.0, greatest(0.0, (vb - va - ab + aa) / len2)) AS t
+         FROM proj),
+       scored0 AS MATERIALIZED (
+         SELECT vec_id, lineage_id, seg_idx, seg_len, cum, t,
+                (vv - 2.0*va + aa) - 2.0*t*(vb - va - ab + aa) + t*t*len2 AS dist2
+         FROM tcalc),
+       best AS MATERIALIZED (
+         SELECT *, row_number() OVER (PARTITION BY vec_id, lineage_id
+                    ORDER BY dist2 ASC, seg_idx ASC) AS rk
+         FROM scored0),
+       ptab AS MATERIALIZED (
+         SELECT vec_id, lineage_id, round(cum + t*seg_len, 6) AS pt
+         FROM best WHERE rk = 1),
+       dims AS MATERIALIZED (
+         SELECT vec_id, t.dim, t.y FROM cells,
+         LATERAL (SELECT unnest(v) AS y, generate_subscripts(v, 1) AS dim) t),
+       s AS (
+         SELECT p.lineage_id, d.dim,
+                regr_count(d.y, p.pt) AS n,
+                regr_slope(d.y, p.pt) AS slope,
+                regr_intercept(d.y, p.pt) AS intercept,
+                regr_r2(d.y, p.pt) AS r2,
+                regr_sxx(d.y, p.pt) AS sxx,
+                regr_syy(d.y, p.pt) AS syy,
+                regr_sxy(d.y, p.pt) AS sxy
+         FROM ptab p JOIN dims d USING (vec_id) GROUP BY 1, 2),
+       scored AS (
+         SELECT lineage_id, dim, n, slope, intercept, r2,
+                slope / nullif(sqrt((syy - sxy*sxy/nullif(sxx, 0.0))
+                                    / (n - 2.0) / nullif(sxx, 0.0)), 0.0) AS t_stat
+         FROM s),
+       p AS (
+         SELECT *, coalesce(least(1.0, 2.0 * $q), 1.0) AS p_value FROM scored),
+       ranked AS (
+         SELECT *, row_number() OVER (ORDER BY p_value ASC, lineage_id ASC, dim ASC) AS rk,
+                count(*) OVER () AS m
+         FROM p)
+       SELECT lineage_id, CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+              round(slope,6) AS slope, round(intercept,6) AS intercept,
+              round(r2,6) AS r2, round(t_stat,6) AS t_stat,
+              round(p_value,6) AS p_value,
+              round(least(1.0, min(p_value*m/rk) OVER (ORDER BY rk ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
+       FROM ranked"""
+  }
+
   /** Distributed per-label centroid pass, collected (k×dim doubles —
     * bounded by cluster count, the clusterMst contract). */
   private def collectCentroids(cells: DataFrame): Map[Int, Array[Double]] =
@@ -426,7 +509,9 @@ object Trajectory {
     * MATERIALIZED throughout: the unrolled layers reference their
     * predecessors twice, and DuckDB's default CTE inlining would
     * re-evaluate the whole prefix exponentially. */
-  private val lineagePrefixSql = {
+  // lazy: referenced by oracle strings declared ABOVE this definition
+  // in the object body (a plain val would interpolate null at init)
+  private lazy val lineagePrefixSql = {
     val primStep = (i: Int) =>
       s"""e$i AS MATERIALIZED (SELECT * FROM e${i - 1} UNION ALL
            (SELECT p.l1, p.l2, p.dist FROM pairs p
@@ -534,6 +619,7 @@ object Trajectory {
     "condition_test"     -> (conditionTest _),
     "diff_end"           -> (diffEnd _),
     "pseudotime_assign"  -> (pseudotimeAssign _),
+    "pseudotime_de"      -> (pseudotimeDe _),
     "lineage_membership" -> (lineageMembership _))
 
   val oracles: Map[String, String] = Map(
@@ -542,5 +628,6 @@ object Trajectory {
     "condition_test"     -> conditionTestSql,
     "diff_end"           -> diffEndSql,
     "pseudotime_assign"  -> pseudotimeAssignSql,
+    "pseudotime_de"      -> pseudotimeDeSql,
     "lineage_membership" -> lineageMembershipSql)
 }

@@ -175,9 +175,13 @@ class PlanSpec extends SparkSpecBase {
       "annotate_corr", "gsea_es", "cluster_mst",
       // ambient_pval / pattern_diff / decayed_sum / psi_drift /
       // survival_km attach 1-row global scalars (threshold, day range,
-      // max-ts, ns-range, total-at-risk) or the 10-row bin grid
+      // max-ts, ns-range, total-at-risk) or the 10-row bin grid;
+      // early_de / condition_test / diff_end are the pattern_diff /
+      // start_vs_end machinery with different masks — same 1-row
+      // day-range attach
       "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift",
       "survival_km", "hvg_trend",
+      "early_de", "condition_test", "diff_end",
       // rfm_segments attaches the 1-row day-max and quintile-bounds aggs
       "rfm_segments",
       // source_overlap probes the tiny distinct-mask histogram against
