@@ -149,14 +149,24 @@ object Similarity {
     * and a recall spec, as the `_lsh` query twins do. */
   def lshTopK(corpus: DataFrame, id: Column, vec: Column, k: Int,
       planes: Int = 5): DataFrame = {
+    // NOT cached here: the (vector, norm, bucket) signature table feeds
+    // both join sides, so the corpus scan + signature compute run twice
+    // in this plan. Measured at sf0.1, columnar-caching the array column
+    // costs MORE than the second scan (1.9× slower end-to-end) — and a
+    // forced persist inside a lazy plan has no clean unpersist point
+    // (the annIvfTopk lesson). At corpus scale the caller persists or
+    // checkpoints the signature table ONCE and reuses it across every
+    // ANN/graph query built on it — the nearDupPairsLsh sigs contract,
+    // owned by the caller because its lifetime outlives this one query.
     val c = Analytics.spread(corpus.select(id.as("vid"), vec.cast("array<double>").as("v")))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
     val probes = c.select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
       explode(expr(s"""transform(sequence(0, $planes),
         p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
-    c.hint("shuffle_hash")
-      .join(probes.hint("shuffle_hash"), Seq("bucket"))
+    // corpus side carries the shuffle-hash hint: it is the BUILD side —
+    // (planes+1)× smaller than the exploded probe stream
+    probes.join(c.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("cs", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .groupBy(col("qid"))
