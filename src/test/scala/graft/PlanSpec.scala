@@ -140,6 +140,31 @@ class PlanSpec extends SparkSpecBase {
       s"matrix-totals join must be hash-based on the shared partitioning:\n$plan")
   }
 
+  test("pseudotime_assign broadcasts the segment geometry; one bounded-key shuffle") {
+    val plan = sc.Trajectory.pseudotimeAssign(spark, sf).queryExecution.sparkPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"segment table must broadcast onto the cell scan:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the argmin groupBy on (vec_id, label, lineage_id) is the ONLY
+    // corpus shuffle (the centroid pass already ran at plan-build time)
+    assert(exchanges.length <= 1,
+      s"projection pass must shuffle once, got ${exchanges.length}:\n$plan")
+  }
+
+  test("LSH kNN feed joins on the bucket key via shuffle-hash (no corpus broadcast)") {
+    // guard the FEED itself: the graph twins materialize their edge list
+    // eagerly (localCheckpoint), so their returned plan is only the tail
+    val plan = api.Similarity.lshTopK(Tables.embeddings(spark, sf),
+        col("vec_id"), col("embedding"), k = 5)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"bucket self-join must be shuffle-hash, not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH feed must never fall back to an all-pairs join:\n${plan.take(3000)}")
+  }
+
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines
