@@ -109,6 +109,33 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos_sim"))
   }
 
+  /** LSH-bucketed cosine near-duplicate pairs — the scale twin of
+    * [[bruteForceCosinePairs]]: candidates are pairs whose hyperplane
+    * sign buckets differ in ≤ 1 bit (each vector probes its own bucket
+    * plus the `planes` hamming-1 flips; a pair lands in candidates
+    * exactly once — the probe set is distinct and the id1 < id2 filter
+    * keeps one orientation — so no dedup shuffle is needed). Recall at
+    * a threshold τ follows the hyperplane collision bound
+    * P(agree) = 1 − acos(τ)/π per plane; at τ ≥ 0.9 the default 5-plane
+    * banding covers ≥ 0.8 of true pairs, at τ = 0.4 expect ~0.4 (the
+    * AnnSpec recall bar documents the probe-volume baseline). Raise
+    * `planes` with corpus size to keep buckets bounded; add probe bits
+    * to buy recall. */
+  def cosinePairsLsh(vecs: DataFrame, id: Column, vec: Column,
+      threshold: Double, planes: Int = 5): DataFrame = {
+    val e = Analytics.spread(vecs.select(id.as("vid"), vec.cast("array<double>").as("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val probes = e.select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+      explode(expr(s"""transform(sequence(0, $planes),
+        p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
+    probes.join(e.hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("qid") < col("vid"))
+      .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("qid").as("id1"), col("vid").as("id2"), col("cos_sim"))
+  }
+
   /** Brute-force cosine top-k: every query vector scored against the
     * full corpus (broadcast queries, one corpus scan — the exact
     * baseline for ANN evaluation). Per-query top-k runs through the

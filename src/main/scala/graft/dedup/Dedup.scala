@@ -166,10 +166,18 @@ object Dedup {
 
   // ---------------------------------------------------------------
   // 36. embedding-cosine near-dup pairs. Brute-force pair join — the
-  // oracle-exact baseline (the scale path is the LSH/IVF ANN operators
-  // in graft.sim). Norms precomputed once per vector before the join.
+  // oracle-exact baseline; dedupEmbeddingLsh is the bucketed scale twin
+  // (hamming≤1 hyperplane buckets, recall-spec'd in AnnSpec).
+  // Norms precomputed once per vector before the join.
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     graft.api.Similarity.bruteForceCosinePairs(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.4)
+      .select(col("id1"), col("id2"), r(col("cos_sim"), 6).as("cos_sim"))
+
+  /** Scale twin of #36: same (id1, id2, cos_sim) contract over
+    * hyperplane-bucket candidates instead of the all-pairs join. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    graft.api.Similarity.cosinePairsLsh(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding"), threshold = 0.4)
       .select(col("id1"), col("id2"), r(col("cos_sim"), 6).as("cos_sim"))
 
@@ -332,7 +340,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
-    "dedup_embedding"     -> (dedupEmbedding _))
+    "dedup_embedding"     -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
 
   private val componentsSql =
     s"""WITH RECURSIVE nrm AS (SELECT doc_id, $normSql AS t FROM documents),

@@ -89,6 +89,23 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed cosine pairs: exact subset of brute force, better-than-random recall") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map { case Row(a: Long, b: Long) => (a, b) }.toSet
+    val exact = pairSet(dedup.Dedup.dedupEmbedding(spark, sf))
+    val lsh = pairSet(dedup.Dedup.dedupEmbeddingLsh(spark, sf))
+    assert(exact.nonEmpty)
+    // soundness: every reported pair is a TRUE pair (the cosine filter
+    // runs on exact dot products; bucketing only prunes candidates)
+    assert(lsh.subsetOf(exact), s"LSH pairs not a subset: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    info(s"bucketed cosine-pair recall @ tau=0.4 = $recall")
+    // hamming<=1 probing covers 6/32 bucket pairs ≈ 19% random baseline;
+    // at tau=0.4 the hyperplane collision bound predicts ~0.4
+    assert(recall > 0.25, s"bucketed pair recall $recall no better than random")
+  }
+
   test("IVF top-k probes nearest cells with better-than-random recall") {
     val ivf = topkMap(sim.Ann.annIvfTopk(spark, sf))
     assert(ivf.nonEmpty)
