@@ -104,6 +104,15 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "approx_heavy_hitters expects (item, <literal int k>)")
       }),
+    ("deflate_ratio",
+      "deflate_ratio(text[, level]) — deflate-compressed/raw byte ratio (default level 6)",
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => DeflateRatio(t, 6)
+        case Seq(t, l) if l.foldable =>
+          DeflateRatio(t, l.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "deflate_ratio expects (text) or (text, <literal int level>)")
+      }),
     ("char_ngram_counts",
       "char_ngram_counts(text[, n]) — map of char n-gram → count (default 2)",
       (es: Seq[Expression]) => es match {

@@ -203,6 +203,26 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // 165. dedup cluster-size distribution — the audit table every dedup
+  // run reports (how much of the corpus is duplicated, and in what
+  // cluster sizes): docs in no near-dup pair count as size-1 clusters.
+  // Fed from the LSH components path (the production feed; identical
+  // output to the exact path — LSH candidates verify exact Jaccard, so
+  // the same pairs survive), oracled by the exact recursive-CTE
+  // components. All-integer output → hash-exact compare.
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponentsLsh(s, dir)
+      .select(col("vertex").as("doc_id"), col("component"))
+    val sizes = Tables.documents(s, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+  }
+
+  // ---------------------------------------------------------------
   // 64. training-set decontamination: drop/flag train docs sharing ≥5
   // distinct 20-char shingles with the eval set (source 'src0' plays
   // the benchmark corpus). Eval shingles broadcast; train side is one
@@ -341,9 +361,10 @@ object Dedup {
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
-    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _))
 
-  private val componentsSql =
+  private val componentsPrefixSql =
     s"""WITH RECURSIVE nrm AS (SELECT doc_id, $normSql AS t FROM documents),
         sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
                FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
@@ -362,12 +383,29 @@ object Dedup {
           SELECT a, b FROM edges
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        verts AS (SELECT DISTINCT a AS vertex FROM edges)
+        verts AS (SELECT DISTINCT a AS vertex FROM edges)"""
+
+  private val componentsSql =
+    s"""$componentsPrefixSql
         SELECT v.vertex,
                least(v.vertex, min(r.b)) AS component,
                least(v.vertex, min(r.b)) = v.vertex AS keep
         FROM verts v LEFT JOIN reach r ON v.vertex = r.a
         GROUP BY v.vertex"""
+
+  private val clusterSizesSql =
+    s"""$componentsPrefixSql,
+        comp AS (
+          SELECT v.vertex, least(v.vertex, min(r.b)) AS component
+          FROM verts v LEFT JOIN reach r ON v.vertex = r.a
+          GROUP BY v.vertex),
+        withall AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex),
+        szs AS (SELECT component, count(*) AS cluster_size FROM withall GROUP BY 1)
+        SELECT cluster_size, count(*) AS n_clusters,
+               cluster_size * count(*) AS n_docs
+        FROM szs GROUP BY 1"""
 
   val oracles: Map[String, String] = Map(
     "dedup_containment" -> dedupContainmentSql,
@@ -381,6 +419,7 @@ object Dedup {
           AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "dedup_components_lsh" -> componentsSql,
+    "dedup_cluster_sizes" -> clusterSizesSql,
     // The LSH twins share the exact paths' oracles: LSH candidates are
     // verified with TRUE shingle Jaccard before emission, so output ⊆
     // exact always, and the planted near-dups sit at J ≥ 0.9 where the

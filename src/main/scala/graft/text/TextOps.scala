@@ -368,6 +368,21 @@ object TextOps {
        FROM sent JOIN freq USING (s) GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // 166. compression-ratio quality signal (the RefinedWeb/Dolma-style
+  // gzip filter): deflate(text)/raw byte ratio per document via the
+  // native codegen'd DeflateRatio expression, plus a per-source spread
+  // summary. Templated/repeated text compresses far below natural
+  // prose; high-entropy noise sits near 1.0 — a one-pass, shuffle-free
+  // screen that catches boilerplate the word-level repetition stats
+  // (#61) miss. Rows-only at the gate (no zlib in the oracle engine);
+  // semantics + determinism spec'd in VectorExprsPropSpec.
+  def textCompression(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      r(graft.functions.DeflateRatio.column(col("text")), 6).as("deflate_ratio"))
+
+  // ---------------------------------------------------------------
   // 145. approximate heavy hitters per group (native Misra-Gries
   // aggregate — ≤ k counters per group per partition on the exchange,
   // the scale path for "top frequent values" when the value cardinality
@@ -425,6 +440,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "length_profile"   -> (lengthProfile _),
     "heavy_hitters"    -> (heavyHitters _),
+    "text_compression" -> (textCompression _),
     "para_dedup"       -> (paraDedup _),
     "char_lm_score"    -> (charLmScore _),
     "zipf_fit"         -> (zipfFit _),

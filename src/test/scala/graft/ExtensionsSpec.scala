@@ -50,5 +50,9 @@ class ExtensionsSpec extends SparkSpecBase {
          (1.0D, 10L), (5.0D, 20L), (3.0D, 30L) AS t(s, i)""")
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(tk.map(r => r.getLong(0)) == Seq(20L, 30L), "top-2 ids by score desc")
+    val dr = spark.sql(
+      "SELECT deflate_ratio(repeat('lorem ipsum ', 100)) AS r")
+      .collect()(0).getDouble(0)
+    assert(dr > 0.0 && dr < 0.2, s"repeated text must compress hard: $dr")
   }
 }

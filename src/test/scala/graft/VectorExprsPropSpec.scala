@@ -106,6 +106,37 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(hh.size <= 8, "at most k counters")
   }
 
+  test("deflate_ratio orders repetitive < prose < noise, bounded and deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val repetitive = "lorem ipsum " * 200
+    val prose = "The quick brown fox jumps over the lazy dog near the riverbank, " +
+      "where a miller was grinding wheat into flour for the village baker. " * 8
+    // deterministic high-entropy stream (splitmix64 finalizer — a plain
+    // linear sequence is periodic and compresses BETTER than prose)
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val noise = (1 to 2400).map(i => (math.floorMod(mix(i), 93) + 33).toChar).mkString
+    val rows = Seq((1L, repetitive), (2L, prose), (3L, noise)).toDF("id", "t")
+      .select(col("id"), graft.functions.DeflateRatio.column(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) < rows(2L), s"repetition must compress best: $rows")
+    assert(rows(2L) < rows(3L), s"noise must compress worst: $rows")
+    assert(rows.values.forall(v => v > 0.0 && v < 1.2), s"ratio out of range: $rows")
+    // empty text: defined as 1.0 (nothing to compress, nothing saved)
+    assert(graft.functions.DeflateRatio.ratio(Array.emptyByteArray, 6) == 1.0)
+    // interpreted vs codegen parity + determinism across calls
+    val e = graft.functions.DeflateRatio(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(prose,
+        org.apache.spark.sql.types.StringType), 6)
+    val interp = e.eval(null).asInstanceOf[Double]
+    assert(interp == rows(2L), "interpreted vs codegen parity")
+  }
+
   test("heavy_hitters oracle precondition: <= k distinct langs per source") {
     // the heavy_hitters DuckDB oracle emits ALL (source, lang) rows and
     // only matches the k=8 Misra-Gries summary while every source stays
