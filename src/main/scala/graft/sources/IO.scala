@@ -122,6 +122,24 @@ object IO {
       persist(upsert(currentState(), batch, key, version))
     }
 
+  /** Range-sorted layout: repartitionByRange + sortWithinPartitions on
+    * the sort keys, so every output file carries a DISJOINT, ordered
+    * key range and every row group within it is sorted. Parquet
+    * min/max statistics then prune both files and row groups for range
+    * predicates on the key — the data-skipping layout for
+    * time/id-range access at corpus scale (the plain-parquet analog of
+    * a table format's Z-order/cluster-by maintenance, for the
+    * single-key case). The range exchange samples the key distribution,
+    * so skewed keys still split into balanced files. */
+  def writeRangeSorted(df: DataFrame, path: String, files: Int,
+      sortCols: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ks = sortCols.map(col)
+    df.repartitionByRange(files, ks: _*)
+      .sortWithinPartitions(ks: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet dataset into files of
     * roughly `targetFileMB` each. Small-file explosions (streaming
     * sinks, over-parallel writes) poison later scans with per-file

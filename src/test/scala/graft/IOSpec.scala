@@ -108,6 +108,32 @@ class IOSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("range-sorted write produces disjoint per-file key ranges (data skipping)") {
+    val dir = tmp("rangesorted")
+    sources.IO.writeRangeSorted(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
+      dir, files = 4, "l_orderkey")
+    val files = spark.read.parquet(dir).inputFiles
+    assert(files.length == 4, s"expected 4 range files, got ${files.length}")
+    // the layout contract: per-file (min, max) key ranges must not
+    // overlap — that is exactly what lets parquet min/max stats skip
+    // whole files for a range predicate
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    // and within a file, rows are sorted (row-group stats monotone)
+    val firstFile = spark.read.parquet(files.min).select("l_orderkey")
+      .collect().map(_.getLong(0))
+    assert(firstFile.sameElements(firstFile.sorted), "rows not sorted within file")
+  }
+
   test("compact rewrites a many-file dataset into the sized file count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io_compact").toFile
     val in = new java.io.File(dir, "in").getPath
