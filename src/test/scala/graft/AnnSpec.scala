@@ -106,6 +106,18 @@ class AnnSpec extends SparkSpecBase {
     assert(recall > 0.25, s"bucketed pair recall $recall no better than random")
   }
 
+  test("bucketed cosine pairs are invariant to input partitioning") {
+    import org.apache.spark.sql.functions.col
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      api.Similarity.cosinePairsLsh(df, col("vec_id"), col("embedding"), 0.4)
+        .collect().map { case Row(a: Long, b: Long, c: Double) => (a, b, c) }.toSet
+    val emb = Tables.embeddings(spark, sf)
+    // hash-derived planes + exact dot products: the result must not
+    // depend on how the corpus happens to be partitioned (the
+    // cluster-invariance contract every deterministic op here carries)
+    assert(run(emb) == run(emb.repartition(7)), "partitioning changed the pairs")
+  }
+
   test("IVF top-k probes nearest cells with better-than-random recall") {
     val ivf = topkMap(sim.Ann.annIvfTopk(spark, sf))
     assert(ivf.nonEmpty)
