@@ -87,7 +87,7 @@ object Similarity {
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       // hamming is pair-deterministic, so filter BEFORE the distinct:
       // the dedup shuffle then carries only near-dup pairs, not every
       // chunk collision

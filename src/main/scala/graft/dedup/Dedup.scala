@@ -159,7 +159,10 @@ object Dedup {
   // 35. SimHash (64-bit): per-word hash votes per bit, sign → bit;
   // near-dups = pairs within hamming distance 3, found via 4×16-bit
   // chunk banding (any exact-matching chunk → candidate, guaranteed to
-  // cover hamming ≤ 3 by pigeonhole).
+  // cover hamming ≤ 3 by pigeonhole). The word hash is FNV-1a 64
+  // (SimHash64's scaladoc explains the choice), which the oracle
+  // re-derives exactly in SQL — a HUGEINT list_reduce fold per distinct
+  // word — so this query is hash-checked, not rows-only.
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.api.Similarity.simhashPairs(Tables.documents(s, dir),
       col("doc_id"), col("text"), maxHamming = 3)
@@ -477,5 +480,47 @@ object Dedup {
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""")
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // Exact SQL re-derivation of the engine's simhash: FNV-1a 64 per
+    // DISTINCT word (HUGEINT fold, mod-2⁶⁴; xor emulated on the low
+    // byte only, since the byte operand is < 256), signed-BIGINT
+    // reinterpretation, ±1 votes per bit, then the same 4×16-bit chunk
+    // banding as the engine. Tokens are runs of [a-z0-9] so lower(text)
+    // needs no whitespace normalization first.
+    "dedup_simhash" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+           FROM documents),
+         dwords AS (SELECT DISTINCT w FROM words),
+         wh AS (
+           SELECT w, list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(string_split(w, ''), c -> ascii(c)::HUGEINT)),
+             (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+           FROM dwords),
+         whs AS (
+           SELECT w, CASE WHEN h < 9223372036854775808::HUGEINT THEN h::BIGINT
+                          ELSE (h - 18446744073709551616::HUGEINT)::BIGINT END AS hs
+           FROM wh),
+         votes AS (
+           SELECT doc_id, t.b, sum(CASE WHEN (hs >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM words JOIN whs USING (w),
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS b) t
+           GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id, sum(CASE WHEN v > 0 THEN
+                    CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << CAST(b AS INT)) END
+                  ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY 1),
+         chunks AS (
+           SELECT doc_id, simhash, t.c, (simhash >> (t.c*16)) & 65535 AS cv
+           FROM sh, LATERAL (SELECT unnest([0,1,2,3]) AS c) t),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM chunks a JOIN chunks b
+             ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         SELECT d1, d2, hamming FROM cand WHERE hamming <= 3""")
 }

@@ -86,8 +86,14 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over a token array: per-token xxhash64 votes ±1 on
-  * each bit position; the sign of each bit-sum becomes the bit. */
+/** 64-bit SimHash over a token array: per-token FNV-1a votes ±1 on
+  * each bit position; the sign of each bit-sum becomes the bit.
+  * The word hash is FNV-1a 64 rather than xxhash64 deliberately: its
+  * sequential byte fold is expressible in the DuckDB oracle (HUGEINT
+  * list_reduce with mod-2⁶⁴ arithmetic), which makes dedup_simhash a
+  * hash-checked query instead of rows-only; diffusion is equivalent
+  * for the voting use (each word contributes one well-mixed 64-bit
+  * pattern — simhash needs no more than that). */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -104,7 +110,13 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      val bytes = s.getBytes
+      var h = SimHash64.FnvBasis
+      var j = 0
+      while (j < bytes.length) {
+        h = (h ^ (bytes(j) & 0xffL)) * SimHash64.FnvPrime
+        j += 1
+      }
       var b = 0
       while (b < 64) {
         votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -125,16 +137,21 @@ case class SimHash64(child: Expression)
     nullSafeCodeGen(ctx, ev, c => {
       val votes = ctx.freshName("votes")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val b = ctx.freshName("b")
       val s = ctx.freshName("s")
+      val wb = ctx.freshName("wb")
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
       s"""
         int[] $votes = new int[64];
         for (int $i = 0; $i < $c.numElements(); $i++) {
           UTF8String $s = $c.getUTF8String($i);
-          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0L);
+          byte[] $wb = $s.getBytes();
+          long $h = ${SimHash64.FnvBasis}L;
+          for (int $j = 0; $j < $wb.length; $j++) {
+            $h = ($h ^ ($wb[$j] & 0xffL)) * ${SimHash64.FnvPrime}L;
+          }
           for (int $b = 0; $b < 64; $b++) {
             $votes[$b] += (((($h >>> $b) & 1L) == 1L) ? 1 : -1);
           }
@@ -149,6 +166,13 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  // FNV-1a 64 constants (public-domain Fowler–Noll–Vo parameters);
+  // basis written as the signed-long literal of 0xcbf29ce484222325
+  val FnvBasis: Long = -3750763034362895579L
+  val FnvPrime: Long = 1099511628211L
 }
 
 /** Dot product of two double arrays — the ANN/cosine hot loop. */

@@ -29,9 +29,11 @@ object Trajectory {
   // bounded-key agg); only the |labels|² distance matrix reaches the
   // driver (labels are cluster ids — dozens at most, by construction
   // the same bound slingshot itself assumes). Prim with deterministic
-  // (dist, from, to) tie-breaks; rows-only at the driver gate (MST
-  // is not ANSI-SQL-expressible without recursion over argmin state),
-  // semantics spec'd in ScalaTest.
+  // (dist, from, to) tie-breaks; hash-checked at the driver gate since
+  // round 4 (the oracle replays Prim via the shared 9-layer argmin
+  // unroll in clusterMstSql — the device pseudotime_assign's green
+  // oracle already depends on), semantics additionally spec'd in
+  // ScalaTest.
   def clusterMst(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val e = Tables.embeddings(s, dir)
@@ -602,6 +604,18 @@ object Trajectory {
               round(cum + t*seg_len, 6) AS pseudotime
        FROM best WHERE rk = 1"""
 
+  /** MST edges straight off the shared Prim unroll: e9 holds exactly
+    * the |labels|−1 tree edges, already oriented l1 < l2 (pairs is
+    * built on a.label < b.label — the same min/max orientation the
+    * engine emits). This upgrades cluster_mst from rows-only to
+    * hash-checked with zero new machinery; the driver-side Prim and
+    * this unrolled Prim agreeing on edge choice is already load-bearing
+    * for pseudotime_assign's green oracle. */
+  private lazy val clusterMstSql =
+    s"""$lineagePrefixSql
+       SELECT l1 AS from_label, l2 AS to_label, round(dist, 6) AS dist
+       FROM e9"""
+
   private val lineageMembershipSql =
     s"""$lineagePrefixSql,
        combo AS MATERIALIZED (
@@ -623,6 +637,7 @@ object Trajectory {
     "lineage_membership" -> (lineageMembership _))
 
   val oracles: Map[String, String] = Map(
+    "cluster_mst"        -> clusterMstSql,
     "pattern_diff"       -> patternDiffSql,
     "early_de"           -> earlyDeSql,
     "condition_test"     -> conditionTestSql,
