@@ -481,6 +481,26 @@ object Dedup {
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // Exact SQL replay of the LSH-bucketed cosine pair miner: the
+    // shared SplitMix64 plane/signature prefix (graft.sim.Ann), the
+    // engine's own-bucket + 1-bit-flip probe set, then the same
+    // qid < vid orientation filter and exact-cosine threshold. Probe
+    // buckets partition the corpus, so no DISTINCT is needed — the
+    // same argument the Spark plan documents.
+    "dedup_embedding_lsh" ->
+      s"""WITH ${graft.sim.Ann.lshSigPrefixSql},
+         probes AS MATERIALIZED (
+           SELECT s.vec_id AS qid,
+                  CASE WHEN t.p < 0 THEN s.bucket
+                       ELSE xor(s.bucket, (1::BIGINT << t.p)) END AS bucket
+           FROM lsig s, LATERAL (SELECT unnest(generate_series(-1, 4)) AS p) t)
+         SELECT p.qid AS id1, s2.vec_id AS id2,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+         FROM probes p JOIN lsig s2 USING (bucket)
+         JOIN embeddings a ON p.qid = a.vec_id
+         JOIN embeddings b ON s2.vec_id = b.vec_id
+         WHERE p.qid < s2.vec_id
+           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
     // Exact SQL re-derivation of the engine's simhash: FNV-1a 64 per
     // DISTINCT word (HUGEINT fold, mod-2⁶⁴; xor emulated on the low
     // byte only, since the byte operand is < 256), signed-BIGINT

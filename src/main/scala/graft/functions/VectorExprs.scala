@@ -553,11 +553,15 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
 
 /** Random-hyperplane LSH bucket id: bit j of the result is the sign of
   * v · h_j, where hyperplane component h_j[i] is derived from
-  * xxhash64(j·64 + i) exactly like Spark SQL's xxhash64 (XXH64.hashLong,
-  * seed 42) mapped into [−1, 1). Deterministic on any cluster — no
-  * driver-side randomness, no plane table to ship. Replaces a nested
-  * interpreted aggregate() lambda (planes × dims boxed evaluations per
-  * row) with one primitive loop. */
+  * SplitMix64(j·64 + i) mapped into [−1, 1). Deterministic on any
+  * cluster — no driver-side randomness, no plane table to ship.
+  * SplitMix64 (public-domain xor-shift/multiply finalizer, Steele et
+  * al.) rather than xxhash64 deliberately: its three-round mix is
+  * exactly replayable in the DuckDB oracle with HUGEINT mod-2⁶⁴
+  * arithmetic, which lets every LSH-fed query be hash-checked instead
+  * of rows-only; mixing quality is equivalent for plane derivation.
+  * Replaces a nested interpreted aggregate() lambda (planes × dims
+  * boxed evaluations per row) with one primitive loop. */
 case class HyperplaneBucket(child: Expression, planes: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -578,7 +582,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val h = XXH64.hashLong(j * 64L + i, 42L)
+        val h = HyperplaneBucket.mix64(j * 64L + i)
         val m = ((h % 2000003L) + 2000003L) % 2000003L
         acc += v.getDouble(i) * (m.toDouble / 1000001.0 - 1.0)
         i += 1
@@ -604,7 +608,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
         for (int $j = 0; $j < $planes; $j++) {
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($j * 64L + $i, 42L);
+            long $h = graft.functions.HyperplaneBucket.mix64($j * 64L + $i);
             long $m = (($h % 2000003L) + 2000003L) % 2000003L;
             $acc += $c.getDouble($i) * (((double) $m) / 1000001.0 - 1.0);
           }
@@ -616,6 +620,16 @@ case class HyperplaneBucket(child: Expression, planes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  /** SplitMix64 finalizer — called from generated code, must be public. */
+  def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 }
 
 /** Distinct xxhash64 values of the character n-gram shingles — the

@@ -234,7 +234,114 @@ object Ann {
       .select(col("vertex").as("vec_id"),
         round(col("pagerank"), 6).as("pagerank"))
 
-  private val pagerankKnnSql = {
+  /** SQL replay of the LSH machinery (HyperplaneBucket + hamming-1
+    * multi-probe), shared by every `_lsh` oracle including
+    * dedup_embedding_lsh over in Dedup. Three stages:
+    *  1. planes — SplitMix64(j·64+i) per (plane, dim) via HUGEINT
+    *     mod-2⁶⁴ arithmetic (xor runs in the signed-BIGINT domain,
+    *     bitwise-identical; >>> s is `// 2^s` on the unsigned value),
+    *     then the engine's signed-mod mapping into [−1, 1);
+    *  2. lsig — per-vector sign bucket. The dot product folds through
+    *     SQL sum() (unordered) vs the engine's sequential loop: signs
+    *     can only disagree where |v·h| ~ 1e-13, and unlike decimal
+    *     rounding midpoints the dot of a data vector with a
+    *     pseudo-random plane has no probability mass near any exact
+    *     value — measure-zero in practice, re-checked every round by
+    *     the driver gate itself;
+    *  3. probes — own bucket + each 1-bit flip, the engine's probe set.
+    * MATERIALIZED: each CTE is referenced twice downstream. */
+  private[graft] lazy val lshSigPrefixSql = {
+    val u2s = (h: String) => s"""CASE WHEN $h < 9223372036854775808::HUGEINT
+      THEN ($h)::BIGINT ELSE ($h - 18446744073709551616::HUGEINT)::BIGINT END"""
+    val s2u = (x: String) => s"""CASE WHEN $x >= 0 THEN ($x)::HUGEINT
+      ELSE ($x)::HUGEINT + 18446744073709551616::HUGEINT END"""
+    // (a·b) mod 2⁶⁴ without exceeding INT128: split a into 32-bit
+    // halves — al·b < 2⁹⁶ and ((ah·(b mod 2³²)) mod 2³²)·2³² < 2⁹⁶,
+    // so every intermediate fits HUGEINT (a straight 64×64 multiply
+    // can reach ~2¹²⁸ and overflows INT128's 2¹²⁷−1 max).
+    val mulMod64 = (a: String, b: BigInt) => {
+      val bLo = b % BigInt(4294967296L)
+      s"""((($a % 4294967296) * $b::HUGEINT
+          + ((($a // 4294967296) * $bLo) % 4294967296) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT)"""
+    }
+    val xorShiftMul = (z: String, zs: String, shift: Long, mul: BigInt) => {
+      val shifted = s"($z // ${1L << shift})::BIGINT"
+      mulMod64(s2u(s"xor($zs, $shifted)"), mul)
+    }
+    s"""dimn AS MATERIALIZED (
+         SELECT max(len(embedding::DOUBLE[])) AS nd FROM embeddings),
+       pidx AS MATERIALIZED (
+         SELECT t.j, u.i, (t.j*64 + u.i)::HUGEINT AS x
+         FROM (SELECT unnest(generate_series(0, 4)) AS j) t,
+              dimn, LATERAL (SELECT unnest(generate_series(0, nd - 1)) AS i) u),
+       pz0 AS MATERIALIZED (
+         SELECT j, i, (x + 11400714819323198485::HUGEINT)
+                      % 18446744073709551616::HUGEINT AS z FROM pidx),
+       pz0s AS MATERIALIZED (SELECT j, i, z, ${u2s("z")} AS zs FROM pz0),
+       pz1 AS MATERIALIZED (
+         SELECT j, i, ${xorShiftMul("z", "zs", 30, BigInt("13787848793156543929"))} AS z FROM pz0s),
+       pz1s AS MATERIALIZED (SELECT j, i, z, ${u2s("z")} AS zs FROM pz1),
+       pz2 AS MATERIALIZED (
+         SELECT j, i, ${xorShiftMul("z", "zs", 27, BigInt("10723151780598845931"))} AS z FROM pz1s),
+       pz2s AS MATERIALIZED (SELECT j, i, z, ${u2s("z")} AS zs FROM pz2),
+       ph AS MATERIALIZED (
+         SELECT j, i, xor(zs, (z // 2147483648)::BIGINT) AS hs FROM pz2s),
+       planes AS MATERIALIZED (
+         SELECT j, i,
+                (((hs % 2000003) + 2000003) % 2000003) / 1000001.0 - 1.0 AS comp
+         FROM ph),
+       vx AS MATERIALIZED (
+         SELECT vec_id, t.i, t.x
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
+       lsig AS MATERIALIZED (
+         SELECT vec_id,
+                sum(CASE WHEN acc > 0 THEN (1::BIGINT << CAST(j AS INT))
+                    ELSE 0 END)::BIGINT AS bucket
+         FROM (SELECT vx.vec_id, p.j, sum(vx.x * p.comp) AS acc
+               FROM vx JOIN planes p ON vx.i = p.i GROUP BY 1, 2)
+         GROUP BY 1)"""
+  }
+
+  /** Probe + candidate + ranked-kNN CTEs over [[lshSigPrefixSql]] —
+    * the oracle twin of Similarity.lshTopK's feed. `queryWhere`
+    * restricts the probing side (ann_lsh_topk probes every 50th
+    * vector; the graph twins probe the whole corpus). */
+  private def lshKnnSql(k: Int, queryWhere: String = ""): String =
+    s"""probes AS MATERIALIZED (
+         SELECT s.vec_id AS qid,
+                CASE WHEN t.p < 0 THEN s.bucket
+                     ELSE xor(s.bucket, (1::BIGINT << t.p)) END AS bucket
+         FROM lsig s, LATERAL (SELECT unnest(generate_series(-1, 4)) AS p) t
+         $queryWhere),
+       cand AS MATERIALIZED (
+         SELECT p.qid, s2.vec_id AS nid
+         FROM probes p JOIN lsig s2 USING (bucket)
+         WHERE s2.vec_id != p.qid),
+       scored AS MATERIALIZED (
+         SELECT c.qid, c.nid,
+                list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs,
+                row_number() OVER (PARTITION BY c.qid
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                           c.nid ASC) AS rk
+         FROM cand c JOIN embeddings q ON c.qid = q.vec_id
+                     JOIN embeddings n ON c.nid = n.vec_id),
+       knn AS MATERIALIZED (SELECT qid, nid FROM scored WHERE rk <= $k)"""
+
+  /** Exact kNN feed for the brute-force graph oracles: all-pairs
+    * cosine rank. The `_lsh` twins swap in lshKnnSql's bucket feed;
+    * both produce the same `knn (qid, nid)` contract the tails eat. */
+  private def bruteKnnSql(k: Int): String =
+    s"""scored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
+       knn AS (SELECT qid, nid FROM scored WHERE rk <= $k)"""
+
+  private val pagerankTailSql = {
     val step = (i: Int) =>
       s"""pr$i AS (
            SELECT e.b AS v, (1.0 - 0.85) / nv + 0.85 * sum(p.r / d.d) AS r
@@ -242,14 +349,7 @@ object Ann {
            JOIN edges e ON p.v = e.a
            JOIN deg d ON p.v = d.v, n
            GROUP BY e.b, nv)"""
-    s"""WITH scored AS (
-         SELECT q.vec_id AS qid, c.vec_id AS nid,
-                row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                           c.vec_id ASC) AS rk
-         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
-       knn AS (SELECT qid, nid FROM scored WHERE rk <= 5),
-       mutual AS (
+    s"""mutual AS (
          SELECT x.qid AS a, x.nid AS b FROM knn x
          JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
          WHERE x.qid < x.nid),
@@ -261,6 +361,34 @@ object Ann {
        ${(1 to 5).map(step).mkString(",\n       ")}
        SELECT v AS vec_id, round(r, 6) AS pagerank FROM pr5"""
   }
+
+  private val componentsTailSql =
+    """mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       edges AS (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+       reach AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       verts AS (SELECT DISTINCT a AS vertex FROM edges)
+       SELECT v.vertex AS vec_id,
+              least(v.vertex, min(r.b)) AS community
+       FROM verts v LEFT JOIN reach r ON v.vertex = r.a
+       GROUP BY v.vertex"""
+
+  private val lisiTailSql =
+    """counts AS (
+         SELECT k.qid, e.label AS nlabel, count(*) AS c
+         FROM knn k JOIN embeddings e ON k.nid = e.vec_id GROUP BY 1, 2),
+       agg AS (
+         SELECT qid, CAST(sum(c) AS BIGINT) AS k_eff,
+                sum(c*c) AS c2
+         FROM counts GROUP BY 1)
+       SELECT e.vec_id, e.label, a.k_eff,
+              round(a.k_eff * a.k_eff / CAST(a.c2 AS DOUBLE), 6) AS lisi
+       FROM agg a JOIN embeddings e ON a.qid = e.vec_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_knn"        -> (pagerankKnn _),
@@ -274,46 +402,22 @@ object Ann {
     "ann_ivf_topk"        -> (annIvfTopk _))
 
   val oracles: Map[String, String] = Map(
-    "pagerank_knn" -> pagerankKnnSql,
-    "local_lisi" ->
-      """WITH scored AS (
-           SELECT q.vec_id AS qid, c.label AS nlabel,
-                  row_number() OVER (PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                             c.vec_id ASC) AS rk
-           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
-         counts AS (
-           SELECT qid, nlabel, count(*) AS c FROM scored WHERE rk <= 30
-           GROUP BY 1, 2),
-         agg AS (
-           SELECT qid, CAST(sum(c) AS BIGINT) AS k_eff,
-                  sum(c*c) AS c2
-           FROM counts GROUP BY 1)
-         SELECT e.vec_id, e.label, a.k_eff,
-                round(a.k_eff * a.k_eff / CAST(a.c2 AS DOUBLE), 6) AS lisi
-         FROM agg a JOIN embeddings e ON a.qid = e.vec_id""",
+    "pagerank_knn" -> s"WITH ${bruteKnnSql(5)},\n$pagerankTailSql",
+    "pagerank_knn_lsh" ->
+      s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$pagerankTailSql",
+    "local_lisi" -> s"WITH ${bruteKnnSql(30)},\n$lisiTailSql",
+    "local_lisi_lsh" ->
+      s"WITH $lshSigPrefixSql,\n${lshKnnSql(30)},\n$lisiTailSql",
     "knn_components" ->
-      """WITH RECURSIVE scored AS (
-           SELECT q.vec_id AS qid, c.vec_id AS nid,
-                  row_number() OVER (PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                             c.vec_id ASC) AS rk
-           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
-         knn AS (SELECT qid, nid FROM scored WHERE rk <= 5),
-         mutual AS (
-           SELECT x.qid AS a, x.nid AS b FROM knn x
-           JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
-           WHERE x.qid < x.nid),
-         edges AS (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
-         reach AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         verts AS (SELECT DISTINCT a AS vertex FROM edges)
-         SELECT v.vertex AS vec_id,
-                least(v.vertex, min(r.b)) AS community
-         FROM verts v LEFT JOIN reach r ON v.vertex = r.a
-         GROUP BY v.vertex""",
+      s"WITH RECURSIVE ${bruteKnnSql(5)},\n$componentsTailSql",
+    "knn_components_lsh" ->
+      s"WITH RECURSIVE $lshSigPrefixSql,\n${lshKnnSql(5)},\n$componentsTailSql",
+    "ann_lsh_topk" ->
+      s"""WITH $lshSigPrefixSql,
+         ${lshKnnSql(10, "WHERE s.vec_id % 50 = 0")}
+         SELECT qid, nid AS neighbor_id, round(cs, 6) AS cos_sim,
+                CAST(rk AS BIGINT) AS rk
+         FROM scored WHERE rk <= 10""",
     "ann_bruteforce_topk" ->
       """SELECT qid, neighbor_id, cos_sim, rk FROM (
            SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
