@@ -238,6 +238,91 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // 167. DSIR-style importance weights (Data Selection via Importance
+  // Resampling, Xie et al. 2023, arXiv:2302.03169): score every doc by
+  // the log-likelihood ratio of a smoothed target unigram LM (docs
+  // from a designated target source — src0, the same convention the
+  // decontamination op uses for its eval set) against the raw-corpus
+  // LM: log w(x) = Σ_w n_w(x)·(ln p_t(w) − ln p_r(w)), Laplace-
+  // smoothed over the corpus vocabulary. High score = target-like →
+  // keep under importance resampling.
+  // 100 TB shape: doc-term counts and both LMs are bounded-key (vocab)
+  // aggregations with map-side combine; scoring is ONE shuffle-hash
+  // join on the word key (NO LM broadcast — the join is linear and the
+  // key domain Zipf-bounded); the per-doc reduction combines map-side.
+  // At extreme vocab, hash words into 2^k buckets first (the hashed-
+  // feature form the DSIR paper itself uses) — same plan, bounded keys.
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val dt = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val ct = words.filter(col("source") === "src0")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val cr = words.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val lm = cr.join(ct, Seq("w"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+    val totals = lm.agg(sum(col("ct")).cast("double").as("nt"),
+      sum(col("cr")).cast("double").as("nr"),
+      count(lit(1)).cast("double").as("v"))
+    dt.join(lm.hint("shuffle_hash"), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", col("n") * (log((col("ct") + 1.0) / (col("nt") + col("v")))
+        - log((col("cr") + 1.0) / (col("nr") + col("v")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), r(sum(col("lr")), 6).as("log_weight"))
+  }
+
+  // ---------------------------------------------------------------
+  // 168. temperature-scaled source mixing weights — the multilingual
+  // sampling rule of mBERT/XLM-R/mT5 (p_s ∝ n_s^α, α = 0.3) applied to
+  // sources: from per-source token counts, the probability each source
+  // gets in the training mix and its up/down-sampling factor vs the
+  // natural distribution. One bounded-key aggregation + a broadcast
+  // scalar normalize; the value is the CONTRACT — deterministic mix
+  // weights any executor (or a later pipeline stage) can recompute.
+  def sourceMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val tot = toks.agg(sum(col("n_tokens")).cast("double").as("n_all"),
+      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("z"))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("p_natural", col("n_tokens") / col("n_all"))
+      .withColumn("p_mix", pow(col("n_tokens").cast("double"), lit(0.3)) / col("z"))
+      .select(col("source"), col("n_tokens"),
+        r(col("p_natural"), 6).as("p_natural"), r(col("p_mix"), 6).as("p_mix"),
+        r(col("p_mix") / col("p_natural"), 6).as("resample_factor"))
+  }
+
+  // ---------------------------------------------------------------
+  // 169. n-gram diversity per source — the corpus-level repetition
+  // screen (distinct/total type-token ratios over unigrams and word
+  // bigrams; templated or self-repeating sources sink toward 0, the
+  // between-docs complement of the within-doc #61 repetition signals).
+  // Bigrams are a per-row zip (the pmi_bigrams device, no positional
+  // explode); both aggregations are bounded-key with map-side combine.
+  // The exact countDistinct is the oracle path — at corpus scale swap
+  // in approx_count_distinct exactly as the #55 HLL twin does.
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(s, dir)
+      .select(col("source"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+    val uni = ws.select(col("source"), explode(col("ws")).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("v_words"))
+    val bi = ws.select(col("source"), explode(expr(
+        "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), slice(ws, 2, greatest(size(ws) - 1, 0)), (a, b) -> concat(a, ' ', b))")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("g")).as("v_bigrams"))
+    uni.join(bi, "source")
+      .select(col("source"), col("n_words"), col("v_words"),
+        r(col("v_words") / col("n_words").cast("double"), 6).as("ttr_words"),
+        col("n_bigrams"), col("v_bigrams"),
+        r(col("v_bigrams") / col("n_bigrams").cast("double"), 6).as("ttr_bigrams"))
+  }
+
+  // ---------------------------------------------------------------
   // 118. Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
   // ln(rank) for the top-1000 tokens — slope ≈ −1 for natural language,
   // so deviation is a corpus-health screen (template spam flattens it,
@@ -446,6 +531,9 @@ object TextOps {
     "zipf_fit"         -> (zipfFit _),
     "bm25_top_terms"   -> (bm25TopTerms _),
     "pmi_bigrams"      -> (pmiBigrams _),
+    "dsir_weights"     -> (dsirWeights _),
+    "source_mix_weights" -> (sourceMixWeights _),
+    "ngram_diversity"  -> (ngramDiversity _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -543,6 +631,50 @@ object TextOps {
          SELECT a, b, c_ab, c_a, c_b, round(pmi_raw, 6) AS pmi,
                 row_number() OVER (ORDER BY pmi_raw DESC, a ASC, b ASC) AS rk
          FROM scored QUALIFY rk <= 20""",
+    "dsir_weights" ->
+      """WITH words AS (
+           SELECT doc_id, source,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+           FROM documents),
+         dt AS (SELECT doc_id, w, count(*) AS n FROM words GROUP BY 1, 2),
+         cr AS (SELECT w, count(*) AS cr FROM words GROUP BY 1),
+         ct AS (SELECT w, count(*) AS ct FROM words WHERE source = 'src0' GROUP BY 1),
+         lm AS (SELECT cr.w, cr.cr, coalesce(ct.ct, 0) AS ct
+                FROM cr LEFT JOIN ct USING (w)),
+         tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                        CAST(sum(cr) AS DOUBLE) AS nr,
+                        CAST(count(*) AS DOUBLE) AS v FROM lm)
+         SELECT dt.doc_id, CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+                round(sum(dt.n * (ln((lm.ct + 1.0) / (nt + v))
+                                  - ln((lm.cr + 1.0) / (nr + v)))), 6) AS log_weight
+         FROM dt JOIN lm USING (w), tot
+         GROUP BY 1""",
+    "source_mix_weights" ->
+      """WITH toks AS (
+           SELECT source,
+                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_all,
+                        sum(pow(n_tokens, 0.3)) AS z FROM toks)
+         SELECT source, n_tokens,
+                round(n_tokens / n_all, 6) AS p_natural,
+                round(pow(n_tokens, 0.3) / z, 6) AS p_mix,
+                round((pow(n_tokens, 0.3) / z) / (n_tokens / n_all), 6) AS resample_factor
+         FROM toks, tot""",
+    "ngram_diversity" ->
+      """WITH ws AS (
+           SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         uni AS (SELECT source, count(*) AS n_words, count(DISTINCT w) AS v_words
+                 FROM (SELECT source, unnest(ws) AS w FROM ws) GROUP BY 1),
+         bi AS (SELECT source, count(*) AS n_bigrams, count(DISTINCT g) AS v_bigrams
+                FROM (SELECT source, unnest(list_transform(range(1, greatest(len(ws), 1)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS g FROM ws) GROUP BY 1)
+         SELECT source, n_words, v_words,
+                round(v_words / CAST(n_words AS DOUBLE), 6) AS ttr_words,
+                n_bigrams, v_bigrams,
+                round(v_bigrams / CAST(n_bigrams AS DOUBLE), 6) AS ttr_bigrams
+         FROM uni JOIN bi USING (source)""",
     "dataset_split" -> datasetSplitSql,
     "text_token_stats" ->
       raw"""SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,

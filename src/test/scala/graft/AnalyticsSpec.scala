@@ -345,4 +345,42 @@ class AnalyticsSpec extends SparkSpecBase {
       .collect()(0).getDouble(2)
     assert(math.abs(r2b) < 1e-9)
   }
+
+  test("dsirWeights rank the target source's own docs above the rest") {
+    // the defining property of importance weighting: documents drawn
+    // from the target distribution score higher under log p_t − p_r
+    val w = text.TextOps.dsirWeights(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("log_weight")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false),
+      s"target-source mean log-weight ${w(true)} not above rest ${w(false)}")
+  }
+
+  test("sourceMixWeights: probabilities sum to 1 and temperature flattens") {
+    val rows = text.TextOps.sourceMixWeights(spark, sf)
+      .select(col("n_tokens"), col("p_mix"), col("resample_factor"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3, "p_mix must sum to 1")
+    val smallest = rows.minBy(_._1)
+    val largest = rows.maxBy(_._1)
+    // α < 1 upsamples small sources relative to large ones
+    assert(smallest._3 > largest._3,
+      s"smallest source factor ${smallest._3} not above largest ${largest._3}")
+  }
+
+  test("ngramDiversity ratios are valid and bigrams are rarer-repeated than words") {
+    val rows = text.TextOps.ngramDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, ttr) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (nb, vb, ttrB) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(v <= n && vb <= nb, "distinct cannot exceed total")
+      assert(ttr > 0 && ttr <= 1 && ttrB > 0 && ttrB <= 1)
+      // bigram space is larger → strictly more diverse than unigrams
+      // on natural text (equality only under pathological repetition)
+      assert(ttrB >= ttr, s"bigram TTR $ttrB below word TTR $ttr")
+    }
+  }
 }
