@@ -401,6 +401,113 @@ object TextOps {
         r(sum(col("dc") * log(col("c") / col("tt"))) / sum(col("dc")), 6).as("lm_score"))
   }
 
+  // ---------------------------------------------------------------
+  // 170. CCNet-style perplexity buckets (Wenzek et al. 2020): per-
+  // language head/middle/tail terciles of the #124 char-bigram LM
+  // score — the canonical quality stratification for pretraining
+  // corpora (head = most fluent third under the LM). Ranks ride the
+  // ROUNDED score with a doc_id tie-break, so engine and oracle order
+  // identically (no fp boundary comparisons — ntile is positional).
+  // Scale: one per-lang sort-shuffle; at corpus scale swap positional
+  // terciles for broadcast boundary quantiles (the #83 equi-depth
+  // device, sketch-backed) — same output contract.
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = charLmScore(s, dir).select(col("doc_id"), col("lm_score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score").desc, col("doc_id").asc)
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(scores, "doc_id")
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .withColumn("bucket", when(col("tercile") === 1, "head")
+        .when(col("tercile") === 2, "middle").otherwise("tail"))
+  }
+
+  // ---------------------------------------------------------------
+  // 171. end-to-end filter decision — the Dolma/RefinedWeb-style
+  // "documents in → training set out" capstone: one row per candidate
+  // doc (non-src0; src0 is the eval set, the decontamination
+  // convention) with a keep flag and the ordered comma-joined reasons
+  // it failed. Gates: exact-dup loser (corpus-wide norm-hash group,
+  // #32's semantics), eval contamination (#64), stopword floor, digit
+  // ceiling, token-count bounds (Gopher-style structural screens).
+  // Every ratio is ONE division of exact integer counts, so the
+  // threshold comparisons are bit-identical cross-engine (no rounding
+  // anywhere in the decision path).
+  // 100 TB shape: one norm-hash shuffle (the dedup exchange), the
+  // broadcast-eval contamination join, and a narrow gate scan — the
+  // decision adds nothing beyond the signals it composes.
+  def filterDecision(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val keepers = graft.api.Similarity.exactDupGroups(all, col("doc_id"), col("text"))
+      .select(col("norm_hash"), col("keep_id"))
+    val contam = graft.dedup.Dedup.decontaminate(s, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val len = length(col("text")).cast("double")
+    val nWs = reCount(col("text"), "\\S+").cast("double")
+    val stops = reCount(lower(col("text")), "\\b(the|and|of|to|in|is|a)\\b").cast("double")
+    val digits = reCount(col("text"), "[0-9]").cast("double")
+    all.filter(col("source") =!= "src0")
+      .withColumn("norm_hash", md5(graft.api.Similarity.normalizeText(col("text"))))
+      .join(keepers, "norm_hash")
+      .join(contam, "doc_id")
+      .withColumn("g_dup", col("doc_id") =!= col("keep_id"))
+      .withColumn("g_contam", col("contaminated"))
+      .withColumn("g_stop", (stops / nWs) < 0.03)
+      .withColumn("g_digit", (digits / len) > 0.3)
+      .withColumn("g_short", nWs < 10)
+      .withColumn("g_long", nWs > 100000)
+      .select(col("doc_id"),
+        (!col("g_dup") && !col("g_contam") && !col("g_stop") && !col("g_digit")
+          && !col("g_short") && !col("g_long")).as("keep"),
+        concat_ws(",",
+          when(col("g_dup"), lit("exact_dup")),
+          when(col("g_contam"), lit("contaminated")),
+          when(col("g_stop"), lit("low_stopword")),
+          when(col("g_digit"), lit("digit_heavy")),
+          when(col("g_short"), lit("too_short")),
+          when(col("g_long"), lit("too_long"))).as("reasons"))
+  }
+
+  private val filterDecisionSql =
+    raw"""WITH nrm AS (
+           SELECT doc_id, source, text,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         keepers AS (SELECT md5(t) AS norm_hash, min(doc_id) AS keep_id
+                     FROM nrm GROUP BY 1),
+         esh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 20) AS g
+                 FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+                 WHERE source = 'src0'),
+         tsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 20) AS g
+                 FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+                 WHERE source <> 'src0'),
+         shared AS (SELECT doc_id, count(*) AS n_shared
+                    FROM tsh JOIN esh USING (g) GROUP BY 1),
+         feats AS (
+           SELECT n.doc_id,
+                  n.doc_id != k.keep_id AS g_dup,
+                  coalesce(s.n_shared, 0) >= 5 AS g_contam,
+                  CAST(len(regexp_extract_all(lower(n.text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE)
+                    / CAST(len(regexp_extract_all(n.text, '\S+')) AS DOUBLE) < 0.03 AS g_stop,
+                  CAST(len(regexp_extract_all(n.text, '[0-9]')) AS DOUBLE)
+                    / CAST(length(n.text) AS DOUBLE) > 0.3 AS g_digit,
+                  len(regexp_extract_all(n.text, '\S+')) < 10 AS g_short,
+                  len(regexp_extract_all(n.text, '\S+')) > 100000 AS g_long
+           FROM nrm n JOIN keepers k ON md5(n.t) = k.norm_hash
+           LEFT JOIN shared s ON n.doc_id = s.doc_id
+           WHERE n.source <> 'src0')
+         SELECT doc_id,
+                NOT (g_dup OR g_contam OR g_stop OR g_digit OR g_short OR g_long) AS keep,
+                concat_ws(',',
+                  CASE WHEN g_dup THEN 'exact_dup' END,
+                  CASE WHEN g_contam THEN 'contaminated' END,
+                  CASE WHEN g_stop THEN 'low_stopword' END,
+                  CASE WHEN g_digit THEN 'digit_heavy' END,
+                  CASE WHEN g_short THEN 'too_short' END,
+                  CASE WHEN g_long THEN 'too_long' END) AS reasons
+         FROM feats"""
+
   private val charLmScoreSql =
     raw"""WITH nrm AS (
            SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -528,6 +635,8 @@ object TextOps {
     "text_compression" -> (textCompression _),
     "para_dedup"       -> (paraDedup _),
     "char_lm_score"    -> (charLmScore _),
+    "perplexity_buckets" -> (perplexityBuckets _),
+    "filter_decision"  -> (filterDecision _),
     "zipf_fit"         -> (zipfFit _),
     "bm25_top_terms"   -> (bm25TopTerms _),
     "pmi_bigrams"      -> (pmiBigrams _),
@@ -595,6 +704,15 @@ object TextOps {
     "heavy_hitters" -> heavyHittersSql,
     "para_dedup" -> paraDedupSql,
     "char_lm_score" -> charLmScoreSql,
+    "filter_decision" -> filterDecisionSql,
+    "perplexity_buckets" ->
+      s"""SELECT d.doc_id, d.lang, s.lm_score,
+            ntile(3) OVER (PARTITION BY d.lang
+              ORDER BY s.lm_score DESC, d.doc_id ASC) AS tercile,
+            CASE ntile(3) OVER (PARTITION BY d.lang
+              ORDER BY s.lm_score DESC, d.doc_id ASC)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          FROM ($charLmScoreSql) s JOIN documents d USING (doc_id)""",
     "zipf_fit" -> zipfFitSql,
     "bm25_top_terms" ->
       """WITH terms AS (

@@ -370,6 +370,45 @@ class AnalyticsSpec extends SparkSpecBase {
       s"smallest source factor ${smallest._3} not above largest ${largest._3}")
   }
 
+  test("filterDecision: keep iff no reasons; gates agree with their source ops") {
+    val fd = text.TextOps.filterDecision(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(fd.nonEmpty)
+    fd.foreach { case (id, keep, reasons) =>
+      assert(keep == reasons.isEmpty, s"doc $id: keep=$keep but reasons='$reasons'")
+    }
+    // the contamination gate must be exactly the decontaminate op's verdict
+    val contamOp = dedup.Dedup.decontaminate(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val contamFd = fd.filter(_._3.split(",").contains("contaminated")).map(_._1).toSet
+    assert(contamFd == contamOp, "contaminated gate disagrees with decontaminate")
+    // every exact_dup loser has a smaller-id doc with identical normalized text
+    val norm = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(api.Similarity.normalizeText(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val minByHash = norm.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val hashOf = norm.toMap
+    fd.filter(_._3.split(",").contains("exact_dup")).foreach { case (id, _, _) =>
+      assert(minByHash(hashOf(id)) < id, s"doc $id flagged exact_dup but is the keeper")
+    }
+  }
+
+  test("perplexityBuckets: balanced terciles per lang, head outscores tail") {
+    val rows = text.TextOps.perplexityBuckets(spark, sf)
+      .select(col("lang"), col("bucket"), col("lm_score")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val perLang = rows.groupBy(_._1)
+    perLang.foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._2).view.mapValues(_.size)
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang terciles unbalanced: $sizes")
+      val mean = (b: String) => { val xs = rs.filter(_._2 == b).map(_._3); xs.sum / xs.size }
+      assert(mean("head") > mean("tail"),
+        s"$lang head ${mean("head")} not above tail ${mean("tail")}")
+    }
+  }
+
   test("ngramDiversity ratios are valid and bigrams are rarer-repeated than words") {
     val rows = text.TextOps.ngramDiversity(spark, sf).collect()
     assert(rows.nonEmpty)
