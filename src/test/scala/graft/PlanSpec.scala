@@ -165,6 +165,19 @@ class PlanSpec extends SparkSpecBase {
       s"LSH feed must never fall back to an all-pairs join:\n${plan.take(3000)}")
   }
 
+  test("dsir_weights scores through a word-key shuffle join, no LM broadcast") {
+    val plan = text.TextOps.dsirWeights(spark, sf).queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"doc-term × LM must join on the word key, not broadcast the vocab:\n${plan.take(3000)}")
+  }
+
+  test("filter_decision composes a broadcast contamination probe, never a pair join") {
+    val plan = formatted(text.TextOps.filterDecision(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the decision table must stay linear:\n${plan.take(3000)}")
+  }
+
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines
@@ -178,8 +191,9 @@ class PlanSpec extends SparkSpecBase {
       "dedup_ngram_jaccard", "dedup_containment", "dup_pairs_by_source", "threshold_tally", "feature_filter", "enrichment_ora",
       "tfidf_top_terms", "knn_components", "pagerank_knn",
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
-      // char_lm_score attaches the 1-row corpus bigram total
-      "char_lm_score",
+      // char_lm_score attaches the 1-row corpus bigram total;
+      // perplexity_buckets inherits the same attach through it
+      "char_lm_score", "perplexity_buckets",
       // pairwise_ks broadcasts the 10-row group-pair table into an
       // OR-predicate tag join; value_per_bin and start_vs_end attach a
       // 1-row global range
@@ -209,6 +223,9 @@ class PlanSpec extends SparkSpecBase {
       "early_de", "condition_test", "diff_end",
       // rfm_segments attaches the 1-row day-max and quintile-bounds aggs
       "rfm_segments",
+      // dsir_weights / source_mix_weights attach 1-row LM-total /
+      // normalizer scalars — scalar attaches, not pair joins
+      "dsir_weights", "source_mix_weights",
       // source_overlap probes the tiny distinct-mask histogram against
       // the |sources|²-row pair table — both bounded by source count
       "source_overlap")
