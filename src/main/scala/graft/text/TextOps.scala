@@ -281,7 +281,15 @@ object TextOps {
   // natural distribution. One bounded-key aggregation + a broadcast
   // scalar normalize; the value is the CONTRACT — deterministic mix
   // weights any executor (or a later pipeline stage) can recompute.
-  def sourceMixWeights(s: SparkSession, dir: String): DataFrame = {
+  def sourceMixWeights(s: SparkSession, dir: String): DataFrame =
+    mixFactors(s, dir)
+      .select(col("source"), col("n_tokens"),
+        r(col("p_natural"), 6).as("p_natural"), r(col("p_mix"), 6).as("p_mix"),
+        r(col("factor"), 6).as("resample_factor"))
+
+  /** Unrounded per-source mix factors — shared by #168 (rounded output)
+    * and #172 (rate realization). */
+  private def mixFactors(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"),
         expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").cast("long").as("n"))
@@ -291,9 +299,30 @@ object TextOps {
     toks.crossJoin(broadcast(tot))
       .withColumn("p_natural", col("n_tokens") / col("n_all"))
       .withColumn("p_mix", pow(col("n_tokens").cast("double"), lit(0.3)) / col("z"))
-      .select(col("source"), col("n_tokens"),
-        r(col("p_natural"), 6).as("p_natural"), r(col("p_mix"), 6).as("p_mix"),
-        r(col("p_mix") / col("p_natural"), 6).as("resample_factor"))
+      .withColumn("factor", col("p_mix") / col("p_natural"))
+  }
+
+  // ---------------------------------------------------------------
+  // 172. mix realization — turn the #168 weights into an actual
+  // one-pass deterministic subsample: per-source keep rate =
+  // resample_factor / max(factor) (downsample-only, the standard
+  // no-duplication realization), decided by the same content-hash
+  // uniform as the #72 dataset split (stable across clusters, runs and
+  // partitioning; pure md5 arithmetic, so the oracle replays the
+  // decision bit-for-bit — u is lattice-valued and the rate is a
+  // pow-derived irrational, so the comparison has no boundary mass).
+  // One broadcast of the |sources|-row rate table over a narrow scan.
+  def mixResample(s: SparkSession, dir: String): DataFrame = {
+    val f = mixFactors(s, dir).select(col("source"), col("factor"))
+    val fm = f.agg(max(col("factor")).as("fmax"))
+    val u = graft.api.Analytics.hashUniform(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(f), "source")
+      .crossJoin(broadcast(fm))
+      .withColumn("rate", col("factor") / col("fmax"))
+      .select(col("doc_id"), col("source"),
+        r(col("rate"), 6).as("rate"), r(u, 6).as("u"),
+        (u <= col("rate")).as("keep"))
   }
 
   // ---------------------------------------------------------------
@@ -643,6 +672,7 @@ object TextOps {
     "dsir_weights"     -> (dsirWeights _),
     "source_mix_weights" -> (sourceMixWeights _),
     "ngram_diversity"  -> (ngramDiversity _),
+    "mix_resample"     -> (mixResample _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -699,7 +729,27 @@ object TextOps {
         FROM documents"""
   }
 
+  private val mixResampleSql = {
+    val md5k = "md5(CAST(doc_id AS VARCHAR))"
+    val u = (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i)}"
+    }.mkString("((", "\n                 + ", " + 1.0) / 16777217.0)")
+    s"""WITH toks AS (
+         SELECT source,
+                CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_all,
+                      sum(pow(n_tokens, 0.3)) AS z FROM toks),
+       f AS (SELECT source, (pow(n_tokens, 0.3) / z) / (n_tokens / n_all) AS factor
+             FROM toks, tot),
+       fm AS (SELECT max(factor) AS fmax FROM f)
+       SELECT d.doc_id, d.source, round(f.factor / fmax, 6) AS rate,
+              round($u, 6) AS u, $u <= f.factor / fmax AS keep
+       FROM documents d JOIN f ON d.source = f.source, fm"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "mix_resample" -> mixResampleSql,
     "length_profile" -> lengthProfileSql,
     "heavy_hitters" -> heavyHittersSql,
     "para_dedup" -> paraDedupSql,

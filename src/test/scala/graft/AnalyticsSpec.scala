@@ -394,6 +394,22 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("mixResample: max-factor source keeps everything, rates anti-monotone in size") {
+    val rates = text.TextOps.mixResample(spark, sf)
+      .groupBy(col("source")).agg(max(col("rate")).as("rate"), count(lit(1)).as("n"),
+        sum(when(col("keep"), 1).otherwise(0)).as("kept"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rates.exists(_._2 == 1.0), "some source must realize rate 1.0 (the max factor)")
+    // α < 1 ⇒ smaller sources get higher keep rates (anti-monotone)
+    val toks = text.TextOps.sourceMixWeights(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sorted = rates.sortBy(r => toks(r._1))
+    sorted.sliding(2).foreach { case Array((sa, ra, _, _), (sb, rb, _, _)) =>
+      assert(ra >= rb, s"rate must not increase with size: $sa=$ra < $sb=$rb")
+    case _ => ()
+    }
+  }
+
   test("perplexityBuckets: balanced terciles per lang, head outscores tail") {
     val rows = text.TextOps.perplexityBuckets(spark, sf)
       .select(col("lang"), col("bucket"), col("lm_score")).collect()
