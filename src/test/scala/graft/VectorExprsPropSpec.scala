@@ -261,6 +261,30 @@ class VectorExprsPropSpec extends SparkSpecBase {
     }
   }
 
+  test("hyperplaneBucket equals the SplitMix64 reference on random vectors") {
+    import spark.implicits._
+    def refBucket(v: Seq[Double], planes: Int): Long = {
+      var bucket = 0L
+      for (j <- 0 until planes) {
+        var acc = 0.0
+        for (i <- v.indices) {
+          val h = graft.functions.HyperplaneBucket.mix64(j * 64L + i)
+          val m = ((h % 2000003L) + 2000003L) % 2000003L
+          acc += v(i) * (m.toDouble / 1000001.0 - 1.0)
+        }
+        if (acc > 0) bucket |= (1L << j)
+      }
+      bucket
+    }
+    val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 24)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      .withColumn("b", hyperplaneBucket(col("v"), 5))
+    val got = df.select("i", "b").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i) == refBucket(v, 5), s"case $i")
+    }
+  }
+
   test("dotProduct equals the reference on random vectors") {
     import spark.implicits._
     val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 12)
