@@ -274,6 +274,41 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // Scale twin of #167: the hashed-feature form the DSIR paper itself
+  // uses — words hashed into 2¹⁶ buckets (positional polynomial hash,
+  // the #43 fingerprint device, mod M then mod 2¹⁶) so the LM key
+  // domain is FIXED at any corpus size: the LM join key set stops
+  // growing with vocab, and the (bounded) LM could broadcast outright.
+  // Same plan shape as the exact form; the hash is exact-int
+  // arithmetic, so the twin is hash-checked too, not rows-only.
+  def dsirWeightsHashed(s: SparkSession, dir: String): DataFrame = {
+    val bucketOf = expr(
+      """aggregate(sequence(1, length(w0)), 0L,
+           (acc, i) -> (acc + ascii(substring(w0, i, 1))
+             * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)
+         % 65536""")
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w0"))
+      .withColumn("w", bucketOf)
+    val dt = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val ct = words.filter(col("source") === "src0")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val cr = words.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val lm = cr.join(ct, Seq("w"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+    val totals = lm.agg(sum(col("ct")).cast("double").as("nt"),
+      sum(col("cr")).cast("double").as("nr"),
+      count(lit(1)).cast("double").as("v"))
+    dt.join(lm.hint("shuffle_hash"), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", col("n") * (log((col("ct") + 1.0) / (col("nt") + col("v")))
+        - log((col("cr") + 1.0) / (col("nr") + col("v")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), r(sum(col("lr")), 6).as("log_weight"))
+  }
+
+  // ---------------------------------------------------------------
   // 168. temperature-scaled source mixing weights — the multilingual
   // sampling rule of mBERT/XLM-R/mT5 (p_s ∝ n_s^α, α = 0.3) applied to
   // sources: from per-source token counts, the probability each source
@@ -670,6 +705,7 @@ object TextOps {
     "bm25_top_terms"   -> (bm25TopTerms _),
     "pmi_bigrams"      -> (pmiBigrams _),
     "dsir_weights"     -> (dsirWeights _),
+    "dsir_weights_hashed" -> (dsirWeightsHashed _),
     "source_mix_weights" -> (sourceMixWeights _),
     "ngram_diversity"  -> (ngramDiversity _),
     "mix_resample"     -> (mixResample _),
@@ -804,6 +840,33 @@ object TextOps {
            SELECT doc_id, source,
                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
            FROM documents),
+         dt AS (SELECT doc_id, w, count(*) AS n FROM words GROUP BY 1, 2),
+         cr AS (SELECT w, count(*) AS cr FROM words GROUP BY 1),
+         ct AS (SELECT w, count(*) AS ct FROM words WHERE source = 'src0' GROUP BY 1),
+         lm AS (SELECT cr.w, cr.cr, coalesce(ct.ct, 0) AS ct
+                FROM cr LEFT JOIN ct USING (w)),
+         tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                        CAST(sum(cr) AS DOUBLE) AS nr,
+                        CAST(count(*) AS DOUBLE) AS v FROM lm)
+         SELECT dt.doc_id, CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+                round(sum(dt.n * (ln((lm.ct + 1.0) / (nt + v))
+                                  - ln((lm.cr + 1.0) / (nr + v)))), 6) AS log_weight
+         FROM dt JOIN lm USING (w), tot
+         GROUP BY 1""",
+    "dsir_weights_hashed" ->
+      """WITH words0 AS (
+           SELECT doc_id, source,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w0
+           FROM documents),
+         dw AS (SELECT DISTINCT w0 FROM words0),
+         wb AS (SELECT w0,
+                  ((SELECT CAST(sum(ascii(substr(dw.w0, CAST(i AS INT), 1))
+                        * ((i * 2654435761) % 1000000007) % 1000000007) AS BIGINT)
+                    FROM unnest(generate_series(1, length(dw.w0))) AS t(i))
+                   % 1000000007) % 65536 AS w
+                FROM dw),
+         words AS (SELECT w0s.doc_id, w0s.source, wb.w
+                   FROM words0 w0s JOIN wb USING (w0)),
          dt AS (SELECT doc_id, w, count(*) AS n FROM words GROUP BY 1, 2),
          cr AS (SELECT w, count(*) AS cr FROM words GROUP BY 1),
          ct AS (SELECT w, count(*) AS ct FROM words WHERE source = 'src0' GROUP BY 1),

@@ -358,6 +358,21 @@ class AnalyticsSpec extends SparkSpecBase {
       s"target-source mean log-weight ${w(true)} not above rest ${w(false)}")
   }
 
+  test("dsirWeightsHashed tracks the exact-vocab weights (few collisions at 2^16)") {
+    val exact = text.TextOps.dsirWeights(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val hashed = text.TextOps.dsirWeightsHashed(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(exact.keySet == hashed.keySet)
+    val pairs = exact.keys.toSeq.map(k => (exact(k), hashed(k)))
+    val (mx, my) = (pairs.map(_._1).sum / pairs.size, pairs.map(_._2).sum / pairs.size)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(pairs.map(p => math.pow(p._1 - mx, 2)).sum)
+    val sy = math.sqrt(pairs.map(p => math.pow(p._2 - my, 2)).sum)
+    val corr = cov / (sx * sy)
+    assert(corr > 0.9, s"hashed/exact weight correlation $corr too low")
+  }
+
   test("sourceMixWeights: probabilities sum to 1 and temperature flattens") {
     val rows = text.TextOps.sourceMixWeights(spark, sf)
       .select(col("n_tokens"), col("p_mix"), col("resample_factor"))

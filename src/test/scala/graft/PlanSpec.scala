@@ -223,9 +223,11 @@ class PlanSpec extends SparkSpecBase {
       "early_de", "condition_test", "diff_end",
       // rfm_segments attaches the 1-row day-max and quintile-bounds aggs
       "rfm_segments",
-      // dsir_weights / source_mix_weights attach 1-row LM-total /
-      // normalizer scalars — scalar attaches, not pair joins
-      "dsir_weights", "source_mix_weights",
+      // dsir_weights (+ hashed twin) / source_mix_weights / mix_resample
+      // attach 1-row LM-total / normalizer / max-factor scalars —
+      // scalar attaches, not pair joins
+      "dsir_weights", "dsir_weights_hashed", "source_mix_weights",
+      "mix_resample",
       // source_overlap probes the tiny distinct-mask histogram against
       // the |sources|²-row pair table — both bounded by source count
       "source_overlap")
