@@ -136,6 +136,68 @@ object Similarity {
       .select(col("qid").as("id1"), col("vid").as("id2"), col("cos_sim"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the corpus into clusters, find within-cluster semantic
+    * duplicate pairs (cosine ≥ `eps`), and from each duplicate group
+    * keep the member LEAST similar to the cluster centroid — pruning
+    * toward diversity, the opposite keeper rule from min-id dedup.
+    *
+    * Two deliberate substitutions make the op deterministic and
+    * oracle-replayable where the paper is not:
+    *  1. clusters are hyperplane sign buckets (the shared SplitMix64
+    *     planes) instead of k-means — any partition bounds the
+    *     quadratic, and buckets replay exactly in SQL; `planes` is the
+    *     scale lever (buckets ~ n / 2^planes).
+    *  2. the centroid statistic runs on integer-quantized vectors
+    *     (floor(x·1000) per dim): per-bucket per-dim sums become exact
+    *     integers, so the centroid cosine is identical under ANY
+    *     accumulation order — a float centroid would differ between
+    *     Spark's unordered partial aggregates and any oracle. Pair
+    *     cosines use the raw vectors (a fixed-order fold both engines
+    *     reproduce bit-identically).
+    *
+    * Keeper rule: order bucket members by (centroid-cos asc, id asc);
+    * drop a member iff some earlier member is within `eps`. The first
+    * member of every bucket always survives.
+    *
+    * Plan shape: two narrow passes + three bounded shuffles — the
+    * (bucket, dim) centroid-sum aggregate (≤ 2^planes · dim rows, then
+    * broadcast back), the per-vector dot aggregate, and the
+    * within-bucket candidate self-join (bounded bucket fan-out, the
+    * SemDeDup trick that replaces the O(n²) pair scan). */
+  def semanticDedup(vecs: DataFrame, id: Column, vec: Column,
+      eps: Double, planes: Int = 5): DataFrame = {
+    val e = Analytics.spread(vecs.select(id.as("vid"), vec.cast("array<double>").as("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+      .withColumn("qv", expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+    // exact-integer centroid algebra: per-(bucket, dim) sums sq, bucket
+    // norm Σ sq², per-vector Σ q·sq and Σ q² — every sum order-free
+    val qd = e.select(col("vid"), col("bucket"), posexplode(col("qv")).as(Seq("i", "q")))
+    val sq = qd.groupBy(col("bucket"), col("i")).agg(sum(col("q")).as("sq"))
+    val bn = sq.groupBy(col("bucket")).agg(sum(col("sq") * col("sq")).as("nn_b"))
+    val dots = qd.join(broadcast(sq), Seq("bucket", "i"))
+      .groupBy(col("vid"))
+      .agg(sum(col("q") * col("sq")).as("dqs"), sum(col("q") * col("q")).as("nn_v"))
+    val scored = e.join(dots, "vid").join(broadcast(bn), "bucket")
+      .withColumn("cos_c", when(col("nn_v") === 0 || col("nn_b") === 0, lit(0.0))
+        .otherwise(col("dqs") / (sqrt(col("nn_v")) * sqrt(col("nn_b")))))
+      .select(col("vid"), col("bucket"), col("v"), col("nrm"), col("cos_c"))
+    val later = scored.select(col("bucket"), col("vid").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"), col("cos_c").as("ca"))
+    val earlier = scored.select(col("bucket"), col("vid").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("cos_c").as("cb"))
+    val dropped = later.join(earlier.hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
+      .select(col("id_a").as("vid")).distinct()
+    scored
+      .join(dropped.withColumn("hit", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("bucket"),
+        round(col("cos_c"), 6).as("cos_centroid"), col("hit").isNull.as("keep"))
+  }
+
   /** Brute-force cosine top-k: every query vector scored against the
     * full corpus (broadcast queries, one corpus scan — the exact
     * baseline for ANN evaluation). Per-query top-k runs through the

@@ -185,6 +185,18 @@ object Dedup {
       .select(col("id1"), col("id2"), r(col("cos_sim"), 6).as("cos_sim"))
 
   // ---------------------------------------------------------------
+  // 173. SemDeDup semantic dedup (Abbas et al. 2023): hyperplane-bucket
+  // clusters, within-cluster cosine duplicates at eps=0.4 (the #36
+  // threshold), keep the member least similar to the integer-quantized
+  // cluster centroid. graft.api.Similarity.semanticDedup documents the
+  // two determinism substitutions (sign buckets for k-means, exact-int
+  // centroid sums) that make this hash-checkable.
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.api.Similarity.semanticDedup(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), eps = 0.4)
+      .withColumnRenamed("vid", "vec_id")
+
+  // ---------------------------------------------------------------
   // 60. near-dup components + keeper selection: the final step of a
   // dedup pipeline — exact-Jaccard pairs (oracle path) → connected
   // components → keep the minimum doc id per component. Docs in no
@@ -365,7 +377,8 @@ object Dedup {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
-    "dedup_cluster_sizes" -> (dedupClusterSizes _))
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "semantic_dedup"      -> (semanticDedup _))
 
   private val componentsPrefixSql =
     s"""WITH RECURSIVE nrm AS (SELECT doc_id, $normSql AS t FROM documents),
@@ -542,5 +555,43 @@ object Dedup {
                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            FROM chunks a JOIN chunks b
              ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
-         SELECT d1, d2, hamming FROM cand WHERE hamming <= 3""")
+         SELECT d1, d2, hamming FROM cand WHERE hamming <= 3""",
+    // Exact replay of the SemDeDup keeper: the shared SplitMix64 bucket
+    // prefix (vx carries per-dim values), then the same exact-integer
+    // centroid algebra — floor(x·1000) quantization, integer per-dim
+    // sums, integer dots — so the centroid cosine is bit-identical
+    // regardless of accumulation order; pair cosines replay through
+    // list_cosine_similarity (the fixed-order fold both engines share).
+    "semantic_dedup" ->
+      s"""WITH ${graft.sim.Ann.lshSigPrefixSql},
+         qv AS MATERIALIZED (
+           SELECT vec_id, i, CAST(floor(x * 1000) AS BIGINT) AS q FROM vx),
+         sq AS MATERIALIZED (
+           SELECT l.bucket, q.i, CAST(sum(q.q) AS BIGINT) AS sq
+           FROM qv q JOIN lsig l USING (vec_id) GROUP BY 1, 2),
+         bn AS (SELECT bucket, CAST(sum(sq*sq) AS BIGINT) AS nn_b
+                FROM sq GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id, CAST(sum(q.q * s.sq) AS BIGINT) AS dqs,
+                  CAST(sum(q.q * q.q) AS BIGINT) AS nn_v
+           FROM qv q JOIN lsig l USING (vec_id)
+           JOIN sq s ON s.bucket = l.bucket AND s.i = q.i
+           GROUP BY 1),
+         scored AS MATERIALIZED (
+           SELECT l.vec_id, l.bucket,
+                  CASE WHEN d.nn_v = 0 OR b.nn_b = 0 THEN 0.0
+                       ELSE d.dqs / (sqrt(d.nn_v) * sqrt(b.nn_b)) END AS cos_c
+           FROM lsig l JOIN dots d USING (vec_id) JOIN bn b USING (bucket)),
+         drops AS (
+           SELECT DISTINCT a.vec_id
+           FROM scored a JOIN scored b ON a.bucket = b.bucket
+            AND (b.cos_c < a.cos_c
+                 OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+           JOIN embeddings ea ON a.vec_id = ea.vec_id
+           JOIN embeddings eb ON b.vec_id = eb.vec_id
+           WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]) >= 0.4)
+         SELECT s.vec_id, s.bucket, round(s.cos_c, 6) AS cos_centroid,
+                d.vec_id IS NULL AS keep
+         FROM scored s LEFT JOIN drops d ON s.vec_id = d.vec_id""")
 }

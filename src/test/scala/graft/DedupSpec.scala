@@ -65,4 +65,33 @@ class DedupSpec extends SparkSpecBase {
     val docs = Tables.documents(spark, sf).count()
     assert(total == docs)
   }
+
+  test("semanticDedup: planted near-copy loses to its more-central twin; " +
+      "every bucket keeps its least-central member") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextDouble() - 0.5)))
+    // 1001 is a near-copy of vector 1 (same direction, tiny jitter):
+    // same sign bucket, cosine ≈ 1 — exactly one of the pair survives
+    val twin = (1001L, base.head._2.map(x => x * 1.01 + 1e-9))
+    val df = (base :+ twin).toDF("vec_id", "embedding")
+    val out = api.Similarity.semanticDedup(
+      df, col("vec_id"), col("embedding"), eps = 0.95)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 201)
+    val pair = rows.filter(r => r._1 == 1L || r._1 == 1001L)
+    assert(pair.map(_._2).distinct.length == 1, "twin not in the same bucket")
+    assert(pair.count(_._4) == 1, s"expected exactly one of the twin pair kept: $pair")
+    // the survivor is the one LESS similar to the bucket centroid
+    assert(pair.minBy(r => (r._3, r._1))._4, "keeper is not the least-central twin")
+    // the least-central member of every bucket has no earlier member
+    // to lose against, so it always survives
+    rows.groupBy(_._2).foreach { case (b, members) =>
+      assert(members.minBy(r => (r._3, r._1))._4,
+        s"bucket $b dropped its least-central member")
+    }
+  }
 }

@@ -165,6 +165,18 @@ class PlanSpec extends SparkSpecBase {
       s"LSH feed must never fall back to an all-pairs join:\n${plan.take(3000)}")
   }
 
+  test("semantic_dedup broadcasts the bounded centroid stats; candidate join " +
+      "is bucket-keyed shuffle-hash") {
+    val plan = dedup.Dedup.semanticDedup(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"within-bucket candidate join must be shuffle-hash on bucket:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-bucket centroid sums (≤2^planes·dim rows) must broadcast back:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"semantic dedup must never fall back to an all-pairs join:\n${plan.take(3000)}")
+  }
+
   test("dsir_weights scores through a word-key shuffle join, no LM broadcast") {
     val plan = text.TextOps.dsirWeights(spark, sf).queryExecution.sparkPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
