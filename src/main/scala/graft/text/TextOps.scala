@@ -611,6 +611,58 @@ object TextOps {
         r(col("n_dup").cast("double") / col("n_span"), 6).as("dup_frac"))
   }
 
+  // ---------------------------------------------------------------
+  // 174. cross-document duplicate n-gram fraction — the corpus-level
+  // word-8-gram filter of MassiveText/RefinedWeb (Rae et al. 2021 §A1
+  // scope the WITHIN-doc repetition signals #61 covers; this is the
+  // ACROSS-doc one): fraction of a doc's word 8-grams that occur in ≥2
+  // docs. Same hash-on-the-wire shape as #130 (xxhash64 longs through
+  // one shared (hash) exchange; the oracle counts the strings —
+  // collision odds |grams|²/2⁶⁵ are negligible), n-grams from one
+  // narrow transform, docs under 8 words kept at dup_frac 0.
+  def dupNgramFraction(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+    val grams = toks.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+        s"i -> xxhash64(array_join(slice(ws, i, $n), ' ')))")).as("h"))
+      .distinct()
+    val freq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = grams.hint("shuffle_hash").join(freq.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(when(col("df") >= 2, lit(1))).as("n_dup"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        r(when(col("n_ngrams").isNull, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_ngrams")), 6)
+          .as("dup_frac"))
+  }
+
+  private val dupNgramFractionSql =
+    """WITH toks AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+              FROM toks, LATERAL unnest(generate_series(1, len(ws) - 7)) AS u(i)
+              WHERE len(ws) >= 8),
+       freq AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+       per AS (SELECT doc_id, count(*) AS n_ngrams,
+                      count(CASE WHEN df >= 2 THEN 1 END) AS n_dup
+               FROM sh JOIN freq USING (g) GROUP BY 1)
+       SELECT d.doc_id, coalesce(per.n_ngrams, 0) AS n_ngrams,
+              coalesce(per.n_dup, 0) AS n_dup,
+              round(CASE WHEN per.n_ngrams IS NULL THEN 0.0
+                    ELSE CAST(per.n_dup AS DOUBLE) / per.n_ngrams END, 6)
+                AS dup_frac
+       FROM documents d LEFT JOIN per USING (doc_id)"""
+
   private val paraDedupSql =
     """WITH sent AS (
          SELECT DISTINCT doc_id, s FROM (
@@ -698,6 +750,7 @@ object TextOps {
     "heavy_hitters"    -> (heavyHitters _),
     "text_compression" -> (textCompression _),
     "para_dedup"       -> (paraDedup _),
+    "dup_ngram_fraction" -> (dupNgramFraction _),
     "char_lm_score"    -> (charLmScore _),
     "perplexity_buckets" -> (perplexityBuckets _),
     "filter_decision"  -> (filterDecision _),
@@ -789,6 +842,7 @@ object TextOps {
     "length_profile" -> lengthProfileSql,
     "heavy_hitters" -> heavyHittersSql,
     "para_dedup" -> paraDedupSql,
+    "dup_ngram_fraction" -> dupNgramFractionSql,
     "char_lm_score" -> charLmScoreSql,
     "filter_decision" -> filterDecisionSql,
     "perplexity_buckets" ->

@@ -373,6 +373,29 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(corr > 0.9, s"hashed/exact weight correlation $corr too low")
   }
 
+  test("dupNgramFraction matches a string-keyed recompute (hash is invisible)") {
+    val out = text.TextOps.dupNgramFraction(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // independent recompute carrying the gram STRINGS end to end — any
+    // xxhash64 collision or slice/window slip in the engine path shows
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+    val grams = toks.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))")).as("g"))
+      .distinct()
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val exp = grams.join(freq, "g").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), count(when(col("df") >= 2, lit(1))).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.foreach { case (id, (n, d, f)) =>
+      val (en, ed) = exp.getOrElse(id, (0L, 0L))
+      assert(n == en && d == ed, s"doc $id: got ($n,$d) expected ($en,$ed)")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    assert(out.values.exists(_._2 > 0), "corpus should contain cross-doc dup 8-grams")
+  }
+
   test("sourceMixWeights: probabilities sum to 1 and temperature flattens") {
     val rows = text.TextOps.sourceMixWeights(spark, sf)
       .select(col("n_tokens"), col("p_mix"), col("resample_factor"))
