@@ -361,6 +361,47 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // 175. token-budget allocation — water-fill the #168 mixing weights
+  // into per-source token quotas for a training budget T = ⌊0.95·total⌋
+  // (a near-capacity run, so the caps actually bind on the
+  // temperature-boosted small sources) under single-epoch capacity
+  // caps (a source can contribute at most
+  // the tokens it has; the Llama/GPT data-planning table). A source is
+  // capped when its temperature-boosted share exceeds its capacity;
+  // since p ∝ n^0.3, the capacity ratio n/p ∝ n^0.7 is monotone in n,
+  // so the capped set is a PREFIX of sources ordered by n ascending
+  // and ONE ordered-window pass finds it: after capping sources
+  // 1..k-1, source k caps iff p_k·(T − Σ_{i<k} n_i) ≥ n_k·(1 − Σ_{i<k}
+  // p_k). Ordered running sums are sequential in both engines (bit-
+  // identical), so the capped flags replay exactly; quotas round at
+  // 4dp (pow-derived irrationals — no midpoint mass). Σ quota = T by
+  // construction (the water-filling invariant, spec-pinned).
+  def tokenBudgetAlloc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val g = mixFactors(s, dir)
+      .withColumn("t_budget", floor(col("n_all") * 0.95))
+      .withColumn("cum_n", coalesce(sum(col("n_tokens")).over(pre), lit(0L)))
+      .withColumn("cum_p", coalesce(sum(col("p_mix")).over(pre), lit(0.0)))
+      .withColumn("flag",
+        (col("p_mix") * (col("t_budget") - col("cum_n")) >=
+          col("n_tokens") * (lit(1.0) - col("cum_p"))).cast("int"))
+      .withColumn("capped", min(col("flag")).over(upto) === 1)
+    val capTot = g.agg(
+      coalesce(sum(when(col("capped"), col("n_tokens"))), lit(0L)).as("cap_n"),
+      coalesce(sum(when(col("capped"), col("p_mix"))), lit(0.0)).as("cap_p"))
+    g.crossJoin(broadcast(capTot))
+      .withColumn("quota", when(col("capped"), col("n_tokens").cast("double"))
+        .otherwise(col("p_mix") * (col("t_budget") - col("cap_n"))
+          / (lit(1.0) - col("cap_p"))))
+      .select(col("source"), col("n_tokens"), r(col("p_mix"), 6).as("p_mix"),
+        col("capped"), r(col("quota"), 4).as("quota_tokens"),
+        r(col("quota") / col("n_tokens"), 6).as("fill_rate"))
+  }
+
+  // ---------------------------------------------------------------
   // 169. n-gram diversity per source — the corpus-level repetition
   // screen (distinct/total type-token ratios over unigrams and word
   // bigrams; templated or self-repeating sources sink toward 0, the
@@ -762,6 +803,7 @@ object TextOps {
     "source_mix_weights" -> (sourceMixWeights _),
     "ngram_diversity"  -> (ngramDiversity _),
     "mix_resample"     -> (mixResample _),
+    "token_budget_alloc" -> (tokenBudgetAlloc _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -946,6 +988,39 @@ object TextOps {
                 round(pow(n_tokens, 0.3) / z, 6) AS p_mix,
                 round((pow(n_tokens, 0.3) / z) / (n_tokens / n_all), 6) AS resample_factor
          FROM toks, tot""",
+    "token_budget_alloc" ->
+      """WITH toks AS (
+           SELECT source,
+                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_all,
+                        sum(pow(n_tokens, 0.3)) AS z FROM toks),
+         base AS (SELECT source, n_tokens, pow(n_tokens, 0.3) / z AS p_mix,
+                         floor(n_all * 0.95) AS t_budget
+                  FROM toks, tot),
+         wfl AS (SELECT *,
+                   coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n,
+                   coalesce(sum(p_mix) OVER (ORDER BY n_tokens, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_p
+                 FROM base),
+         flg AS (SELECT *, CASE WHEN p_mix * (t_budget - cum_n)
+                                     >= n_tokens * (1.0 - cum_p)
+                           THEN 1 ELSE 0 END AS flag FROM wfl),
+         cap AS (SELECT *, min(flag) OVER (ORDER BY n_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+                 FROM flg),
+         ct AS (SELECT coalesce(sum(CASE WHEN capped THEN n_tokens END), 0) AS cap_n,
+                       coalesce(sum(CASE WHEN capped THEN p_mix END), 0.0) AS cap_p
+                FROM cap)
+         SELECT source, n_tokens, round(p_mix, 6) AS p_mix, capped,
+                round(CASE WHEN capped THEN CAST(n_tokens AS DOUBLE)
+                      ELSE p_mix * (t_budget - cap_n) / (1.0 - cap_p) END, 4)
+                  AS quota_tokens,
+                round(CASE WHEN capped THEN CAST(n_tokens AS DOUBLE)
+                      ELSE p_mix * (t_budget - cap_n) / (1.0 - cap_p) END
+                      / n_tokens, 6) AS fill_rate
+         FROM cap, ct""",
     "ngram_diversity" ->
       """WITH ws AS (
            SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws

@@ -373,6 +373,31 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(corr > 0.9, s"hashed/exact weight correlation $corr too low")
   }
 
+  test("tokenBudgetAlloc: water-filling invariants — quotas exhaust the budget, " +
+      "caps bind on the most-boosted sources, fills are valid") {
+    val rows = text.TextOps.tokenBudgetAlloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getDouble(4), r.getDouble(5)))
+    val total = rows.map(_._2).sum
+    val t = math.floor(total * 0.95)
+    // Σ quota = T (the defining water-filling property; 4dp rounding slack)
+    assert(math.abs(rows.map(_._5).sum - t) < 0.01 * rows.length,
+      s"quotas ${rows.map(_._5).sum} do not exhaust budget $t")
+    rows.foreach { case (src, n, _, capped, quota, fill) =>
+      if (capped) assert(quota == n.toDouble && fill == 1.0,
+        s"$src capped but quota $quota != capacity $n")
+      else assert(quota < n && fill < 1.0 && fill > 0.0,
+        s"$src uncapped but quota $quota !< capacity $n")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "test corpus should exercise both branches")
+    // capping is monotone: every capped source is smaller than every
+    // uncapped one (capacity ratio n/p ∝ n^0.7 — the prefix argument)
+    val maxCapped = rows.filter(_._4).map(_._2).max
+    val minFree = rows.filterNot(_._4).map(_._2).min
+    assert(maxCapped <= minFree, s"capped prefix violated: $maxCapped > $minFree")
+  }
+
   test("dupNgramFraction matches a string-keyed recompute (hash is invisible)") {
     val out = text.TextOps.dupNgramFraction(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
