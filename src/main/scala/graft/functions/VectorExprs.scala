@@ -251,6 +251,8 @@ object VectorFunctions {
     GraftGlue.column(CharNgramCounts(toExpr(c), n))
   def hyperplaneBucket(c: Column, planes: Int): Column =
     GraftGlue.column(HyperplaneBucket(toExpr(c), planes))
+  def splitMixComp(c: Column): Column =
+    GraftGlue.column(SplitMixComp(toExpr(c)))
   /** Aggregate: top-k (id, score) pairs by (score desc, id asc). */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     GraftGlue.column(
@@ -630,6 +632,44 @@ object HyperplaneBucket {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+}
+
+/** Integer hyperplane component: SplitMix64(x) folded to
+  * [−1000001, 1000001] — the INTEGER form of HyperplaneBucket's plane
+  * entries (that expression divides the same fold by 1000001.0).
+  * Exposed as a scalar so sparse/hashed feature spaces (where the
+  * "vector" is (dim → count) rows, not an array) can compute
+  * projection signatures with exact-int arithmetic: sums of
+  * count·component are order-free, making sign buckets bit-identical
+  * under any partitioning and in the SQL oracle. Long multiply in the
+  * mixer wraps mod 2⁶⁴ in JVM semantics — which ANSI-mode Spark SQL
+  * arithmetic would reject — hence an expression, not an expr(). */
+case class SplitMixComp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix_comp"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val h = HyperplaneBucket.mix64(input.asInstanceOf[Long])
+    ((h % 2000003L) + 2000003L) % 2000003L - 1000001L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("h")
+      s"""
+        long $h = graft.functions.HyperplaneBucket.mix64($c);
+        ${ev.value} = (($h % 2000003L) + 2000003L) % 2000003L - 1000001L;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SplitMixComp =
+    copy(child = newChild)
 }
 
 /** Distinct xxhash64 values of the character n-gram shingles — the

@@ -250,43 +250,53 @@ object Ann {
     *     the driver gate itself;
     *  3. probes — own bucket + each 1-bit flip, the engine's probe set.
     * MATERIALIZED: each CTE is referenced twice downstream. */
-  private[graft] lazy val lshSigPrefixSql = {
-    val u2s = (h: String) => s"""CASE WHEN $h < 9223372036854775808::HUGEINT
+  private def u2s(h: String) = s"""CASE WHEN $h < 9223372036854775808::HUGEINT
       THEN ($h)::BIGINT ELSE ($h - 18446744073709551616::HUGEINT)::BIGINT END"""
-    val s2u = (x: String) => s"""CASE WHEN $x >= 0 THEN ($x)::HUGEINT
+  private def s2u(x: String) = s"""CASE WHEN $x >= 0 THEN ($x)::HUGEINT
       ELSE ($x)::HUGEINT + 18446744073709551616::HUGEINT END"""
-    // (a·b) mod 2⁶⁴ without exceeding INT128: split a into 32-bit
-    // halves — al·b < 2⁹⁶ and ((ah·(b mod 2³²)) mod 2³²)·2³² < 2⁹⁶,
-    // so every intermediate fits HUGEINT (a straight 64×64 multiply
-    // can reach ~2¹²⁸ and overflows INT128's 2¹²⁷−1 max).
-    val mulMod64 = (a: String, b: BigInt) => {
-      val bLo = b % BigInt(4294967296L)
-      s"""((($a % 4294967296) * $b::HUGEINT
-          + ((($a // 4294967296) * $bLo) % 4294967296) * 4294967296::HUGEINT)
-          % 18446744073709551616::HUGEINT)"""
-    }
-    val xorShiftMul = (z: String, zs: String, shift: Long, mul: BigInt) => {
-      val shifted = s"($z // ${1L << shift})::BIGINT"
-      mulMod64(s2u(s"xor($zs, $shifted)"), mul)
-    }
+  // (a·b) mod 2⁶⁴ without exceeding INT128: split a into 32-bit
+  // halves — al·b < 2⁹⁶ and ((ah·(b mod 2³²)) mod 2³²)·2³² < 2⁹⁶,
+  // so every intermediate fits HUGEINT (a straight 64×64 multiply
+  // can reach ~2¹²⁸ and overflows INT128's 2¹²⁷−1 max).
+  private def mulMod64(a: String, b: BigInt) = {
+    val bLo = b % BigInt(4294967296L)
+    s"""((($a % 4294967296) * $b::HUGEINT
+        + ((($a // 4294967296) * $bLo) % 4294967296) * 4294967296::HUGEINT)
+        % 18446744073709551616::HUGEINT)"""
+  }
+  private def xorShiftMul(z: String, zs: String, shift: Long, mul: BigInt) = {
+    val shifted = s"($z // ${1L << shift})::BIGINT"
+    mulMod64(s2u(s"xor($zs, $shifted)"), mul)
+  }
+
+  /** SplitMix64 finalizer as a DuckDB CTE chain: given a CTE `src`
+    * with columns ($keys, x HUGEINT), emits CTEs ending in `${pfx}h`
+    * with ($keys, hs BIGINT) = the signed-64 mix of x — the exact
+    * HUGEINT mod-2⁶⁴ replay of HyperplaneBucket.mix64, shared by the
+    * embedding-plane prefix below and the hashed-feature topic planes
+    * in TextOps. */
+  private[graft] def splitmixCtes(pfx: String, src: String, keys: String): String =
+    s"""${pfx}z0 AS MATERIALIZED (
+         SELECT $keys, (x + 11400714819323198485::HUGEINT)
+                      % 18446744073709551616::HUGEINT AS z FROM $src),
+       ${pfx}z0s AS MATERIALIZED (SELECT $keys, z, ${u2s("z")} AS zs FROM ${pfx}z0),
+       ${pfx}z1 AS MATERIALIZED (
+         SELECT $keys, ${xorShiftMul("z", "zs", 30, BigInt("13787848793156543929"))} AS z FROM ${pfx}z0s),
+       ${pfx}z1s AS MATERIALIZED (SELECT $keys, z, ${u2s("z")} AS zs FROM ${pfx}z1),
+       ${pfx}z2 AS MATERIALIZED (
+         SELECT $keys, ${xorShiftMul("z", "zs", 27, BigInt("10723151780598845931"))} AS z FROM ${pfx}z1s),
+       ${pfx}z2s AS MATERIALIZED (SELECT $keys, z, ${u2s("z")} AS zs FROM ${pfx}z2),
+       ${pfx}h AS MATERIALIZED (
+         SELECT $keys, xor(zs, (z // 2147483648)::BIGINT) AS hs FROM ${pfx}z2s)"""
+
+  private[graft] lazy val lshSigPrefixSql = {
     s"""dimn AS MATERIALIZED (
          SELECT max(len(embedding::DOUBLE[])) AS nd FROM embeddings),
        pidx AS MATERIALIZED (
          SELECT t.j, u.i, (t.j*64 + u.i)::HUGEINT AS x
          FROM (SELECT unnest(generate_series(0, 4)) AS j) t,
               dimn, LATERAL (SELECT unnest(generate_series(0, nd - 1)) AS i) u),
-       pz0 AS MATERIALIZED (
-         SELECT j, i, (x + 11400714819323198485::HUGEINT)
-                      % 18446744073709551616::HUGEINT AS z FROM pidx),
-       pz0s AS MATERIALIZED (SELECT j, i, z, ${u2s("z")} AS zs FROM pz0),
-       pz1 AS MATERIALIZED (
-         SELECT j, i, ${xorShiftMul("z", "zs", 30, BigInt("13787848793156543929"))} AS z FROM pz0s),
-       pz1s AS MATERIALIZED (SELECT j, i, z, ${u2s("z")} AS zs FROM pz1),
-       pz2 AS MATERIALIZED (
-         SELECT j, i, ${xorShiftMul("z", "zs", 27, BigInt("10723151780598845931"))} AS z FROM pz1s),
-       pz2s AS MATERIALIZED (SELECT j, i, z, ${u2s("z")} AS zs FROM pz2),
-       ph AS MATERIALIZED (
-         SELECT j, i, xor(zs, (z // 2147483648)::BIGINT) AS hs FROM pz2s),
+       ${splitmixCtes("p", "pidx", "j, i")},
        planes AS MATERIALIZED (
          SELECT j, i,
                 (((hs % 2000003) + 2000003) % 2000003) / 1000001.0 - 1.0 AS comp

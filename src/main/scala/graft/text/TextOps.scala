@@ -281,16 +281,20 @@ object TextOps {
   // growing with vocab, and the (bounded) LM could broadcast outright.
   // Same plan shape as the exact form; the hash is exact-int
   // arithmetic, so the twin is hash-checked too, not rows-only.
+  /** Polynomial word-bucket into 2¹⁶ (the #43 fingerprint device, mod M
+    * then mod 2¹⁶) over a column named `w0` — the fixed-domain hashed
+    * feature key shared by dsir_weights_hashed and the topic planes. */
+  private val wordBucket = expr(
+    """aggregate(sequence(1, length(w0)), 0L,
+         (acc, i) -> (acc + ascii(substring(w0, i, 1))
+           * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)
+       % 65536""")
+
   def dsirWeightsHashed(s: SparkSession, dir: String): DataFrame = {
-    val bucketOf = expr(
-      """aggregate(sequence(1, length(w0)), 0L,
-           (acc, i) -> (acc + ascii(substring(w0, i, 1))
-             * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)
-         % 65536""")
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w0"))
-      .withColumn("w", bucketOf)
+      .withColumn("w", wordBucket)
     val dt = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
     val ct = words.filter(col("source") === "src0")
       .groupBy(col("w")).agg(count(lit(1)).as("ct"))
@@ -629,6 +633,142 @@ object TextOps {
          FROM per_doc JOIN cnt USING (g), tot GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // 176/177. deterministic topic binning — random-projection content
+  // clusters over the hashed bag-of-words, the cluster-and-sample /
+  // per-topic-mix primitive of corpus curation (the clustering stage
+  // of SemDeDup/D4-style pipelines, applied to text instead of
+  // embeddings). Honest framing: sign buckets of 5 SplitMix64
+  // hyperplanes in the 2¹⁶ hashed-word space are CONTENT bins, not
+  // learned semantic topics — but they are deterministic, cheap (no
+  // training pass), and exactly replayable. All arithmetic is integer:
+  // word counts × integer plane components (SplitMixComp), so the
+  // signature sums are order-free and the bucket is bit-identical
+  // under any partitioning and in the oracle. Words in >90% of docs
+  // are dropped (the exact-integer stand-in for idf downweighting;
+  // the synthetic corpus has a 31-word near-uniform vocab, so the cut
+  // binds only on true every-doc words there — at web scale it is the
+  // standard stopword guard).
+  // Plan: one word-df pass, one (doc, wb) count shuffle, the 5·2¹⁶-row
+  // plane table broadcast from spark.range (never collected), two
+  // bounded aggregations.
+
+  private val TopicPlanes = 5
+
+  /** (j, wb, comp): integer plane components for the hashed-word
+    * space, generated distributed from range(planes·2¹⁶) — id IS
+    * j·65536 + wb, the SplitMixComp input. */
+  private def topicPlaneTable(s: SparkSession): DataFrame =
+    s.range(TopicPlanes * 65536L).select(
+      expr("CAST(id DIV 65536 AS INT)").as("j"),
+      expr("id % 65536").as("wb"),
+      graft.functions.VectorFunctions.splitMixComp(col("id")).as("comp"))
+
+  /** Exploded corpus words + the stopword-filtered keep set. */
+  private def topicWords(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), explode(expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w0"))
+    val dfw = words.select(col("doc_id"), col("w0")).distinct()
+      .groupBy(col("w0")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val kept = dfw.crossJoin(broadcast(nd))
+      .filter(col("df") * lit(10L) < col("nd") * lit(9L)).select(col("w0"))
+    (words, kept)
+  }
+
+  def topicAssign(s: SparkSession, dir: String): DataFrame = {
+    val (words, kept) = topicWords(s, dir)
+    val cnt = words.join(kept.hint("shuffle_hash"), "w0")
+      .withColumn("wb", wordBucket)
+      .groupBy(col("doc_id"), col("wb")).agg(count(lit(1)).as("n"))
+    val sig = cnt.join(broadcast(topicPlaneTable(s)), "wb")
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("n") * col("comp")).as("sg"))
+    val topic = sig.groupBy(col("doc_id"))
+      .agg(expr("sum(IF(sg > 0, shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), " +
+        "CAST(0 AS BIGINT)))").as("topic"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(topic, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("topic"), lit(0L)).as("topic"))
+  }
+
+  // 177. per-topic top terms: doc-frequency of each kept word within
+  // its topic, rank ≤ 5 by (n_docs desc, term asc) — all-integer with
+  // lexicographic ties, so the ranking is total and hash-exact.
+  def topicTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (words, kept) = topicWords(s, dir)
+    val docw = words.join(kept.hint("shuffle_hash"), "w0")
+      .select(col("doc_id"), col("w0")).distinct()
+    val assigned = topicAssign(s, dir).select(col("doc_id"), col("topic"))
+    val tw = docw.join(assigned, "doc_id")
+      .groupBy(col("topic"), col("w0")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("n_docs").desc, col("w0").asc)
+    tw.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("topic"), col("rk").cast("long").as("rk"),
+        col("w0").as("term"), col("n_docs"))
+  }
+
+  /** Shared oracle prefix for #176/#177: word df + stopword filter,
+    * polynomial word-buckets, the SplitMix64 integer plane components
+    * (graft.sim.Ann.splitmixCtes — the same HUGEINT replay the
+    * embedding planes use), integer signatures, per-doc topic. */
+  private def topicPrefixSql: String =
+    s"""words0 AS MATERIALIZED (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w0
+         FROM documents),
+       dfw AS (SELECT w0, count(DISTINCT doc_id) AS df FROM words0 GROUP BY 1),
+       nd AS (SELECT count(*) AS nd FROM documents),
+       kept AS MATERIALIZED (SELECT w0 FROM dfw, nd WHERE df * 10 < nd * 9),
+       dw AS (SELECT w0 FROM kept),
+       wbm AS MATERIALIZED (
+         SELECT w0,
+                ((SELECT CAST(sum(ascii(substr(dw.w0, CAST(i AS INT), 1))
+                      * ((i * 2654435761) % 1000000007) % 1000000007) AS BIGINT)
+                  FROM unnest(generate_series(1, length(dw.w0))) AS t(i))
+                 % 1000000007) % 65536 AS wb
+         FROM dw),
+       twb AS (SELECT DISTINCT wb FROM wbm),
+       tidx AS MATERIALIZED (
+         SELECT t.j, twb.wb, (t.j*65536 + twb.wb)::HUGEINT AS x
+         FROM (SELECT unnest(generate_series(0, ${TopicPlanes - 1})) AS j) t, twb),
+       ${graft.sim.Ann.splitmixCtes("t", "tidx", "j, wb")},
+       tcomp AS MATERIALIZED (
+         SELECT j, wb, ((hs % 2000003) + 2000003) % 2000003 - 1000001 AS comp
+         FROM th),
+       cnt AS MATERIALIZED (
+         SELECT w.doc_id, b.wb, count(*) AS n
+         FROM words0 w JOIN wbm b USING (w0) GROUP BY 1, 2),
+       sig AS (SELECT c.doc_id, t.j, sum(c.n * t.comp) AS sg
+               FROM cnt c JOIN tcomp t USING (wb) GROUP BY 1, 2),
+       topics AS MATERIALIZED (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN sg > 0 THEN (1::BIGINT << CAST(j AS INT))
+                    ELSE 0 END) AS BIGINT) AS topic
+         FROM sig GROUP BY 1),
+       assigned AS MATERIALIZED (
+         SELECT d.doc_id, d.source, coalesce(t.topic, 0) AS topic
+         FROM documents d LEFT JOIN topics t USING (doc_id))"""
+
+  private def topicAssignSql: String =
+    s"""WITH $topicPrefixSql
+       SELECT doc_id, source, topic FROM assigned"""
+
+  private def topicTopTermsSql: String =
+    s"""WITH $topicPrefixSql,
+       docw AS (SELECT DISTINCT w.doc_id, w.w0
+                FROM words0 w JOIN kept k USING (w0)),
+       tw AS (SELECT a.topic, d.w0, count(*) AS n_docs
+              FROM docw d JOIN assigned a USING (doc_id) GROUP BY 1, 2),
+       rk AS (SELECT topic, w0 AS term, n_docs,
+                     row_number() OVER (PARTITION BY topic
+                       ORDER BY n_docs DESC, w0) AS rk
+              FROM tw)
+       SELECT topic, rk, term, n_docs FROM rk WHERE rk <= 5"""
+
+  // ---------------------------------------------------------------
   // 130. duplicated-span audit (the C4/RealNews sentence-level dedup
   // signal): split every doc on '. ', keep spans ≥ 20 chars, count how
   // many docs carry each span, and score each doc by its fraction of
@@ -804,6 +944,8 @@ object TextOps {
     "ngram_diversity"  -> (ngramDiversity _),
     "mix_resample"     -> (mixResample _),
     "token_budget_alloc" -> (tokenBudgetAlloc _),
+    "topic_assign"     -> (topicAssign _),
+    "topic_top_terms"  -> (topicTopTerms _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -885,6 +1027,8 @@ object TextOps {
     "heavy_hitters" -> heavyHittersSql,
     "para_dedup" -> paraDedupSql,
     "dup_ngram_fraction" -> dupNgramFractionSql,
+    "topic_assign" -> topicAssignSql,
+    "topic_top_terms" -> topicTopTermsSql,
     "char_lm_score" -> charLmScoreSql,
     "filter_decision" -> filterDecisionSql,
     "perplexity_buckets" ->

@@ -398,6 +398,47 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(maxCapped <= minFree, s"capped prefix violated: $maxCapped > $minFree")
   }
 
+  test("topicAssign: deterministic non-trivial partition; identical docs share a topic") {
+    val rows = text.TextOps.topicAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc gets exactly one topic row")
+    assert(rows.forall { case (_, t) => t >= 0 && t < 32 }, "topic in [0, 2^5)")
+    assert(rows.map(_._2).distinct.length > 1, "partition must be non-trivial")
+    // identical text ⇒ identical signature ⇒ identical topic (the
+    // planted exact-dup groups from dedup_exact)
+    val dupGroups = dedup.Dedup.dedupExact(spark, sf)
+      .filter(col("has_dup")).select("norm_hash").collect().length
+    if (dupGroups > 0) {
+      val byTopic = rows.toMap
+      val sameText = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).values.filter(_.length > 1)
+      sameText.foreach { g =>
+        assert(g.map(d => byTopic(d._1)).distinct.length == 1,
+          s"exact-dup docs ${g.map(_._1)} landed in different topics")
+      }
+    }
+  }
+
+  test("topicTopTerms: ranks are contiguous from 1, terms pass the stopword cut") {
+    val rows = text.TextOps.topicTopTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val rks = g.map(_._2).sorted
+      assert(rks.head == 1L && rks.sameElements(1L to rks.length.toLong),
+        s"topic $t ranks not contiguous: ${rks.mkString(",")}")
+      assert(rks.length <= 5)
+      // within a topic, n_docs is non-increasing with rank
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"topic $t term counts not ranked: ${byRank.mkString(",")}")
+    }
+  }
+
   test("dupNgramFraction matches a string-keyed recompute (hash is invisible)") {
     val out = text.TextOps.dupNgramFraction(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

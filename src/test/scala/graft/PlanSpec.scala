@@ -240,6 +240,10 @@ class PlanSpec extends SparkSpecBase {
       // scalar attaches, not pair joins
       "dsir_weights", "dsir_weights_hashed", "source_mix_weights",
       "mix_resample",
+      // topic_assign / topic_top_terms attach the 1-row doc-count
+      // scalar for the stopword df cut — scalar attach, not a pair
+      // join; token_budget_alloc attaches the 1-row capped-totals agg
+      "topic_assign", "topic_top_terms", "token_budget_alloc",
       // source_overlap probes the tiny distinct-mask histogram against
       // the |sources|²-row pair table — both bounded by source count
       "source_overlap")

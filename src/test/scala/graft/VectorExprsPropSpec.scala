@@ -285,6 +285,21 @@ class VectorExprsPropSpec extends SparkSpecBase {
     }
   }
 
+  test("splitMixComp equals the SplitMix64 reference; range bounded") {
+    import spark.implicits._
+    val xs = samples(Gen.choose(Long.MinValue, Long.MaxValue), 64) ++
+      Seq(0L, -1L, 1L, Long.MaxValue, Long.MinValue, 65536L * 5 - 1)
+    val got = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+      .withColumn("c", splitMixComp(col("x")))
+      .select("i", "c").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    xs.zipWithIndex.foreach { case (x, i) =>
+      val h = graft.functions.HyperplaneBucket.mix64(x)
+      val expect = ((h % 2000003L) + 2000003L) % 2000003L - 1000001L
+      assert(got(i) == expect, s"case $i (x=$x)")
+      assert(got(i) >= -1000001L && got(i) <= 1000001L)
+    }
+  }
+
   test("dotProduct equals the reference on random vectors") {
     import spark.implicits._
     val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 12)
