@@ -234,6 +234,114 @@ object Ann {
       .select(col("vertex").as("vec_id"),
         round(col("pagerank"), 6).as("pagerank"))
 
+  // ---------------------------------------------------------------
+  // 178. ANN recall evaluation: per-query recall@10 of the LSH bucket
+  // feed against the exact brute-force neighbors — the index-quality
+  // eval every ANN deployment runs before trusting the approximate
+  // path. Compares ID SETS only (both sides' rank-10 cuts are already
+  // hash-pinned by their own oracles), so the op is insensitive to
+  // cross-engine cosine ULPs. Scale: the truth side is exact kNN over
+  // the SAMPLED query set (n/50) — the standard recall protocol; cost
+  // is |queries|·n, linear in the corpus, not n².
+  def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteforceTopk(s, dir).select(col("qid"), col("neighbor_id"))
+    val approx = annLshTopk(s, dir).select(col("qid"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r(coalesce(col("n_hit"), lit(0L)) / col("n_true"), 6).as("recall"))
+  }
+
+  /** Vectors with label + norm — the feed for label-aware mining. */
+  private def vectorsWithLabel(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.spread(
+        Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  // ---------------------------------------------------------------
+  // 179. hard-negative mining: for each query vector, the top-5 MOST
+  // similar corpus vectors carrying a DIFFERENT label — the contrastive
+  // -training negative sampler (high-similarity wrong-class examples).
+  // Exact scorer = oracle path (same BNL shape as ann_bruteforce_topk);
+  // hardNegativesLsh is the corpus-scale twin: identical label filter
+  // over the hyperplane-bucket candidate feed, ranked AFTER the filter
+  // so the two paths agree on semantics (filter-then-rank, not
+  // truncate-then-filter).
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectorsWithLabel(s, dir)
+    val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("qlabel"))
+    val scored = vecs.join(broadcast(qs),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cs", cosCol)
+    topk(scored, 5)
+  }
+
+  /** Scale twin of #179: label-filtered rank over the LSH bucket
+    * candidates (own bucket + hamming-1 probes), no corpus broadcast. */
+  def hardNegativesLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectorsWithLabel(s, dir).withColumn("bucket",
+      graft.functions.VectorFunctions.hyperplaneBucket(col("v"), LshPlanes))
+    val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("qlabel"),
+        explode(expr(s"""transform(sequence(0, $LshPlanes),
+          p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
+    val scored = vecs.join(broadcast(qs), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cs", cosCol)
+    topk(scored, 5)
+  }
+
+  // ---------------------------------------------------------------
+  // 180. kNN label propagation (semi-supervised labeling): seeds =
+  // every 10th vector keeps its label; 3 synchronous rounds over the
+  // mutual-kNN(k=5) graph where each non-seed node takes the argmax
+  // neighbor-label vote (count desc, label asc — total order, so the
+  // rounds are deterministic and the SQL unroll replays them exactly).
+  // Non-seed labels may flip between rounds (recomputed from the
+  // previous frontier each time — synchronous LPA). Unreached nodes
+  // emit -1. Exact edge feed = oracle path; labelPropKnnLsh twins it
+  // over the LSH feed. Scale: each round is one (dst-key shuffle +
+  // bounded window); at real depth, localCheckpoint between rounds
+  // (the Similarity.pageRank contract).
+  def labelPropKnn(s: SparkSession, dir: String): DataFrame =
+    labelPropFrom(s, dir, knnEdges(s, dir, k = 5, exact = true))
+
+  /** Scale twin of #180: same 3-round vote over the LSH-fed graph. */
+  def labelPropKnnLsh(s: SparkSession, dir: String): DataFrame =
+    labelPropFrom(s, dir, knnEdges(s, dir, k = 5, exact = false))
+
+  private def labelPropFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val mut = mutualEdges(knn)
+    val edges = mut.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(mut.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    var lab = seeds
+    for (_ <- 1 to 3) {
+      val votes = edges.join(lab.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)
+      // seeds are exactly vec_id%10=0, so the seed exclusion is a
+      // filter, not an anti join
+      val prop = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && pmod(col("dst"), lit(10)) =!= 0)
+        .select(col("dst").as("vec_id"), col("label"))
+      lab = seeds.unionAll(prop)
+    }
+    emb.select(col("vec_id"), col("label").as("true_label"))
+      .join(lab.withColumnRenamed("label", "prop_label"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("true_label"),
+        coalesce(col("prop_label"), lit(-1)).as("prop_label"),
+        (pmod(col("vec_id"), lit(10)) === 0).as("is_seed"))
+  }
+
   /** SQL replay of the LSH machinery (HyperplaneBucket + hamming-1
     * multi-probe), shared by every `_lsh` oracle including
     * dedup_embedding_lsh over in Dedup. Three stages:
@@ -400,6 +508,94 @@ object Ann {
               round(a.k_eff * a.k_eff / CAST(a.c2 AS DOUBLE), 6) AS lisi
        FROM agg a JOIN embeddings e ON a.qid = e.vec_id"""
 
+  /** 3-round synchronous LPA unroll over the `knn (qid, nid)` contract
+    * — the oracle twin of [[labelPropFrom]]. Vote argmax is a total
+    * order (count desc, label asc), so every round replays exactly. */
+  private val labelPropTailSql = {
+    val step = (i: Int) =>
+      s"""v$i AS (
+           SELECT e.dst, l.label, count(*) AS c
+           FROM edges e JOIN l${i - 1} l ON e.src = l.vec_id GROUP BY 1, 2),
+         p$i AS (
+           SELECT dst AS vec_id, label FROM (
+             SELECT dst, label,
+                    row_number() OVER (PARTITION BY dst
+                      ORDER BY c DESC, label ASC) AS rk
+             FROM v$i)
+           WHERE rk = 1 AND dst % 10 != 0),
+         l$i AS (SELECT * FROM seeds UNION ALL SELECT * FROM p$i)"""
+    s"""mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       edges AS (SELECT a AS src, b AS dst FROM mutual
+                 UNION ALL SELECT b, a FROM mutual),
+       seeds AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 10 = 0),
+       l0 AS (SELECT * FROM seeds),
+       ${(1 to 3).map(step).mkString(",\n       ")}
+       SELECT e.vec_id, e.label AS true_label,
+              coalesce(l.label, -1) AS prop_label,
+              (e.vec_id % 10 = 0) AS is_seed
+       FROM embeddings e LEFT JOIN l3 l ON e.vec_id = l.vec_id"""
+  }
+
+  private val hardNegativesSql =
+    """SELECT qid, neighbor_id, cos_sim, rk FROM (
+         SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+                round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c
+           ON q.vec_id != c.vec_id AND q.label != c.label
+         WHERE q.vec_id % 50 = 0)
+       WHERE rk <= 5"""
+
+  private val hardNegativesLshSql =
+    s"""WITH $lshSigPrefixSql,
+       hnprobes AS MATERIALIZED (
+         SELECT s.vec_id AS qid,
+                CASE WHEN t.p < 0 THEN s.bucket
+                     ELSE xor(s.bucket, (1::BIGINT << t.p)) END AS bucket
+         FROM lsig s, LATERAL (SELECT unnest(generate_series(-1, ${LshPlanes - 1})) AS p) t
+         WHERE s.vec_id % 50 = 0),
+       hncand AS (
+         SELECT p.qid, s2.vec_id AS nid
+         FROM hnprobes p JOIN lsig s2 USING (bucket)
+         WHERE s2.vec_id != p.qid),
+       hnscored AS (
+         SELECT c.qid, c.nid,
+                round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cos_sim,
+                row_number() OVER (PARTITION BY c.qid
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                           c.nid ASC) AS rk
+         FROM hncand c JOIN embeddings q ON c.qid = q.vec_id
+                       JOIN embeddings n ON c.nid = n.vec_id
+         WHERE q.label != n.label)
+       SELECT qid, nid AS neighbor_id, cos_sim, rk
+       FROM hnscored WHERE rk <= 5"""
+
+  private val annRecallEvalSql =
+    s"""WITH $lshSigPrefixSql,
+       ${lshKnnSql(10, "WHERE s.vec_id % 50 = 0")},
+       bscored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         WHERE q.vec_id % 50 = 0),
+       btruth AS (SELECT qid, nid FROM bscored WHERE rk <= 10),
+       hits AS (
+         SELECT t.qid, count(*) AS n_hit
+         FROM btruth t JOIN knn l ON t.qid = l.qid AND t.nid = l.nid
+         GROUP BY 1),
+       tr AS (SELECT qid, count(*) AS n_true FROM btruth GROUP BY 1)
+       SELECT tr.qid, tr.n_true,
+              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / tr.n_true, 6) AS recall
+       FROM tr LEFT JOIN hits h USING (qid)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_knn"        -> (pagerankKnn _),
     "pagerank_knn_lsh"    -> (pagerankKnnLsh _),
@@ -409,7 +605,12 @@ object Ann {
     "knn_components_lsh"  -> (knnComponentsLsh _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk"        -> (annLshTopk _),
-    "ann_ivf_topk"        -> (annIvfTopk _))
+    "ann_ivf_topk"        -> (annIvfTopk _),
+    "ann_recall_eval"     -> (annRecallEval _),
+    "hard_negatives"      -> (hardNegatives _),
+    "hard_negatives_lsh"  -> (hardNegativesLsh _),
+    "label_prop_knn"      -> (labelPropKnn _),
+    "label_prop_knn_lsh"  -> (labelPropKnnLsh _))
 
   val oracles: Map[String, String] = Map(
     "pagerank_knn" -> s"WITH ${bruteKnnSql(5)},\n$pagerankTailSql",
@@ -422,6 +623,12 @@ object Ann {
       s"WITH RECURSIVE ${bruteKnnSql(5)},\n$componentsTailSql",
     "knn_components_lsh" ->
       s"WITH RECURSIVE $lshSigPrefixSql,\n${lshKnnSql(5)},\n$componentsTailSql",
+    "ann_recall_eval" -> annRecallEvalSql,
+    "hard_negatives" -> hardNegativesSql,
+    "hard_negatives_lsh" -> hardNegativesLshSql,
+    "label_prop_knn" -> s"WITH ${bruteKnnSql(5)},\n$labelPropTailSql",
+    "label_prop_knn_lsh" ->
+      s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$labelPropTailSql",
     "ann_lsh_topk" ->
       s"""WITH $lshSigPrefixSql,
          ${lshKnnSql(10, "WHERE s.vec_id % 50 = 0")}

@@ -202,6 +202,10 @@ class PlanSpec extends SparkSpecBase {
       "local_lisi",
       "dedup_ngram_jaccard", "dedup_containment", "dup_pairs_by_source", "threshold_tally", "feature_filter", "enrichment_ora",
       "tfidf_top_terms", "knn_components", "pagerank_knn",
+      // ann_recall_eval / hard_negatives / label_prop_knn ride the
+      // documented brute-force scorer (oracle paths; the _lsh twins
+      // are the scale feeds and stay BNL-free)
+      "ann_recall_eval", "hard_negatives", "label_prop_knn",
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
       // char_lm_score attaches the 1-row corpus bigram total;
       // perplexity_buckets inherits the same attach through it
