@@ -192,6 +192,39 @@ object Reduce {
         round(max(col("nrm")), 6).as("max_norm"))
   }
 
+  // ---------------------------------------------------------------
+  // 181. per-dimension embedding profile — the "dead/collapsed dim"
+  // screen run before trusting any index or projection built on the
+  // embedding space: per dim mean, population std, min/max, and the
+  // fraction of near-zero entries. One narrow posexplode + a
+  // |dims|-key aggregation (map-side partial; no wide shuffle —
+  // the exchange carries dims × partitions rows). Values are O(1)
+  // floats, so 6dp rounding sits ~6 orders above double ULP — the
+  // rational-statistic rule is satisfied without rescaling.
+  def embeddingDimProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean_x"),
+        round(stddev_pop(col("x")), 6).as("sd_x"),
+        round(min(col("x")), 6).as("min_x"),
+        round(max(col("x")), 6).as("max_x"),
+        round(avg((abs(col("x")) < 0.01).cast("double")), 6).as("near_zero_frac"))
+
+  private val embeddingDimProfileSql =
+    """WITH vx AS (
+         SELECT t.i AS dim, t.x
+         FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t)
+       SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+              round(avg(x), 6) AS mean_x,
+              round(stddev_pop(x), 6) AS sd_x,
+              round(min(x), 6) AS min_x,
+              round(max(x), 6) AS max_x,
+              round(avg(CASE WHEN abs(x) < 0.01 THEN 1.0 ELSE 0.0 END), 6) AS near_zero_frac
+       FROM vx GROUP BY 1"""
+
   private val embeddingNormStatsSql =
     """WITH nrms AS (
          SELECT label,
@@ -206,6 +239,7 @@ object Reduce {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_norm_stats" -> (embeddingNormStats _),
+    "embedding_dim_profile" -> (embeddingDimProfile _),
     "kmeans_elbow"      -> (kmeansElbow _),
     "cluster_transitions" -> (clusterTransitions _),
     "pca_embeddings"    -> (pcaEmbeddings _),
@@ -215,5 +249,6 @@ object Reduce {
 
   val oracles: Map[String, String] = Map(
     "embedding_norm_stats" -> embeddingNormStatsSql,
+    "embedding_dim_profile" -> embeddingDimProfileSql,
     "label_silhouette" -> labelSilhouetteSql)
 }

@@ -91,6 +91,122 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // 182. Gopher quality rule flags (Rae et al. 2021, appendix A —
+  // the MassiveText document filter, also the RefinedWeb/Dolma
+  // baseline): per-doc boolean rule outcomes + the composite pass.
+  // Word count in [50, 1e5]; mean word length in [3, 10]; symbol
+  // (#/ellipsis) to word ratio ≤ 0.1; no bullet start / ellipsis end
+  // (single-line corpus form of the line-fraction rules — at web
+  // scale explode on '\n' and threshold the fractions); ≥80% of words
+  // containing a letter; ≥2 of the 8 required English stopwords.
+  // On THIS corpus symbol/bullet/alpha never fire (no such chars by
+  // construction) but word-count, mean-length, and stopword rules all
+  // bind. Pure per-row codegen — zero shuffles.
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val nWords = reCount(col("text"), "\\S+")
+    val nonspace = length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double")
+    val meanWl = nonspace / nWords
+    val nSymbols = reCount(col("text"), "#|\\.\\.\\.")
+    val alphaWords = size(filter(split(col("text"), lit(" ")),
+      w => w.rlike("[a-z]"))).cast("long")
+    val nStops = gopherStops.map(t => (tokenCount(padded, s" $t ") > 0).cast("int"))
+      .reduce(_ + _)
+    val wcOk = nWords.between(50, 100000)
+    val mwlOk = meanWl.between(3.0, 10.0)
+    val symOk = nSymbols.cast("double") / nWords <= 0.1
+    val bulletOk = !(col("text").startsWith("- ") || col("text").startsWith("* "))
+    val ellipsisOk = !col("text").endsWith("...")
+    val alphaOk = alphaWords.cast("double") / nWords >= 0.8
+    val stopOk = nStops >= 2
+    Tables.documents(s, dir).select(
+      col("doc_id"), nWords.as("n_words"), r(meanWl, 6).as("mean_word_len"),
+      nStops.cast("long").as("n_stops_present"),
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"), ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wcOk && mwlOk && symOk && bulletOk && ellipsisOk && alphaOk && stopOk)
+        .as("pass"),
+      // the multilingual composite: the stopword rule is English-only
+      // in practice (and rejects this synthetic vocab corpus-wide —
+      // only 'the' of the canonical 8 occurs), so pipelines also keep
+      // the stop-free conjunction
+      (wcOk && mwlOk && symOk && bulletOk && ellipsisOk && alphaOk)
+        .as("pass_no_stop"))
+  }
+
+  private val gopherRulesSql = {
+    val padded = "(' ' || lower(text) || ' ')"
+    val stopsPresent = gopherStops
+      .map(t => s"CASE WHEN ${tokenCountSql(padded, s" $t ")} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH f AS (
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+                CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nonspace,
+                CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+                CAST(len(list_filter(string_split(text, ' '),
+                  w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+                CAST($stopsPresent AS BIGINT) AS n_stops_present,
+                (text LIKE '- %' OR text LIKE '* %') AS bullet_start,
+                (text LIKE '%...') AS ellipsis_end
+         FROM documents),
+       g AS (
+         SELECT doc_id, n_words, nonspace / n_words AS mean_wl, n_symbols,
+                alpha_words, n_stops_present, bullet_start, ellipsis_end,
+                (n_words BETWEEN 50 AND 100000) AS wc_ok,
+                (nonspace / n_words BETWEEN 3.0 AND 10.0) AS mwl_ok,
+                (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS symbol_ok,
+                NOT bullet_start AS bullet_ok,
+                NOT ellipsis_end AS ellipsis_ok,
+                (CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS alpha_ok,
+                (n_stops_present >= 2) AS stop_ok
+         FROM f)
+       SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
+              n_stops_present, wc_ok, mwl_ok, symbol_ok, bullet_ok,
+              ellipsis_ok, alpha_ok, stop_ok,
+              (wc_ok AND mwl_ok AND symbol_ok AND bullet_ok AND ellipsis_ok
+               AND alpha_ok AND stop_ok) AS pass,
+              (wc_ok AND mwl_ok AND symbol_ok AND bullet_ok AND ellipsis_ok
+               AND alpha_ok) AS pass_no_stop
+       FROM g"""
+  }
+
+  // ---------------------------------------------------------------
+  // 183. tokenizer fertility per language: BPE-ish tokens per
+  // whitespace word, the multilingual token-budget planning signal
+  // (languages with high fertility consume disproportionate budget).
+  // Corpus-level ratio (Σbpe/Σws) + mean per-doc ratio, per tagged
+  // lang. Bounded-key aggregation over per-row token counts.
+  def tokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val nWs = reCount(col("text"), "\\S+")
+    val nBpe = reCount(lower(col("text")), bpePat)
+    Tables.documents(s, dir)
+      .select(col("lang"), nWs.as("ws"), nBpe.as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_words"),
+        sum(col("bpe")).as("total_bpe_tokens"),
+        r(sum(col("bpe")) / sum(col("ws")).cast("double"), 6).as("fertility"),
+        r(avg(col("bpe").cast("double") / col("ws")), 6).as("mean_doc_fertility"))
+  }
+
+  private val tokenFertilitySql =
+    s"""WITH t AS (
+         SELECT lang,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws,
+                CAST(len(regexp_extract_all(lower(text), '$bpePat')) AS BIGINT) AS bpe
+         FROM documents)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(ws) AS BIGINT) AS total_words,
+              CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+              round(sum(bpe) / CAST(sum(ws) AS DOUBLE), 6) AS fertility,
+              round(avg(CAST(bpe AS DOUBLE) / ws), 6) AS mean_doc_fertility
+       FROM t GROUP BY 1"""
+
+  // ---------------------------------------------------------------
   // 43. document fingerprint: positional polynomial hash
   // Σᵢ ascii(chᵢ)·((i·2654435761) mod M) mod M with M = 1e9+7 — a
   // deterministic 63-bit-safe fingerprint computed by a higher-order
@@ -946,6 +1062,8 @@ object TextOps {
     "token_budget_alloc" -> (tokenBudgetAlloc _),
     "topic_assign"     -> (topicAssign _),
     "topic_top_terms"  -> (topicTopTerms _),
+    "gopher_rules"     -> (gopherRules _),
+    "token_fertility"  -> (tokenFertility _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -1029,6 +1147,8 @@ object TextOps {
     "dup_ngram_fraction" -> dupNgramFractionSql,
     "topic_assign" -> topicAssignSql,
     "topic_top_terms" -> topicTopTermsSql,
+    "gopher_rules" -> gopherRulesSql,
+    "token_fertility" -> tokenFertilitySql,
     "char_lm_score" -> charLmScoreSql,
     "filter_decision" -> filterDecisionSql,
     "perplexity_buckets" ->

@@ -439,6 +439,35 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("gopherRules: pass is the conjunction of flags; word-count rule actually bins the corpus") {
+    val rows = text.TextOps.gopherRules(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val flags = Seq("wc_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok", "stop_ok").map(f => r.getBoolean(r.fieldIndex(f)))
+      assert(r.getBoolean(r.fieldIndex("pass")) == flags.forall(identity))
+      assert(r.getBoolean(r.fieldIndex("pass_no_stop")) == flags.init.forall(identity))
+    }
+    // corpus facts this spec pins: the canonical stopword rule rejects
+    // the synthetic vocab wholesale (only 'the' of the 8 occurs), so
+    // the multilingual composite is the one that must bin BOTH ways,
+    // driven by the word-count rule
+    assert(rows.forall(!_.getBoolean(rows.head.fieldIndex("stop_ok"))))
+    assert(rows.map(_.getBoolean(rows.head.fieldIndex("pass_no_stop"))).distinct.length == 2)
+    assert(rows.map(_.getBoolean(rows.head.fieldIndex("wc_ok"))).distinct.length == 2)
+  }
+
+  test("tokenFertility: fertility >= 1 (BPE never merges across whitespace) and bounded") {
+    val rows = text.TextOps.tokenFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet == Set("de", "en", "es", "fr", "zh"))
+    rows.foreach { case (lang, n, fert, meanFert) =>
+      assert(n > 0)
+      assert(fert >= 1.0 && fert < 10.0, s"$lang corpus fertility $fert out of range")
+      assert(meanFert >= 1.0 && meanFert < 10.0, s"$lang mean fertility $meanFert")
+    }
+  }
+
   test("dupNgramFraction matches a string-keyed recompute (hash is invisible)") {
     val out = text.TextOps.dupNgramFraction(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

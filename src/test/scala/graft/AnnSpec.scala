@@ -131,4 +131,86 @@ class AnnSpec extends SparkSpecBase {
     // beat it (measured 0.61, deterministic: seeded KMeans).
     assert(recall > 0.4, s"IVF recall $recall no better than random sampling")
   }
+
+  test("ann_recall_eval agrees with a direct recall recompute") {
+    import org.apache.spark.sql.functions.col
+    val evalRows = sim.Ann.annRecallEval(spark, sf).collect()
+      .map { case Row(q: Long, nt: Long, nh: Long, rec: Double) => (q, nt, nh, rec) }
+    assert(evalRows.nonEmpty)
+    val lsh = topkMap(sim.Ann.annLshTopk(spark, sf))
+    evalRows.foreach { case (q, nTrue, nHit, rec) =>
+      assert(nTrue == 10L, s"query $q truth set size $nTrue")
+      val expect = brute(q).map(_._1).toSet
+        .intersect(lsh.getOrElse(q, Seq.empty).map(_._1).toSet).size
+      assert(nHit == expect, s"query $q n_hit $nHit != recomputed $expect")
+      assert(math.abs(rec - expect / 10.0) < 1e-6)
+    }
+  }
+
+  test("hard negatives never share the query's label; lsh twin is subset-ranked") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map { case Row(v: Long, l: Int) => v -> l }.toMap
+    val exact = topkMap(sim.Ann.hardNegatives(spark, sf))
+    assert(exact.nonEmpty)
+    exact.foreach { case (q, ns) =>
+      assert(ns.size == 5)
+      ns.foreach { case (n, _) =>
+        assert(labels(n) != labels(q), s"neighbor $n shares label with query $q")
+      }
+    }
+    val lsh = topkMap(sim.Ann.hardNegativesLsh(spark, sf))
+    lsh.foreach { case (q, ns) =>
+      ns.foreach { case (n, _) => assert(labels(n) != labels(q)) }
+      // approximate best can never beat the exact best
+      assert(ns.head._2 <= exact(q).head._2 + 1e-9)
+    }
+  }
+
+  test("label propagation equals an exact in-test replay of 3 synchronous LPA rounds") {
+    // NOTE: this corpus's labels are NOT cosine-structured (same-label
+    // fraction among top-5 neighbors ≈ the 1/|labels| chance floor),
+    // so no accuracy bar is meaningful here — the pin is exact
+    // mechanical equality against an independent scala recompute.
+    val rows = sim.Ann.labelPropKnn(spark, sf).collect()
+      .map { case Row(v: Long, t: Int, p: Int, s: Boolean) => (v, t, p, s) }
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.filter(_._4).foreach { case (v, t, p, _) =>
+      assert(p == t, s"seed $v label overwritten: $t -> $p")
+    }
+    assert(rows.exists(r => !r._4 && r._3 != -1), "propagation reached no one")
+    // independent replay: exact kNN -> mutual edges -> 3 vote rounds
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map { r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val knn = embs.map { case (q, qv, _) =>
+      q -> embs.filter(_._1 != q)
+        .map { case (c, cv, _) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    }.toMap
+    val mutual = for {
+      (q, ns) <- knn.toSeq; n <- ns if q < n && knn(n).contains(q)
+    } yield (q, n)
+    val adj = (mutual ++ mutual.map(_.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2) }
+    val seeds = embs.collect { case (v, _, l) if v % 10 == 0 => v -> l }.toMap
+    var lab = seeds
+    for (_ <- 1 to 3) {
+      val prop = adj.collect { case (dst, srcs) if dst % 10 != 0 =>
+        val votes = srcs.flatMap(lab.get).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        if (votes.isEmpty) None
+        else Some(dst -> votes.minBy { case (l, c) => (-c, l) }._1)
+      }.flatten.toMap
+      lab = seeds ++ prop
+    }
+    rows.foreach { case (v, _, p, _) =>
+      assert(p == lab.getOrElse(v, -1), s"vec $v: engine $p != replay ${lab.getOrElse(v, -1)}")
+    }
+  }
 }

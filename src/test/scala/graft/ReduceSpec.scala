@@ -43,4 +43,19 @@ class ReduceSpec extends SparkSpecBase {
       b.collect().map(r => (r.getLong(0), r.getInt(2))).toMap,
       "same seed must give the same assignment")
   }
+
+  test("embedding dim profile: one row per dim, moment identities hold") {
+    val rows = ml.Reduce.embeddingDimProfile(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val dims = rows.map(_.getLong(0)).sorted
+    assert(dims.sameElements(0L until dims.length.toLong), "dims not contiguous from 0")
+    rows.foreach { r =>
+      val (n, mean, sd, mn, mx, nz) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(n == nVecs, "every vector contributes to every dim")
+      assert(mn <= mean && mean <= mx)
+      assert(sd >= 0.0)
+      assert(nz >= 0.0 && nz <= 1.0)
+    }
+  }
 }
