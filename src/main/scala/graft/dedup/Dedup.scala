@@ -218,6 +218,115 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // 184. incremental-batch dedup: the ingestion-time form of the dedup
+  // pipeline — an INCOMING batch (doc_id % 5 = 4 plays the new crawl
+  // snapshot) is checked against the EXISTING corpus: exact dup via
+  // normalized-text hash membership, near dup via best shingle Jaccard
+  // vs any existing doc (≥ 0.7). Scale shape: the incoming batch is
+  // small by construction, so the exact check is a hash semi-join and
+  // the near check is an inverted-index join keyed by the incoming
+  // side's shingles — the existing corpus is scanned once and never
+  // pair-joined with itself (at snapshot scale swap the shingle join
+  // for the bloom/LSH feeds, same verdict columns).
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsNorm(s, dir)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val exHash = existing.select(md5(col("t")).as("h")).distinct()
+      .withColumn("__exact", lit(true))
+    val exact = incoming.select(col("doc_id"), md5(col("t")).as("h"))
+      .join(exHash, Seq("h"), "left")
+    val shI = incoming.select(col("doc_id").as("di"), explode(shinglesExpr("t")).as("g"))
+    val shE = existing.select(col("doc_id").as("de"), explode(shinglesExpr("t")).as("g"))
+    val szI = shI.groupBy(col("di")).agg(count(lit(1)).as("ni"))
+    val szE = shE.groupBy(col("de")).agg(count(lit(1)).as("ne"))
+    val best = shI.join(shE, "g")
+      .groupBy(col("di"), col("de")).agg(count(lit(1)).as("i"))
+      .join(szI, "di").join(szE, "de")
+      .withColumn("jac", col("i").cast("double") / (col("ni") + col("ne") - col("i")))
+      .groupBy(col("di")).agg(max(col("jac")).as("mj"))
+    exact.join(best, col("doc_id") === col("di"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__exact"), lit(false)).as("exact_dup"),
+        coalesce(col("mj") >= 0.7, lit(false)).as("near_dup"),
+        r(coalesce(col("mj"), lit(0.0)), 6).as("max_jaccard"),
+        (coalesce(col("__exact"), lit(false)) || coalesce(col("mj") >= 0.7, lit(false)))
+          .unary_!.as("keep"))
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+        inc AS (SELECT * FROM nrm WHERE doc_id % 5 = 4),
+        ex  AS (SELECT * FROM nrm WHERE doc_id % 5 != 4),
+        exh AS (SELECT DISTINCT md5(t) AS h FROM ex),
+        shi AS (SELECT DISTINCT doc_id AS di, substr(t, CAST(i AS INT), 5) AS g
+                FROM inc, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+        she AS (SELECT DISTINCT doc_id AS de, substr(t, CAST(i AS INT), 5) AS g
+                FROM ex, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+        szi AS (SELECT di, count(*) AS ni FROM shi GROUP BY 1),
+        sze AS (SELECT de, count(*) AS ne FROM she GROUP BY 1),
+        best AS (
+          SELECT di, max(CAST(i AS DOUBLE) / (ni + ne - i)) AS mj
+          FROM (SELECT a.di, b.de, count(*) AS i
+                FROM shi a JOIN she b USING (g) GROUP BY 1, 2)
+          JOIN szi USING (di) JOIN sze USING (de)
+          GROUP BY 1)
+        SELECT i.doc_id,
+               (md5(i.t) IN (SELECT h FROM exh)) AS exact_dup,
+               coalesce(b.mj >= 0.7, false) AS near_dup,
+               round(coalesce(b.mj, 0.0), 6) AS max_jaccard,
+               NOT ((md5(i.t) IN (SELECT h FROM exh))
+                    OR coalesce(b.mj >= 0.7, false)) AS keep
+        FROM inc i LEFT JOIN best b ON i.doc_id = b.di"""
+
+  // ---------------------------------------------------------------
+  // 185. quality-aware keeper selection: the production refinement of
+  // #60's min-id keeper — per near-dup cluster keep the HIGHEST
+  // quality member (the #41 blended score; doc_id asc tie-break).
+  // Fed from the LSH components path (the 100 TB feed; identical
+  // clusters to the exact path since LSH candidates verify exact
+  // Jaccard — the dedup_cluster_sizes precedent), oracled by the exact
+  // recursive-CTE components + the same quality formula. Singleton
+  // docs form their own cluster and are always kept.
+  def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = dedupComponentsLsh(s, dir)
+      .select(col("vertex").as("doc_id"), col("component"))
+    val q = graft.text.TextOps.textQuality(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val all = q.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    all.withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("quality"), col("keep"))
+  }
+
+  // lazy: componentsPrefixSql is declared further down the object and
+  // would interpolate as null during eager init
+  private lazy val dedupKeeperQualitySql =
+    s"""$componentsPrefixSql,
+        comp AS (
+          SELECT v.vertex AS doc_id, least(v.vertex, min(r.b)) AS component
+          FROM verts v LEFT JOIN reach r ON v.vertex = r.a
+          GROUP BY v.vertex),
+        q AS (
+          SELECT doc_id,
+                 round(0.4 * (CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS DOUBLE)
+                        / len(regexp_extract_all(text, '\\S+')))
+                     + 0.3 * least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
+                     + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                        / length(text)), 6) AS quality
+          FROM documents),
+        allq AS (
+          SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.quality
+          FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id)
+        SELECT doc_id, component, quality,
+               (row_number() OVER (PARTITION BY component
+                  ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+        FROM allq"""
+
+  // ---------------------------------------------------------------
   // 165. dedup cluster-size distribution — the audit table every dedup
   // run reports (how much of the corpus is duplicated, and in what
   // cluster sizes): docs in no near-dup pair count as size-1 clusters.
@@ -378,6 +487,8 @@ object Dedup {
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "dedup_incremental"   -> (dedupIncremental _),
+    "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "semantic_dedup"      -> (semanticDedup _))
 
   private val componentsPrefixSql =
@@ -436,6 +547,8 @@ object Dedup {
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "dedup_components_lsh" -> componentsSql,
     "dedup_cluster_sizes" -> clusterSizesSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_keeper_quality" -> dedupKeeperQualitySql,
     // The LSH twins share the exact paths' oracles: LSH candidates are
     // verified with TRUE shingle Jaccard before emission, so output ⊆
     // exact always, and the planted near-dups sit at J ≥ 0.9 where the

@@ -94,4 +94,41 @@ class DedupSpec extends SparkSpecBase {
         s"bucket $b dropped its least-central member")
     }
   }
+
+  test("incremental dedup: verdict algebra holds and exact dups really exist upstream") {
+    import org.apache.spark.sql.functions._
+    val rows = dedup.Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getDouble(3), r.getBoolean(4)))
+    val nIncoming = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(5)) === 4).count()
+    assert(rows.length == nIncoming, "one verdict row per incoming doc")
+    rows.foreach { case (d, ex, near, mj, keep) =>
+      assert(keep == !(ex || near), s"doc $d verdict algebra broken")
+      if (near) assert(mj >= 0.7, s"doc $d near-dup with max_jaccard $mj")
+      if (!near) assert(mj < 0.7)
+    }
+    // recompute exact-dup ground truth on collected normalized text
+    val norm = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val existingTexts = norm.collect { case (d, t) if d % 5 != 4 => t }.toSet
+    val flagged = rows.filter(_._2).map(_._1).toSet
+    val expect = norm.collect {
+      case (d, t) if d % 5 == 4 && existingTexts.contains(t) => d }.toSet
+    assert(flagged == expect, s"exact-dup sets differ: ${flagged.diff(expect)} / ${expect.diff(flagged)}")
+  }
+
+  test("quality keeper: exactly one keeper per cluster, and it is the best member") {
+    val rows = dedup.Dedup.dedupKeeperQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $comp has ${keepers.length} keepers")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == best._1,
+        s"cluster $comp kept ${keepers.head._1}, best is ${best._1}")
+    }
+  }
 }
