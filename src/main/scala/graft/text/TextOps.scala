@@ -137,12 +137,14 @@ object TextOps {
         .as("pass_no_stop"))
   }
 
-  private val gopherRulesSql = {
+  /** Shared oracle CTEs for the Gopher flags (gop_f raw counts →
+    * gop_g rule booleans) — reused by the curation-funnel oracle. */
+  private val gopherFlagCtes = {
     val padded = "(' ' || lower(text) || ' ')"
     val stopsPresent = gopherStops
       .map(t => s"CASE WHEN ${tokenCountSql(padded, s" $t ")} > 0 THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH f AS (
+    s"""gop_f AS (
          SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
                 CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nonspace,
@@ -153,7 +155,7 @@ object TextOps {
                 (text LIKE '- %' OR text LIKE '* %') AS bullet_start,
                 (text LIKE '%...') AS ellipsis_end
          FROM documents),
-       g AS (
+       gop_g AS (
          SELECT doc_id, n_words, nonspace / n_words AS mean_wl, n_symbols,
                 alpha_words, n_stops_present, bullet_start, ellipsis_end,
                 (n_words BETWEEN 50 AND 100000) AS wc_ok,
@@ -163,7 +165,11 @@ object TextOps {
                 NOT ellipsis_end AS ellipsis_ok,
                 (CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS alpha_ok,
                 (n_stops_present >= 2) AS stop_ok
-         FROM f)
+         FROM gop_f)"""
+  }
+
+  private val gopherRulesSql =
+    s"""WITH $gopherFlagCtes
        SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
               n_stops_present, wc_ok, mwl_ok, symbol_ok, bullet_ok,
               ellipsis_ok, alpha_ok, stop_ok,
@@ -171,8 +177,102 @@ object TextOps {
                AND alpha_ok AND stop_ok) AS pass,
               (wc_ok AND mwl_ok AND symbol_ok AND bullet_ok AND ellipsis_ok
                AND alpha_ok) AS pass_no_stop
-       FROM g"""
+       FROM gop_g"""
+
+  // ---------------------------------------------------------------
+  // 186. curation funnel — the staged accounting table every corpus
+  // curation report leads with: docs + tokens surviving each pipeline
+  // stage, applied SEQUENTIALLY the way the pipeline actually runs
+  // (unlike filter_decision's flat per-doc verdict):
+  //   0_ingest           all train docs (src0 is the eval corpus)
+  //   1_quality          Gopher multilingual composite (pass_no_stop)
+  //   2_exact_dedup      min-id keeper per normalized-hash group AMONG
+  //                      stage-1 survivors (staged, so a dup whose
+  //                      keeper failed quality is re-kept)
+  //   3_decontaminated   drops docs sharing ≥5 20-char shingles with
+  //                      the eval corpus
+  // Plan: gopher flags are per-row codegen; dedup is one window over
+  // the norm-hash shuffle; decontamination broadcasts eval shingles
+  // (the #64 plan); then ONE aggregation emits all stages via
+  // conditional sums — no per-stage rescans.
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flags = gopherRules(s, dir).select(col("doc_id"), col("pass_no_stop"))
+    val contam = graft.dedup.Dedup.decontaminate(s, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val base = Tables.documents(s, dir).filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        md5(graft.api.Similarity.normalizeText(col("text"))).as("nh"),
+        reCount(col("text"), "\\S+").as("nw"))
+      .join(flags, "doc_id").join(contam, "doc_id")
+    val wNh = Window.partitionBy(col("nh"))
+    val staged = base
+      .withColumn("k1", col("pass_no_stop"))
+      .withColumn("k2", col("k1") &&
+        col("doc_id") === min(when(col("k1"), col("doc_id"))).over(wNh))
+      .withColumn("k3", col("k2") && !col("contaminated"))
+    staged.agg(
+        count(lit(1)).as("n0"), sum(col("nw")).as("t0"),
+        sum(col("k1").cast("long")).as("n1"),
+        sum(when(col("k1"), col("nw")).otherwise(0L)).as("t1"),
+        sum(col("k2").cast("long")).as("n2"),
+        sum(when(col("k2"), col("nw")).otherwise(0L)).as("t2"),
+        sum(col("k3").cast("long")).as("n3"),
+        sum(when(col("k3"), col("nw")).otherwise(0L)).as("t3"))
+      .selectExpr(
+        """stack(4,
+             '0_ingest',         n0, t0, round(n0 / n0, 6),
+             '1_quality',        n1, t1, round(n1 / n0, 6),
+             '2_exact_dedup',    n2, t2, round(n2 / n0, 6),
+             '3_decontaminated', n3, t3, round(n3 / n0, 6)
+           ) AS (stage, n_docs, total_tokens, frac_of_ingest)""")
   }
+
+  private val curationFunnelSql =
+    s"""WITH $gopherFlagCtes,
+       gp AS (SELECT doc_id,
+              (wc_ok AND mwl_ok AND symbol_ok AND bullet_ok AND ellipsis_ok
+               AND alpha_ok) AS k1 FROM gop_g),
+       nrm AS (SELECT doc_id, source, text,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+               FROM documents),
+       esh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 20) AS sg
+               FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+               WHERE source = 'src0'),
+       tsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 20) AS sg
+               FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+               WHERE source <> 'src0'),
+       shared AS (SELECT doc_id, count(*) AS n_shared
+                  FROM tsh JOIN esh USING (sg) GROUP BY 1),
+       base AS (
+         SELECT n.doc_id, md5(n.t) AS nh,
+                CAST(len(regexp_extract_all(n.text, '\\S+')) AS BIGINT) AS nw,
+                gp.k1,
+                coalesce(s.n_shared, 0) >= 5 AS contaminated
+         FROM nrm n JOIN gp USING (doc_id)
+         LEFT JOIN shared s ON n.doc_id = s.doc_id
+         WHERE n.source <> 'src0'),
+       staged AS (
+         SELECT doc_id, nw, k1,
+                (k1 AND doc_id = min(CASE WHEN k1 THEN doc_id END)
+                   OVER (PARTITION BY nh)) AS k2,
+                contaminated
+         FROM base),
+       st2 AS (SELECT *, (k2 AND NOT contaminated) AS k3 FROM staged),
+       agg AS (SELECT
+           count(*) AS n0, CAST(sum(nw) AS BIGINT) AS t0,
+           CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN k1 THEN nw ELSE 0 END) AS BIGINT) AS t1,
+           CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN k2 THEN nw ELSE 0 END) AS BIGINT) AS t2,
+           CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(sum(CASE WHEN k3 THEN nw ELSE 0 END) AS BIGINT) AS t3
+         FROM st2)
+       SELECT '0_ingest' AS stage, n0 AS n_docs, t0 AS total_tokens,
+              round(n0 / n0, 6) AS frac_of_ingest FROM agg
+       UNION ALL SELECT '1_quality', n1, t1, round(n1 / n0, 6) FROM agg
+       UNION ALL SELECT '2_exact_dedup', n2, t2, round(n2 / n0, 6) FROM agg
+       UNION ALL SELECT '3_decontaminated', n3, t3, round(n3 / n0, 6) FROM agg"""
 
   // ---------------------------------------------------------------
   // 183. tokenizer fertility per language: BPE-ish tokens per
@@ -1064,6 +1164,7 @@ object TextOps {
     "topic_top_terms"  -> (topicTopTerms _),
     "gopher_rules"     -> (gopherRules _),
     "token_fertility"  -> (tokenFertility _),
+    "curation_funnel"  -> (curationFunnel _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -1149,6 +1250,7 @@ object TextOps {
     "topic_top_terms" -> topicTopTermsSql,
     "gopher_rules" -> gopherRulesSql,
     "token_fertility" -> tokenFertilitySql,
+    "curation_funnel" -> curationFunnelSql,
     "char_lm_score" -> charLmScoreSql,
     "filter_decision" -> filterDecisionSql,
     "perplexity_buckets" ->

@@ -457,6 +457,26 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.map(_.getBoolean(rows.head.fieldIndex("wc_ok"))).distinct.length == 2)
   }
 
+  test("curationFunnel: stages shrink monotonically and ingest matches a direct recompute") {
+    val rows = text.TextOps.curationFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("0_ingest", "1_quality", "2_exact_dedup", "3_decontaminated"))
+    val docs = rows.map(_._2)
+    val toks = rows.map(_._3)
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, "docs not monotone")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, "tokens not monotone")
+    rows.foreach { case (_, n, _, frac) =>
+      assert(math.abs(frac - n.toDouble / docs.head) < 1e-5)
+    }
+    val expect = Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0").count()
+    assert(docs.head == expect, s"ingest ${docs.head} != train corpus $expect")
+    assert(docs.last > 0, "funnel emptied the corpus")
+    assert(docs.last < docs.head, "no stage filtered anything")
+  }
+
   test("tokenFertility: fertility >= 1 (BPE never merges across whitespace) and bounded") {
     val rows = text.TextOps.tokenFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
