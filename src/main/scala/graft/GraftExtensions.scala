@@ -113,6 +113,9 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "deflate_ratio expects (text) or (text, <literal int level>)")
       }),
+    ("splitmix_comp",
+      "splitmix_comp(x) — SplitMix64 of a bigint folded to [-1000001, 1000001] (integer hyperplane component)",
+      (es: Seq[Expression]) => { arity("splitmix_comp", 1)(es); SplitMixComp(es.head) }),
     ("char_ngram_counts",
       "char_ngram_counts(text[, n]) — map of char n-gram → count (default 2)",
       (es: Seq[Expression]) => es match {

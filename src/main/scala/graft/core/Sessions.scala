@@ -482,7 +482,60 @@ object Sessions {
                 AS survival
        FROM r"""
 
+  // ---------------------------------------------------------------
+  // 187. complete-grid + LOCF fill (tidyr::complete + fill, the
+  // dense-time-series materialization): per user, the full hour grid
+  // over the user's active span; hours with no event are FILLED with
+  // the last observed value carried forward (within-hour pick = latest
+  // by (ts, event_id), a total order). Scale: the grid explodes to
+  // Σ span-hours rows (bounded: users × max-span), the LOCF is one
+  // ordered window per user — same shuffle the per-user ops already
+  // pay; no cross-user work.
+  def timeGridFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_ns"),
+        expr("ts_ns div 3600000000000").as("h"))
+    val wIn = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val lastInHour = ev.withColumn("rk", row_number().over(wIn))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("h"), col("value").as("v"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = span.select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastInHour, Seq("user_id", "h"), "left")
+      .withColumn("filled", col("v").isNull)
+      .withColumn("vf", last(col("v"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), col("h").as("hour_idx"), col("filled"),
+        r(col("vf"), 6).as("value_filled"))
+  }
+
+  private val timeGridFillSql =
+    """WITH ev AS (
+         SELECT user_id, event_id, value, epoch_ns(ts) AS tn,
+                epoch_ns(ts) // 3600000000000 AS h
+         FROM events),
+       last_in AS (
+         SELECT user_id, h, value AS v FROM (
+           SELECT user_id, h, value,
+                  row_number() OVER (PARTITION BY user_id, h
+                    ORDER BY tn DESC, event_id DESC) AS rk
+           FROM ev)
+         WHERE rk = 1),
+       span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+       grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span),
+       j AS (SELECT g.user_id, g.h, l.v
+             FROM grid g LEFT JOIN last_in l ON g.user_id = l.user_id AND g.h = l.h)
+       SELECT user_id, h AS hour_idx, (v IS NULL) AS filled,
+              round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS value_filled
+       FROM j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_grid_fill"         -> (timeGridFill _),
     "event_transitions"      -> (eventTransitions _),
     "top_paths"              -> (topPaths _),
     "survival_km"            -> (survivalKm _),
@@ -505,6 +558,7 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "time_grid_fill"    -> timeGridFillSql,
     "event_transitions" -> eventTransitionsSql,
     "top_paths"         -> topPathsSql,
     "survival_km"       -> survivalKmSql,

@@ -457,6 +457,27 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.map(_.getBoolean(rows.head.fieldIndex("wc_ok"))).distinct.length == 2)
   }
 
+  test("timeGridFill: contiguous hour grid per user, LOCF only on event-free hours") {
+    val rows = core.Sessions.timeGridFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val hs = g.map(_._2).sorted
+      assert(hs.head to hs.last forall (hs.toSet.contains),
+        s"user $u grid has holes")
+      assert(hs.length == hs.distinct.length, s"user $u duplicate hours")
+      // first hour of every span is an observed hour (span starts at an event)
+      val first = g.minBy(_._2)
+      assert(!first._3, s"user $u first hour marked filled")
+      // a filled hour repeats the previous hour's value exactly
+      val byH = g.sortBy(_._2)
+      byH.zip(byH.tail).foreach { case ((_, _, _, pv), (_, h, filled, v)) =>
+        if (filled) assert(v == pv, s"user $u hour $h filled value $v != prev $pv")
+      }
+    }
+    assert(rows.exists(_._3), "no filled hours — grid degenerate")
+  }
+
   test("curationFunnel: stages shrink monotonically and ingest matches a direct recompute") {
     val rows = text.TextOps.curationFunnel(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -54,5 +54,8 @@ class ExtensionsSpec extends SparkSpecBase {
       "SELECT deflate_ratio(repeat('lorem ipsum ', 100)) AS r")
       .collect()(0).getDouble(0)
     assert(dr > 0.0 && dr < 0.2, s"repeated text must compress hard: $dr")
+    val smc = spark.sql("SELECT splitmix_comp(42L) AS c").collect()(0).getLong(0)
+    val h42 = graft.functions.HyperplaneBucket.mix64(42L)
+    assert(smc == ((h42 % 2000003L) + 2000003L) % 2000003L - 1000001L)
   }
 }
