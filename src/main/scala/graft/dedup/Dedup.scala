@@ -221,13 +221,15 @@ object Dedup {
   // 184. incremental-batch dedup: the ingestion-time form of the dedup
   // pipeline — an INCOMING batch (doc_id % 5 = 4 plays the new crawl
   // snapshot) is checked against the EXISTING corpus: exact dup via
-  // normalized-text hash membership, near dup via best shingle Jaccard
-  // vs any existing doc (≥ 0.7). Scale shape: the incoming batch is
-  // small by construction, so the exact check is a hash semi-join and
-  // the near check is an inverted-index join keyed by the incoming
-  // side's shingles — the existing corpus is scanned once and never
-  // pair-joined with itself (at snapshot scale swap the shingle join
-  // for the bloom/LSH feeds, same verdict columns).
+  // normalized-text hash membership, near dup via best VERIFIED
+  // cross-set Jaccard (≥ 0.7; max_jaccard is 0 when no dup — defining
+  // the column over verified-dup pairs only is what lets the exact
+  // oracle and the LSH feed agree). Scale shape: exact is a hash
+  // semi-join; near-dup candidates come from the 16×4 MinHash banding
+  // (bounded buckets) with pairs restricted to cross-set — the
+  // 243M-row exact cross-set shingle join this corpus would cost at
+  // sf0.1 never materializes. Oracle = the exact inter-set Jaccard
+  // (banding miss odds ≈ 2e-8 at 0.7, re-checked every round).
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = docsNorm(s, dir)
     val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
@@ -236,21 +238,18 @@ object Dedup {
       .withColumn("__exact", lit(true))
     val exact = incoming.select(col("doc_id"), md5(col("t")).as("h"))
       .join(exHash, Seq("h"), "left")
-    val shI = incoming.select(col("doc_id").as("di"), explode(shinglesExpr("t")).as("g"))
-    val shE = existing.select(col("doc_id").as("de"), explode(shinglesExpr("t")).as("g"))
-    val szI = shI.groupBy(col("di")).agg(count(lit(1)).as("ni"))
-    val szE = shE.groupBy(col("de")).agg(count(lit(1)).as("ne"))
-    val best = shI.join(shE, "g")
-      .groupBy(col("di"), col("de")).agg(count(lit(1)).as("i"))
-      .join(szI, "di").join(szE, "de")
-      .withColumn("jac", col("i").cast("double") / (col("ni") + col("ne") - col("i")))
-      .groupBy(col("di")).agg(max(col("jac")).as("mj"))
+    val best = graft.api.Similarity.nearDupPairsLsh(
+        Tables.documents(s, dir), col("doc_id"), col("text"), threshold = 0.7)
+      .filter((pmod(col("d1"), lit(5)) === 4) =!= (pmod(col("d2"), lit(5)) === 4))
+      .select(when(pmod(col("d1"), lit(5)) === 4, col("d1")).otherwise(col("d2")).as("di"),
+        col("jaccard"))
+      .groupBy(col("di")).agg(max(col("jaccard")).as("mj"))
     exact.join(best, col("doc_id") === col("di"), "left")
       .select(col("doc_id"),
         coalesce(col("__exact"), lit(false)).as("exact_dup"),
-        coalesce(col("mj") >= 0.7, lit(false)).as("near_dup"),
+        col("mj").isNotNull.as("near_dup"),
         r(coalesce(col("mj"), lit(0.0)), 6).as("max_jaccard"),
-        (coalesce(col("__exact"), lit(false)) || coalesce(col("mj") >= 0.7, lit(false)))
+        (coalesce(col("__exact"), lit(false)) || col("mj").isNotNull)
           .unary_!.as("keep"))
   }
 
@@ -270,13 +269,14 @@ object Dedup {
           FROM (SELECT a.di, b.de, count(*) AS i
                 FROM shi a JOIN she b USING (g) GROUP BY 1, 2)
           JOIN szi USING (di) JOIN sze USING (de)
+          WHERE CAST(i AS DOUBLE) / (ni + ne - i) >= 0.7
           GROUP BY 1)
         SELECT i.doc_id,
                (md5(i.t) IN (SELECT h FROM exh)) AS exact_dup,
-               coalesce(b.mj >= 0.7, false) AS near_dup,
+               (b.mj IS NOT NULL) AS near_dup,
                round(coalesce(b.mj, 0.0), 6) AS max_jaccard,
                NOT ((md5(i.t) IN (SELECT h FROM exh))
-                    OR coalesce(b.mj >= 0.7, false)) AS keep
+                    OR b.mj IS NOT NULL) AS keep
         FROM inc i LEFT JOIN best b ON i.doc_id = b.di"""
 
   // ---------------------------------------------------------------

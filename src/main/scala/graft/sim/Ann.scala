@@ -320,8 +320,12 @@ object Ann {
   private def labelPropFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
     val mut = mutualEdges(knn)
+    // localCheckpoint (the Similarity.pageRank contract): the edge set
+    // feeds every vote round — without it the kNN candidate generation
+    // re-executes once per round
     val edges = mut.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(mut.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val seeds = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
     var lab = seeds
     for (_ <- 1 to 3) {

@@ -104,8 +104,9 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.length == nIncoming, "one verdict row per incoming doc")
     rows.foreach { case (d, ex, near, mj, keep) =>
       assert(keep == !(ex || near), s"doc $d verdict algebra broken")
+      // max_jaccard is defined over VERIFIED dup pairs (>= 0.7) only
       if (near) assert(mj >= 0.7, s"doc $d near-dup with max_jaccard $mj")
-      if (!near) assert(mj < 0.7)
+      else assert(mj == 0.0, s"doc $d not near-dup but max_jaccard $mj")
     }
     // recompute exact-dup ground truth on collected normalized text
     val norm = Tables.documents(spark, sf)
