@@ -180,6 +180,115 @@ object TextOps {
        FROM gop_g"""
 
   // ---------------------------------------------------------------
+  // 188. word↔language mutual information — the feature-selection
+  // screen behind fastText-style lang-id and domain classifiers: MI
+  // between a word's document-presence indicator and the lang label,
+  // summed over both presence states and all langs (0·log0 terms
+  // skipped). All counts are exact integers; the ln() terms are
+  // deterministic functions of those ints, and the ≤10-term sum is 11
+  // orders above double ULP at 6dp. Plan: one (doc, word) distinct
+  // shuffle, then bounded |vocab|×|langs| grid algebra (the ma_stats
+  // scaffold shape — dims only, never fact×fact).
+  def wordLangMi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w0"))
+      .distinct()
+    val nDf = broadcast(docs.agg(count(lit(1)).as("nn")))
+    val nw = words.select(col("doc_id"), col("w0")).distinct()
+      .groupBy(col("w0")).agg(count(lit(1)).as("nw"))
+    val nl = broadcast(docs.groupBy(col("lang")).agg(count(lit(1)).as("nl")))
+    val nwl = words.groupBy(col("w0"), col("lang")).agg(count(lit(1)).as("n11"))
+    val g = nw.crossJoin(nl).join(nwl, Seq("w0", "lang"), "left")
+      .withColumn("n11", coalesce(col("n11"), lit(0L)))
+      .crossJoin(nDf)
+      .withColumn("n01", col("nl") - col("n11"))
+    val t11 = when(col("n11") > 0,
+      col("n11") / col("nn") *
+        log(col("n11").cast("double") * col("nn") / (col("nw") * col("nl"))))
+      .otherwise(0.0)
+    val t01 = when(col("n01") > 0,
+      col("n01") / col("nn") *
+        log(col("n01").cast("double") * col("nn") / ((col("nn") - col("nw")) * col("nl"))))
+      .otherwise(0.0)
+    g.withColumn("term", t11 + t01)
+      .groupBy(col("w0").as("term_word"))
+      .agg(max(col("nw")).as("n_docs"), r(sum(col("term")), 6).as("mi"))
+  }
+
+  private val wordLangMiSql =
+    """WITH words AS (
+         SELECT DISTINCT doc_id, lang,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w0
+         FROM documents),
+       nn AS (SELECT count(*) AS nn FROM documents),
+       nw AS (SELECT w0, count(*) AS nw FROM (SELECT DISTINCT doc_id, w0 FROM words)
+              GROUP BY 1),
+       nl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+       nwl AS (SELECT w0, lang, count(*) AS n11 FROM words GROUP BY 1, 2),
+       g AS (
+         SELECT nw.w0, nw.nw, nl.lang, nl.nl,
+                coalesce(nwl.n11, 0) AS n11,
+                nl.nl - coalesce(nwl.n11, 0) AS n01, nn.nn
+         FROM nw CROSS JOIN nl
+         LEFT JOIN nwl ON nw.w0 = nwl.w0 AND nl.lang = nwl.lang
+         CROSS JOIN nn),
+       terms AS (
+         SELECT w0, nw,
+                (CASE WHEN n11 > 0 THEN CAST(n11 AS DOUBLE) / nn *
+                   ln(CAST(n11 AS DOUBLE) * nn / (CAST(nw AS DOUBLE) * nl))
+                 ELSE 0.0 END) +
+                (CASE WHEN n01 > 0 THEN CAST(n01 AS DOUBLE) / nn *
+                   ln(CAST(n01 AS DOUBLE) * nn / (CAST(nn - nw AS DOUBLE) * nl))
+                 ELSE 0.0 END) AS term
+         FROM g)
+       SELECT w0 AS term_word, CAST(max(nw) AS BIGINT) AS n_docs,
+              round(sum(term), 6) AS mi
+       FROM terms GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 189. proportional allocation (Hamilton / largest-remainder): split
+  // a fixed sampling budget of T=100 docs across (lang, source) cells
+  // ∝ cell size — the survey-sampling primitive behind stratified
+  // corpus draws. ALL-INTEGER: base = (T·n) div N, remainder seats go
+  // to the largest (T·n) mod N with (lang, source) lexicographic
+  // tie-break — bit-exact in any engine, Σ alloc = T by construction.
+  // Bounded |cells| work after one groupBy.
+  def proportionalAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = 100L
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val nDf = broadcast(cells.agg(sum(col("n")).as("nn"),
+      count(lit(1)).as("ncells")))
+    val w = Window.orderBy((col("n") * t % col("nn")).desc, col("lang").asc,
+      col("source").asc)
+    val based = cells.crossJoin(nDf)
+      .withColumn("base", expr(s"n * $t div nn"))
+      .withColumn("rk", row_number().over(w))
+    val seatsDf = broadcast(based.agg((lit(t) - sum(col("base"))).as("seats")))
+    based.crossJoin(seatsDf)
+      .select(col("lang"), col("source"), col("n").as("n_docs"),
+        (col("base") + when(col("rk") <= col("seats"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  private val proportionalAllocationSql =
+    """WITH cells AS (
+         SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+       based AS (
+         SELECT lang, source, n, (n * 100) // nn AS base,
+                row_number() OVER (ORDER BY (n * 100) % nn DESC, lang, source)
+                  AS rk
+         FROM cells, tot),
+       seats AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS seats FROM based)
+       SELECT lang, source, n AS n_docs,
+              CAST(base + (CASE WHEN rk <= seats THEN 1 ELSE 0 END) AS BIGINT)
+                AS alloc
+       FROM based, seats"""
+
+  // ---------------------------------------------------------------
   // 186. curation funnel — the staged accounting table every corpus
   // curation report leads with: docs + tokens surviving each pipeline
   // stage, applied SEQUENTIALLY the way the pipeline actually runs
@@ -1165,6 +1274,8 @@ object TextOps {
     "gopher_rules"     -> (gopherRules _),
     "token_fertility"  -> (tokenFertility _),
     "curation_funnel"  -> (curationFunnel _),
+    "word_lang_mi"     -> (wordLangMi _),
+    "proportional_allocation" -> (proportionalAllocation _),
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
@@ -1251,6 +1362,8 @@ object TextOps {
     "gopher_rules" -> gopherRulesSql,
     "token_fertility" -> tokenFertilitySql,
     "curation_funnel" -> curationFunnelSql,
+    "word_lang_mi" -> wordLangMiSql,
+    "proportional_allocation" -> proportionalAllocationSql,
     "char_lm_score" -> charLmScoreSql,
     "filter_decision" -> filterDecisionSql,
     "perplexity_buckets" ->

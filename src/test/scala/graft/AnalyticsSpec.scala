@@ -457,6 +457,48 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.map(_.getBoolean(rows.head.fieldIndex("wc_ok"))).distinct.length == 2)
   }
 
+  test("wordLangMi: nonnegative and equal to an exact in-test recompute") {
+    // NOTE: this corpus's text is lang-independent (no marker words in
+    // the vocab), so every MI is small — the pin is exact mechanical
+    // equality against an independent recompute, not a ranking claim.
+    val rows = text.TextOps.wordLangMi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, n, mi) => assert(mi >= -1e-9 && n > 0, s"$w: $mi") }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val nn = docs.length.toDouble
+    val docWords = docs.map { case (d, l, t) =>
+      (d, l, "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSet) }
+    val langs = docs.map(_._2).distinct
+    val nl = langs.map(l => l -> docs.count(_._2 == l)).toMap
+    rows.foreach { case (w, nDocs, mi) =>
+      val nw = docWords.count(_._3.contains(w))
+      assert(nDocs == nw, s"$w n_docs $nDocs != $nw")
+      val expect = langs.map { l =>
+        val n11 = docWords.count(dw => dw._2 == l && dw._3.contains(w))
+        val n01 = nl(l) - n11
+        val t11 = if (n11 > 0) n11 / nn * math.log(n11 * nn / (nw.toDouble * nl(l))) else 0.0
+        val t01 = if (n01 > 0) n01 / nn * math.log(n01 * nn / ((nn - nw) * nl(l))) else 0.0
+        t11 + t01
+      }.sum
+      assert(math.abs(mi - expect) < 1e-5, s"$w MI $mi != recompute $expect")
+    }
+  }
+
+  test("proportionalAllocation: Hamilton invariants — sums to budget, within 1 of quota") {
+    val rows = text.TextOps.proportionalAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._3).sum
+    assert(rows.map(_._4).sum == 100L, "allocations must exhaust the budget")
+    rows.foreach { case (l, src, n, alloc) =>
+      val base = n * 100L / total
+      assert(alloc == base || alloc == base + 1,
+        s"cell ($l,$src) alloc $alloc not in {$base, ${base + 1}}")
+    }
+  }
+
   test("timeGridFill: contiguous hour grid per user, LOCF only on event-free hours") {
     val rows = core.Sessions.timeGridFill(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))

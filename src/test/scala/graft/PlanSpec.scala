@@ -248,6 +248,10 @@ class PlanSpec extends SparkSpecBase {
       // scalar for the stopword df cut — scalar attach, not a pair
       // join; token_budget_alloc attaches the 1-row capped-totals agg
       "topic_assign", "topic_top_terms", "token_budget_alloc",
+      // word_lang_mi builds the bounded |vocab|x|langs| scaffold (the
+      // ma_stats precedent) + 1-row N attach; proportional_allocation
+      // attaches the 1-row totals/seats aggregates
+      "word_lang_mi", "proportional_allocation",
       // source_overlap probes the tiny distinct-mask histogram against
       // the |sources|²-row pair table — both bounded by source count
       "source_overlap")
