@@ -327,6 +327,44 @@ object Dedup {
         FROM allq"""
 
   // ---------------------------------------------------------------
+  // 190. MinHash estimator calibration — the eval table that justifies
+  // trusting the 16×4 banding: for every banding CANDIDATE pair (no
+  // screen, no threshold), the 64-hash signature estimate vs the exact
+  // shingle Jaccard and the absolute error. rows-only at the driver
+  // gate (xxhash64 signatures have no DuckDB replay); the spec pins
+  // the binomial error bound (est ~ Binomial(64, j)/64) and that
+  // banding recalls every true pair ≥ 0.7. Plan: the same bounded
+  // band-bucket self-join as nearDupPairsLsh.
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{minhashSigText, longMatchFrac, charShingles, jaccardSim}
+    val d = docsNorm(s, dir)
+    val sigs = d.withColumn("sig", minhashSigText(col("t"), 5, 64))
+      .select(col("doc_id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sigs.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 15), b -> " +
+        "struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val cand = bandsDf.as("a").hint("shuffle_hash")
+      .join(bandsDf.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val sh = d.select(col("doc_id"), charShingles(col("t"), 5).as("sh"))
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("est", longMatchFrac(col("sig1"), col("sig2")))
+      .withColumn("tj", jaccardSim(col("sh1"), col("sh2")))
+      .select(col("d1"), col("d2"), r(col("est"), 6).as("est_jaccard"),
+        r(col("tj"), 6).as("true_jaccard"),
+        r(abs(col("est") - col("tj")), 6).as("abs_err"))
+  }
+
+  // ---------------------------------------------------------------
   // 165. dedup cluster-size distribution — the audit table every dedup
   // run reports (how much of the corpus is duplicated, and in what
   // cluster sizes): docs in no near-dup pair count as size-1 clusters.
@@ -488,6 +526,7 @@ object Dedup {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "minhash_calibration" -> (minhashCalibration _),
     "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "semantic_dedup"      -> (semanticDedup _))
 

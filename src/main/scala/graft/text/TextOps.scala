@@ -1036,6 +1036,42 @@ object TextOps {
         col("w0").as("term"), col("n_docs"))
   }
 
+  // 190b/191. per-source topic mix: the corpus-balance planning table —
+  // topic composition within each source (counts + fractions) and the
+  // source's topic diversity (Shannon entropy over its topic mix, nats).
+  // Pure composition over #176's assignment; one bounded (source,
+  // topic) aggregation. Entropy terms are deterministic ln of exact
+  // integer ratios (6dp ~ 10 orders above ULP).
+  def topicMixBySource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSrc = Window.partitionBy(col("source"))
+    topicAssign(s, dir)
+      .groupBy(col("source"), col("topic")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_total", sum(col("n_docs")).over(wSrc))
+      .select(col("source"), col("topic"), col("n_docs"),
+        r(col("n_docs") / col("src_total"), 6).as("frac"),
+        r(-sum(col("n_docs") / col("src_total") *
+            log(col("n_docs") / col("src_total"))).over(wSrc), 6)
+          .as("src_topic_entropy"))
+  }
+
+  private def topicMixBySourceSql: String =
+    s"""WITH $topicPrefixSql,
+       mix AS (
+         SELECT source, topic, count(*) AS n_docs
+         FROM assigned GROUP BY 1, 2),
+       tot AS (
+         SELECT source, CAST(sum(n_docs) AS BIGINT) AS st FROM mix GROUP BY 1),
+       ent AS (
+         SELECT m.source,
+                round(-sum(CAST(m.n_docs AS DOUBLE) / t.st
+                      * ln(CAST(m.n_docs AS DOUBLE) / t.st)), 6) AS e
+         FROM mix m JOIN tot t USING (source) GROUP BY 1)
+       SELECT m.source, m.topic, m.n_docs,
+              round(CAST(m.n_docs AS DOUBLE) / t.st, 6) AS frac,
+              ent.e AS src_topic_entropy
+       FROM mix m JOIN tot t USING (source) JOIN ent USING (source)"""
+
   /** Shared oracle prefix for #176/#177: word df + stopword filter,
     * polynomial word-buckets, the SplitMix64 integer plane components
     * (graft.sim.Ann.splitmixCtes — the same HUGEINT replay the
@@ -1271,6 +1307,7 @@ object TextOps {
     "token_budget_alloc" -> (tokenBudgetAlloc _),
     "topic_assign"     -> (topicAssign _),
     "topic_top_terms"  -> (topicTopTerms _),
+    "topic_mix_by_source" -> (topicMixBySource _),
     "gopher_rules"     -> (gopherRules _),
     "token_fertility"  -> (tokenFertility _),
     "curation_funnel"  -> (curationFunnel _),
@@ -1359,6 +1396,7 @@ object TextOps {
     "dup_ngram_fraction" -> dupNgramFractionSql,
     "topic_assign" -> topicAssignSql,
     "topic_top_terms" -> topicTopTermsSql,
+    "topic_mix_by_source" -> topicMixBySourceSql,
     "gopher_rules" -> gopherRulesSql,
     "token_fertility" -> tokenFertilitySql,
     "curation_funnel" -> curationFunnelSql,

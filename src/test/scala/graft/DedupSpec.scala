@@ -120,6 +120,24 @@ class DedupSpec extends SparkSpecBase {
     assert(flagged == expect, s"exact-dup sets differ: ${flagged.diff(expect)} / ${expect.diff(flagged)}")
   }
 
+  test("minhash calibration: binomial error bound holds, banding recalls all true pairs") {
+    val rows = dedup.Dedup.minhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "no banding candidates at this SF")
+    rows.foreach { case (d1, d2, est, tj, err) =>
+      assert(math.abs(err - math.abs(est - tj)) < 1e-5)
+      // est ~ Binomial(64, j)/64: 5 sigma = 5*sqrt(j(1-j)/64) <= 0.3125
+      assert(err <= 0.35, s"pair ($d1,$d2) est $est vs true $tj: err $err")
+    }
+    // every exact near-dup pair (>= 0.7) must appear as a candidate
+    val candSet = rows.map(r => (r._1, r._2)).toSet
+    val truePairs = dedup.Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    truePairs.foreach { p =>
+      assert(candSet.contains(p), s"true pair $p missed by banding")
+    }
+  }
+
   test("quality keeper: exactly one keeper per cluster, and it is the best member") {
     val rows = dedup.Dedup.dedupKeeperQuality(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
