@@ -244,10 +244,12 @@ class PlanSpec extends SparkSpecBase {
       // scalar attaches, not pair joins
       "dsir_weights", "dsir_weights_hashed", "source_mix_weights",
       "mix_resample",
-      // topic_assign / topic_top_terms attach the 1-row doc-count
-      // scalar for the stopword df cut — scalar attach, not a pair
-      // join; token_budget_alloc attaches the 1-row capped-totals agg
-      "topic_assign", "topic_top_terms", "token_budget_alloc",
+      // topic_assign / topic_top_terms / topic_mix attach the 1-row
+      // doc-count scalar for the stopword df cut — scalar attach, not
+      // a pair join; token_budget_alloc attaches the 1-row capped-
+      // totals agg
+      "topic_assign", "topic_top_terms", "topic_mix_by_source",
+      "token_budget_alloc",
       // word_lang_mi builds the bounded |vocab|x|langs| scaffold (the
       // ma_stats precedent) + 1-row N attach; proportional_allocation
       // attaches the 1-row totals/seats aggregates
