@@ -22,7 +22,7 @@ object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
     "dup_pairs_by_source",
-    "ann_ivf_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters",
+    "ann_ivf_topk", "ann_ivf_sq_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters",
     "kmeans_elbow", "cluster_transitions")
 
   def main(args: Array[String]): Unit = {

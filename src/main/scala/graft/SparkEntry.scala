@@ -19,6 +19,7 @@ object SparkEntry {
       (text.TextOps.queries, text.TextOps.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),
+      (sim.Quantize.queries, sim.Quantize.oracles),
       (ml.Reduce.queries, ml.Reduce.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (core.Sessions.queries, core.Sessions.oracles),

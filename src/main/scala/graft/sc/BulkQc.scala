@@ -345,7 +345,106 @@ object BulkQc {
                     - (count(*) + 1.0) / count(*), 6) AS gini
        FROM rk GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 195. Tukey median polish over the pseudobulk matrix — the
+  // summarization core of RMA (Irizarry et al. 2003: probe × array
+  // median polish; here gene × sample): two fixed sweeps of
+  // alternately removing row and column medians (the stats::medpolish
+  // step order), leaving additive effects cnt = overall + row_eff +
+  // col_eff + resid. Two FIXED sweeps (not run-to-eps) keep the op
+  // deterministic and the oracle a finite CTE chain. Every value is an
+  // exact integer count or a dyadic rational from median interpolation
+  // (x.5, x.25 …) — both engines compute them bit-exactly, so the
+  // output ships UNROUNDED and hash-matches with no fp tolerance.
+  // Scale: one partial-agg shuffle reduces the fact table to the
+  // |genes|×|samples| grid; the polish itself runs on that bounded
+  // matrix (tiny groupBy/join chain + 1-row scalar attaches).
+  def medianPolish(s: SparkSession, dir: String): DataFrame = {
+    val med = (c: String) => expr(s"percentile($c, 0.5D)")
+    val pb = pseudobulk(s, dir)
+    val genes = pb.select(col("gene")).distinct()
+    val samples = pb.select(col("sample")).distinct()
+    // complete grid: a gene never sold under a priority is count 0
+    val grid = genes.crossJoin(broadcast(samples))
+      .join(pb, Seq("sample", "gene"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0.0)))
+
+    // one medpolish sweep: (residual grid, row effects, col effects,
+    // 1-row overall) -> same shapes, following stats::medpolish order —
+    // row medians out, re-center col effects, col medians out,
+    // re-center row effects.
+    def sweep(r: DataFrame, re: DataFrame, ce: DataFrame, ov: DataFrame)
+        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val rd = r.groupBy(col("gene")).agg(med("r").as("rd"))
+      val r1 = r.join(rd, "gene").withColumn("r", col("r") - col("rd")).drop("rd")
+      val re1 = re.join(rd, "gene").select(col("gene"), (col("re") + col("rd")).as("re"))
+      val cm = ce.agg(med("ce").as("m"))
+      val ov1 = ov.crossJoin(broadcast(cm)).select((col("ov") + col("m")).as("ov"))
+      val ce1 = ce.crossJoin(broadcast(cm)).select(col("sample"), (col("ce") - col("m")).as("ce"))
+      val cd = r1.groupBy(col("sample")).agg(med("r").as("cd"))
+      val r2 = r1.join(broadcast(cd), "sample").withColumn("r", col("r") - col("cd")).drop("cd")
+      val ce2 = ce1.join(broadcast(cd), "sample").select(col("sample"), (col("ce") + col("cd")).as("ce"))
+      val rm = re1.agg(med("re").as("m"))
+      val ov2 = ov1.crossJoin(broadcast(rm)).select((col("ov") + col("m")).as("ov"))
+      val re2 = re1.crossJoin(broadcast(rm)).select(col("gene"), (col("re") - col("m")).as("re"))
+      (r2, re2, ce2, ov2)
+    }
+
+    val r0 = grid.withColumn("r", col("cnt"))
+    val re0 = genes.withColumn("re", lit(0.0))
+    val ce0 = samples.withColumn("ce", lit(0.0))
+    val ov0 = s.range(1).select(lit(0.0).as("ov"))
+    val (r1, re1, ce1, ov1) = sweep(r0, re0, ce0, ov0)
+    val (r2, re2, ce2, ov2) = sweep(r1, re1, ce1, ov1)
+    r2.join(re2, "gene").join(broadcast(ce2), "sample").crossJoin(broadcast(ov2))
+      .select(col("gene"), col("sample"), col("cnt"),
+        col("re").as("row_eff"), col("ce").as("col_eff"),
+        col("ov").as("overall"), col("r").as("resid"))
+  }
+
+  private val medianPolishSql =
+    s"""WITH pb AS ($pseudobulkSql),
+       genes AS (SELECT DISTINCT gene FROM pb),
+       samples AS (SELECT DISTINCT sample FROM pb),
+       grid AS (
+         SELECT g.gene, s.sample, coalesce(pb.cnt, 0.0) AS cnt
+         FROM genes g CROSS JOIN samples s
+         LEFT JOIN pb USING (gene, sample)),
+       -- sweep 1 (col effects start at 0, so the first re-center is a
+       -- no-op and ov1 = 0; kept implicit)
+       rd1 AS (SELECT gene, median(cnt) AS rd FROM grid GROUP BY 1),
+       r1 AS (SELECT gene, sample, cnt, cnt - rd AS r
+              FROM grid JOIN rd1 USING (gene)),
+       cd1 AS (SELECT sample, median(r) AS cd FROM r1 GROUP BY 1),
+       r2 AS (SELECT gene, sample, cnt, r - cd AS r
+              FROM r1 JOIN cd1 USING (sample)),
+       rm1 AS (SELECT median(rd) AS m FROM rd1),
+       re1 AS (SELECT gene, rd - m AS re FROM rd1, rm1),
+       ov1 AS (SELECT m AS ov FROM rm1),
+       -- sweep 2
+       rd2 AS (SELECT gene, median(r) AS rd FROM r2 GROUP BY 1),
+       r3 AS (SELECT gene, sample, cnt, r - rd AS r
+              FROM r2 JOIN rd2 USING (gene)),
+       re2 AS (SELECT gene, re + rd AS re
+               FROM re1 JOIN rd2 USING (gene)),
+       cm2 AS (SELECT median(cd) AS m FROM cd1),
+       ov2 AS (SELECT ov + m AS ov FROM ov1, cm2),
+       ce2 AS (SELECT sample, cd - m AS ce FROM cd1, cm2),
+       cd2 AS (SELECT sample, median(r) AS cd FROM r3 GROUP BY 1),
+       r4 AS (SELECT gene, sample, cnt, r - cd AS r
+              FROM r3 JOIN cd2 USING (sample)),
+       ce3 AS (SELECT sample, ce + cd AS ce
+               FROM ce2 JOIN cd2 USING (sample)),
+       rm2 AS (SELECT median(re) AS m FROM re2),
+       ov3 AS (SELECT ov + m AS ov FROM ov2, rm2),
+       re3 AS (SELECT gene, re - m AS re FROM re2, rm2)
+       SELECT g.gene, g.sample, g.cnt, re3.re AS row_eff,
+              ce3.ce AS col_eff, ov3.ov AS overall, g.r AS resid
+       FROM r4 g
+       JOIN re3 USING (gene) JOIN ce3 USING (sample) CROSS JOIN ov3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "median_polish"      -> (medianPolish _),
     "size_factors"       -> (sizeFactors _),
     "library_complexity" -> (libraryComplexity _),
     "sample_dists"       -> (sampleDists _),
@@ -355,6 +454,7 @@ object BulkQc {
     "gini_spend"         -> (giniSpend _))
 
   val oracles: Map[String, String] = Map(
+    "median_polish"      -> medianPolishSql,
     "size_factors"       -> sizeFactorsSql,
     "library_complexity" -> libraryComplexitySql,
     "sample_dists"       -> sampleDistsSql,

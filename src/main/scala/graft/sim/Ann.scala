@@ -108,14 +108,20 @@ object Ann {
   // quantizer; every vector is assigned to its cell, queries probe the
   // nprobe=4 nearest centroids and scan only those cells. Centroids are
   // a broadcast-sized table by construction.
-  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkFrom(s, vectors(s, dir))
+
+  /** IVF tail over a prepared (vec_id, v, nrm) frame — shared by the
+    * full-precision #39 and the int8 SQ variant (Quantize.annIvfSqTopk),
+    * which passes the dequantized corpus instead. */
+  private[sim] def ivfTopkFrom(s: SparkSession, prepared: DataFrame): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // not cached: KMeans.fit re-scans per iteration, but pinning the
     // corpus in the shared session's storage for the rest of its
     // lifetime is worse (no clean unpersist point inside a lazy plan);
     // at real scale the caller persists/checkpoints the corpus once.
-    val vecs = vectors(s, dir).withColumn("fv", array_to_vector(col("v")))
+    val vecs = prepared.withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(16).setSeed(42L).setFeaturesCol("fv").fit(vecs)
     val assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))

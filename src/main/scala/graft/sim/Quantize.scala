@@ -1,0 +1,157 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization (SQ8) of the embedding corpus — the
+  * storage/memory lever every corpus-scale ANN deployment pulls first
+  * (faiss `SQ8`, Milvus/pgvector scalar quantization): 4 bytes/dim
+  * float32 → 1 byte/dim, so a 100 TB embedding table serves from 25 TB
+  * of cache, before any index structure.
+  *
+  * Codebook = per-dimension global [min, max] (one aggregate over the
+  * corpus; at scale a 2·d-value reduce — broadcast back as a 1-row
+  * attach). Code = round((x − min) / span · 255); dequantized value is
+  * the code mapped back onto the span. Quantize/dequantize is pure
+  * elementwise IEEE arithmetic in a fixed order, so DuckDB replays it
+  * BIT-EXACTLY — the audit and the SQ-ANN query below are hash-checked
+  * oracles, not rows-only specs.
+  *
+  *  - `embedding_quantize_audit` (#192): per-label reconstruction error
+  *    (MSE, max abs error, cosine drift) — the go/no-go table you read
+  *    before switching the serving path to int8.
+  *  - `ann_sq_topk` (#193): asymmetric-distance brute-force top-k
+  *    (full-precision query × dequantized corpus — faiss ADC). Exact
+  *    baseline shape (O(q·n), documented BNL): its role is to pin the
+  *    SQ scoring semantics; the corpus-scale composition is #194.
+  *  - `ann_ivf_sq_topk` (#194): IVF coarse quantizer OVER the int8
+  *    corpus — the faiss IVF+SQ8 recipe. Probes nprobe=4 of 16 cells,
+  *    scans ~1/4 of a corpus that is itself 4× smaller in memory.
+  *    MLlib-KMeans-trained → rows-only + recall spec (QuantizeSpec),
+  *    like the other estimator-backed ANN paths.
+  */
+object Quantize {
+
+  import graft.functions.VectorFunctions.dot
+
+  /** Corpus with the per-dim [min,max] codebook attached (1-row
+    * broadcast) and the dequantized vector `vq` alongside the original
+    * `v`. posexplode → 2·d-row aggregate: map-side combine collapses
+    * each partition to d rows before the exchange. */
+  private def dequantized(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.api.Analytics.spread(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")))
+    val mm = vecs.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, mn))), s -> s.mn)").as("mins"),
+        expr("transform(sort_array(collect_list(struct(d, mx))), s -> s.mx)").as("maxs"))
+    vecs.crossJoin(broadcast(mm))
+      .withColumn("vq", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+          |  CASE WHEN maxs[i] = mins[i] THEN mins[i]
+          |       ELSE mins[i] + round((v[i] - mins[i]) / (maxs[i] - mins[i]) * 255.0)
+          |            * (maxs[i] - mins[i]) / 255.0 END)""".stripMargin))
+      .drop("mins", "maxs")
+  }
+
+  // ---------------------------------------------------------------
+  // 192. per-label SQ8 reconstruction audit. MSE is scaled ×1e6 before
+  // the 6dp round (raw MSE ~2e-6 would vanish at 4-6dp); max abs error
+  // is an order-free max of bit-identical values, safe at 9dp.
+  def embeddingQuantizeAudit(s: SparkSession, dir: String): DataFrame =
+    dequantized(s, dir)
+      .withColumn("mse",
+        expr("aggregate(zip_with(v, vq, (x, y) -> (x-y)*(x-y)), 0D, (acc, e) -> acc + e)")
+          / size(col("v")))
+      .withColumn("maxe",
+        expr("aggregate(zip_with(v, vq, (x, y) -> abs(x-y)), 0D, (acc, e) -> greatest(acc, e))"))
+      .withColumn("cs",
+        dot(col("v"), col("vq"))
+          / (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("vq"), col("vq")))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("mse")) * 1e6, 6).as("avg_mse_e6"),
+        round(max(col("maxe")), 9).as("max_abs_err"),
+        round(avg(col("cs")), 6).as("avg_cos_sim"))
+
+  // ---------------------------------------------------------------
+  // 193. asymmetric SQ top-k: full-precision queries (every 50th
+  // vector, the #37 protocol) scored against the dequantized corpus.
+  def annSqTopk(s: SparkSession, dir: String): DataFrame = {
+    val dq = dequantized(s, dir)
+    graft.api.Similarity.bruteForceTopK(
+        dq, col("vec_id"), col("vq"),
+        dq.filter(pmod(col("vec_id"), lit(50)) === 0), col("vec_id"), col("v"),
+        k = 10)
+      .select(col("qid"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // 194. IVF over the int8 corpus (symmetric: centroids, corpus AND
+  // queries all live in dequantized space — the storage-resident form).
+  def annIvfSqTopk(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopkFrom(s,
+      dequantized(s, dir)
+        .select(col("vec_id"), col("vq").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles. The codebook + dequantize prefix is shared; list
+  // indexing is 1-based in DuckDB vs the 0-based Spark subscripts, but
+  // the per-element arithmetic is textually identical, so every vq
+  // element matches Spark's to the last bit (same IEEE ops, same
+  // order; round() is half-away-from-zero in both engines for the
+  // non-negative code argument).
+  private val dqPrefixSql =
+    """mm AS (
+      |  SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs
+      |  FROM (SELECT d, min(x) AS mn, max(x) AS mx
+      |        FROM (SELECT generate_subscripts(embedding, 1) AS d,
+      |                     unnest(embedding::DOUBLE[]) AS x
+      |              FROM embeddings)
+      |        GROUP BY d)),
+      |dq AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |         list_transform(generate_series(1, len(embedding)), i ->
+      |           CASE WHEN maxs[i] = mins[i] THEN mins[i]
+      |                ELSE mins[i] + round((embedding[i]::DOUBLE - mins[i]) / (maxs[i] - mins[i]) * 255.0)
+      |                     * (maxs[i] - mins[i]) / 255.0 END) AS vq
+      |  FROM embeddings, mm)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize_audit" -> (embeddingQuantizeAudit _),
+    "ann_sq_topk"              -> (annSqTopk _),
+    "ann_ivf_sq_topk"          -> (annIvfSqTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "embedding_quantize_audit" ->
+      s"""WITH $dqPrefixSql,
+         |err AS (
+         |  SELECT label,
+         |         list_sum(list_transform(generate_series(1, len(v)),
+         |           i -> (v[i] - vq[i]) * (v[i] - vq[i]))) / len(v) AS mse,
+         |         list_max(list_transform(generate_series(1, len(v)),
+         |           i -> abs(v[i] - vq[i]))) AS maxe,
+         |         list_cosine_similarity(v, vq) AS cs
+         |  FROM dq)
+         |SELECT label, count(*) AS n_vecs,
+         |       round(avg(mse) * 1e6, 6) AS avg_mse_e6,
+         |       round(max(maxe), 9) AS max_abs_err,
+         |       round(avg(cs), 6) AS avg_cos_sim
+         |FROM err GROUP BY label""".stripMargin,
+    "ann_sq_topk" ->
+      s"""WITH $dqPrefixSql
+         |SELECT qid, neighbor_id, cos_sim, rk FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(q.v, c.vq), 6) AS cos_sim,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_cosine_similarity(q.v, c.vq) DESC,
+         |                    c.vec_id ASC) AS rk
+         |  FROM dq q JOIN dq c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rk <= 10""".stripMargin)
+}

@@ -654,4 +654,31 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(ttrB >= ttr, s"bigram TTR $ttrB below word TTR $ttr")
     }
   }
+
+  test("medianPolish: additive identity exact, residual medians centered after 2 sweeps") {
+    val mp = sc.BulkQc.medianPolish(spark, sf)
+    val rows = mp.collect()
+    assert(rows.nonEmpty)
+    // complete grid: |genes| × |samples| cells
+    val genes = rows.map(_.getAs[Long]("gene")).distinct.length
+    val samples = rows.map(_.getAs[String]("sample")).distinct.length
+    assert(rows.length == genes * samples, "grid not complete")
+    // decomposition is exact: cnt = overall + row_eff + col_eff + resid
+    // (all values are dyadic rationals — no fp drift)
+    rows.foreach { r =>
+      val recon = r.getAs[Double]("overall") + r.getAs[Double]("row_eff") +
+        r.getAs[Double]("col_eff") + r.getAs[Double]("resid")
+      assert(math.abs(recon - r.getAs[Double]("cnt")) < 1e-9,
+        s"identity broken at (${r.get(0)}, ${r.get(1)})")
+    }
+    // after the final row sweep each gene's residual median is ~0 (the
+    // subsequent column sweep can only perturb it by a shared shift)
+    val byGene = rows.groupBy(_.getAs[Long]("gene")).values
+    val med = (xs: Array[Double]) => {
+      val s = xs.sorted; (s((s.length - 1) / 2) + s(s.length / 2)) / 2.0 }
+    val geneMeds = byGene.map(g => math.abs(med(g.map(_.getAs[Double]("resid")))))
+    val cntMeds = byGene.map(g => math.abs(med(g.map(_.getAs[Double]("cnt")))))
+    assert(geneMeds.max <= cntMeds.max / 10.0,
+      "row medians of residuals not reduced by the polish")
+  }
 }

@@ -201,6 +201,14 @@ class PlanSpec extends SparkSpecBase {
       // scorer (LSH/IVF candidates are the scale path)
       "local_lisi",
       "dedup_ngram_jaccard", "dedup_containment", "dup_pairs_by_source", "threshold_tally", "feature_filter", "enrichment_ora",
+      // median_polish crosses the |genes| rows with the broadcast
+      // |samples| set to complete the bounded grid (the ma_stats
+      // precedent) and attaches 1-row median scalars
+      "median_polish",
+      // SQ8 family: quantize audit attaches the 1-row per-dim codebook;
+      // ann_sq_topk is the documented ADC brute-force baseline;
+      // ann_ivf_sq_topk broadcasts the 16-row centroid table
+      "embedding_quantize_audit", "ann_sq_topk", "ann_ivf_sq_topk",
       "tfidf_top_terms", "knn_components", "pagerank_knn",
       // ann_recall_eval / hard_negatives / label_prop_knn ride the
       // documented brute-force scorer (oracle paths; the _lsh twins

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** SQ8 semantics: the quantizer must be near-lossless at 8 bits on
+  * this corpus (error bounded by half a code step per dim), and the
+  * quantized ANN paths must agree closely with exact search. */
+class QuantizeSpec extends SparkSpecBase {
+
+  private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "neighbor_id").collect()
+      .map { case Row(q: Long, n: Long) => (q, n) }
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+  test("quantize audit: error bounded by half a code step, cosine near 1") {
+    val audit = sim.Quantize.embeddingQuantizeAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    // widest per-dim span over the corpus bounds every |x - x̂| by
+    // span/2/255 (round-to-nearest code)
+    val spans = Tables.embeddings(spark, sf)
+      .selectExpr("posexplode(cast(embedding as array<double>)) as (d, x)")
+      .groupBy("d").agg(org.apache.spark.sql.functions.expr("max(x) - min(x)").as("span"))
+      .agg(org.apache.spark.sql.functions.max("span")).head.getDouble(0)
+    val bound = spans / 2.0 / 255.0 + 1e-12
+    audit.foreach { r =>
+      val maxe = r.getAs[Double]("max_abs_err")
+      val cos = r.getAs[Double]("avg_cos_sim")
+      assert(maxe <= bound, s"label ${r.get(0)}: max_abs_err $maxe > $bound")
+      assert(cos >= 0.999, s"label ${r.get(0)}: avg_cos_sim $cos below 0.999")
+      assert(r.getAs[Double]("avg_mse_e6") > 0.0)
+    }
+  }
+
+  test("SQ brute-force top-k nearly matches exact search (ADC recall)") {
+    val exact = topkMap(sim.Ann.annBruteforceTopk(spark, sf))
+    val sq = topkMap(sim.Quantize.annSqTopk(spark, sf))
+    assert(sq.keySet == exact.keySet)
+    val recalls = sq.map { case (q, ns) => ns.intersect(exact(q)).size / 10.0 }
+    val recall = recalls.sum / recalls.size
+    info(s"SQ8 ADC recall@10 = $recall")
+    // 8-bit scalar quantization perturbs cosines by ~1e-4 — only
+    // near-tied neighbors can swap across the rank-10 cut
+    assert(recall >= 0.9, s"SQ recall $recall — quantization is not near-lossless")
+  }
+
+  test("IVF+SQ top-k keeps IVF's recall under quantization") {
+    val exact = topkMap(sim.Ann.annBruteforceTopk(spark, sf))
+    val ivfSq = topkMap(sim.Quantize.annIvfSqTopk(spark, sf))
+    assert(ivfSq.nonEmpty)
+    val recalls = ivfSq.collect { case (q, ns) if exact.contains(q) =>
+      ns.intersect(exact(q)).size / 10.0 }
+    val recall = recalls.sum / recalls.size
+    info(s"IVF+SQ8 recall@10 (nprobe=4/16) = $recall")
+    // same bar as the full-precision IVF spec: nearest-centroid probing
+    // over the int8 corpus must still clearly beat the ~0.25 random-
+    // sampling baseline of a 4/16-cell scan
+    assert(recall > 0.4, s"IVF+SQ recall $recall no better than random sampling")
+  }
+}
