@@ -100,6 +100,101 @@ object Quantize {
         .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
 
   // ---------------------------------------------------------------
+  // 196-197. 1-bit binary quantization (sign-bit codes): the extreme
+  // memory tier (32× smaller than float32 — 100 TB of embeddings serve
+  // from ~3 TB) behind two-stage retrieval: a popcount hamming scan
+  // produces a shortlist, exact cosine re-ranks it. Codes pack into two
+  // 32-bit words per ≤64-dim vector; hamming = bit_count(w0⊕w0') +
+  // bit_count(w1⊕w1') — all-integer, so both queries are hash-checked
+  // oracles (rank ties in the small 0..64 hamming range are totally
+  // ordered by (ham, vec_id)).
+
+  /** Sign-bit signature words over the double vector `v` (dims ≤ 64:
+    * bits 0-31 → w0, 32-63 → w1). Disjoint power-of-two terms make the
+    * sum an OR — and every term < 2^32, so no overflow in either
+    * engine. */
+  private def withBinarySig(df: DataFrame): DataFrame =
+    df.withColumn("w0", expr(
+        """aggregate(sequence(0, least(size(v), 32) - 1), 0L,
+          |  (acc, i) -> acc + IF(v[i] > 0D, shiftleft(1L, i), 0L))""".stripMargin))
+      .withColumn("w1", expr(
+        """IF(size(v) > 32,
+          |  aggregate(sequence(32, size(v) - 1), 0L,
+          |    (acc, i) -> acc + IF(v[i] > 0D, shiftleft(1L, i - 32), 0L)),
+          |  0L)""".stripMargin))
+
+  private def binaryScored(s: SparkSession, dir: String): DataFrame = {
+    val sig = withBinarySig(graft.api.Analytics.spread(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
+    val qs = sig.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    sig.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        bit_count(col("qw0").bitwiseXOR(col("w0")))
+          + bit_count(col("qw1").bitwiseXOR(col("w1"))))
+  }
+
+  /** Shortlist of `k` smallest-hamming candidates per query via the
+    * bounded-heap aggregate (score = −ham: desc-score heap ⇒ asc
+    * hamming, ties by smaller vec_id — the oracle's total order). */
+  private def hammingTopk(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(-col("ham").cast("double"), col("vec_id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("neighbor_id"),
+        (-col("e.score")).cast("long").as("hamming"),
+        (col("pos") + 1).cast("long").as("rk"))
+
+  // 196. binary hamming top-k — the shortlist stage alone, exact-int.
+  def annBinaryTopk(s: SparkSession, dir: String): DataFrame =
+    hammingTopk(binaryScored(s, dir), 10)
+
+  // 197. binary shortlist (top-50 hamming) re-ranked by exact cosine —
+  // the production two-stage shape. The cosine pass touches only
+  // |queries|·50 float vectors.
+  def annBinaryRerankTopk(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = hammingTopk(binaryScored(s, dir), 50)
+      .select(col("qid"), col("neighbor_id").as("vec_id"))
+    val vecs = graft.api.Analytics.spread(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val qv = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = shortlist.join(vecs, "vec_id").join(broadcast(qv), "qid")
+      .withColumn("cs", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.VectorFunctions.topKByScore(col("cs"), col("vec_id"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("neighbor_id"),
+        round(col("e.score"), 6).as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Sign-bit signature + all-pairs hamming CTE prefix (1-based list
+    * indexing; same disjoint-power sums as the Spark side). */
+  private val binaryScoredSql =
+    """bsig AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         CAST(list_sum(list_transform(generate_series(1, least(len(embedding), 32)),
+      |           i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS w0,
+      |         CASE WHEN len(embedding) > 32 THEN
+      |           CAST(list_sum(list_transform(generate_series(33, len(embedding)),
+      |             i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT)
+      |         ELSE 0 END AS w1
+      |  FROM embeddings),
+      |hscore AS MATERIALIZED (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |         bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS ham,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) ASC,
+      |                    c.vec_id ASC) AS srk
+      |  FROM bsig q JOIN bsig c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id % 50 = 0)""".stripMargin
+
+  // ---------------------------------------------------------------
   // DuckDB oracles. The codebook + dequantize prefix is shared; list
   // indexing is 1-based in DuckDB vs the 0-based Spark subscripts, but
   // the per-element arithmetic is textually identical, so every vq
@@ -125,7 +220,9 @@ object Quantize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize_audit" -> (embeddingQuantizeAudit _),
     "ann_sq_topk"              -> (annSqTopk _),
-    "ann_ivf_sq_topk"          -> (annIvfSqTopk _))
+    "ann_ivf_sq_topk"          -> (annIvfSqTopk _),
+    "ann_binary_topk"          -> (annBinaryTopk _),
+    "ann_binary_rerank_topk"   -> (annBinaryRerankTopk _))
 
   val oracles: Map[String, String] = Map(
     "embedding_quantize_audit" ->
@@ -153,5 +250,24 @@ object Quantize {
          |                    c.vec_id ASC) AS rk
          |  FROM dq q JOIN dq c ON q.vec_id != c.vec_id
          |  WHERE q.vec_id % 50 = 0)
-         |WHERE rk <= 10""".stripMargin)
+         |WHERE rk <= 10""".stripMargin,
+    "ann_binary_topk" ->
+      s"""WITH $binaryScoredSql
+         |SELECT qid, nid AS neighbor_id, CAST(ham AS BIGINT) AS hamming,
+         |       srk AS rk
+         |FROM hscore WHERE srk <= 10""".stripMargin,
+    "ann_binary_rerank_topk" ->
+      s"""WITH $binaryScoredSql,
+         |shortlist AS (SELECT qid, nid FROM hscore WHERE srk <= 50),
+         |rer AS (
+         |  SELECT s.qid, s.nid,
+         |         list_cosine_similarity(q.v, c.v) AS cs,
+         |         row_number() OVER (PARTITION BY s.qid
+         |           ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+         |                    s.nid ASC) AS rk
+         |  FROM shortlist s
+         |  JOIN bsig q ON s.qid = q.vec_id
+         |  JOIN bsig c ON s.nid = c.vec_id)
+         |SELECT qid, nid AS neighbor_id, round(cs, 6) AS cos_sim, rk
+         |FROM rer WHERE rk <= 10""".stripMargin)
 }

@@ -209,6 +209,10 @@ class PlanSpec extends SparkSpecBase {
       // ann_sq_topk is the documented ADC brute-force baseline;
       // ann_ivf_sq_topk broadcasts the 16-row centroid table
       "embedding_quantize_audit", "ann_sq_topk", "ann_ivf_sq_topk",
+      // binary-code family: the popcount hamming scan IS the documented
+      // scale plan (32× smaller corpus, SIMD popcount full scan) and
+      // the rerank stage touches only |queries|·50 vectors
+      "ann_binary_topk", "ann_binary_rerank_topk",
       "tfidf_top_terms", "knn_components", "pagerank_knn",
       // ann_recall_eval / hard_negatives / label_prop_knn ride the
       // documented brute-force scorer (oracle paths; the _lsh twins

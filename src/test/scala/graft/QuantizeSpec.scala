@@ -56,4 +56,29 @@ class QuantizeSpec extends SparkSpecBase {
     // sampling baseline of a 4/16-cell scan
     assert(recall > 0.4, s"IVF+SQ recall $recall no better than random sampling")
   }
+
+  test("binary hamming shortlist + exact rerank recovers most true neighbors") {
+    val exact = topkMap(sim.Ann.annBruteforceTopk(spark, sf))
+    val binary = topkMap(sim.Quantize.annBinaryTopk(spark, sf))
+    val rerank = topkMap(sim.Quantize.annBinaryRerankTopk(spark, sf))
+    assert(binary.keySet == exact.keySet && rerank.keySet == exact.keySet)
+    def meanRecall(m: Map[Long, Set[Long]]) =
+      m.map { case (q, ns) => ns.intersect(exact(q)).size / 10.0 }.sum / m.size
+    val rBin = meanRecall(binary); val rRer = meanRecall(rerank)
+    info(s"binary hamming recall@10 = $rBin, after exact rerank = $rRer")
+    // sign-bit hamming is a coarse proxy — but re-ranking a 50-deep
+    // shortlist with exact cosine must recover a clear majority of the
+    // true top-10 and strictly dominate the raw hamming ranking
+    assert(rRer >= rBin - 1e-9, "rerank made recall worse")
+    assert(rRer >= 0.5, s"two-stage recall $rRer below 0.5")
+    // hamming output is rank-consistent: ham nondecreasing with rk
+    val ham = sim.Quantize.annBinaryTopk(spark, sf)
+      .select("qid", "hamming", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    ham.values.foreach { xs =>
+      val sorted = xs.toSeq.sortBy(_._3).map(_._2)
+      assert(sorted == sorted.sorted, "hamming not nondecreasing in rank")
+    }
+  }
 }
