@@ -241,6 +241,46 @@ object Ann {
         round(col("pagerank"), 6).as("pagerank"))
 
   // ---------------------------------------------------------------
+  // 198. per-vertex triangle count + local clustering coefficient over
+  // the mutual-kNN graph — the transitivity lens on the #76 graph
+  // (Watts-Strogatz local coefficient: 2·tri / deg(deg−1); how clique-
+  // like each embedding neighborhood is — a cluster-cohesion screen).
+  // Wedge enumeration joins each vertex's neighbor list with itself
+  // (x < y) and probes the edge set: degree ≤ k bounds the fan-out at
+  // k² per vertex, so the whole pass is linear in the corpus. Exact
+  // feed = oracle path; the _lsh twin is the corpus-scale feed.
+  def knnClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    clusteringFrom(s, dir, knnEdges(s, dir, k = 5, exact = true))
+
+  /** Scale twin of #198: same triangle tail over the LSH kNN feed. */
+  def knnClusteringCoeffLsh(s: SparkSession, dir: String): DataFrame =
+    clusteringFrom(s, dir, knnEdges(s, dir, k = 5, exact = false))
+
+  private def clusteringFrom(s: SparkSession, dir: String, knn0: DataFrame): DataFrame = {
+    val knn = knn0.select(col("qid"), col("nid"))
+    val mutual = mutualEdges(knn)
+    val und = mutual.select(col("a").as("v"), col("b").as("n"))
+      .union(mutual.select(col("b").as("v"), col("a").as("n")))
+    val deg = und.groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.v") && col("e1.n") < col("e2.n"))
+      .select(col("e1.v").as("v"), col("e1.n").as("x"), col("e2.n").as("y"))
+    val tri = wedges
+      .join(mutual, col("x") === col("a") && col("y") === col("b"))
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(deg, col("vec_id") === col("v"), "left").drop("v")
+      .join(tri, col("vec_id") === col("v"), "left").drop("v")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        r(when(coalesce(col("degree"), lit(0L)) >= 2,
+            lit(2.0) * coalesce(col("triangles"), lit(0L))
+              / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering_coeff"))
+  }
+
+  // ---------------------------------------------------------------
   // 178. ANN recall evaluation: per-query recall@10 of the LSH bucket
   // feed against the exact brute-force neighbors — the index-quality
   // eval every ANN deployment runs before trusting the approximate
@@ -518,6 +558,32 @@ object Ann {
               round(a.k_eff * a.k_eff / CAST(a.c2 AS DOUBLE), 6) AS lisi
        FROM agg a JOIN embeddings e ON a.qid = e.vec_id"""
 
+  /** Triangle/clustering tail over the `knn (qid, nid)` contract —
+    * oracle twin of [[clusteringFrom]]. */
+  private val clusteringTailSql =
+    """mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       und AS (SELECT a AS v, b AS n FROM mutual
+               UNION ALL SELECT b, a FROM mutual),
+       deg AS (SELECT v, count(*) AS degree FROM und GROUP BY 1),
+       wed AS (SELECT e1.v, e1.n AS x, e2.n AS y
+               FROM und e1 JOIN und e2 ON e1.v = e2.v AND e1.n < e2.n),
+       tri AS (SELECT w.v, count(*) AS triangles
+               FROM wed w JOIN mutual m ON w.x = m.a AND w.y = m.b
+               GROUP BY 1)
+       SELECT e.vec_id,
+              coalesce(d.degree, 0) AS degree,
+              coalesce(t.triangles, 0) AS triangles,
+              round(CASE WHEN coalesce(d.degree, 0) >= 2
+                    THEN 2.0 * coalesce(t.triangles, 0)
+                         / (d.degree * (d.degree - 1))
+                    ELSE 0.0 END, 6) AS clustering_coeff
+       FROM embeddings e
+       LEFT JOIN deg d ON e.vec_id = d.v
+       LEFT JOIN tri t ON e.vec_id = t.v"""
+
   /** 3-round synchronous LPA unroll over the `knn (qid, nid)` contract
     * — the oracle twin of [[labelPropFrom]]. Vote argmax is a total
     * order (count desc, label asc), so every round replays exactly. */
@@ -613,6 +679,8 @@ object Ann {
     "local_lisi_lsh"      -> (localLisiLsh _),
     "knn_components"      -> (knnComponents _),
     "knn_components_lsh"  -> (knnComponentsLsh _),
+    "knn_clustering_coeff"     -> (knnClusteringCoeff _),
+    "knn_clustering_coeff_lsh" -> (knnClusteringCoeffLsh _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _),
@@ -631,6 +699,10 @@ object Ann {
       s"WITH $lshSigPrefixSql,\n${lshKnnSql(30)},\n$lisiTailSql",
     "knn_components" ->
       s"WITH RECURSIVE ${bruteKnnSql(5)},\n$componentsTailSql",
+    "knn_clustering_coeff" ->
+      s"WITH ${bruteKnnSql(5)},\n$clusteringTailSql",
+    "knn_clustering_coeff_lsh" ->
+      s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$clusteringTailSql",
     "knn_components_lsh" ->
       s"WITH RECURSIVE $lshSigPrefixSql,\n${lshKnnSql(5)},\n$componentsTailSql",
     "ann_recall_eval" -> annRecallEvalSql,

@@ -89,6 +89,29 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("clustering coefficient: graph invariants hold on both feeds") {
+    for (df <- Seq(sim.Ann.knnClusteringCoeff(spark, sf),
+                   sim.Ann.knnClusteringCoeffLsh(spark, sf))) {
+      val rows = df.collect()
+        .map { case Row(v: Long, d: Long, t: Long, c: Double) => (v, d, t, c) }
+      assert(rows.length == 500, "one row per corpus vector expected")
+      // handshake: Σ deg = 2|E|; triangle incidence: Σ tri divisible by 3
+      val degSum = rows.map(_._2).sum
+      assert(degSum % 2 == 0, s"odd degree sum $degSum")
+      assert(rows.map(_._3).sum % 3 == 0, "per-vertex triangles don't tile into whole triangles")
+      rows.foreach { case (v, d, t, c) =>
+        assert(d <= 5, s"vertex $v degree $d exceeds k=5 mutual bound")
+        assert(c >= 0.0 && c <= 1.0 + 1e-9, s"vertex $v coefficient $c outside [0,1]")
+        // t cannot exceed the wedge count deg·(deg−1)/2
+        assert(t <= d * (d - 1) / 2, s"vertex $v has $t triangles but degree $d")
+        if (d < 2) assert(t == 0 && c == 0.0)
+      }
+      // a k=5 mutual-kNN graph over 10 clustered labels must close SOME
+      // triangles — an all-zero column would mean a broken edge probe
+      assert(rows.map(_._3).sum > 0, "no triangles found on a clustered corpus")
+    }
+  }
+
   test("bucketed cosine pairs: exact subset of brute force, better-than-random recall") {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("id1", "id2").collect()

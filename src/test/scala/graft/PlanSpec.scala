@@ -214,6 +214,9 @@ class PlanSpec extends SparkSpecBase {
       // the rerank stage touches only |queries|·50 vectors
       "ann_binary_topk", "ann_binary_rerank_topk",
       "tfidf_top_terms", "knn_components", "pagerank_knn",
+      // exact triangle feed rides the documented brute-force kNN oracle
+      // path; the _lsh twin is the scale feed and stays BNL-free
+      "knn_clustering_coeff",
       // ann_recall_eval / hard_negatives / label_prop_knn ride the
       // documented brute-force scorer (oracle paths; the _lsh twins
       // are the scale feeds and stay BNL-free)
