@@ -476,7 +476,7 @@ object Ann {
     * the oracle twin of Similarity.lshTopK's feed. `queryWhere`
     * restricts the probing side (ann_lsh_topk probes every 50th
     * vector; the graph twins probe the whole corpus). */
-  private def lshKnnSql(k: Int, queryWhere: String = ""): String =
+  private[sim] def lshKnnSql(k: Int, queryWhere: String = ""): String =
     s"""probes AS MATERIALIZED (
          SELECT s.vec_id AS qid,
                 CASE WHEN t.p < 0 THEN s.bucket

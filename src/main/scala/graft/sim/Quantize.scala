@@ -173,6 +173,31 @@ object Quantize {
         round(col("e.score"), 6).as("cos_sim"), (col("pos") + 1).cast("long").as("rk"))
   }
 
+  // ---------------------------------------------------------------
+  // 199. reciprocal-rank fusion (Cormack et al. 2009, k=60) of two
+  // heterogeneous retrieval tiers: the LSH cosine ranking (#38) and the
+  // binary hamming ranking (#196) — the standard hybrid-search combiner
+  // (vector + keyword in production; here two index families over the
+  // same corpus). rrf = Σ 1/(60+rank): a fixed two-term sum of exact
+  // divisions, bit-identical cross-engine; (rrf desc, neighbor asc) is
+  // a total order, so the fused list is hash-checked.
+  def annRrfFusionTopk(s: SparkSession, dir: String): DataFrame = {
+    val lsh = Ann.annLshTopk(s, dir)
+      .select(col("qid"), col("neighbor_id"), col("rk").as("rk_lsh"))
+    val bin = annBinaryTopk(s, dir)
+      .select(col("qid"), col("neighbor_id"), col("rk").as("rk_bin"))
+    val fused = lsh.join(bin, Seq("qid", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rk_lsh")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rk_bin")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("neighbor_id"),
+        round(col("rrf"), 6).as("rrf_score"), col("rk"))
+  }
+
   /** Sign-bit signature + all-pairs hamming CTE prefix (1-based list
     * indexing; same disjoint-power sums as the Spark side). */
   private val binaryScoredSql =
@@ -222,7 +247,8 @@ object Quantize {
     "ann_sq_topk"              -> (annSqTopk _),
     "ann_ivf_sq_topk"          -> (annIvfSqTopk _),
     "ann_binary_topk"          -> (annBinaryTopk _),
-    "ann_binary_rerank_topk"   -> (annBinaryRerankTopk _))
+    "ann_binary_rerank_topk"   -> (annBinaryRerankTopk _),
+    "ann_rrf_fusion_topk"      -> (annRrfFusionTopk _))
 
   val oracles: Map[String, String] = Map(
     "embedding_quantize_audit" ->
@@ -269,5 +295,24 @@ object Quantize {
          |  JOIN bsig q ON s.qid = q.vec_id
          |  JOIN bsig c ON s.nid = c.vec_id)
          |SELECT qid, nid AS neighbor_id, round(cs, 6) AS cos_sim, rk
-         |FROM rer WHERE rk <= 10""".stripMargin)
+         |FROM rer WHERE rk <= 10""".stripMargin,
+    "ann_rrf_fusion_topk" ->
+      s"""WITH ${Ann.lshSigPrefixSql},
+         |${Ann.lshKnnSql(10, "WHERE s.vec_id % 50 = 0")},
+         |$binaryScoredSql,
+         |lshr AS (SELECT qid, nid, rk FROM scored WHERE rk <= 10),
+         |binr AS (SELECT qid, nid, srk AS rk FROM hscore WHERE srk <= 10),
+         |fused AS (
+         |  SELECT coalesce(l.qid, b.qid) AS qid,
+         |         coalesce(l.nid, b.nid) AS nid,
+         |         coalesce(1.0 / (60.0 + l.rk), 0.0)
+         |           + coalesce(1.0 / (60.0 + b.rk), 0.0) AS rrf
+         |  FROM lshr l FULL OUTER JOIN binr b
+         |    ON l.qid = b.qid AND l.nid = b.nid),
+         |rnk AS (
+         |  SELECT qid, nid, rrf, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, nid ASC) AS rk FROM fused)
+         |SELECT qid, nid AS neighbor_id, round(rrf, 6) AS rrf_score,
+         |       CAST(rk AS BIGINT) AS rk
+         |FROM rnk WHERE rk <= 10""".stripMargin)
 }

@@ -213,6 +213,8 @@ class PlanSpec extends SparkSpecBase {
       // scale plan (32× smaller corpus, SIMD popcount full scan) and
       // the rerank stage touches only |queries|·50 vectors
       "ann_binary_topk", "ann_binary_rerank_topk",
+      // rrf fusion composes the two allowed shortlist scans above
+      "ann_rrf_fusion_topk",
       "tfidf_top_terms", "knn_components", "pagerank_knn",
       // exact triangle feed rides the documented brute-force kNN oracle
       // path; the _lsh twin is the scale feed and stays BNL-free

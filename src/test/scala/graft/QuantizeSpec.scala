@@ -81,4 +81,29 @@ class QuantizeSpec extends SparkSpecBase {
       assert(sorted == sorted.sorted, "hamming not nondecreasing in rank")
     }
   }
+
+  test("RRF fusion: candidates come from the input rankers, both-ranker hits outrank singles") {
+    val lsh = topkMap(sim.Ann.annLshTopk(spark, sf))
+    val bin = topkMap(sim.Quantize.annBinaryTopk(spark, sf))
+    val fused = sim.Quantize.annRrfFusionTopk(spark, sf)
+      .select("qid", "neighbor_id", "rrf_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fused.nonEmpty)
+    fused.foreach { case (q, n, s) =>
+      assert(lsh.getOrElse(q, Set.empty).contains(n)
+          || bin.getOrElse(q, Set.empty).contains(n),
+        s"fused ($q,$n) in neither input ranking")
+      // a both-ranker candidate scores at least 2/(60+10); a single-
+      // ranker one at most 1/61 — dual evidence always dominates
+      val inBoth = lsh.getOrElse(q, Set.empty).contains(n) &&
+        bin.getOrElse(q, Set.empty).contains(n)
+      if (inBoth) assert(s >= 2.0 / 70.0 - 1e-9)
+      else assert(s <= 1.0 / 61.0 + 1e-9)
+    }
+    val exact = topkMap(sim.Ann.annBruteforceTopk(spark, sf))
+    def meanRecall(m: Map[Long, Set[Long]]) =
+      m.map { case (q, ns) => ns.intersect(exact(q)).size / 10.0 }.sum / m.size
+    val byQ = fused.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    info(s"RRF recall@10 = ${meanRecall(byQ)} (lsh ${meanRecall(lsh)}, binary ${meanRecall(bin)})")
+  }
 }
