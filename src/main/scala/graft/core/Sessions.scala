@@ -534,7 +534,89 @@ object Sessions {
                 AS value_filled
        FROM j"""
 
+  // ---------------------------------------------------------------
+  // 200. event debounce: telemetry-cleaning primitive — within each
+  // (user, event_type) stream, keep only events ≥ 5 s after their
+  // predecessor (the first event of every burst survives; retries /
+  // double-clicks / duplicate beacons are dropped). One window pass on
+  // the (user, type) shuffle; the audit output is all-integer counts +
+  // one exact division, hash-exact.
+  def eventDebounce(s: SparkSession, dir: String): DataFrame = {
+    val DebounceUs = 5L * 1000 * 1000
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("keep",
+        col("prev").isNull || col("ts_us") - col("prev") >= DebounceUs)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("drop_frac",
+        r((col("n_raw") - col("n_kept")) / col("n_raw").cast("double"), 6))
+  }
+
+  private val eventDebounceSql =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+                         epoch_us(ts) AS ts_us FROM events),
+       flagged AS (
+         SELECT user_id, event_type,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= 5000000
+                     THEN 1 ELSE 0 END AS keep
+         FROM e
+         WINDOW w AS (PARTITION BY user_id, event_type
+                      ORDER BY ts_us ASC, event_id ASC))
+       SELECT user_id, event_type, count(*) AS n_raw,
+              CAST(sum(keep) AS BIGINT) AS n_kept,
+              round((count(*) - sum(keep)) / CAST(count(*) AS DOUBLE), 6)
+                AS drop_frac
+       FROM flagged GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // 201. interval-union active time: each event opens a 30-min activity
+  // window; per user, the total UNION length of those (overlapping)
+  // intervals — the sweep-line classic, as one ordered window pass:
+  // sorted by start, each interval contributes
+  // max(0, end − max(start, max-prev-end)); segments open where start
+  // exceeds every previous end. All epoch-micro integers → hash-exact.
+  def activeTimeUnion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("end_us", col("ts_us") + GapUs)
+      .withColumn("pmax", max(col("end_us")).over(wPrev))
+      .withColumn("contrib", greatest(lit(0L),
+        col("end_us") - greatest(col("ts_us"), coalesce(col("pmax"), lit(Long.MinValue)))))
+      .withColumn("is_new",
+        (col("pmax").isNull || col("ts_us") > col("pmax")).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_new")).as("n_segments"),
+        sum(col("contrib")).as("active_us"))
+  }
+
+  private val activeTimeUnionSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                         epoch_us(ts) + 1800000000 AS end_us FROM events),
+       sw AS (
+         SELECT user_id,
+                max(end_us) OVER (PARTITION BY user_id
+                  ORDER BY ts_us ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+                ts_us, end_us
+         FROM e)
+       SELECT user_id, count(*) AS n_events,
+              CAST(sum(CASE WHEN pmax IS NULL OR ts_us > pmax
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+              CAST(sum(greatest(0, end_us - greatest(ts_us,
+                coalesce(pmax, -9223372036854775808)))) AS BIGINT) AS active_us
+       FROM sw GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_debounce"         -> (eventDebounce _),
+    "active_time_union"      -> (activeTimeUnion _),
     "time_grid_fill"         -> (timeGridFill _),
     "event_transitions"      -> (eventTransitions _),
     "top_paths"              -> (topPaths _),
@@ -558,6 +640,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "event_debounce"         -> eventDebounceSql,
+    "active_time_union"      -> activeTimeUnionSql,
     "time_grid_fill"    -> timeGridFillSql,
     "event_transitions" -> eventTransitionsSql,
     "top_paths"         -> topPathsSql,

@@ -655,6 +655,27 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("eventDebounce and activeTimeUnion: bounds and segment accounting hold") {
+    val db = core.Sessions.eventDebounce(spark, sf).collect()
+    assert(db.nonEmpty)
+    db.foreach { r =>
+      val raw = r.getAs[Long]("n_raw"); val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 1 && kept <= raw, s"kept $kept outside [1, $raw]")
+    }
+    val WinUs = 1800L * 1000 * 1000
+    val au = core.Sessions.activeTimeUnion(spark, sf).collect()
+    assert(au.nonEmpty)
+    au.foreach { r =>
+      val n = r.getAs[Long]("n_events"); val seg = r.getAs[Long]("n_segments")
+      val act = r.getAs[Long]("active_us")
+      assert(seg >= 1 && seg <= n)
+      // each segment covers at least one window; total cannot exceed
+      // one window per event
+      assert(act >= seg * WinUs && act <= n * WinUs,
+        s"active $act outside [${seg * WinUs}, ${n * WinUs}]")
+    }
+  }
+
   test("medianPolish: additive identity exact, residual medians centered after 2 sweeps") {
     val mp = sc.BulkQc.medianPolish(spark, sf)
     val rows = mp.collect()
