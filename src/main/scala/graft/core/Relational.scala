@@ -429,7 +429,59 @@ object Relational {
        FROM z"""
   }
 
+  // ---------------------------------------------------------------
+  // 203. join-key skew audit — the pre-join diagnostic behind the
+  // salted join/agg ops (#50/#110): per candidate key, the per-key
+  // count distribution (max, exact p50/p99, top-10 share, max/avg
+  // ratio) that tells you whether to salt, broadcast, or let AQE
+  // handle it. Per key: one partial-agg shuffle to the counts table;
+  // top-10 rides TakeOrdered (distributed heap, no global sort). At
+  // corpus scale swap the exact percentiles for the #53 sketch —
+  // the audit's decisions only need coarse quantiles.
+  def joinKeySkew(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: Column): DataFrame = {
+      val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("c")).as("max_cnt"),
+        expr("percentile(c, 0.5D)").as("p50"),
+        expr("percentile(c, 0.99D)").as("p99"))
+      val top10 = counts.orderBy(col("c").desc, col("k").asc).limit(10)
+        .agg(sum(col("c")).as("top10_rows"))
+      tot.crossJoin(top10).select(
+        lit(name).as("key_name"), col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("p50"), 4).as("p50_cnt"),
+        round(col("p99"), 4).as("p99_cnt"),
+        round(col("top10_rows") / col("n_rows").cast("double"), 6).as("top10_share"),
+        round(col("max_cnt") * col("n_keys") / col("n_rows").cast("double"), 4).as("max_over_avg"))
+    }
+    audit("lineitem.l_partkey", Tables.lineitem(s, dir), col("l_partkey"))
+      .unionByName(audit("lineitem.l_suppkey", Tables.lineitem(s, dir), col("l_suppkey")))
+      .unionByName(audit("orders.o_custkey", Tables.orders(s, dir), col("o_custkey")))
+      .unionByName(audit("events.user_id", Tables.events(s, dir), col("user_id")))
+  }
+
+  private val joinKeySkewSql = {
+    def block(name: String, table: String, key: String) =
+      s"""SELECT '$name' AS key_name,
+                CAST(sum(c) AS BIGINT) AS n_rows,
+                count(*) AS n_keys, max(c) AS max_cnt,
+                round(quantile_cont(c, 0.5), 4) AS p50_cnt,
+                round(quantile_cont(c, 0.99), 4) AS p99_cnt,
+                round((SELECT sum(c) FROM (SELECT c FROM (
+                    SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)
+                  ORDER BY c DESC, k ASC LIMIT 10))
+                  / CAST(sum(c) AS DOUBLE), 6) AS top10_share,
+                round(max(c) * count(*) / CAST(sum(c) AS DOUBLE), 4) AS max_over_avg
+         FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)"""
+    Seq(block("lineitem.l_partkey", "lineitem", "l_partkey"),
+      block("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      block("orders.o_custkey", "orders", "o_custkey"),
+      block("events.user_id", "events", "user_id"))
+      .mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_key_skew"          -> (joinKeySkew _),
     "profile_table"          -> (profileTable _),
     "pivot_wide"             -> (pivotWide _),
     "semi_anti_join"         -> (semiAntiJoin _),
@@ -453,6 +505,7 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "join_key_skew" -> joinKeySkewSql,
     "profile_table" -> profileTableSql,
     "pivot_wide" -> pivotWideSql,
     "semi_anti_join" -> semiAntiJoinSql,

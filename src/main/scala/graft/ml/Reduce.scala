@@ -225,6 +225,55 @@ object Reduce {
               round(avg(CASE WHEN abs(x) < 0.01 THEN 1.0 ELSE 0.0 END), 6) AS near_zero_frac
        FROM vx GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 202. per-label diagonal-Mahalanobis outliers: each vector's
+  // distance to its label centroid, normalized per-dim by the label's
+  // population variance — the mislabeled/contaminated-embedding screen
+  // (a full covariance needs d² state per label; the diagonal form is
+  // the standard corpus-scale approximation). Stats are a |labels|·d
+  // aggregation collected to per-label arrays (bounded, broadcast
+  // equi-join back — no BNL); md² is one codegen'd fold. Flag cut =
+  // χ²₀.₉₉(64) — md² is continuous, so the boundary carries no
+  // probability mass (the hyperplane-sign argument).
+  def mahalanobisOutliers(s: SparkSession, dir: String): DataFrame = {
+    val Chi99Dim64 = 93.2168
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val stats = vecs.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(avg(col("x")).as("mu"), var_pop(col("x")).as("s2"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, mu))), s -> s.mu)").as("mus"),
+        expr("transform(sort_array(collect_list(struct(d, s2))), s -> s.s2)").as("s2s"))
+    vecs.join(broadcast(stats), "label")
+      .withColumn("md2", expr(
+        """aggregate(sequence(0, size(v) - 1), 0D,
+          |  (acc, i) -> acc + (v[i] - mus[i]) * (v[i] - mus[i]) / (s2s[i] + 1e-12))""".stripMargin))
+      .select(col("vec_id"), col("label"),
+        round(col("md2"), 4).as("md2"),
+        (col("md2") > Chi99Dim64).as("outlier"))
+  }
+
+  private val mahalanobisOutliersSql =
+    """WITH vx AS (
+         SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       dims AS (
+         SELECT label, t.i AS d, avg(t.x) AS mu, var_pop(t.x) AS s2
+         FROM vx, LATERAL (SELECT unnest(v) AS x,
+                                  generate_subscripts(v, 1) AS i) t
+         GROUP BY 1, 2),
+       st AS (
+         SELECT label, list(mu ORDER BY d) AS mus, list(s2 ORDER BY d) AS s2s
+         FROM dims GROUP BY 1),
+       md AS (
+         SELECT vec_id, vx.label,
+                list_sum(list_transform(generate_series(1, len(v)),
+                  i -> (v[i] - mus[i]) * (v[i] - mus[i]) / (s2s[i] + 1e-12))) AS md2
+         FROM vx JOIN st USING (label))
+       SELECT vec_id, label, round(md2, 4) AS md2,
+              md2 > 93.2168 AS outlier
+       FROM md"""
+
   private val embeddingNormStatsSql =
     """WITH nrms AS (
          SELECT label,
@@ -240,6 +289,7 @@ object Reduce {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_dim_profile" -> (embeddingDimProfile _),
+    "mahalanobis_outliers" -> (mahalanobisOutliers _),
     "kmeans_elbow"      -> (kmeansElbow _),
     "cluster_transitions" -> (clusterTransitions _),
     "pca_embeddings"    -> (pcaEmbeddings _),
@@ -250,5 +300,6 @@ object Reduce {
   val oracles: Map[String, String] = Map(
     "embedding_norm_stats" -> embeddingNormStatsSql,
     "embedding_dim_profile" -> embeddingDimProfileSql,
+    "mahalanobis_outliers" -> mahalanobisOutliersSql,
     "label_silhouette" -> labelSilhouetteSql)
 }

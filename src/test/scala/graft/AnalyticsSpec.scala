@@ -676,6 +676,31 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("mahalanobisOutliers and joinKeySkew: structural invariants") {
+    val mo = ml.Reduce.mahalanobisOutliers(spark, sf).collect()
+    assert(mo.length == 500)
+    mo.foreach { r =>
+      val md2 = r.getAs[Double]("md2")
+      assert(md2 >= 0.0)
+      assert(r.getAs[Boolean]("outlier") == (md2 > 93.2168) ||
+        math.abs(md2 - 93.2168) < 1e-3, "flag inconsistent with cut")
+    }
+    // E[md²] = d for the label's own fit; the sample estimate must sit
+    // in the right decade
+    val mean = mo.map(_.getAs[Double]("md2")).sum / mo.length
+    assert(mean > 32 && mean < 128, s"mean md2 $mean far from dim count 64")
+
+    val ks = core.Relational.joinKeySkew(spark, sf).collect()
+    assert(ks.length == 4)
+    ks.foreach { r =>
+      val share = r.getAs[Double]("top10_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("max_over_avg") >= 1.0 - 1e-9)
+      assert(r.getAs[Double]("p99_cnt") >= r.getAs[Double]("p50_cnt"))
+      assert(r.getAs[Long]("max_cnt") >= r.getAs[Double]("p99_cnt").toLong)
+    }
+  }
+
   test("medianPolish: additive identity exact, residual medians centered after 2 sweeps") {
     val mp = sc.BulkQc.medianPolish(spark, sf)
     val rows = mp.collect()

@@ -201,6 +201,9 @@ class PlanSpec extends SparkSpecBase {
       // scorer (LSH/IVF candidates are the scale path)
       "local_lisi",
       "dedup_ngram_jaccard", "dedup_containment", "dup_pairs_by_source", "threshold_tally", "feature_filter", "enrichment_ora",
+      // join_key_skew attaches the 1-row totals agg to the 1-row
+      // top-10 agg per key column — scalar attaches
+      "join_key_skew",
       // median_polish crosses the |genes| rows with the broadcast
       // |samples| set to complete the bounded grid (the ma_stats
       // precedent) and attaches 1-row median scalars
