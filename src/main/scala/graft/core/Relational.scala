@@ -480,7 +480,52 @@ object Relational {
       .mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------
+  // 205. ABC / Pareto analysis: parts classed by cumulative revenue
+  // share (A ≤ 80%, B ≤ 95%, C tail) — the inventory-management
+  // classic. One fact-table aggregation to |parts| rows, then a global
+  // (rev desc, partkey) window over the DIMENSION-sized aggregate —
+  // the factor_by_size contract: the single-partition sort touches
+  // only the bounded part dimension, never the fact table. Cumulative
+  // shares ride the sequential running sum both engines replay.
+  def abcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("l_extendedprice * (1 - l_discount)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("rev_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_share", sum(col("rev")).over(wCum) / sum(col("rev")).over(wAll))
+      .select(col("l_partkey"), r(col("rev"), 4).as("revenue"), col("rev_rank"),
+        r(col("cum_share"), 6).as("cum_share"),
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  private val abcAnalysisSql =
+    """WITH rev AS (
+         SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+         FROM lineitem GROUP BY 1),
+       cs AS (
+         SELECT l_partkey, rev,
+                row_number() OVER w AS rev_rank,
+                sum(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  / sum(rev) OVER () AS cum_share
+         FROM rev
+         WINDOW w AS (ORDER BY rev DESC, l_partkey ASC))
+       SELECT l_partkey, round(rev, 4) AS revenue,
+              CAST(rev_rank AS BIGINT) AS rev_rank,
+              round(cum_share, 6) AS cum_share,
+              CASE WHEN cum_share <= 0.80 THEN 'A'
+                   WHEN cum_share <= 0.95 THEN 'B'
+                   ELSE 'C' END AS abc_class
+       FROM cs"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "abc_analysis"           -> (abcAnalysis _),
     "join_key_skew"          -> (joinKeySkew _),
     "profile_table"          -> (profileTable _),
     "pivot_wide"             -> (pivotWide _),
@@ -505,6 +550,7 @@ object Relational {
     "asof_purchase_click"    -> (asofPurchaseClick _))
 
   val oracles: Map[String, String] = Map(
+    "abc_analysis" -> abcAnalysisSql,
     "join_key_skew" -> joinKeySkewSql,
     "profile_table" -> profileTableSql,
     "pivot_wide" -> pivotWideSql,

@@ -614,7 +614,66 @@ object Sessions {
                 coalesce(pmax, -9223372036854775808)))) AS BIGINT) AS active_us
        FROM sw GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 204. CUSUM level-shift detection per event type (Page 1954): over
+  // the hourly count series, the running sum of deviations from the
+  // series mean; the max |CUSUM| (standardized by sd·√n, the
+  // KS-style 95% cut at 1.358) locates the change point. Counts are
+  // exact integers and the mean is ONE division, so every deviation
+  // term is bit-identical cross-engine and the sequential running sum
+  // replays exactly — argmax needs no fp tolerance. One bounded
+  // (type, hour) aggregation; the per-type series windows are
+  // dimension-sized.
+  def cusumShift(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("tot"), count(lit(1)).as("nb"),
+        var_pop(col("x")).as("s2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("x") - col("tot") / col("nb"))
+      .withColumn("cusum", sum(col("dev")).over(w))
+      .groupBy(col("event_type"))
+      .agg(first(col("nb")).as("n_buckets"),
+        first(col("s2")).as("s2"),
+        max(struct(abs(col("cusum")).as("a"), (-col("h")).as("nh"),
+          col("h").as("h"))).as("m"))
+      .select(col("event_type"), col("n_buckets"),
+        col("m.h").as("cp_hour"),
+        r(col("m.a") / (sqrt(col("s2")) * sqrt(col("n_buckets"))), 4).as("shift_stat"),
+        (col("m.a") / (sqrt(col("s2")) * sqrt(col("n_buckets"))) > 1.358).as("shifted"))
+  }
+
+  private val cusumShiftSql =
+    """WITH hourly AS (
+         SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+                count(*) AS x
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, sum(x) AS tot, count(*) AS nb,
+                var_pop(x) AS s2
+         FROM hourly GROUP BY 1),
+       cs AS (
+         SELECT h.event_type, h.h,
+                sum(h.x - st.tot / st.nb) OVER (PARTITION BY h.event_type
+                  ORDER BY h.h ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+         FROM hourly h JOIN st USING (event_type)),
+       mx AS (
+         SELECT event_type, h, abs(cusum) AS a,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY abs(cusum) DESC, h ASC) AS rk
+         FROM cs)
+       SELECT s.event_type, s.nb AS n_buckets, m.h AS cp_hour,
+              round(m.a / (sqrt(s.s2) * sqrt(s.nb)), 4) AS shift_stat,
+              m.a / (sqrt(s.s2) * sqrt(s.nb)) > 1.358 AS shifted
+       FROM mx m JOIN st s USING (event_type) WHERE m.rk = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cusum_shift"            -> (cusumShift _),
     "event_debounce"         -> (eventDebounce _),
     "active_time_union"      -> (activeTimeUnion _),
     "time_grid_fill"         -> (timeGridFill _),
@@ -640,6 +699,7 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "cusum_shift"            -> cusumShiftSql,
     "event_debounce"         -> eventDebounceSql,
     "active_time_union"      -> activeTimeUnionSql,
     "time_grid_fill"    -> timeGridFillSql,

@@ -701,6 +701,27 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("cusumShift and abcAnalysis: structural invariants") {
+    val cs = core.Sessions.cusumShift(spark, sf).collect()
+    assert(cs.nonEmpty)
+    cs.foreach { r =>
+      assert(r.getAs[Double]("shift_stat") >= 0.0)
+      assert(r.getAs[Long]("n_buckets") >= 1L)
+    }
+    val abc = core.Relational.abcAnalysis(spark, sf).collect()
+    assert(abc.nonEmpty)
+    // classes partition by cumulative share: every A share below every
+    // C share; ranks are a permutation of 1..n; shares end at 1
+    val shares = abc.map(r => (r.getAs[String]("abc_class"), r.getAs[Double]("cum_share")))
+    val aMax = shares.collect { case ("A", x) => x }.maxOption.getOrElse(0.0)
+    val cMin = shares.collect { case ("C", x) => x }.minOption.getOrElse(1.0)
+    assert(aMax <= 0.80 + 1e-9 && cMin > 0.95 - 1e-9)
+    assert(math.abs(shares.map(_._2).max - 1.0) < 1e-6, "cumulative share must end at 1")
+    val ranks = abc.map(_.getAs[Long]("rev_rank")).sorted
+    assert(ranks.head == 1L && ranks.last == abc.length &&
+      ranks.distinct.length == abc.length, "ranks not a permutation")
+  }
+
   test("medianPolish: additive identity exact, residual medians centered after 2 sweeps") {
     val mp = sc.BulkQc.medianPolish(spark, sf)
     val rows = mp.collect()
