@@ -22,18 +22,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) with genuine sub-microsecond
-    * precision, which Spark's TimestampType (micros) cannot hold. We read
-    * it via spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench/
-    * specs) and expose it as `ts_ns` (epoch nanos, BIGINT — exact, and
-    * matches DuckDB's epoch_ns(ts)) plus a micros-truncated `ts`
-    * timestamp for Structured Streaming event-time use.
+  /** The generator has shipped events.ts under two encodings, so this
+    * reader adapts to whatever the parquet file actually holds and always
+    * exposes the same two columns:
+    *   - `ts_ns`  epoch nanoseconds, BIGINT — exact, matches DuckDB's
+    *     `epoch_ns(ts)` under both encodings;
+    *   - `ts`     TimestampType (micros) for event-time / window /
+    *     Structured Streaming use.
+    * Encodings seen: TIMESTAMP(NANOS) (read as BIGINT via
+    * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench/specs) and
+    * plain timestamp[us] (read as TIMESTAMP_NTZ; cast to TimestampType is
+    * exact with the session timezone pinned to UTC).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        val tsMicros = col("ts").cast(TimestampType)
+        raw.select(raw.columns.map {
+          case "ts" => (unix_micros(tsMicros) * lit(1000L)).as("ts_ns")
+          case c    => col(c)
+        }.toIndexedSeq :+ tsMicros.as("ts"): _*)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
