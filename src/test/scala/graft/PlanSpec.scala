@@ -287,4 +287,26 @@ class PlanSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("every registry query analyzes against every testdata scale factor") {
+    // Schema-drift guard: the r4 gate silently dropped 32 queries when a
+    // regenerated events.parquet changed ts's encoding and analysis threw.
+    // Analysis (no execution) per query per SF dir keeps this fast while
+    // surfacing the real AnalysisException with the query's name attached.
+    // sf0.001 is exercised by every other suite (and the quadratic sweep
+    // above builds full physical plans there), so the correctness-gate SF
+    // is what adds coverage. A handful of builders do bounded eager work
+    // (quantile boundaries etc.) at construction, which is why this stays
+    // off the larger bench SF.
+    val sfDirs = Seq("/root/testdata/sf0.01")
+      .filter(d => new java.io.File(d).isDirectory)
+    assert(sfDirs.nonEmpty, "no testdata dirs found")
+    val failures = for {
+      dir <- sfDirs
+      (name, fn) <- SparkEntry.queries.toSeq
+      err <- (try { fn(spark, dir).queryExecution.analyzed; None }
+              catch { case e: Throwable => Some(s"$name @ $dir: ${e.toString.linesIterator.next()}") })
+    } yield err
+    assert(failures.isEmpty, s"${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
+  }
 }
