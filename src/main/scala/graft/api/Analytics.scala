@@ -339,14 +339,18 @@ object Analytics {
     * approximation (legitimate at any real group size; exact small-n
     * enumeration doesn't matter at scale).
     *
-    * Shape: one groupBy collapses the fact table to (feature, value)
-    * tie groups, a per-feature window accumulates rank sums over those
-    * DISTINCT values (partition size = per-feature value cardinality,
-    * not row count), one more groupBy closes the statistics. No
-    * giant-partition sort of raw rows. */
+    * Shape: ONE fact shuffle by feature (the kruskalWallis trick —
+    * feature-hash partitioning satisfies clustering for the
+    * (feature, value) rollup, the rank window, and the closing groupBy
+    * alike, so none of them re-exchanges), a groupBy collapses the fact
+    * table to (feature, value) tie groups, a per-feature window
+    * accumulates rank sums over those DISTINCT values (partition size =
+    * per-feature value cardinality, not row count), one more groupBy
+    * closes the statistics. No giant-partition sort of raw rows. */
   def wilcoxonMarkers(df: DataFrame, feature: Column, inGroupA: Column,
       x: Column): DataFrame = {
     val vals = df.select(feature.as("feature"), inGroupA.as("__a"), x.as("__x"))
+      .repartition(col("feature"))
       .groupBy(col("feature"), col("__x"))
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum(when(col("__a"), 1.0).otherwise(0.0)).as("cnt_a"))

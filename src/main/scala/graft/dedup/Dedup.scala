@@ -334,8 +334,18 @@ object Dedup {
   // gate (xxhash64 signatures have no DuckDB replay); the spec pins
   // the binomial error bound (est ~ Binomial(64, j)/64) and that
   // banding recalls every true pair ≥ 0.7. Plan: the same bounded
-  // band-bucket self-join as nearDupPairsLsh.
-  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+  // band-bucket self-join as nearDupPairsLsh, then a deterministic
+  // content-hash sample of the candidates (smallest-k xxhash64 of the
+  // pair key) before the expensive exact-Jaccard re-join — the full
+  // shingle arrays of BOTH docs ship per surviving pair, so the sample
+  // cap (not the banding) is what bounds the audit at corpus scale.
+  // 20k pairs pin the binomial error profile as tightly as any corpus-
+  // sized table would; sampleCap=None (specs) keeps the exhaustive form.
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame =
+    minhashCalibration(s, dir, sampleCap = Some(20000))
+
+  def minhashCalibration(s: SparkSession, dir: String,
+      sampleCap: Option[Int]): DataFrame = {
     import graft.functions.VectorFunctions.{minhashSigText, longMatchFrac, charShingles, jaccardSim}
     val d = docsNorm(s, dir)
     val sigs = d.withColumn("sig", minhashSigText(col("t"), 5, 64))
@@ -345,12 +355,14 @@ object Dedup {
       explode(expr("transform(sequence(0, 15), b -> " +
         "struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
-    val cand = bandsDf.as("a").hint("shuffle_hash")
+    val candAll = bandsDf.as("a").hint("shuffle_hash")
       .join(bandsDf.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
+    val cand = sampleCap.fold(candAll)(k =>
+      candAll.orderBy(xxhash64(col("d1"), col("d2")), col("d1"), col("d2")).limit(k))
     val sh = d.select(col("doc_id"), charShingles(col("t"), 5).as("sh"))
     cand
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")

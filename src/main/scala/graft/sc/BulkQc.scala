@@ -362,12 +362,20 @@ object BulkQc {
   def medianPolish(s: SparkSession, dir: String): DataFrame = {
     val med = (c: String) => expr(s"percentile($c, 0.5D)")
     val pb = pseudobulk(s, dir)
-    val genes = pb.select(col("gene")).distinct()
-    val samples = pb.select(col("sample")).distinct()
-    // complete grid: a gene never sold under a priority is count 0
-    val grid = genes.crossJoin(broadcast(samples))
+    // complete grid: a gene never sold under a priority is count 0.
+    // Materialize the bounded grid once: the fact shuffle behind it is
+    // the only data-sized work in the query, and every later checkpoint
+    // (and both sweeps) would otherwise recompute it.
+    val grid = pb.select(col("gene")).distinct()
+      .crossJoin(broadcast(pb.select(col("sample")).distinct()))
       .join(pb, Seq("sample", "gene"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0.0)))
+      .coalesce(8) // the grid is tiny — 32 near-empty partitions would pay ~14 ops × 32 task launches across the sweeps
+      .localCheckpoint()
+    // re-derive the axes from the checkpointed grid so the effect-vector
+    // chains never reach back to the fact table
+    val genes = grid.select(col("gene")).distinct()
+    val samples = grid.select(col("sample")).distinct()
 
     // one medpolish sweep: (residual grid, row effects, col effects,
     // 1-row overall) -> same shapes, following stats::medpolish order —
@@ -395,7 +403,15 @@ object BulkQc {
     val ce0 = samples.withColumn("ce", lit(0.0))
     val ov0 = s.range(1).select(lit(0.0).as("ov"))
     val (r1, re1, ce1, ov1) = sweep(r0, re0, ce0, ov0)
-    val (r2, re2, ce2, ov2) = sweep(r1, re1, ce1, ov1)
+    // truncate lineage between sweeps: the state is the bounded
+    // |genes|×|samples| grid + two effect vectors, but chaining sweep 2's
+    // ~7 joins/aggs onto sweep 1's doubles the plan depth and the local
+    // latency is pure scheduling overhead (values are unchanged —
+    // localCheckpoint only materializes the tiny intermediates)
+    // only the grid-shaped residual needs it — the effect vectors are
+    // |genes|- and |samples|-sized with shallow plans over the
+    // checkpointed grid, and each eager checkpoint costs a whole job
+    val (r2, re2, ce2, ov2) = sweep(r1.localCheckpoint(), re1, ce1, ov1)
     r2.join(re2, "gene").join(broadcast(ce2), "sample").crossJoin(broadcast(ov2))
       .select(col("gene"), col("sample"), col("cnt"),
         col("re").as("row_eff"), col("ce").as("col_eff"),

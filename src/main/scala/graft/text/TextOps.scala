@@ -1003,7 +1003,15 @@ object TextOps {
 
   def topicAssign(s: SparkSession, dir: String): DataFrame = {
     val (words, kept) = topicWords(s, dir)
-    val cnt = words.join(kept.hint("shuffle_hash"), "w0")
+    topicAssignFrom(s, dir, words.join(kept.hint("shuffle_hash"), "w0"))
+  }
+
+  /** #176's assignment over a precomputed (doc_id, w0) kept-word stream —
+    * lets siblings that also need the stream (topicTopTerms) share ONE
+    * explode/stopword pass instead of re-running it inside the call. */
+  private def topicAssignFrom(s: SparkSession, dir: String,
+      keptWords: DataFrame): DataFrame = {
+    val cnt = keptWords
       .withColumn("wb", wordBucket)
       .groupBy(col("doc_id"), col("wb")).agg(count(lit(1)).as("n"))
     val sig = cnt.join(broadcast(topicPlaneTable(s)), "wb")
@@ -1024,9 +1032,13 @@ object TextOps {
   def topicTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (words, kept) = topicWords(s, dir)
-    val docw = words.join(kept.hint("shuffle_hash"), "w0")
-      .select(col("doc_id"), col("w0")).distinct()
-    val assigned = topicAssign(s, dir).select(col("doc_id"), col("topic"))
+    // both the df ranking and the topic assignment consume the kept-word
+    // stream — persist it so the explode + stopword screen runs once
+    // (released by the caller's clearCache, same contract as LSH sigs)
+    val kw = words.join(kept.hint("shuffle_hash"), "w0")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docw = kw.select(col("doc_id"), col("w0")).distinct()
+    val assigned = topicAssignFrom(s, dir, kw).select(col("doc_id"), col("topic"))
     val tw = docw.join(assigned, "doc_id")
       .groupBy(col("topic"), col("w0")).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("topic"))
