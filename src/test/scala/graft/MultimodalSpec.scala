@@ -1,8 +1,82 @@
 package graft
 
 /** Typed multimodal decode plumbing: the mapPartitions pipeline runs
-  * end-to-end with a deterministic stubbed decoder. */
+  * end-to-end — REAL javax.imageio pixel decode for image formats,
+  * deterministic byte-statistics fallback elsewhere. */
 class MultimodalSpec extends SparkSpecBase {
+
+  /** Render a deterministic w×h RGB gradient and encode it with the JDK
+    * writer for `fmt` ("png"/"bmp"/"gif"). Pixel (x,y) = exact known
+    * channels, so expected luma is computable in the test. */
+  private def renderImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) % 256 << 16) | ((y * 30) % 256 << 8) | ((x + y) * 20) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  private def expectedLuma(w: Int, h: Int): Double = {
+    val sums = for (y <- 0 until h; x <- 0 until w) yield
+      0.299 * ((x * 40) % 256) + 0.587 * ((y * 30) % 256) + 0.114 * (((x + y) * 20) % 256)
+    sums.sum / (w * h)
+  }
+
+  test("image payloads take the REAL javax.imageio decode path, pixel-exact") {
+    import spark.implicits._
+    val recs = spark.createDataset(Seq(
+      multimodal.Multimodal.MediaRecord(1L, renderImage(8, 6, "png"), "png", 1),
+      multimodal.Multimodal.MediaRecord(2L, renderImage(5, 9, "bmp"), "bmp", 1),
+      multimodal.Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3), "png", 1), // corrupt
+      multimodal.Multimodal.MediaRecord(4L, renderImage(4, 4, "png"), "audio", 1))) // not an image fmt
+    val feats = multimodal.Multimodal.decodeImages(recs).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).decoded && feats(1L).width == 8 && feats(1L).height == 6
+      && feats(1L).n_px == 48)
+    assert(math.abs(feats(1L).mean_luma - expectedLuma(8, 6)) < 1e-5,
+      s"png luma ${feats(1L).mean_luma} vs ${expectedLuma(8, 6)}")
+    assert(feats(2L).decoded && feats(2L).width == 5 && feats(2L).height == 9)
+    assert(math.abs(feats(2L).mean_luma - expectedLuma(5, 9)) < 1e-5,
+      s"bmp luma ${feats(2L).mean_luma} vs ${expectedLuma(5, 9)}")
+    assert(!feats(3L).decoded && feats(3L).n_px == 0,
+      "corrupt bytes must degrade, not throw")
+    // decodeImages probes bytes regardless of declared fmt — a real PNG
+    // under a wrong label still decodes (content wins over metadata)
+    assert(feats(4L).decoded && feats(4L).width == 4)
+  }
+
+  test("decodeAll dispatches by format: luma for images, byte stats for the rest") {
+    import spark.implicits._
+    val png = renderImage(8, 6, "png")
+    val recs = spark.createDataset(Seq(
+      multimodal.Multimodal.MediaRecord(1L, png, "png", 1),
+      multimodal.Multimodal.MediaRecord(2L, png, "audio", 1)))
+    val feats = multimodal.Multimodal.decodeAll(recs).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(math.abs(feats(1L).mean_level - expectedLuma(8, 6)) < 1e-5,
+      "png fmt must surface decoded luma")
+    val byteMean = png.map(b => (b & 0xff).toDouble).sum / png.length
+    assert(math.abs(feats(2L).mean_level - byteMean) < 1e-5,
+      "non-image fmt must fall back to byte statistics")
+    assert(feats(1L).byte_len == png.length && feats(2L).byte_len == png.length)
+  }
+
+  test("scanline features sample every stride-th row of the decoded image") {
+    import spark.implicits._
+    val recs = spark.createDataset(Seq(
+      multimodal.Multimodal.MediaRecord(1L, renderImage(6, 10, "png"), "png", 1),
+      multimodal.Multimodal.MediaRecord(2L, Array[Byte](9, 9), "audio", 1)))
+    val lines = multimodal.Multimodal.scanlineFeatures(recs, stride = 4).collect()
+    assert(lines.forall(_.doc_id == 1L), "non-images emit no scanlines")
+    assert(lines.map(_.y).sorted.toSeq == Seq(0, 4, 8))
+    lines.foreach { l =>
+      val exp = (0 until 6).map { x =>
+        0.299 * ((x * 40) % 256) + 0.587 * ((l.y * 30) % 256) + 0.114 * (((x + l.y) * 20) % 256)
+      }.sum / 6
+      assert(math.abs(l.mean_luma - exp) < 1e-5, s"scanline y=${l.y}")
+    }
+  }
 
   test("decode pipeline produces one feature row per record, deterministically") {
     val recs = multimodal.Multimodal.mediaRecords(spark, sf)
