@@ -16,6 +16,7 @@ object SparkEntry {
       (sc.BulkQc.queries, sc.BulkQc.oracles),
       (sc.Annotate.queries, sc.Annotate.oracles),
       (sc.Trajectory.queries, sc.Trajectory.oracles),
+      (sc.Integrate.queries, sc.Integrate.oracles),
       (text.TextOps.queries, text.TextOps.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),

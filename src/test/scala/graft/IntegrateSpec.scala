@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** MNN batch integration (#206-208): anchor-pair semantics, the
+  * composition-resistance property that justifies MNN over plain
+  * centering, and the LSH twin's recall against the exact pairs. */
+class IntegrateSpec extends SparkSpecBase {
+
+  test("mnn pairs are mutual: each side ranks the other within its top-5") {
+    val pairs = sc.Integrate.mnnPairs(spark, sf).collect()
+    assert(pairs.nonEmpty, "the corpus must yield at least one anchor pair")
+    // mutuality + k-bound per side
+    val perRef = pairs.groupBy(_.getLong(0)).view.mapValues(_.length)
+    val perTgt = pairs.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perRef.values.forall(_ <= 5), "a ref cell can anchor at most k=5 pairs")
+    assert(perTgt.values.forall(_ <= 5), "a tgt cell can anchor at most k=5 pairs")
+    // batch sides are disjoint by construction
+    pairs.foreach { p =>
+      assert(p.getLong(0) % 2 == 0 && p.getLong(1) % 2 == 1,
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) must go batch0 -> batch1")
+    }
+  }
+
+  test("the shift moves the target batch toward the reference along anchored dims") {
+    // per-dim batch means; applying delta must shrink |mean0 - mean1|
+    // in aggregate (the anchors estimate exactly that displacement)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .withColumn("batch", pmod(col("vec_id"), lit(2)))
+    val means = emb.groupBy(col("dim"), col("batch")).agg(avg(col("x")).as("m"))
+      .groupBy(col("dim"))
+      .agg(max(when(col("batch") === 0, col("m"))).as("m0"),
+        max(when(col("batch") === 1, col("m"))).as("m1"))
+    val delta = sc.Integrate.mnnShift(spark, sf)
+      .select(col("dim").cast("int").as("dim"), col("delta"))
+    val joined = means.join(delta, "dim")
+      .select(abs(col("m0") - col("m1")).as("gap_before"),
+        abs(col("m0") - (col("m1") + col("delta"))).as("gap_after"))
+      .agg(sum(col("gap_before")).as("b"), sum(col("gap_after")).as("a"))
+      .head()
+    assert(joined.getDouble(1) <= joined.getDouble(0) * 1.05,
+      s"total per-dim batch gap must not grow: before=${joined.getDouble(0)} after=${joined.getDouble(1)}")
+  }
+
+  test("mnn_correct applies exactly the shift to every target cell") {
+    val shift = sc.Integrate.mnnShift(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = sc.Integrate.mnnCorrect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTgt = rows.map(_.getLong(0)).distinct.length
+    assert(rows.length == nTgt * shift.size, "one row per (target cell, dim)")
+    rows.foreach { r =>
+      val d = shift(r.getLong(1))
+      // x and x_corrected are independently rounded, so allow 1e-6 slack
+      assert(math.abs(r.getDouble(3) - (r.getDouble(2) + d)) < 2e-6,
+        s"corrected must equal x + delta at dim ${r.getLong(1)}")
+    }
+  }
+
+  test("the LSH twin recovers a usable fraction of the exact anchor pairs") {
+    val exact = sc.Integrate.mnnPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = sc.Integrate.mnnPairsLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 5-plane buckets + hamming-1 probes on this corpus: same bar as
+    // the kNN-feed recall spec (well above the random-pair baseline)
+    assert(recall >= 0.2, s"LSH anchor recall $recall below floor")
+  }
+}

@@ -276,7 +276,11 @@ class PlanSpec extends SparkSpecBase {
       "word_lang_mi", "proportional_allocation",
       // source_overlap probes the tiny distinct-mask histogram against
       // the |sources|²-row pair table — both bounded by source count
-      "source_overlap")
+      "source_overlap",
+      // MNN exact scorer is the documented brute-force oracle path
+      // (dedup_embedding precedent); mnn_pairs_lsh is the scale feed
+      // and stays BNL-free
+      "mnn_pairs", "mnn_shift", "mnn_correct")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
