@@ -144,6 +144,119 @@ object Integrate {
   }
 
   // ---------------------------------------------------------------
+  // 209-210. Harmony-style iterative cluster-conditional correction —
+  // the OTHER half of integrate.R's integration surface (RunHarmony,
+  // integrate.R:103-120): alternate (cluster on the corrected space,
+  // subtract each cluster's per-batch centroid displacement) for 2
+  // unrolled iterations. Initial clustering = the 5-plane hyperplane
+  // sign buckets (the shared lsig table, so the oracle reuses
+  // Ann.lshSigPrefixSql verbatim).
+  //
+  // Determinism is engineered, not hoped for:
+  //  - centroids accumulate integer-quantized values (round(x·1e6) as
+  //    BIGINT) — order-independent sums, exact on any partitioning;
+  //  - ASSIGNMENT distances are computed on a 1e-3 integer grid
+  //    (round(x·1e3), the SQ8/ADC precedent) — argmin over integer
+  //    d² with cluster-id tiebreak has NO fp ambiguity at all;
+  //  - corrections apply identical IEEE ops (x − (cb − c)) to
+  //    identical doubles in both engines.
+  // Scale: centroid tables are ≤32 rows of d-arrays (broadcast); the
+  // fact side streams through one posexplode per aggregation and one
+  // zip_with fold per assignment/correction; localCheckpoint truncates
+  // the plan between iterations (the medianPolish contract).
+
+  private def quant1e6(v: String) =
+    expr(s"transform($v, x -> CAST(round(x * 1e6, 0) AS BIGINT))")
+  private def gridded(v: String) =
+    expr(s"transform($v, x -> CAST(round(x * 1000, 0) AS BIGINT))")
+
+  /** Per-cluster centroids of `cur` under assignment `g`: exact-rational
+    * array `c` + assignment-grid array `cq`. */
+  private def centroidsOf(cur: DataFrame, g: DataFrame): DataFrame =
+    cur.join(g, "vec_id")
+      .select(col("k"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
+      .groupBy(col("k"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", col("sq") / (lit(1e6) * col("n")))
+      .groupBy(col("k"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("c"))
+      .withColumn("cq", gridded("c"))
+
+  /** Nearest-centroid assignment on the integer grid (d² BIGINT,
+    * tie → smallest cluster id). Centroid table broadcasts. */
+  private def assignTo(cur: DataFrame, cents: DataFrame): DataFrame =
+    cur.select(col("vec_id"), gridded("v").as("xq"))
+      .crossJoin(broadcast(cents.select(col("k"), col("cq"))))
+      .select(col("vec_id"), col("k"),
+        expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
+          .as("d2"))
+      .groupBy(col("vec_id")).agg(min(struct(col("d2"), col("k"))).as("m"))
+      .select(col("vec_id"), col("m.k").as("k"))
+
+  /** One correction pass: v := v − (centroid(k, batch) − centroid(k)),
+    * centroids from the integer-quantized sums of `cur` under `g`. */
+  private def correctBy(cur: DataFrame, g: DataFrame): DataFrame = {
+    val sums = cur.join(g, "vec_id")
+      .select(col("k"), col("batch"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
+      .groupBy(col("k"), col("batch"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    val cb = sums
+      .withColumn("cbv", col("sq") / (lit(1e6) * col("n")))
+      .groupBy(col("k"), col("batch"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, cbv))), s -> s.cbv)").as("cb"))
+    val cAll = sums
+      .groupBy(col("k"), col("dim"))
+      .agg(sum(col("sq")).as("s2"), sum(col("n")).as("n2"))
+      .withColumn("cv", col("s2") / (lit(1e6) * col("n2")))
+      .groupBy(col("k"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, cv))), s -> s.cv)").as("call"))
+    cur.join(g, "vec_id")
+      .join(broadcast(cb), Seq("k", "batch"))
+      .join(broadcast(cAll), Seq("k"))
+      .select(col("vec_id"), col("batch"),
+        expr("zip_with(v, zip_with(cb, call, (p, q) -> p - q), (x, d) -> x - d)").as("v"))
+  }
+
+  /** The 2-iteration state: (corrected vectors, final assignment). */
+  private def harmonyState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cur0 = batched(s, dir).select(col("vec_id"), col("batch"), col("v"))
+    val g0 = cur0.select(col("vec_id"),
+      hyperplaneBucket(col("v"), LshPlanes).as("k"))
+    val g1 = assignTo(cur0, centroidsOf(cur0, g0)).localCheckpoint()
+    val cur1 = correctBy(cur0, g1).localCheckpoint()
+    val g2 = assignTo(cur1, centroidsOf(cur1, g1)).localCheckpoint()
+    val cur2 = correctBy(cur1, g2)
+    (cur2, g2)
+  }
+
+  def harmonyCorrect(s: SparkSession, dir: String): DataFrame = {
+    val (cur2, g2) = harmonyState(s, dir)
+    cur2.join(g2, "vec_id")
+      .select(col("vec_id"), col("batch").cast("long").as("batch"),
+        col("k").cast("long").as("cluster"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("batch"), col("cluster"),
+        col("dim").cast("long").as("dim"), r(col("x"), 6).as("x_corrected"))
+  }
+
+  /** Integration-quality audit over the final clustering: batch counts
+    * + inverse-Simpson batch diversity per cluster (the LISI-style
+    * "did the batches actually mix" table the reference assesses
+    * integrations with). */
+  def harmonyMixing(s: SparkSession, dir: String): DataFrame = {
+    val (_, g2) = harmonyState(s, dir)
+    g2.withColumn("batch", pmod(col("vec_id"), lit(2)))
+      .groupBy(col("k").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("batch") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("batch") === 1, 1L).otherwise(0L)).as("n_tgt"))
+      .select(col("cluster"), col("n_cells"), col("n_ref"), col("n_tgt"),
+        r(lit(1.0) / ((col("n_ref") / col("n_cells")) * (col("n_ref") / col("n_cells"))
+          + (col("n_tgt") / col("n_cells")) * (col("n_tgt") / col("n_cells"))), 6)
+          .as("batch_inv_simpson"))
+  }
+
+  // ---------------------------------------------------------------
   // oracles
 
   private val pairsPrefixSql =
@@ -224,15 +337,84 @@ object Integrate {
               round(tx.x, 6) AS x, round(tx.x + sh.delta, 6) AS x_corrected
        FROM tx JOIN shift sh ON tx.dim = sh.dim"""
 
+  /** One Harmony iteration as CTEs: given state rows `$v` (vec_id,
+    * batch, dim, x) and grouping `$g` (vec_id, k), emit `g$o` (the new
+    * assignment) and `v$o` (the corrected state). Mirrors centroidsOf/
+    * assignTo/correctBy op-for-op: integer-quantized centroid sums,
+    * 1e-3-grid integer assignment distances, x − (cb − c) correction. */
+  private def harmonyIterSql(v: String, g: String, o: String): String =
+    s"""cent$o AS (
+         SELECT g.k, v.dim,
+                sum(CAST(round(v.x * 1e6, 0) AS BIGINT)) AS sq, count(*) AS n
+         FROM $v v JOIN $g g USING (vec_id) GROUP BY 1, 2),
+       centq$o AS (
+         SELECT k, dim, CAST(round((sq / (1e6 * n)) * 1000, 0) AS BIGINT) AS cq
+         FROM cent$o),
+       xq$o AS (
+         SELECT vec_id, dim, CAST(round(x * 1000, 0) AS BIGINT) AS xq FROM $v),
+       a$o AS (
+         SELECT q.vec_id, c.k, sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+         FROM xq$o q JOIN centq$o c USING (dim) GROUP BY 1, 2),
+       g$o AS MATERIALIZED (
+         SELECT vec_id, k FROM (
+           SELECT vec_id, k,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, k ASC) AS rk
+           FROM a$o) WHERE rk = 1),
+       s$o AS (
+         SELECT g.k, v.batch, v.dim,
+                sum(CAST(round(v.x * 1e6, 0) AS BIGINT)) AS sq, count(*) AS n
+         FROM $v v JOIN g$o g USING (vec_id) GROUP BY 1, 2, 3),
+       cb$o AS (SELECT k, batch, dim, sq / (1e6 * n) AS cb FROM s$o),
+       call$o AS (SELECT k, dim, sum(sq) / (1e6 * sum(n)) AS c FROM s$o GROUP BY 1, 2),
+       v$o AS MATERIALIZED (
+         SELECT v.vec_id, v.batch, v.dim, v.x - (cb.cb - c.c) AS x
+         FROM $v v JOIN g$o g USING (vec_id)
+         JOIN cb$o cb ON g.k = cb.k AND v.batch = cb.batch AND v.dim = cb.dim
+         JOIN call$o c ON g.k = c.k AND v.dim = c.dim)"""
+
+  private def harmonyPrefixSql: String = {
+    val sigPrefix = graft.sim.Ann.lshSigPrefixSql
+    s"""$sigPrefix,
+       v0 AS MATERIALIZED (
+         SELECT vec_id, vec_id % 2 AS batch, i AS dim, x FROM vx),
+       g0 AS (SELECT vec_id, bucket AS k FROM lsig),
+       ${harmonyIterSql("v0", "g0", "1")},
+       ${harmonyIterSql("v1", "g1", "2")}"""
+  }
+
+  private val harmonyCorrectSql =
+    s"""WITH $harmonyPrefixSql
+       SELECT v.vec_id, CAST(v.batch AS BIGINT) AS batch,
+              CAST(g.k AS BIGINT) AS cluster,
+              CAST(v.dim AS BIGINT) AS dim, round(v.x, 6) AS x_corrected
+       FROM v2 v JOIN g2 g USING (vec_id)"""
+
+  private val harmonyMixingOuterSql =
+    s"""WITH $harmonyPrefixSql,
+       mixc AS (
+         SELECT CAST(k AS BIGINT) AS cluster, count(*) AS n_cells,
+                sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+                sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tgt
+         FROM g2 GROUP BY 1)
+       SELECT cluster, n_cells, n_ref, n_tgt,
+              round(1.0 / ((n_ref / n_cells) * (n_ref / n_cells)
+                           + (n_tgt / n_cells) * (n_tgt / n_cells)), 6)
+                AS batch_inv_simpson
+       FROM mixc"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mnn_pairs"     -> (mnnPairs _),
-    "mnn_pairs_lsh" -> (mnnPairsLsh _),
-    "mnn_shift"     -> (mnnShift _),
-    "mnn_correct"   -> (mnnCorrect _))
+    "mnn_pairs"       -> (mnnPairs _),
+    "mnn_pairs_lsh"   -> (mnnPairsLsh _),
+    "mnn_shift"       -> (mnnShift _),
+    "mnn_correct"     -> (mnnCorrect _),
+    "harmony_correct" -> (harmonyCorrect _),
+    "harmony_mixing"  -> (harmonyMixing _))
 
   val oracles: Map[String, String] = Map(
-    "mnn_pairs"     -> mnnPairsSql,
-    "mnn_pairs_lsh" -> mnnPairsLshSql,
-    "mnn_shift"     -> mnnShiftSql,
-    "mnn_correct"   -> mnnCorrectSql)
+    "mnn_pairs"       -> mnnPairsSql,
+    "mnn_pairs_lsh"   -> mnnPairsLshSql,
+    "mnn_shift"       -> mnnShiftSql,
+    "mnn_correct"     -> mnnCorrectSql,
+    "harmony_correct" -> harmonyCorrectSql,
+    "harmony_mixing"  -> harmonyMixingOuterSql)
 }

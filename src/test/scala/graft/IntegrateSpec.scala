@@ -59,6 +59,38 @@ class IntegrateSpec extends SparkSpecBase {
     }
   }
 
+  test("harmony correction equalizes per-cluster batch centroids exactly") {
+    // algebra of the last pass: within each final cluster, the corrected
+    // per-batch mean collapses onto the cluster mean — so the two
+    // batches' means agree to fp noise on every dim. This is the
+    // "cluster-conditional batch effect removed" postcondition.
+    val rows = sc.Integrate.harmonyCorrect(spark, sf)
+    val gaps = rows.groupBy(col("cluster"), col("dim"), col("batch"))
+      .agg(avg(col("x_corrected")).as("m"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(max(col("m")).as("hi"), min(col("m")).as("lo"), count(lit(1)).as("nb"))
+      .filter(col("nb") === 2) // clusters holding both batches
+      .select(max(abs(col("hi") - col("lo"))).as("worst"))
+      .head().getDouble(0)
+    // x_corrected is 6dp-rounded, so per-cell rounding error (≤5e-7)
+    // averages down but does not vanish
+    assert(gaps < 2e-6, s"worst per-(cluster,dim) batch-mean gap $gaps")
+  }
+
+  test("harmony mixing table is consistent and bounded by the bucket space") {
+    val mix = sc.Integrate.harmonyMixing(spark, sf).collect()
+    assert(mix.nonEmpty && mix.length <= 32, "5 planes bound the cluster space at 32")
+    mix.foreach { m =>
+      assert(m.getLong(1) == m.getLong(2) + m.getLong(3), "n_cells = n_ref + n_tgt")
+      val inv = m.getDouble(4)
+      assert(inv >= 1.0 - 1e-9 && inv <= 2.0 + 1e-9,
+        s"2-batch inverse Simpson must sit in [1, 2], got $inv")
+    }
+    // total cells across clusters = corpus size
+    val total = mix.map(_.getLong(1)).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+
   test("the LSH twin recovers a usable fraction of the exact anchor pairs") {
     val exact = sc.Integrate.mnnPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

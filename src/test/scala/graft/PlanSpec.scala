@@ -280,7 +280,11 @@ class PlanSpec extends SparkSpecBase {
       // MNN exact scorer is the documented brute-force oracle path
       // (dedup_embedding precedent); mnn_pairs_lsh is the scale feed
       // and stays BNL-free
-      "mnn_pairs", "mnn_shift", "mnn_correct")
+      "mnn_pairs", "mnn_shift", "mnn_correct",
+      // harmony assignment crosses each cell with the ≤32-row broadcast
+      // centroid table — the label_silhouette "every point must see
+      // every centroid" shape, bounded by cluster count
+      "harmony_correct", "harmony_mixing")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
