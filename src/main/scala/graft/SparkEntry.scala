@@ -18,6 +18,7 @@ object SparkEntry {
       (sc.Trajectory.queries, sc.Trajectory.oracles),
       (sc.Integrate.queries, sc.Integrate.oracles),
       (text.TextOps.queries, text.TextOps.oracles),
+      (text.Batching.queries, text.Batching.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),
       (sim.Quantize.queries, sim.Quantize.oracles),

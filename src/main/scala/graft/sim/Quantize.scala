@@ -198,6 +198,64 @@ object Quantize {
         round(col("rrf"), 6).as("rrf_score"), col("rk"))
   }
 
+  // ---------------------------------------------------------------
+  // 213. matryoshka truncation eval (Kusupati et al. 2022 MRL): per
+  // query, recall@10 of exact cosine search over the FIRST 16 dims
+  // against the full-dim exact top-10 — the go/no-go table for
+  // MRL-style tiered serving (16/64 dims = another 4× memory tier,
+  // orthogonal to SQ8/binary: truncate-then-quantize compounds).
+  // Compares ID SETS only (both rank cuts are pinned by their own
+  // hash-checked shapes), the annRecallEval convention. Brute-force
+  // scorer on both sides = documented oracle path.
+  def annMatryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val emb16 = emb.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("e16"))
+    val truth = Ann.annBruteforceTopk(s, dir).select(col("qid"), col("neighbor_id"))
+    val approx = graft.api.Similarity.bruteForceTopK(
+        emb16, col("vec_id"), col("e16"),
+        emb16.filter(pmod(col("vec_id"), lit(50)) === 0), col("vec_id"), col("e16"),
+        k = 10)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_true"), 6).as("recall"))
+  }
+
+  private val annMatryoshkaEvalSql =
+    """WITH full10 AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |                      c.vec_id ASC) AS rk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id % 50 = 0)
+      |  WHERE rk <= 10),
+      |t16 AS MATERIALIZED (
+      |  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+      |trunc10 AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+      |                      c.vec_id ASC) AS rk
+      |    FROM t16 q JOIN t16 c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id % 50 = 0)
+      |  WHERE rk <= 10),
+      |hits AS (
+      |  SELECT f.qid, count(*) AS n_hit
+      |  FROM full10 f JOIN trunc10 t ON f.qid = t.qid AND f.nid = t.nid
+      |  GROUP BY 1)
+      |SELECT f.qid, count(*) AS n_true,
+      |       coalesce(any_value(h.n_hit), 0)::BIGINT AS n_hit,
+      |       round(coalesce(any_value(h.n_hit), 0) / count(*), 6) AS recall
+      |FROM full10 f LEFT JOIN hits h ON f.qid = h.qid
+      |GROUP BY 1""".stripMargin
+
   /** Sign-bit signature + all-pairs hamming CTE prefix (1-based list
     * indexing; same disjoint-power sums as the Spark side). */
   private val binaryScoredSql =
@@ -248,7 +306,8 @@ object Quantize {
     "ann_ivf_sq_topk"          -> (annIvfSqTopk _),
     "ann_binary_topk"          -> (annBinaryTopk _),
     "ann_binary_rerank_topk"   -> (annBinaryRerankTopk _),
-    "ann_rrf_fusion_topk"      -> (annRrfFusionTopk _))
+    "ann_rrf_fusion_topk"      -> (annRrfFusionTopk _),
+    "ann_matryoshka_eval"      -> (annMatryoshkaEval _))
 
   val oracles: Map[String, String] = Map(
     "embedding_quantize_audit" ->
@@ -314,5 +373,6 @@ object Quantize {
          |    ORDER BY rrf DESC, nid ASC) AS rk FROM fused)
          |SELECT qid, nid AS neighbor_id, round(rrf, 6) AS rrf_score,
          |       CAST(rk AS BIGINT) AS rk
-         |FROM rnk WHERE rk <= 10""".stripMargin)
+         |FROM rnk WHERE rk <= 10""".stripMargin,
+    "ann_matryoshka_eval" -> annMatryoshkaEvalSql)
 }

@@ -284,7 +284,10 @@ class PlanSpec extends SparkSpecBase {
       // harmony assignment crosses each cell with the ≤32-row broadcast
       // centroid table — the label_silhouette "every point must see
       // every centroid" shape, bounded by cluster count
-      "harmony_correct", "harmony_mixing")
+      "harmony_correct", "harmony_mixing",
+      // matryoshka eval rides the documented brute-force scorer on both
+      // rank cuts (the ann_recall_eval precedent)
+      "ann_matryoshka_eval")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString

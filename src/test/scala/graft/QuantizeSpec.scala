@@ -12,6 +12,23 @@ class QuantizeSpec extends SparkSpecBase {
       .map { case Row(q: Long, n: Long) => (q, n) }
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
 
+  test("matryoshka eval reports per-query truncation recall faithfully") {
+    val rows = sim.Quantize.annMatryoshkaEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") == 10L, "full-dim truth is a rank-10 cut")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - r.getAs[Long]("n_hit").toDouble / 10.0) < 1e-9)
+    }
+    // this synthetic corpus spreads signal uniformly across dims, so a
+    // 16/64 prefix retrieves near chance — which is precisely the
+    // deployment-gating fact the eval exists to surface. Sanity-pin the
+    // two sides agree at least once rather than asserting MRL structure
+    // the generator never put in.
+    assert(rows.map(_.getAs[Long]("n_hit")).sum >= 1, "n_hit must not be uniformly zero")
+  }
+
   test("quantize audit: error bounded by half a code step, cosine near 1") {
     val audit = sim.Quantize.embeddingQuantizeAudit(spark, sf).collect()
     assert(audit.nonEmpty)
