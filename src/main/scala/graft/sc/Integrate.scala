@@ -337,6 +337,83 @@ object Integrate {
               round(tx.x, 6) AS x, round(tx.x + sh.delta, 6) AS x_corrected
        FROM tx JOIN shift sh ON tx.dim = sh.dim"""
 
+  // ---------------------------------------------------------------
+  // 214. CCA cell projections — the spectral half of Seurat's
+  // IntegrateLayers(method = CCAIntegration) (integrate.R:126-152):
+  // the SVD of the standardized cross-batch product X₀X₁ᵀ, whose left/
+  // right singular vectors are the per-cell canonical embeddings.
+  // Distributed via the textbook tall-skinny factorization — X₀X₁ᵀ is
+  // n₀×n₁ and NEVER materialized:
+  //   X₀ = Q₀R₀, X₁ = Q₁R₁ (R from the d×d Grams, distributed one-pass
+  //   outer-product aggregation, 4096 keys with map-side combine);
+  //   X₀X₁ᵀ = Q₀ (R₀R₁ᵀ) Q₁ᵀ — SVD of the 64×64 core on the driver
+  //   (the |clusters|²-bounded driver-geometry precedent), then each
+  //   cell projects through a broadcast d×5 matrix: U = X₀·W₀.
+  // Driver-side SVD/Cholesky (breeze/LAPACK) has no DuckDB replay →
+  // rows-only at the gate; IntegrateSpec pins the algebra instead:
+  // orthonormal per-batch loadings, decreasing singular values, and
+  // U_kᵀ(X₀X₁ᵀ)V_k = s_k recomputed distributively.
+  private val CcaK = 5
+
+  def ccaProject(s: SparkSession, dir: String): DataFrame = {
+    import breeze.linalg.{cholesky, inv, svd, DenseMatrix => BDM}
+    val vecs = batched(s, dir)
+    // standardize per (batch, dim) — Seurat's Std.Dev-scaled input
+    val stats = vecs
+      .select(col("batch"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("batch"), col("dim"))
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
+      .groupBy(col("batch"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mu))), s -> s.mu)").as("mus"),
+        expr("transform(sort_array(collect_list(struct(dim, sd))), s -> s.sd)").as("sds"))
+    val std = vecs.join(broadcast(stats), "batch")
+      .withColumn("z", expr(
+        "zip_with(v, zip_with(mus, sds, (m, s) -> named_struct('m', m, 's', s)), " +
+          "(x, p) -> IF(p.s = 0D, 0D, (x - p.m) / p.s))"))
+      .select(col("vec_id"), col("batch"), col("z"))
+      .localCheckpoint() // grams + projection both scan it; bounded by the corpus itself
+    // d×d Gram per batch: one exploded outer-product aggregation
+    def gram(b: Int): BDM[Double] = {
+      val rows = std.filter(col("batch") === b)
+        .select(posexplode(expr(
+          """flatten(transform(sequence(0, size(z) - 1), i ->
+            |  transform(sequence(0, size(z) - 1), j ->
+            |    named_struct('k', i * size(z) + j, 'p', z[i] * z[j]))))""".stripMargin))
+          .as(Seq("ord", "e")))
+        .groupBy(col("e.k").cast("long").as("k")).agg(sum(col("e.p")).as("g"))
+        .collect()
+      val d = math.sqrt(rows.length).round.toInt
+      val m = BDM.zeros[Double](d, d)
+      rows.foreach(r => m(r.getLong(0).toInt / d, r.getLong(0).toInt % d) = r.getDouble(1))
+      m
+    }
+    val (g0, g1) = (gram(0), gram(1))
+    val d = g0.rows
+    val eye = BDM.eye[Double](d) * 1e-9
+    val l0 = cholesky(g0 + eye) // G = L Lᵀ, so R = Lᵀ and Q = X R⁻¹
+    val l1 = cholesky(g1 + eye)
+    val svd.SVD(u, _, vt) = svd(l0.t * l1) // R₀R₁ᵀ = L₀ᵀ (L₁ᵀ)ᵀ = L₀ᵀL₁
+    // sign convention: flip each component so its largest-|.| loading
+    // (lowest index on ties) is positive — LAPACK's sign is arbitrary
+    val w0 = inv(l0.t) * u
+    val w1 = inv(l1.t) * vt.t
+    (0 until CcaK).foreach { k =>
+      val c = w0(::, k)
+      val iMax = (0 until d).maxBy(i => (math.abs(c(i)), -i))
+      if (c(iMax) < 0) { w0(::, k) :*= -1.0; w1(::, k) :*= -1.0 }
+    }
+    def lits(m: BDM[Double]): Column = array((0 until CcaK).map(k =>
+      array((0 until d).map(i => lit(m(i, k))): _*)): _*)
+    val wCol = when(col("batch") === 0, lits(w0)).otherwise(lits(w1))
+    std.withColumn("w", wCol)
+      .select(col("vec_id"), col("batch").cast("long").as("batch"),
+        posexplode(expr(
+          "transform(w, wk -> aggregate(zip_with(z, wk, (a, b) -> a * b), 0D, (acc, e) -> acc + e))"))
+          .as(Seq("cc", "value")))
+      .select(col("vec_id"), col("batch"), (col("cc") + 1).cast("long").as("cc"),
+        r(col("value"), 6).as("cc_value"))
+  }
+
   /** One Harmony iteration as CTEs: given state rows `$v` (vec_id,
     * batch, dim, x) and grouping `$g` (vec_id, k), emit `g$o` (the new
     * assignment) and `v$o` (the corrected state). Mirrors centroidsOf/
@@ -408,7 +485,8 @@ object Integrate {
     "mnn_shift"       -> (mnnShift _),
     "mnn_correct"     -> (mnnCorrect _),
     "harmony_correct" -> (harmonyCorrect _),
-    "harmony_mixing"  -> (harmonyMixing _))
+    "harmony_mixing"  -> (harmonyMixing _),
+    "cca_project"     -> (ccaProject _))
 
   val oracles: Map[String, String] = Map(
     "mnn_pairs"       -> mnnPairsSql,

@@ -91,6 +91,53 @@ class IntegrateSpec extends SparkSpecBase {
     assert(total == Tables.embeddings(spark, sf).count())
   }
 
+  test("cca projections satisfy the SVD algebra they claim") {
+    // recompute the operator's standardized matrices in-test
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), pmod(col("vec_id"), lit(2)).as("batch"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val stats = emb.groupBy(col("batch"), col("dim"))
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
+    val z = emb.join(stats, Seq("batch", "dim"))
+      .withColumn("z", when(col("sd") === 0, 0.0).otherwise((col("x") - col("mu")) / col("sd")))
+      .select(col("vec_id"), col("batch"), col("dim"), col("z")).collect()
+    def mat(b: Int): (Array[Long], Array[Array[Double]]) = {
+      val rows = z.filter(_.getLong(1) == b).groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      (rows.map(_._1).toArray,
+        rows.map(_._2.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray).toArray)
+    }
+    val (ids0, x0) = mat(0)
+    val (ids1, x1) = mat(1)
+    val proj = sc.Integrate.ccaProject(spark, sf).collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.sortBy(_.getLong(2)).map(_.getDouble(3)) }
+    val u = ids0.map(id => proj((id, 0L)))
+    val v = ids1.map(id => proj((id, 1L)))
+    // orthonormal per-batch loadings (6dp rounding → loose tolerance)
+    def gramErr(m: Array[Array[Double]]): Double = {
+      val k = m(0).length
+      (for (a <- 0 until k; b <- 0 until k) yield {
+        val dotv = m.map(r => r(a) * r(b)).sum
+        math.abs(dotv - (if (a == b) 1.0 else 0.0))
+      }).max
+    }
+    assert(gramErr(u) < 1e-3, s"U columns must be orthonormal, err ${gramErr(u)}")
+    assert(gramErr(v) < 1e-3, s"V columns must be orthonormal, err ${gramErr(v)}")
+    // UᵀMV must be diagonal with decreasing positive diagonal (M = X0 X1ᵀ)
+    val d = x0(0).length
+    val m01 = Array.tabulate(x0.length, x1.length)((i, j) =>
+      (0 until d).map(t => x0(i)(t) * x1(j)(t)).sum)
+    val k = u(0).length
+    val umv = Array.tabulate(k, k)((a, b) =>
+      (for (i <- x0.indices; j <- x1.indices) yield u(i)(a) * m01(i)(j) * v(j)(b)).sum)
+    val diag = (0 until k).map(a => umv(a)(a))
+    assert(diag.forall(_ > 0), s"singular values must be positive: $diag")
+    assert(diag.sliding(2).forall(p => p(0) >= p(1) - 1e-6), s"decreasing: $diag")
+    val offMax = (for (a <- 0 until k; b <- 0 until k if a != b)
+      yield math.abs(umv(a)(b))).max
+    assert(offMax < 1e-2, s"UᵀMV must be diagonal, worst off-diagonal $offMax")
+  }
+
   test("the LSH twin recovers a usable fraction of the exact anchor pairs") {
     val exact = sc.Integrate.mnnPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
