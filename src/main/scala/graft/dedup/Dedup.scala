@@ -330,13 +330,15 @@ object Dedup {
   // 190. MinHash estimator calibration — the eval table that justifies
   // trusting the 16×4 banding: for every banding CANDIDATE pair (no
   // screen, no threshold), the 64-hash signature estimate vs the exact
-  // shingle Jaccard and the absolute error. rows-only at the driver
-  // gate (xxhash64 signatures have no DuckDB replay); the spec pins
+  // shingle Jaccard and the absolute error. HASH-CHECKED: the FNV-1a +
+  // SplitMix64 signature family, the literal band tuples as join keys,
+  // and the md5-uniform sample key all replay exactly in DuckDB (r5 —
+  // previously rows-only under xxhash64). The spec additionally pins
   // the binomial error bound (est ~ Binomial(64, j)/64) and that
   // banding recalls every true pair ≥ 0.7. Plan: the same bounded
   // band-bucket self-join as nearDupPairsLsh, then a deterministic
-  // content-hash sample of the candidates (smallest-k xxhash64 of the
-  // pair key) before the expensive exact-Jaccard re-join — the full
+  // content-hash sample of the candidates (smallest-k md5-uniform of
+  // the pair key) before the expensive exact-Jaccard re-join — the full
   // shingle arrays of BOTH docs ship per surviving pair, so the sample
   // cap (not the banding) is what bounds the audit at corpus scale.
   // 20k pairs pin the binomial error profile as tightly as any corpus-
@@ -353,7 +355,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs.select(col("doc_id"),
       explode(expr("transform(sequence(0, 15), b -> " +
-        "struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("e"))
+        "struct(b AS band, concat_ws(',', transform(slice(sig, b*4+1, 4), " +
+        "x -> CAST(x AS STRING))) AS bh))")).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
     val candAll = bandsDf.as("a").hint("shuffle_hash")
       .join(bandsDf.as("b").hint("shuffle_hash"),
@@ -362,7 +365,10 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
     val cand = sampleCap.fold(candAll)(k =>
-      candAll.orderBy(xxhash64(col("d1"), col("d2")), col("d1"), col("d2")).limit(k))
+      candAll
+        .withColumn("__u", graft.api.Analytics.hashUniform(
+          concat_ws("_", col("d1"), col("d2"))))
+        .orderBy(col("__u"), col("d1"), col("d2")).limit(k).drop("__u"))
     val sh = d.select(col("doc_id"), charShingles(col("t"), 5).as("sh"))
     cand
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
@@ -585,7 +591,87 @@ object Dedup {
                cluster_size * count(*) AS n_docs
         FROM szs GROUP BY 1"""
 
+  /** Exact SQL replay of minhash_calibration: FNV-1a 64 per DISTINCT
+    * shingle (the dedup_simhash byte fold), SplitMix64 step via the
+    * shared HUGEINT CTE chain, Kirsch–Mitzenmacher h1 + j·h2 mod 2⁶⁴,
+    * signed-BIGINT mins per hash index, literal band tuples as join
+    * keys, md5-uniform sample cap, and the same est/true-Jaccard
+    * algebra. */
+  private val minhashCalibrationSql: String = {
+    val uPair = {
+      val md5k = "md5(CAST(d1 AS VARCHAR) || '_' || CAST(d2 AS VARCHAR))"
+      (1 to 6).map { i =>
+        s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i)}"
+      }.mkString("((", "\n                 + ", " + 1.0) / 16777217.0)")
+    }
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+       sh AS MATERIALIZED (
+         SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+         FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+       gh AS MATERIALIZED (
+         SELECT g, list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             list_transform(string_split(g, ''), c -> ascii(c)::HUGEINT)),
+           (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                        * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS x
+         FROM (SELECT DISTINCT g FROM sh)),
+       ${graft.sim.Ann.splitmixCtes("mh", "gh", "g")},
+       hstep AS MATERIALIZED (
+         SELECT gh.g, gh.x AS h1u,
+                CASE WHEN (mhh.hs | 1) >= 0 THEN (mhh.hs | 1)::HUGEINT
+                     ELSE (mhh.hs | 1)::HUGEINT + 18446744073709551616::HUGEINT
+                END AS h2u
+         FROM gh JOIN mhh USING (g)),
+       hjs AS MATERIALIZED (
+         SELECT h.g, t.j,
+                CASE WHEN ((h.h1u + t.j::HUGEINT * h.h2u) % 18446744073709551616::HUGEINT)
+                       < 9223372036854775808::HUGEINT
+                     THEN ((h.h1u + t.j::HUGEINT * h.h2u) % 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE (((h.h1u + t.j::HUGEINT * h.h2u) % 18446744073709551616::HUGEINT)
+                           - 18446744073709551616::HUGEINT)::BIGINT
+                END AS hj
+         FROM hstep h, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) t),
+       msig AS MATERIALIZED (
+         SELECT doc_id, list(v ORDER BY j) AS sig
+         FROM (SELECT s.doc_id, h.j, min(h.hj) AS v
+               FROM sh s JOIN hjs h USING (g) GROUP BY 1, 2)
+         GROUP BY 1),
+       bandsx AS (
+         SELECT doc_id, t.b,
+                array_to_string(list_transform(generate_series(t.b*4+1, t.b*4+4),
+                  i -> sig[i]::VARCHAR), ',') AS bh
+         FROM msig, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) t),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bandsx a JOIN bandsx b
+           ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       csamp AS MATERIALIZED (
+         SELECT d1, d2 FROM (SELECT d1, d2, $uPair AS u FROM cand)
+         ORDER BY u, d1, d2 LIMIT 20000),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT c.d1, c.d2, count(*) AS i
+         FROM csamp c JOIN sh a ON a.doc_id = c.d1
+         JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT c.d1, c.d2,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0 AS est,
+                coalesce(i.i, 0) / (s1.n + s2.n - coalesce(i.i, 0)) AS tj
+         FROM csamp c
+         JOIN msig sa ON c.d1 = sa.doc_id
+         JOIN msig sb ON c.d2 = sb.doc_id
+         LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         JOIN sizes s1 ON c.d1 = s1.doc_id
+         JOIN sizes s2 ON c.d2 = s2.doc_id)
+       SELECT d1, d2, round(est, 6) AS est_jaccard, round(tj, 6) AS true_jaccard,
+              round(abs(est - tj), 6) AS abs_err
+       FROM scored"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "minhash_calibration" -> minhashCalibrationSql,
     "dedup_containment" -> dedupContainmentSql,
     "dup_pairs_by_source" -> dupPairsBySourceSql,
     "source_overlap" -> sourceOverlapSql,

@@ -481,9 +481,17 @@ case class JaccardSim(left: Expression, right: Expression)
 /** Fused shingle+minhash signature straight from the normalized text —
   * no shingle-array materialization, no set, no per-shingle allocation.
   * min over the shingle MULTISET equals min over the set, so this is
-  * signature-identical to MinHashSig(CharShingles(text)) while doing
-  * zero heap work per shingle. Used on the banding branch; the
-  * verification branch still materializes CharShingles for JaccardSim.
+  * signature-identical to hashing the shingle set while doing zero heap
+  * work per shingle. Used on the banding branch; the verification
+  * branch still materializes CharShingles for JaccardSim.
+  *
+  * Hash family: h1 = FNV-1a 64 over the shingle's UTF-8 bytes, h2 =
+  * SplitMix64(h1) | 1, h_j = h1 + j·h2 (Kirsch–Mitzenmacher double
+  * hashing, mod-2⁶⁴ wrap). FNV + SplitMix rather than xxhash64
+  * deliberately — both replay exactly in DuckDB (the dedup_simhash /
+  * hyperplane-plane precedents: byte fold + HUGEINT mod-2⁶⁴
+  * arithmetic), which makes signature-bearing queries hash-checkable
+  * instead of rows-only. Mixing quality is equivalent for min-hashing.
   */
 case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
@@ -504,9 +512,8 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     var i = 1
     while (i <= last) {
       val s = t.substringSQL(i, n)
-      // Kirsch–Mitzenmacher double hashing — see MinHashSig
-      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0)
-      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1)
+      val h1 = MinHashSigText.fnv1a64(s)
+      val h2 = HyperplaneBucket.mix64(h1) | 1L
       var j = 0
       var h = h1
       while (j < numHashes) {
@@ -535,10 +542,8 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
         java.util.Arrays.fill($sig, Long.MAX_VALUE);
         for (int $i = 1; $i <= $last; $i++) {
           UTF8String $s = $c.substringSQL($i, $n);
-          long ${h}1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0);
-          long ${h}2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 1);
+          long ${h}1 = graft.functions.MinHashSigText$$.MODULE$$.fnv1a64($s);
+          long ${h}2 = graft.functions.HyperplaneBucket.mix64(${h}1) | 1L;
           long $h = ${h}1;
           for (int $j = 0; $j < $numHashes; $j++) {
             if ($h < $sig[$j]) $sig[$j] = $h;
@@ -551,6 +556,21 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
     copy(child = newChild)
+}
+
+object MinHashSigText {
+  /** FNV-1a 64 over a UTF8String's bytes — called from generated code,
+    * must be public. Same fold as SimHash64's word hash. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = SimHash64.FnvBasis
+    var j = 0
+    while (j < bytes.length) {
+      h = (h ^ (bytes(j) & 0xffL)) * SimHash64.FnvPrime
+      j += 1
+    }
+    h
+  }
 }
 
 /** Random-hyperplane LSH bucket id: bit j of the result is the sign of
