@@ -545,6 +545,8 @@ object Dedup {
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_incremental"   -> (dedupIncremental _),
     "minhash_calibration" -> (minhashCalibration _),
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "winnow_dup_pairs"    -> (winnowDupPairs _),
     "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "semantic_dedup"      -> (semanticDedup _))
 
@@ -590,6 +592,121 @@ object Dedup {
         SELECT cluster_size, count(*) AS n_clusters,
                cluster_size * count(*) AS n_docs
         FROM szs GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 215-216. Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+  // detector): per position, the FNV-1a hash of the 5-gram starting
+  // there; each w=4 window contributes its minimum hash; the DISTINCT
+  // selected minima are the document's fingerprints. The winnowing
+  // guarantee — every shared run ≥ w+n−1 chars yields a shared
+  // fingerprint — makes this the position-robust middle ground between
+  // exact-hash dedup and MinHash. All-integer local-min windows, so
+  // both queries are hash-checked oracles. Scale: one per-doc window
+  // pass (docs partition freely), fingerprint df is capped at 50
+  // before the pair join (the MOSS stop-fingerprint rule) — the join
+  // is Σ df²-bounded by construction.
+  private val WinnowW = 4
+
+  private def winnowSelected(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ph = docsNorm(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorFunctions.charShingleFnvHashes(col("t"), 5))
+          .as(Seq("pos", "h")))
+    val np = ph.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    ph.withColumn("wmin", min(col("h")).over(w))
+      .join(np, "doc_id")
+      .filter(col("pos") >= WinnowW - 1 ||
+        (col("n_pos") < WinnowW && col("pos") === col("n_pos") - 1))
+      .select(col("doc_id"), col("n_pos"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowSelected(s, dir)
+      .groupBy(col("doc_id"), col("n_pos"))
+      .agg(count(lit(1)).as("n_fp"))
+      .select(col("doc_id"), col("n_pos"), col("n_fp"),
+        r(col("n_fp") / col("n_pos"), 6).as("density"))
+
+  def winnowDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sel = winnowSelected(s, dir)
+      .select(col("doc_id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = sel.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+    val keep = sel.join(dfc.hint("shuffle_hash"), "fp")
+      .filter(col("dfc").between(2, 50))
+      .select(col("doc_id"), col("fp"))
+    val nf = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    keep.as("a").hint("shuffle_hash")
+      .join(keep.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .join(nf.select(col("doc_id").as("d1"), col("n_fp").as("nf1")), "d1")
+      .join(nf.select(col("doc_id").as("d2"), col("n_fp").as("nf2")), "d2")
+      .select(col("d1"), col("d2"), col("n_shared"),
+        r(col("n_shared") / least(col("nf1"), col("nf2")), 6).as("overlap"))
+  }
+
+  /** Winnowing CTE prefix shared by both oracles: per-position FNV
+    * hashes (distinct shingles hashed once), w=4 window minima,
+    * complete-window + short-doc selection. */
+  private val winnowPrefixSql =
+    s"""nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+       posh AS MATERIALIZED (
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, substr(t, CAST(i AS INT), 5) AS g
+         FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+       wgh AS MATERIALIZED (
+         SELECT g, list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             list_transform(string_split(g, ''), c -> ascii(c)::HUGEINT)),
+           (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                        * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS x
+         FROM (SELECT DISTINCT g FROM posh)),
+       wghs AS (
+         SELECT g, CASE WHEN x < 9223372036854775808::HUGEINT THEN x::BIGINT
+                        ELSE (x - 18446744073709551616::HUGEINT)::BIGINT END AS h
+         FROM wgh),
+       wph AS MATERIALIZED (
+         SELECT p.doc_id, p.pos, s.h FROM posh p JOIN wghs s USING (g)),
+       wnp AS (SELECT doc_id, count(*) AS n_pos FROM wph GROUP BY 1),
+       wwm AS (
+         SELECT doc_id, pos,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wmin
+         FROM wph),
+       wsel AS MATERIALIZED (
+         SELECT DISTINCT w.doc_id, n.n_pos, w.wmin AS fp
+         FROM wwm w JOIN wnp n USING (doc_id)
+         WHERE w.pos >= ${WinnowW - 1}
+            OR (n.n_pos < ${WinnowW} AND w.pos = n.n_pos - 1))"""
+
+  private val winnowFingerprintsSql =
+    s"""WITH $winnowPrefixSql
+       SELECT doc_id, n_pos, count(*) AS n_fp,
+              round(count(*) / n_pos, 6) AS density
+       FROM wsel GROUP BY 1, 2"""
+
+  private val winnowDupPairsSql =
+    s"""WITH $winnowPrefixSql,
+       wdf AS (SELECT fp, count(*) AS dfc FROM wsel GROUP BY 1),
+       wkeep AS (SELECT s.doc_id, s.fp FROM wsel s JOIN wdf USING (fp)
+                 WHERE dfc BETWEEN 2 AND 50),
+       wnf AS (SELECT doc_id, count(*) AS n_fp FROM wsel GROUP BY 1),
+       wpairs AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         FROM wkeep a JOIN wkeep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT p.d1, p.d2, p.n_shared,
+              round(p.n_shared / least(n1.n_fp, n2.n_fp), 6) AS overlap
+       FROM wpairs p
+       JOIN wnf n1 ON p.d1 = n1.doc_id
+       JOIN wnf n2 ON p.d2 = n2.doc_id
+       WHERE p.n_shared >= 5"""
 
   /** Exact SQL replay of minhash_calibration: FNV-1a 64 per DISTINCT
     * shingle (the dedup_simhash byte fold), SplitMix64 step via the
@@ -672,6 +789,8 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "minhash_calibration" -> minhashCalibrationSql,
+    "winnow_fingerprints" -> winnowFingerprintsSql,
+    "winnow_dup_pairs"    -> winnowDupPairsSql,
     "dedup_containment" -> dedupContainmentSql,
     "dup_pairs_by_source" -> dupPairsBySourceSql,
     "source_overlap" -> sourceOverlapSql,

@@ -247,6 +247,8 @@ object VectorFunctions {
     GraftGlue.column(RepetitionStats(toExpr(c)))
   def charShingleHashes(c: Column, n: Int): Column =
     GraftGlue.column(CharShingleHashes(toExpr(c), n))
+  def charShingleFnvHashes(c: Column, n: Int): Column =
+    GraftGlue.column(CharShingleFnvHashes(toExpr(c), n))
   def charNgramCounts(c: Column, n: Int): Column =
     GraftGlue.column(CharNgramCounts(toExpr(c), n))
   def hyperplaneBucket(c: Column, planes: Int): Column =
@@ -571,6 +573,57 @@ object MinHashSigText {
     }
     h
   }
+}
+
+/** PER-POSITION FNV-1a 64 shingle hashes (no dedup — element i is the
+  * hash of the n-gram starting at 1-based position i, exactly
+  * substr-semantics like CharShingles). The winnowing feed: local-min
+  * selection needs positional order, which the set-typed shingle
+  * expressions discard. Replays in DuckDB as the dedup_simhash byte
+  * fold over substr(t, i, n). */
+case class CharShingleFnvHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_fnv_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    val last = math.max(len - (n - 1), 1)
+    val out = new Array[Long](last)
+    var i = 1
+    while (i <= last) {
+      out(i - 1) = MinHashSigText.fnv1a64(t.substringSQL(i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val len = ctx.freshName("len")
+      val last = ctx.freshName("last")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+        int $len = $c.numChars();
+        int $last = java.lang.Math.max($len - ${n - 1}, 1);
+        long[] $out = new long[$last];
+        for (int $i = 1; $i <= $last; $i++) {
+          $out[$i - 1] = graft.functions.MinHashSigText$$.MODULE$$.fnv1a64($c.substringSQL($i, $n));
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleFnvHashes =
+    copy(child = newChild)
 }
 
 /** Random-hyperplane LSH bucket id: bit j of the result is the sign of

@@ -84,6 +84,32 @@ object Batching {
           .otherwise(lit(0.0)), 6).as("pad_waste"))
   }
 
+  // ---------------------------------------------------------------
+  // 217. RAG-style document chunking: 512-token chunks with 64-token
+  // overlap (stride 448) — the ingestion step of every retrieval
+  // pipeline. One narrow posexplode over the doc table; chunks stay in
+  // their doc's partition. Empty docs emit one zero-length chunk so
+  // corpus coverage is conserved.
+  private val ChunkSize = 512L
+  private val ChunkStride = 448L
+
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    withTokens(s, dir)
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(expr(s"sequence(0L, greatest(n_tok - 1, 0L), $ChunkStride)"))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("tok_start"),
+        least(lit(ChunkSize), col("n_tok") - col("tok_start")).as("n_tok_chunk"))
+
+  private val chunkDocumentsSql =
+    s"""WITH $tokensSql
+       SELECT doc_id,
+              CAST(t.i // ${ChunkStride} AS BIGINT) AS chunk_idx,
+              CAST(t.i AS BIGINT) AS tok_start,
+              least(${ChunkSize}, n_tok - t.i)::BIGINT AS n_tok_chunk
+       FROM tok, LATERAL unnest(generate_series(0, greatest(n_tok - 1, 0), ${ChunkStride})) AS t(i)"""
+
   /** md5-uniform replay (the datasetSplit oracle form) over a salted
     * doc key. */
   private def uSql(expr: String): String = {
@@ -134,9 +160,11 @@ object Batching {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_assign"          -> (shardAssign _),
-    "length_bucket_batches" -> (lengthBucketBatches _))
+    "length_bucket_batches" -> (lengthBucketBatches _),
+    "chunk_documents"       -> (chunkDocuments _))
 
   val oracles: Map[String, String] = Map(
     "shard_assign"          -> shardAssignSql,
-    "length_bucket_batches" -> lengthBucketBatchesSql)
+    "length_bucket_batches" -> lengthBucketBatchesSql,
+    "chunk_documents"       -> chunkDocumentsSql)
 }

@@ -46,4 +46,25 @@ class BatchingSpec extends SparkSpecBase {
     val total = batches.map(_.getLong(2)).sum
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("chunking covers every token once per stride with 64-token overlaps") {
+    val chunks = text.Batching.chunkDocuments(spark, sf).collect()
+    val docs = chunks.groupBy(_.getLong(0))
+    assert(docs.size.toLong == Tables.documents(spark, sf).count(), "every doc chunks")
+    docs.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i, "chunk indices are dense")
+        assert(c.getLong(2) == i * 448L, "starts advance by the 448 stride")
+        assert(c.getLong(3) <= 512L, "chunk length capped at 512")
+      }
+      // chunks with >= 2 successors are always full (the tail two may be
+      // truncated by the doc end); the final chunk reaches the doc end
+      sorted.dropRight(2).foreach(c => assert(c.getLong(3) == 512L,
+        s"doc $id: deep-interior chunks must be full"))
+      val nTok = sorted.map(c => c.getLong(2) + c.getLong(3)).max
+      assert(sorted.last.getLong(2) + sorted.last.getLong(3) == nTok,
+        s"doc $id: the last chunk must reach the doc end")
+    }
+  }
 }

@@ -138,6 +138,39 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("winnowing density sits inside the Schleimer bounds") {
+    val rows = dedup.Dedup.winnowFingerprints(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.filter(_.getLong(1) >= 50).foreach { r => // bounds are asymptotic — skip tiny docs
+      val density = r.getDouble(3)
+      // w=4: expected 2/(w+1) = 0.4; hard lower bound 1/w = 0.25 can be
+      // beaten only through DISTINCT collapsing repeated fingerprints,
+      // so allow repetition-heavy docs to undershoot, and cap above by
+      // the per-window-max 1.0
+      assert(density > 0.0 && density <= 1.0, s"doc ${r.getLong(0)} density $density")
+    }
+    // corpus-level: the mean density of long docs should track 2/(w+1)
+    val longs = rows.filter(_.getLong(1) >= 200).map(_.getDouble(3))
+    val mean = longs.sum / longs.length
+    assert(mean > 0.1 && mean < 0.6, s"mean winnow density $mean far from 2/(w+1)=0.4")
+  }
+
+  test("winnowing detects most known near-duplicate pairs") {
+    val winnow = dedup.Dedup.winnowDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the raw winnowing guarantee (every shared run >= w+n-1 chars
+    // shares a fingerprint) is weakened by the df<=50 stop-fingerprint
+    // cap: pairs inside 50+-doc duplicate clusters can lose ALL their
+    // shared fingerprints to the cap — by design (MOSS drops boilerplate
+    // matches too). So pin high recall, not totality.
+    val truePairs = dedup.Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(truePairs.nonEmpty)
+    val recall = truePairs.count(winnow.contains).toDouble / truePairs.length
+    assert(recall >= 0.6, s"winnow recall of J>=0.7 pairs = $recall")
+    winnow.foreach { case (d1, d2) => assert(d1 < d2) }
+  }
+
   test("quality keeper: exactly one keeper per cluster, and it is the best member") {
     val rows = dedup.Dedup.dedupKeeperQuality(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
