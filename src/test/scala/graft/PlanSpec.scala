@@ -287,7 +287,10 @@ class PlanSpec extends SparkSpecBase {
       "harmony_correct", "harmony_mixing",
       // matryoshka eval rides the documented brute-force scorer on both
       // rank cuts (the ann_recall_eval precedent)
-      "ann_matryoshka_eval")
+      "ann_matryoshka_eval",
+      // bitext mining scores through the exact cross-batch oracle
+      // scorer (mnn_pairs precedent)
+      "bitext_margin_mining")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
