@@ -353,8 +353,18 @@ object Integrate {
   private val MarginK = 4
   private val MarginThreshold = 1.05
 
-  def bitextMarginMining(s: SparkSession, dir: String): DataFrame = {
-    val scored = scoredExact(s, dir)
+  def bitextMarginMining(s: SparkSession, dir: String): DataFrame =
+    bitextFrom(scoredExact(s, dir))
+
+  /** Scale twin of #218: identical margin pipeline over the shared
+    * hyperplane-bucket candidates (filter-then-rank, the
+    * hardNegativesLsh convention) — neighborhood means are taken over
+    * each endpoint's CANDIDATE cosines, no corpus broadcast. */
+  def bitextMarginMiningLsh(s: SparkSession, dir: String): DataFrame =
+    bitextFrom(scoredLsh(s, dir))
+
+  private def bitextFrom(scored0: DataFrame): DataFrame = {
+    val scored = scored0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def side(key: String, other: String): (DataFrame, DataFrame) = {
       val tk = scored.groupBy(col(key))
@@ -416,6 +426,55 @@ object Integrate {
          FROM marg)
        SELECT a AS x_id, b AS y_id, round(cs, 6) AS cos_sim, round(margin, 6) AS margin
        FROM best WHERE rk = 1 AND margin >= $MarginThreshold"""
+
+  private val bitextMarginMiningLshSql = {
+    val sigPrefix = graft.sim.Ann.lshSigPrefixSql
+    s"""WITH $sigPrefix,
+       tprobes AS MATERIALIZED (
+         SELECT s.vec_id AS b,
+                CASE WHEN t.p < 0 THEN s.bucket
+                     ELSE xor(s.bucket, (1::BIGINT << t.p)) END AS bucket
+         FROM lsig s, LATERAL (SELECT unnest(generate_series(-1, ${LshPlanes - 1})) AS p) t
+         WHERE s.vec_id % 2 = 1),
+       candk AS (
+         SELECT DISTINCT s0.vec_id AS a, p.b
+         FROM tprobes p JOIN lsig s0 USING (bucket)
+         WHERE s0.vec_id % 2 = 0),
+       scored AS MATERIALIZED (
+         SELECT c.a, c.b,
+                list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+         FROM candk c JOIN embeddings q ON c.a = q.vec_id
+                      JOIN embeddings n ON c.b = n.vec_id),
+       ra AS (SELECT a, b, cs,
+                row_number() OVER (PARTITION BY a ORDER BY cs DESC, b ASC) AS rk
+              FROM scored),
+       rb AS (SELECT a, b, cs,
+                row_number() OVER (PARTITION BY b ORDER BY cs DESC, a ASC) AS rk
+              FROM scored),
+       avga AS (
+         SELECT a, list_reduce(list(cs ORDER BY cs DESC, b ASC), (x, y) -> x + y)
+                   / count(*) AS avg_a
+         FROM ra WHERE rk <= $MarginK GROUP BY a),
+       avgb AS (
+         SELECT b, list_reduce(list(cs ORDER BY cs DESC, a ASC), (x, y) -> x + y)
+                   / count(*) AS avg_b
+         FROM rb WHERE rk <= $MarginK GROUP BY b),
+       cand AS (
+         SELECT DISTINCT a, b, cs FROM (
+           SELECT a, b, cs FROM ra WHERE rk <= $MarginK
+           UNION ALL
+           SELECT a, b, cs FROM rb WHERE rk <= $MarginK)),
+       marg AS (
+         SELECT c.a, c.b, c.cs,
+                c.cs / ((va.avg_a + vb.avg_b) / 2.0) AS margin
+         FROM cand c JOIN avga va ON c.a = va.a JOIN avgb vb ON c.b = vb.b),
+       best AS (
+         SELECT a, b, cs, margin,
+                row_number() OVER (PARTITION BY a ORDER BY margin DESC, b ASC) AS rk
+         FROM marg)
+       SELECT a AS x_id, b AS y_id, round(cs, 6) AS cos_sim, round(margin, 6) AS margin
+       FROM best WHERE rk = 1 AND margin >= $MarginThreshold"""
+  }
 
   // ---------------------------------------------------------------
   // 214. CCA cell projections — the spectral half of Seurat's
@@ -567,7 +626,8 @@ object Integrate {
     "harmony_correct" -> (harmonyCorrect _),
     "harmony_mixing"  -> (harmonyMixing _),
     "cca_project"     -> (ccaProject _),
-    "bitext_margin_mining" -> (bitextMarginMining _))
+    "bitext_margin_mining" -> (bitextMarginMining _),
+    "bitext_margin_mining_lsh" -> (bitextMarginMiningLsh _))
 
   val oracles: Map[String, String] = Map(
     "mnn_pairs"       -> mnnPairsSql,
@@ -576,5 +636,6 @@ object Integrate {
     "mnn_correct"     -> mnnCorrectSql,
     "harmony_correct" -> harmonyCorrectSql,
     "harmony_mixing"  -> harmonyMixingOuterSql,
-    "bitext_margin_mining" -> bitextMarginMiningSql)
+    "bitext_margin_mining" -> bitextMarginMiningSql,
+    "bitext_margin_mining_lsh" -> bitextMarginMiningLshSql)
 }

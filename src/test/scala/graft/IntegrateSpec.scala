@@ -109,6 +109,16 @@ class IntegrateSpec extends SparkSpecBase {
     assert(meanCs > 0)
   }
 
+  test("the bitext LSH twin recovers a usable fraction of the exact alignments") {
+    val exact = sc.Integrate.bitextMarginMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = sc.Integrate.bitextMarginMiningLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH bitext recall $recall below floor")
+  }
+
   test("cca projections satisfy the SVD algebra they claim") {
     // recompute the operator's standardized matrices in-test
     val emb = Tables.embeddings(spark, sf)
