@@ -22,8 +22,14 @@ object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
     "dup_pairs_by_source",
-    "ann_ivf_topk", "ann_ivf_sq_topk", "pca_embeddings", "kmeans_clusters", "bisecting_clusters",
-    "kmeans_elbow", "cluster_transitions")
+    "ann_ivf_topk", "ann_ivf_sq_topk", "pca_embeddings", "bisecting_clusters",
+    "cluster_transitions",
+    // exact BNL oracle paths of #206/#218: each broadcasts an entire
+    // batch (≈half the embedding corpus) as the small side — fine at
+    // sf0.1, quadratic at a larger gate SF. Their _lsh scale twins ARE
+    // benchmarked (same output contract, bounded bucket fan-out) —
+    // the dedup_ngram_jaccard convention.
+    "mnn_pairs", "bitext_margin_mining")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -652,6 +652,28 @@ object Dedup {
         r(col("n_shared") / least(col("nf1"), col("nf2")), 6).as("overlap"))
   }
 
+  /** UTF-8 byte list of a shingle `g` as HUGEINTs — the DuckDB twin of
+    * the engine's `fnv1a64` byte fold (MinHashSigText folds UTF-8
+    * BYTES; DuckDB's ascii() yields code POINTS, so each point expands
+    * to its UTF-8 encoding here — byte-exact for non-ASCII text, not
+    * just the current ASCII corpus). */
+  private val utf8BytesSql =
+    """flatten(list_transform(string_split(g, ''), c ->
+         CASE WHEN ascii(c) < 128 THEN [ascii(c)::HUGEINT]
+              WHEN ascii(c) < 2048 THEN [
+                (192 + ascii(c) // 64)::HUGEINT,
+                (128 + ascii(c) % 64)::HUGEINT]
+              WHEN ascii(c) < 65536 THEN [
+                (224 + ascii(c) // 4096)::HUGEINT,
+                (128 + (ascii(c) // 64) % 64)::HUGEINT,
+                (128 + ascii(c) % 64)::HUGEINT]
+              ELSE [
+                (240 + ascii(c) // 262144)::HUGEINT,
+                (128 + (ascii(c) // 4096) % 64)::HUGEINT,
+                (128 + (ascii(c) // 64) % 64)::HUGEINT,
+                (128 + ascii(c) % 64)::HUGEINT]
+         END))"""
+
   /** Winnowing CTE prefix shared by both oracles: per-position FNV
     * hashes (distinct shingles hashed once), w=4 window minima,
     * complete-window + short-doc selection. */
@@ -663,7 +685,7 @@ object Dedup {
        wgh AS MATERIALIZED (
          SELECT g, list_reduce(
            list_prepend(14695981039346656037::HUGEINT,
-             list_transform(string_split(g, ''), c -> ascii(c)::HUGEINT)),
+             $utf8BytesSql),
            (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
                         * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS x
          FROM (SELECT DISTINCT g FROM posh)),
@@ -728,7 +750,7 @@ object Dedup {
        gh AS MATERIALIZED (
          SELECT g, list_reduce(
            list_prepend(14695981039346656037::HUGEINT,
-             list_transform(string_split(g, ''), c -> ascii(c)::HUGEINT)),
+             $utf8BytesSql),
            (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
                         * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS x
          FROM (SELECT DISTINCT g FROM sh)),

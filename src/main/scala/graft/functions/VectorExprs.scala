@@ -494,6 +494,19 @@ case class JaccardSim(left: Expression, right: Expression)
   * hyperplane-plane precedents: byte fold + HUGEINT mod-2⁶⁴
   * arithmetic), which makes signature-bearing queries hash-checkable
   * instead of rows-only. Mixing quality is equivalent for min-hashing.
+  *
+  * DOWNSTREAM NOTE (r5 hash-family change): every consumer of this
+  * signature — Similarity.nearDupPairsLsh (dedup_minhash_lsh), the
+  * streaming near-dup detector (StreamSessionize.nearDupStream), and
+  * minhash_calibration — changed candidate sets when the family moved
+  * from xxhash64 to FNV-1a+SplitMix64. FNV-1a has weaker avalanche
+  * over short shingles, so banding recall is re-verified EMPIRICALLY
+  * each round rather than assumed: DedupSpec pins "banding recalls
+  * every true J≥0.7 pair" on the batch path and StreamingSpec pins
+  * "a close variant loses ≥half its bands" on the streaming path —
+  * either assertion failing on a regenerated corpus is the signal to
+  * parameterize the family back toward xxhash64 (at the cost of the
+  * DuckDB replay).
   */
 case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {

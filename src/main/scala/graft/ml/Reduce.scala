@@ -29,7 +29,9 @@ object Reduce {
         round(element_at(col("pcs"), i), 4).as(s"pc$i")): _*)
   }
 
-  /** 30. KMeans clustering (k=10, seeded) over the embeddings. */
+  /** 30. KMeans clustering (k=10, seeded) over the embeddings — the
+    * MLlib estimator path, kept as the spec'd alternate; the registry
+    * entry is [[lloydClusters]] (hash-checked grid replay below). */
   def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -115,10 +117,8 @@ object Reduce {
     * the clustering elbow): KMeans training cost (within-cluster SSE)
     * for k = 2..8, repeated `n` times with distinct seeds (the
     * reference's seed_val = 290 base), reporting mean/min cost per k.
-    * Rows-only: MLlib estimator fits aren't SQL-expressible; the spec
-    * asserts the cost curve is monotone between the endpoints. Each fit
-    * is distributed; the sweep loop is driver-side over 7×2 tiny fits
-    * and the result is a 7-row table. */
+    * MLlib estimator path, kept as the spec'd alternate; the registry
+    * entry is [[lloydElbow]] (hash-checked grid replay below). */
   def kmeansElbow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -172,6 +172,134 @@ object Reduce {
       }.reduce(_ unionByName _)
     } finally { vecs.unpersist(); () }
   }
+
+  // ---------------------------------------------------------------
+  // 30/131 hash-checked replay: fixed-iteration Lloyd on the integer
+  // grid — the harmony_correct determinism template applied to KMeans
+  // so both clustering queries graduate from rows-only to DuckDB
+  // hash-checked (the MLlib estimators above remain the spec'd
+  // alternates; their seeded fits aren't SQL-replayable).
+  //  - init: random-partition (cluster = vec_id mod k) — the classic
+  //    Forgy-alternative, deterministic and SQL-trivial;
+  //  - centroids accumulate integer-quantized coordinates
+  //    (round(x·1e6) as BIGINT — order-independent sums, exact on any
+  //    partitioning);
+  //  - assignment distances are Σ(Δ grid)² over round(x·1e3) BIGINTs —
+  //    integer argmin with cluster-id tiebreak, NO fp ambiguity;
+  //  - 3 unrolled rounds; every k of the elbow sweep rides ONE
+  //    pipeline (the kval column), so the 7-fit sweep is 3 aggregation
+  //    rounds total, not 21.
+  // Scale: centroid tables are ≤Σk rows of d-arrays (broadcast); the
+  // fact side is one narrow zip_with fold per assignment and one
+  // posexplode per centroid aggregation; assignments localCheckpoint
+  // between rounds (the Harmony contract).
+  private val LloydRounds = 3
+
+  private def quant1e6(v: String) =
+    expr(s"transform($v, x -> CAST(round(x * 1e6, 0) AS BIGINT))")
+  private def gridded(v: String) =
+    expr(s"transform($v, x -> CAST(round(x * 1000, 0) AS BIGINT))")
+
+  private def lloydBase(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("kval", explode(array(kvals.map(lit(_)): _*)))
+
+  /** Final assignment (kval, vec_id, k, d2) after [[LloydRounds]]
+    * synchronous rounds; d2 is the grid-unit squared distance to the
+    * assigned centroid (SSE numerator). */
+  private def lloydState(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame = {
+    val base = lloydBase(s, dir, kvals)
+      .withColumn("xq", gridded("v"))
+      .localCheckpoint() // every round scans it; corpus-bounded
+    var g = base.select(col("kval"), col("vec_id"),
+      pmod(col("vec_id"), col("kval")).as("k"))
+    for (i <- 1 to LloydRounds) {
+      val cents = base.join(g, Seq("kval", "vec_id"))
+        .select(col("kval"), col("k"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
+        .groupBy(col("kval"), col("k"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c", col("sq") / (lit(1e6) * col("n")))
+        .groupBy(col("kval"), col("k"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+        .withColumn("cq", gridded("cv"))
+      val assigned = base.select(col("kval"), col("vec_id"), col("xq"))
+        .join(broadcast(cents.select(col("kval"), col("k"), col("cq"))), Seq("kval"))
+        .select(col("kval"), col("vec_id"), col("k"),
+          expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
+            .as("d2"))
+        .groupBy(col("kval"), col("vec_id"))
+        .agg(min(struct(col("d2"), col("k"))).as("m"))
+        .select(col("kval"), col("vec_id"), col("m.k").as("k"), col("m.d2").as("d2"))
+      g = (if (i < LloydRounds) assigned.localCheckpoint() else assigned)
+    }
+    g
+  }
+
+  /** 30 (hash-checked): k=10 Lloyd assignment per vector. */
+  def lloydClusters(s: SparkSession, dir: String): DataFrame =
+    lloydState(s, dir, Seq(10))
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("k").cast("long").as("cluster"))
+
+  /** 131 (hash-checked): the elbow sweep — grid-exact SSE for k=2..8,
+    * all seven runs in one pipeline. */
+  def lloydElbow(s: SparkSession, dir: String): DataFrame =
+    lloydState(s, dir, 2 to 8)
+      .groupBy(col("kval").cast("long").as("k"))
+      .agg(count(lit(1)).as("n_vec"),
+        round(sum(col("d2")) / lit(1e6), 6).as("sse"))
+
+  /** One Lloyd round as CTEs over `lbase`/`lxq` (the oracle twin of one
+    * [[lloydState]] iteration): quantized centroid sums → grid
+    * centroids → integer d² argmin with (d2, k) total order. */
+  private def lloydIterSql(i: Int): String =
+    s"""lcent$i AS (
+         SELECT b.kval, g.k, b.dim,
+                sum(CAST(round(b.x * 1e6, 0) AS BIGINT)) AS sq, count(*) AS n
+         FROM lbase b JOIN lg${i - 1} g ON b.kval = g.kval AND b.vec_id = g.vec_id
+         GROUP BY 1, 2, 3),
+       lcentq$i AS (
+         SELECT kval, k, dim,
+                CAST(round((sq / (1e6 * n)) * 1000, 0) AS BIGINT) AS cq
+         FROM lcent$i),
+       ld$i AS (
+         SELECT q.kval, q.vec_id, c.k,
+                sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+         FROM lxq q JOIN lcentq$i c ON q.kval = c.kval AND q.dim = c.dim
+         GROUP BY 1, 2, 3),
+       lg$i AS MATERIALIZED (
+         SELECT kval, vec_id, k, d2 FROM (
+           SELECT kval, vec_id, k, d2,
+                  row_number() OVER (PARTITION BY kval, vec_id
+                    ORDER BY d2 ASC, k ASC) AS rk
+           FROM ld$i) WHERE rk = 1)"""
+
+  private def lloydPrefixSql(kvals: Seq[Int]): String =
+    s"""lvx AS MATERIALIZED (
+         SELECT vec_id, t.i AS dim, t.x
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
+       lbase AS MATERIALIZED (
+         SELECT k.kval, v.vec_id, v.dim, v.x
+         FROM lvx v, (SELECT unnest([${kvals.mkString(", ")}]) AS kval) k),
+       lxq AS MATERIALIZED (
+         SELECT kval, vec_id, dim, CAST(round(x * 1000, 0) AS BIGINT) AS xq
+         FROM lbase),
+       lg0 AS (
+         SELECT DISTINCT kval, vec_id, vec_id % kval AS k FROM lbase),
+       ${(1 to LloydRounds).map(lloydIterSql).mkString(",\n       ")}"""
+
+  private val lloydClustersSql =
+    s"""WITH ${lloydPrefixSql(Seq(10))}
+       SELECT g.vec_id, e.label, CAST(g.k AS BIGINT) AS cluster
+       FROM lg$LloydRounds g JOIN embeddings e ON g.vec_id = e.vec_id"""
+
+  private val lloydElbowSql =
+    s"""WITH ${lloydPrefixSql(2 to 8)}
+       SELECT CAST(kval AS BIGINT) AS k, count(*) AS n_vec,
+              round(sum(d2) / 1e6, 6) AS sse
+       FROM lg$LloydRounds GROUP BY 1"""
 
   /** 157. embedding norm statistics per label — the cheapest
     * embedding-space health screen (collapsed or exploding embeddings
@@ -290,10 +418,10 @@ object Reduce {
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_dim_profile" -> (embeddingDimProfile _),
     "mahalanobis_outliers" -> (mahalanobisOutliers _),
-    "kmeans_elbow"      -> (kmeansElbow _),
+    "kmeans_elbow"      -> (lloydElbow _),
     "cluster_transitions" -> (clusterTransitions _),
     "pca_embeddings"    -> (pcaEmbeddings _),
-    "kmeans_clusters"   -> (kmeansClusters _),
+    "kmeans_clusters"   -> (lloydClusters _),
     "bisecting_clusters" -> (bisectingClusters _),
     "label_silhouette"  -> (labelSilhouette _))
 
@@ -301,5 +429,7 @@ object Reduce {
     "embedding_norm_stats" -> embeddingNormStatsSql,
     "embedding_dim_profile" -> embeddingDimProfileSql,
     "mahalanobis_outliers" -> mahalanobisOutliersSql,
+    "kmeans_clusters" -> lloydClustersSql,
+    "kmeans_elbow" -> lloydElbowSql,
     "label_silhouette" -> labelSilhouetteSql)
 }

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * round-trips), and the decoded features land back as ordinary columns.
   * IMAGE decode is REAL (javax.imageio: PNG/BMP/GIF/JPEG, pure JVM,
   * headless-safe) — pixel-level features, spec-verified against
-  * programmatically rendered images. Audio/video formats, whose codecs
-  * are not in the JVM, take a deterministic byte-statistics fallback;
-  * the Spark-side contract (schema, batch iteration, partitioning) is
-  * identical on both paths.
+  * programmatically rendered images. AUDIO decode is REAL for
+  * WAV/AU/AIFF PCM (javax.sound.sampled, same pure-JDK trade) —
+  * sample-level amplitude features, spec-verified against synthesized
+  * waveforms. Compressed audio and video, whose codecs are not in the
+  * JVM, take a deterministic byte-statistics fallback; the Spark-side
+  * contract (schema, batch iteration, partitioning) is identical on
+  * all paths.
   */
 object Multimodal {
 
@@ -48,9 +51,34 @@ object Multimodal {
     * are not a decodable image (corrupt, truncated, or a non-image
     * format) — callers keep the row and flag it, never throw.
     */
+  /** Decompression-bomb guard: a tiny hostile payload can DECLARE huge
+    * dimensions; full decode would allocate w·h·4 bytes inside an
+    * executor task and OOM the JVM (an Error, not the caught
+    * Exception). Header dims are read without decoding pixels. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB
+
+  private def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
     if (payload == null || payload.isEmpty) return None
     try {
+      val dims = headerDims(payload)
+      if (!dims.exists { case (w, h) =>
+        w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels }) return None
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {
@@ -73,20 +101,102 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Audio container formats the pure JDK parses headlessly
+    * (javax.sound.sampled: WAV/AU/AIFF carrying 8/16-bit PCM).
+    * Compressed audio (mp3/aac/ogg) and all video stay on the declared
+    * byte-statistics fallback — their codecs are not in the JVM. */
+  val audioFormats: Set[String] = Set("wav", "wave", "au", "aiff", "aif", "snd")
+
+  /** Decoded audio summary: format geometry + amplitude statistics over
+    * normalized [-1, 1] samples. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames_audio: Long, mean_abs: Double, rms: Double, decoded: Boolean)
+
+  /** REAL audio decode: javax.sound.sampled parse of a WAV/AU/AIFF
+    * payload carrying 8- or 16-bit PCM (signed/unsigned, either
+    * endianness) → (sample_rate, channels, frames, mean |amplitude|,
+    * RMS) over samples normalized to [-1, 1]. Pure JDK, headless-safe
+    * (the javax.imageio trade applied to audio). None when the bytes
+    * are not decodable PCM — callers keep the row and flag it. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Double, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        if (!((enc == PCM_SIGNED || enc == PCM_UNSIGNED) && (bits == 8 || bits == 16)))
+          return None
+        // frameLength bounds the read; WAV is uncompressed so the
+        // payload size bounds memory — no decompression-bomb analog
+        val bytes = ais.readAllBytes()
+        val bps = bits / 8
+        val n = bytes.length / bps
+        if (n == 0 || fmt.getChannels <= 0) return None
+        var sumAbs = 0.0
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val raw: Int =
+            if (bits == 8) bytes(i) & 0xff
+            else {
+              val b0 = bytes(i * 2) & 0xff
+              val b1 = bytes(i * 2 + 1) & 0xff
+              if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+            }
+          val signed: Int =
+            if (enc == PCM_UNSIGNED) raw - (if (bits == 8) 128 else 32768)
+            else if (bits == 8) bytes(i).toInt
+            else if (raw >= 32768) raw - 65536
+            else raw
+          val v = signed / (if (bits == 8) 128.0 else 32768.0)
+          sumAbs += math.abs(v)
+          sumSq += v * v
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          (n / fmt.getChannels).toLong, sumAbs / n, math.sqrt(sumSq / n)))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio-table decode: one AudioFeatures row per record,
+    * decoded=false (zero geometry) for payloads the JDK cannot parse —
+    * the audio twin of [[decodeImages]]. */
+  def decodeAudios(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { rec =>
+      decodeAudio(rec.payload) match {
+        case Some((sr, ch, nf, ma, rms)) =>
+          AudioFeatures(rec.doc_id, sr, ch, nf,
+            math.round(ma * 1e6) / 1e6, math.round(rms * 1e6) / 1e6, decoded = true)
+        case None => AudioFeatures(rec.doc_id, 0, 0, 0L, 0.0, 0.0, decoded = false)
+      }
+    })
+  }
+
   /** The typed per-partition decode pipeline. Dispatch by format: image
-    * payloads run the REAL javax.imageio decode (mean_level = mean luma);
-    * everything else falls back to the byte-statistics stand-in. Batched
-    * per partition, no driver involvement, decode failures degrade to the
-    * fallback instead of failing the job.
+    * payloads run the REAL javax.imageio decode (mean_level = mean
+    * luma, 0-255); WAV/AU/AIFF payloads run the REAL
+    * javax.sound.sampled PCM decode (mean_level = RMS amplitude, 0-1);
+    * everything else (compressed audio, video) falls back to the
+    * byte-statistics stand-in — the one remaining declared stub.
+    * Batched per partition, no driver involvement, decode failures
+    * degrade to the fallback instead of failing the job.
     */
   def decodeAll(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { rec =>
-      val real =
-        if (imageFormats.contains(rec.fmt)) decodeImage(rec.payload) else None
-      real.fold(decodeStub(rec)) { case (_, _, luma) =>
+      val real: Option[Double] =
+        if (imageFormats.contains(rec.fmt)) decodeImage(rec.payload).map(_._3)
+        else if (audioFormats.contains(rec.fmt)) decodeAudio(rec.payload).map(_._5)
+        else None
+      real.fold(decodeStub(rec)) { level =>
         MediaFeatures(rec.doc_id, rec.payload.length, rec.n_frames,
-          math.round(luma * 1e6) / 1e6)
+          math.round(level * 1e6) / 1e6)
       }
     })
   }

@@ -217,17 +217,26 @@ object Integrate {
         expr("zip_with(v, zip_with(cb, call, (p, q) -> p - q), (x, d) -> x - d)").as("v"))
   }
 
-  /** The 2-iteration state: (corrected vectors, final assignment). */
-  private def harmonyState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cur0 = batched(s, dir).select(col("vec_id"), col("batch"), col("v"))
-    val g0 = cur0.select(col("vec_id"),
-      hyperplaneBucket(col("v"), LshPlanes).as("k"))
-    val g1 = assignTo(cur0, centroidsOf(cur0, g0)).localCheckpoint()
-    val cur1 = correctBy(cur0, g1).localCheckpoint()
-    val g2 = assignTo(cur1, centroidsOf(cur1, g1)).localCheckpoint()
-    val cur2 = correctBy(cur1, g2)
-    (cur2, g2)
-  }
+  /** The 2-iteration state: (corrected vectors, final assignment).
+    * Memoized per (session, dir): harmony_correct and harmony_mixing
+    * both consume it, and the iteration (5 eager localCheckpoint jobs)
+    * was the most expensive pair in the bench when paid twice. The
+    * checkpointed RDDs are corpus-bounded (n×d doubles) and live for
+    * the session — the standard shared-intermediate trade. */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def harmonyState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    stateCache.computeIfAbsent((s, dir), { _ =>
+      val cur0 = batched(s, dir).select(col("vec_id"), col("batch"), col("v"))
+      val g0 = cur0.select(col("vec_id"),
+        hyperplaneBucket(col("v"), LshPlanes).as("k"))
+      val g1 = assignTo(cur0, centroidsOf(cur0, g0)).localCheckpoint()
+      val cur1 = correctBy(cur0, g1).localCheckpoint()
+      val g2 = assignTo(cur1, centroidsOf(cur1, g1)).localCheckpoint()
+      val cur2 = correctBy(cur1, g2)
+      (cur2, g2)
+    })
 
   def harmonyCorrect(s: SparkSession, dir: String): DataFrame = {
     val (cur2, g2) = harmonyState(s, dir)
@@ -553,6 +562,62 @@ object Integrate {
         r(col("value"), 6).as("cc_value"))
   }
 
+  // ---------------------------------------------------------------
+  // cca_grams — the hash-checked distributed 90% of #214: the per-batch
+  // d×d Gram matrices of the standardized embeddings (the ONLY
+  // cluster-side aggregation ccaProject runs; everything after is a
+  // 64×64 driver-side SVD with no SQL replay). Entries accumulate
+  // integer-quantized products (round(zᵢ·zⱼ·1e6) as BIGINT — the
+  // mnn_shift trick), so the sum is order-independent and the DuckDB
+  // replay is exact. Scale: one flatten-posexplode pass over the
+  // corpus, d² bounded keys with map-side partial aggregation.
+  def ccaGrams(s: SparkSession, dir: String): DataFrame = {
+    val vecs = batched(s, dir)
+    val stats = vecs
+      .select(col("batch"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("batch"), col("dim"))
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
+      .groupBy(col("batch"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mu))), s -> s.mu)").as("mus"),
+        expr("transform(sort_array(collect_list(struct(dim, sd))), s -> s.sd)").as("sds"))
+    vecs.join(broadcast(stats), "batch")
+      .withColumn("z", expr(
+        "zip_with(v, zip_with(mus, sds, (m, s) -> named_struct('m', m, 's', s)), " +
+          "(x, p) -> IF(p.s = 0D, 0D, (x - p.m) / p.s))"))
+      .select(col("batch"), posexplode(expr(
+        """flatten(transform(sequence(0, size(z) - 1), i ->
+          |  transform(sequence(0, size(z) - 1), j ->
+          |    named_struct('i', i, 'j', j,
+          |      'q', CAST(round(z[i] * z[j] * 1e6, 0) AS BIGINT)))))""".stripMargin))
+        .as(Seq("ord", "e")))
+      .groupBy(col("batch").cast("long").as("batch"),
+        col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
+      .agg(sum(col("e.q")).as("sq"))
+      .select(col("batch"), col("i"), col("j"),
+        r(col("sq") / lit(1e6), 6).as("gram"))
+  }
+
+  private val ccaGramsSql =
+    """WITH vxb AS (
+         SELECT vec_id, vec_id % 2 AS batch, t.i AS dim, t.x
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
+       st AS (
+         SELECT batch, dim, avg(x) AS mu, stddev_pop(x) AS sd
+         FROM vxb GROUP BY 1, 2),
+       z AS MATERIALIZED (
+         SELECT v.vec_id, v.batch, v.dim,
+                CASE WHEN st.sd = 0 THEN 0.0 ELSE (v.x - st.mu) / st.sd END AS z
+         FROM vxb v JOIN st USING (batch, dim)),
+       g AS (
+         SELECT a.batch, a.dim AS i, b.dim AS j,
+                sum(CAST(round(a.z * b.z * 1e6, 0) AS BIGINT)) AS sq
+         FROM z a JOIN z b ON a.vec_id = b.vec_id AND a.batch = b.batch
+         GROUP BY 1, 2, 3)
+       SELECT CAST(batch AS BIGINT) AS batch, CAST(i AS BIGINT) AS i,
+              CAST(j AS BIGINT) AS j, round(sq / 1e6, 6) AS gram
+       FROM g"""
+
   /** One Harmony iteration as CTEs: given state rows `$v` (vec_id,
     * batch, dim, x) and grouping `$g` (vec_id, k), emit `g$o` (the new
     * assignment) and `v$o` (the corrected state). Mirrors centroidsOf/
@@ -626,6 +691,7 @@ object Integrate {
     "harmony_correct" -> (harmonyCorrect _),
     "harmony_mixing"  -> (harmonyMixing _),
     "cca_project"     -> (ccaProject _),
+    "cca_grams"       -> (ccaGrams _),
     "bitext_margin_mining" -> (bitextMarginMining _),
     "bitext_margin_mining_lsh" -> (bitextMarginMiningLsh _))
 
@@ -636,6 +702,7 @@ object Integrate {
     "mnn_correct"     -> mnnCorrectSql,
     "harmony_correct" -> harmonyCorrectSql,
     "harmony_mixing"  -> harmonyMixingOuterSql,
+    "cca_grams"       -> ccaGramsSql,
     "bitext_margin_mining" -> bitextMarginMiningSql,
     "bitext_margin_mining_lsh" -> bitextMarginMiningLshSql)
 }

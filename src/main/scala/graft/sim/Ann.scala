@@ -392,6 +392,72 @@ object Ann {
         (pmod(col("vec_id"), lit(10)) === 0).as("is_seed"))
   }
 
+  // ---------------------------------------------------------------
+  // Louvain-style modularity clustering over the mutual-kNN graph —
+  // the reference's DEFAULT community step (wrapper.R:267-348:
+  // get_clusters builds the SNN graph and runs Louvain; #76's
+  // components and #180's LPA are its connectivity/vote cousins, this
+  // is the modularity-optimizing one). Three fixed synchronous rounds
+  // of the Louvain local-move criterion: every node moves to the
+  // neighboring community (own included) maximizing the modularity
+  // gain. The gain comparison is scaled by 2m so the score is PURE
+  // INTEGER — score(c) = 2m·k_i,in(c) − d_i·(Σtot(c) − [c=own]·d_i),
+  // argmax with (score desc, community asc) total order: no fp
+  // ambiguity anywhere, so the SQL unroll replays each round exactly
+  // (the labelPropKnn determinism contract). Init = singleton
+  // communities (c_i = vec_id). Scale: each round is two bounded-key
+  // aggregations (Σtot over communities, k_in over edge endpoints) +
+  // one argmax — all shuffles keyed on vertex/community, no
+  // quadratic step; assignments localCheckpoint between rounds.
+  private val LouvainRounds = 3
+
+  def louvainKnn(s: SparkSession, dir: String): DataFrame =
+    louvainFrom(knnEdges(s, dir, k = 5, exact = true))
+
+  /** Scale twin: same 3-round modularity moves over the LSH kNN feed. */
+  def louvainKnnLsh(s: SparkSession, dir: String): DataFrame =
+    louvainFrom(knnEdges(s, dir, k = 5, exact = false))
+
+  private def louvainFrom(knn: DataFrame): DataFrame = {
+    val mut = mutualEdges(knn)
+    val edges = mut.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(mut.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // feeds every round (the labelPropFrom contract)
+    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    // |E| read off the already-checkpointed edge list: a bounded driver
+    // scalar (the pageRank vertex-count precedent) — embedding it as a
+    // literal keeps every round's join equi-keyed (no 1-row BNL attach)
+    val m = edges.count() / 2
+    var c = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("c"))
+    for (i <- 1 to LouvainRounds) {
+      val tot = c.join(deg, "v").groupBy(col("c")).agg(sum(col("d")).as("tot"))
+      val kin = edges.join(c.select(col("v").as("dst"), col("c").as("cand")), "dst")
+        .groupBy(col("src"), col("cand")).agg(count(lit(1)).as("kin"))
+        .select(col("src").as("v"), col("cand"), col("kin"))
+      // candidate set = neighbor communities ∪ own (kin=0 when no
+      // neighbor is in it); max() folds the duplicate own row
+      val cands = kin
+        .unionByName(c.select(col("v"), col("c").as("cand"), lit(0L).as("kin")))
+        .groupBy(col("v"), col("cand")).agg(max(col("kin")).as("kin"))
+      val scored = cands
+        .join(c.select(col("v"), col("c").as("own")), "v")
+        .join(deg, "v")
+        .join(tot.select(col("c").as("cand"), col("tot")), "cand")
+        .select(col("v"), col("cand"),
+          (lit(2L * m) * col("kin")
+            - col("d") * (col("tot")
+              - when(col("cand") === col("own"), col("d")).otherwise(lit(0L))))
+            .as("score"))
+      val next = scored
+        .select(col("v"), struct((-col("score")).as("ns"), col("cand").as("c")).as("sc"))
+        .groupBy(col("v")).agg(min(col("sc")).as("mx"))
+        .select(col("v"), col("mx.c").as("c"))
+      c = (if (i < LouvainRounds) next.localCheckpoint() else next)
+    }
+    c.select(col("v").as("vec_id"), col("c").as("community"))
+  }
+
   /** SQL replay of the LSH machinery (HyperplaneBucket + hamming-1
     * multi-probe), shared by every `_lsh` oracle including
     * dedup_embedding_lsh over in Dedup. Three stages:
@@ -615,6 +681,52 @@ object Ann {
        FROM embeddings e LEFT JOIN l3 l ON e.vec_id = l.vec_id"""
   }
 
+  /** 3-round synchronous Louvain unroll over the `knn (qid, nid)`
+    * contract — the oracle twin of [[louvainFrom]]. Scores are pure
+    * integers (scaled by 2m), argmax total-ordered (score desc, c asc),
+    * so every round replays exactly. */
+  private val louvainTailSql = {
+    val step = (i: Int) =>
+      s"""tot$i AS (
+           SELECT c.c, sum(d.d) AS tot
+           FROM c${i - 1} c JOIN deg d USING (v) GROUP BY 1),
+         kin$i AS (
+           SELECT e.src AS v, c.c AS cand, count(*) AS kin
+           FROM edges e JOIN c${i - 1} c ON e.dst = c.v GROUP BY 1, 2),
+         cand$i AS (
+           SELECT v, cand, max(kin) AS kin FROM (
+             SELECT v, cand, kin FROM kin$i
+             UNION ALL
+             SELECT v, c AS cand, 0::BIGINT AS kin FROM c${i - 1})
+           GROUP BY 1, 2),
+         sc$i AS (
+           SELECT cd.v, cd.cand,
+                  2 * m.m * cd.kin
+                    - d.d * (t.tot - CASE WHEN cd.cand = o.c THEN d.d ELSE 0 END)
+                    AS score
+           FROM cand$i cd
+           JOIN c${i - 1} o ON cd.v = o.v
+           JOIN deg d ON cd.v = d.v
+           JOIN tot$i t ON cd.cand = t.c, m),
+         c$i AS MATERIALIZED (
+           SELECT v, cand AS c FROM (
+             SELECT v, cand,
+                    row_number() OVER (PARTITION BY v
+                      ORDER BY score DESC, cand ASC) AS rk
+             FROM sc$i) WHERE rk = 1)"""
+    s"""mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       edges AS (SELECT a AS src, b AS dst FROM mutual
+                 UNION ALL SELECT b, a FROM mutual),
+       deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY 1),
+       m AS (SELECT count(*)::BIGINT AS m FROM mutual),
+       c0 AS (SELECT DISTINCT src AS v, src AS c FROM edges),
+       ${(1 to LouvainRounds).map(step).mkString(",\n       ")}
+       SELECT v AS vec_id, c AS community FROM c$LouvainRounds"""
+  }
+
   private val hardNegativesSql =
     """SELECT qid, neighbor_id, cos_sim, rk FROM (
          SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
@@ -688,7 +800,9 @@ object Ann {
     "hard_negatives"      -> (hardNegatives _),
     "hard_negatives_lsh"  -> (hardNegativesLsh _),
     "label_prop_knn"      -> (labelPropKnn _),
-    "label_prop_knn_lsh"  -> (labelPropKnnLsh _))
+    "label_prop_knn_lsh"  -> (labelPropKnnLsh _),
+    "louvain_knn"         -> (louvainKnn _),
+    "louvain_knn_lsh"     -> (louvainKnnLsh _))
 
   val oracles: Map[String, String] = Map(
     "pagerank_knn" -> s"WITH ${bruteKnnSql(5)},\n$pagerankTailSql",
@@ -711,6 +825,9 @@ object Ann {
     "label_prop_knn" -> s"WITH ${bruteKnnSql(5)},\n$labelPropTailSql",
     "label_prop_knn_lsh" ->
       s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$labelPropTailSql",
+    "louvain_knn" -> s"WITH ${bruteKnnSql(5)},\n$louvainTailSql",
+    "louvain_knn_lsh" ->
+      s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$louvainTailSql",
     "ann_lsh_topk" ->
       s"""WITH $lshSigPrefixSql,
          ${lshKnnSql(10, "WHERE s.vec_id % 50 = 0")}

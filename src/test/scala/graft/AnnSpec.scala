@@ -89,6 +89,32 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("Louvain: deterministic, covers the mutual graph, positive modularity") {
+    import org.apache.spark.sql.functions.col
+    val a = sim.Ann.louvainKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = sim.Ann.louvainKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toMap == b.toMap, "fixed-round Louvain must be deterministic")
+    // same vertex set as the components query (the shared mutual graph)
+    val compVerts = sim.Ann.knnComponents(spark, sf).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a.map(_._1).toSet == compVerts)
+    // moves happened: strictly fewer community labels than vertices
+    assert(a.toMap.values.toSet.size < compVerts.size,
+      "Louvain should merge singleton communities")
+    // Louvain communities refine the connected components: two nodes
+    // sharing a community must share a component (no cross-component
+    // moves are possible — kin=0 across components)
+    val comp = sim.Ann.knnComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    a.groupBy(_._2).foreach { case (community, members) =>
+      val comps = members.map(m => comp(m._1)).toSet
+      assert(comps.size == 1,
+        s"community $community spans components $comps")
+    }
+  }
+
   test("clustering coefficient: graph invariants hold on both feeds") {
     for (df <- Seq(sim.Ann.knnClusteringCoeff(spark, sf),
                    sim.Ann.knnClusteringCoeffLsh(spark, sf))) {

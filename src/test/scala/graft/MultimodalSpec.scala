@@ -46,6 +46,99 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats(4L).decoded && feats(4L).width == 4)
   }
 
+  test("image decompression bomb is rejected at the header, before pixel allocation") {
+    // a syntactically valid PNG signature + IHDR declaring 10⁶×10⁶ px:
+    // full decode would try to allocate ~4 TB; the header guard must
+    // return None without touching pixels
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(ihdr)
+    d.writeBytes("IHDR"); d.writeInt(1000000); d.writeInt(1000000)
+    d.writeByte(8); d.writeByte(2); d.writeByte(0); d.writeByte(0); d.writeByte(0)
+    dos.writeInt(13)
+    val body = ihdr.toByteArray
+    dos.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    dos.writeInt(crc.getValue.toInt)
+    assert(multimodal.Multimodal.decodeImage(bos.toByteArray).isEmpty,
+      "bomb-dims payload must be rejected at the header")
+    // and a normal image still decodes with the guard in place
+    assert(multimodal.Multimodal.decodeImage(renderImage(4, 4, "png")).isDefined)
+  }
+
+  /** Synthesize a WAV payload: `samples` are 16-bit signed PCM values,
+    * written through the JDK's own WAV writer (little-endian, mono or
+    * interleaved `channels`). */
+  private def renderWav(samples: Array[Short], sampleRate: Float,
+      channels: Int, bigEndian: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, channels, 2 * channels, sampleRate, bigEndian)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      if (bigEndian) { bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = s.toByte }
+      else { bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte }
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV payloads take the REAL javax.sound.sampled decode path, sample-exact") {
+    import spark.implicits._
+    // a 440-sample ramp plus a constant block: stats are hand-computable
+    val ramp = Array.tabulate(440)(i => (i * 64 - 14080).toShort)
+    val const = Array.fill(100)(16384.toShort)
+    val stereo = Array.tabulate(64)(i =>
+      (if (i % 2 == 0) 8192 else -8192).toShort) // L=+0.25, R=-0.25
+    val recs = spark.createDataset(Seq(
+      multimodal.Multimodal.MediaRecord(1L, renderWav(ramp, 8000f, 1), "wav", 1),
+      multimodal.Multimodal.MediaRecord(2L, renderWav(const, 44100f, 1), "wav", 1),
+      multimodal.Multimodal.MediaRecord(3L, renderWav(stereo, 16000f, 2), "wav", 1),
+      multimodal.Multimodal.MediaRecord(4L, Array[Byte](82, 73, 70, 70), "wav", 1))) // truncated RIFF
+    val feats = multimodal.Multimodal.decodeAudios(recs).collect()
+      .map(f => f.doc_id -> f).toMap
+    def stats(xs: Array[Short]): (Double, Double) = {
+      val vs = xs.map(_ / 32768.0)
+      (vs.map(math.abs).sum / vs.length,
+        math.sqrt(vs.map(v => v * v).sum / vs.length))
+    }
+    val (ma1, rms1) = stats(ramp)
+    assert(feats(1L).decoded && feats(1L).sample_rate == 8000
+      && feats(1L).channels == 1 && feats(1L).n_frames_audio == 440)
+    assert(math.abs(feats(1L).mean_abs - ma1) < 1e-5
+      && math.abs(feats(1L).rms - rms1) < 1e-5,
+      s"ramp stats ${feats(1L)} vs ($ma1, $rms1)")
+    assert(feats(2L).decoded && feats(2L).sample_rate == 44100
+      && math.abs(feats(2L).rms - 0.5) < 1e-5, "constant 16384 block has RMS 0.5")
+    assert(feats(3L).decoded && feats(3L).channels == 2
+      && feats(3L).n_frames_audio == 32
+      && math.abs(feats(3L).rms - 0.25) < 1e-5, "stereo ±0.25 square has RMS 0.25")
+    assert(!feats(4L).decoded && feats(4L).n_frames_audio == 0,
+      "truncated RIFF must degrade, not throw")
+  }
+
+  test("decodeAll routes wav through the audio decoder (mean_level = RMS)") {
+    import spark.implicits._
+    val const = Array.fill(64)(16384.toShort)
+    val recs = spark.createDataset(Seq(
+      multimodal.Multimodal.MediaRecord(1L, renderWav(const, 8000f, 1), "wav", 1),
+      multimodal.Multimodal.MediaRecord(2L, renderWav(const, 8000f, 1), "mp3", 1))) // no JVM codec
+    val feats = multimodal.Multimodal.decodeAll(recs).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(math.abs(feats(1L).mean_level - 0.5) < 1e-5,
+      s"wav fmt must surface decoded RMS, got ${feats(1L).mean_level}")
+    // mp3 label (even over decodable bytes) stays on the declared fallback
+    val wav = renderWav(const, 8000f, 1)
+    val byteMean = wav.map(b => (b & 0xff).toDouble).sum / wav.length
+    assert(math.abs(feats(2L).mean_level - byteMean) < 1e-5,
+      "compressed-audio fmt must fall back to byte statistics")
+  }
+
   test("decodeAll dispatches by format: luma for images, byte stats for the rest") {
     import spark.implicits._
     val png = renderImage(8, 6, "png")

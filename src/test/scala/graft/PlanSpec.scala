@@ -226,6 +226,10 @@ class PlanSpec extends SparkSpecBase {
       // documented brute-force scorer (oracle paths; the _lsh twins
       // are the scale feeds and stay BNL-free)
       "ann_recall_eval", "hard_negatives", "label_prop_knn",
+      // louvain's exact feed rides the same brute-force scorer; the
+      // _lsh twin is the scale feed and stays BNL-free (m is a bounded
+      // driver scalar off the checkpointed edge list, not a 1-row BNL)
+      "louvain_knn",
       "bm25_top_terms", "pmi_bigrams", "decile_bins", "kl_mktsegment",
       // char_lm_score attaches the 1-row corpus bigram total;
       // perplexity_buckets inherits the same attach through it
@@ -312,9 +316,12 @@ class PlanSpec extends SparkSpecBase {
     // is what adds coverage. A handful of builders do bounded eager work
     // (quantile boundaries etc.) at construction, which is why this stays
     // off the larger bench SF.
-    val sfDirs = Seq("/root/testdata/sf0.01")
+    // gate SF dir from the env when set (the SparkSpecBase convention),
+    // else the driver's default; CANCEL (not fail) on a machine without
+    // the testdata so the suite stays portable
+    val sfDirs = Seq(sys.env.getOrElse("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"))
       .filter(d => new java.io.File(d).isDirectory)
-    assert(sfDirs.nonEmpty, "no testdata dirs found")
+    assume(sfDirs.nonEmpty, "no testdata dirs found — skipping analysis sweep")
     val failures = for {
       dir <- sfDirs
       (name, fn) <- SparkEntry.queries.toSeq

@@ -44,6 +44,22 @@ class ReduceSpec extends SparkSpecBase {
       "same seed must give the same assignment")
   }
 
+  test("Lloyd grid replay: valid assignments, elbow SSE drops with k") {
+    val a = ml.Reduce.lloydClusters(spark, sf).collect()
+    assert(a.length == 500)
+    assert(a.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 10))
+    val b = ml.Reduce.lloydClusters(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(2))).toMap ==
+      b.map(r => (r.getLong(0), r.getLong(2))).toMap,
+      "grid Lloyd must be deterministic")
+    val elbow = ml.Reduce.lloydElbow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(elbow.keySet == (2L to 8L).toSet)
+    assert(elbow.values.forall(_ > 0.0))
+    assert(elbow(2L) > elbow(8L),
+      s"SSE must drop from k=2 (${elbow(2L)}) to k=8 (${elbow(8L)})")
+  }
+
   test("embedding dim profile: one row per dim, moment identities hold") {
     val rows = ml.Reduce.embeddingDimProfile(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()
