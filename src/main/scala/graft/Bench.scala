@@ -22,8 +22,7 @@ object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
     "dup_pairs_by_source",
-    "ann_ivf_topk", "ann_ivf_sq_topk", "pca_embeddings", "bisecting_clusters",
-    "cluster_transitions",
+    "pca_embeddings", "bisecting_clusters",
     // exact BNL oracle paths of #206/#218: each broadcasts an entire
     // batch (≈half the embedding corpus) as the small side — fine at
     // sf0.1, quadratic at a larger gate SF. Their _lsh scale twins ARE
@@ -103,6 +102,13 @@ object Bench {
       val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // full, untruncated per-query map to a file: the driver's 1850-char
+    // stdout tail drops the fastest queries (r5 lost ~118 of 194), which
+    // made round-over-round regression diffs depend on which queries
+    // happened to be slow — the builder commits this file each round
+    sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), render(results))
     }
     val maxLen = 1850
     var kept = results

@@ -147,9 +147,9 @@ object Reduce {
     * resolutions, i.e. the edge weights of the clustering tree the plot
     * draws. Each fit is a distributed MLlib estimator over the
     * persisted corpus; each transition is one vec_id equi-join +
-    * bounded (k × k+1)-key aggregation. Rows-only at the driver gate
-    * (estimator fits aren't SQL-expressible); ReduceSpec pins the
-    * mass-conservation identities instead. */
+    * bounded (k × k+1)-key aggregation. MLlib estimator path, kept as
+    * the spec'd alternate; the registry entry is [[lloydTransitions]]
+    * (hash-checked grid replay below). */
   def clusterTransitions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -193,27 +193,28 @@ object Reduce {
   // fact side is one narrow zip_with fold per assignment and one
   // posexplode per centroid aggregation; assignments localCheckpoint
   // between rounds (the Harmony contract).
-  private val LloydRounds = 3
+  private[graft] val LloydRounds = 3
 
   private def quant1e6(v: String) =
     expr(s"transform($v, x -> CAST(round(x * 1e6, 0) AS BIGINT))")
   private def gridded(v: String) =
     expr(s"transform($v, x -> CAST(round(x * 1000, 0) AS BIGINT))")
 
-  private def lloydBase(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** Grid Lloyd over an arbitrary `(vec_id, v: array<double>)` frame,
+    * all `kvals` in one pipeline. Returns (final assignment
+    * (kval, vec_id, k, d2), final-round centroids (kval, k, cv, cq));
+    * d2 is the grid-unit squared distance to the assigned centroid
+    * (SSE numerator), cq the assignment-grid centroid used by IVF
+    * probing. */
+  private[graft] def gridLloyd(base0: DataFrame, kvals: Seq[Int])
+      : (DataFrame, DataFrame) = {
+    val base = base0
       .withColumn("kval", explode(array(kvals.map(lit(_)): _*)))
-
-  /** Final assignment (kval, vec_id, k, d2) after [[LloydRounds]]
-    * synchronous rounds; d2 is the grid-unit squared distance to the
-    * assigned centroid (SSE numerator). */
-  private def lloydState(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame = {
-    val base = lloydBase(s, dir, kvals)
       .withColumn("xq", gridded("v"))
       .localCheckpoint() // every round scans it; corpus-bounded
     var g = base.select(col("kval"), col("vec_id"),
       pmod(col("vec_id"), col("kval")).as("k"))
+    var lastCents: DataFrame = null
     for (i <- 1 to LloydRounds) {
       val cents = base.join(g, Seq("kval", "vec_id"))
         .select(col("kval"), col("k"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
@@ -223,6 +224,7 @@ object Reduce {
         .groupBy(col("kval"), col("k"))
         .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
         .withColumn("cq", gridded("cv"))
+      lastCents = cents
       val assigned = base.select(col("kval"), col("vec_id"), col("xq"))
         .join(broadcast(cents.select(col("kval"), col("k"), col("cq"))), Seq("kval"))
         .select(col("kval"), col("vec_id"), col("k"),
@@ -233,8 +235,16 @@ object Reduce {
         .select(col("kval"), col("vec_id"), col("m.k").as("k"), col("m.d2").as("d2"))
       g = (if (i < LloydRounds) assigned.localCheckpoint() else assigned)
     }
-    g
+    (g, lastCents)
   }
+
+  /** Final assignment (kval, vec_id, k, d2) over the embeddings table
+    * after [[LloydRounds]] synchronous rounds. */
+  private def lloydState(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame =
+    gridLloyd(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      kvals)._1
 
   /** 30 (hash-checked): k=10 Lloyd assignment per vector. */
   def lloydClusters(s: SparkSession, dir: String): DataFrame =
@@ -251,7 +261,7 @@ object Reduce {
         round(sum(col("d2")) / lit(1e6), 6).as("sse"))
 
   /** One Lloyd round as CTEs over `lbase`/`lxq` (the oracle twin of one
-    * [[lloydState]] iteration): quantized centroid sums → grid
+    * [[gridLloyd]] iteration): quantized centroid sums → grid
     * centroids → integer d² argmin with (d2, k) total order. */
   private def lloydIterSql(i: Int): String =
     s"""lcent$i AS (
@@ -275,10 +285,18 @@ object Reduce {
                     ORDER BY d2 ASC, k ASC) AS rk
            FROM ld$i) WHERE rk = 1)"""
 
-  private def lloydPrefixSql(kvals: Seq[Int]): String =
-    s"""lvx AS MATERIALIZED (
+  /** The full Lloyd CTE chain over an arbitrary vector source
+    * (`srcSql` must yield (vec_id, v DOUBLE[])) — shared by the
+    * clustering/elbow/transition oracles here and the IVF oracles in
+    * sim.Ann / sim.Quantize. Exposes `lsrc` (the vectors), `lxq` (grid
+    * coords), `lg$LloydRounds` (final assignment) and
+    * `lcentq$LloydRounds` (final grid centroids). */
+  private[graft] def lloydPrefixSql(kvals: Seq[Int],
+      srcSql: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String =
+    s"""lsrc AS MATERIALIZED ($srcSql),
+       lvx AS MATERIALIZED (
          SELECT vec_id, t.i AS dim, t.x
-         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+         FROM lsrc e,
          LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
        lbase AS MATERIALIZED (
          SELECT k.kval, v.vec_id, v.dim, v.x
@@ -300,6 +318,33 @@ object Reduce {
        SELECT CAST(kval AS BIGINT) AS k, count(*) AS n_vec,
               round(sum(d2) / 1e6, 6) AS sse
        FROM lg$LloydRounds GROUP BY 1"""
+
+  /** 163 (hash-checked): the clustree transition table over the grid
+    * Lloyd assignments at k=2..6 — one shared pipeline (kval column),
+    * one vec_id self-join per adjacent resolution pair. The MLlib
+    * estimator version above stays the spec'd alternate. */
+  def lloydTransitions(s: SparkSession, dir: String): DataFrame = {
+    val g = lloydState(s, dir, 2 to 6)
+    val a = g.select(col("kval").as("k_from"), col("vec_id"),
+      col("k").as("cluster_from"))
+    val b = g.select((col("kval") - 1).as("k_from"), col("kval").as("k_to"),
+      col("vec_id"), col("k").as("cluster_to"))
+    a.join(b, Seq("k_from", "vec_id"))
+      .groupBy(col("k_from").cast("long").as("k_from"),
+        col("cluster_from").cast("long").as("cluster_from"),
+        col("k_to").cast("long").as("k_to"),
+        col("cluster_to").cast("long").as("cluster_to"))
+      .agg(count(lit(1)).as("n_cells"))
+  }
+
+  private val lloydTransitionsSql =
+    s"""WITH ${lloydPrefixSql(2 to 6)}
+       SELECT CAST(a.kval AS BIGINT) AS k_from, CAST(a.k AS BIGINT) AS cluster_from,
+              CAST(b.kval AS BIGINT) AS k_to, CAST(b.k AS BIGINT) AS cluster_to,
+              count(*) AS n_cells
+       FROM lg$LloydRounds a JOIN lg$LloydRounds b
+         ON a.vec_id = b.vec_id AND b.kval = a.kval + 1
+       GROUP BY 1, 2, 3, 4"""
 
   /** 157. embedding norm statistics per label — the cheapest
     * embedding-space health screen (collapsed or exploding embeddings
@@ -419,7 +464,7 @@ object Reduce {
     "embedding_dim_profile" -> (embeddingDimProfile _),
     "mahalanobis_outliers" -> (mahalanobisOutliers _),
     "kmeans_elbow"      -> (lloydElbow _),
-    "cluster_transitions" -> (clusterTransitions _),
+    "cluster_transitions" -> (lloydTransitions _),
     "pca_embeddings"    -> (pcaEmbeddings _),
     "kmeans_clusters"   -> (lloydClusters _),
     "bisecting_clusters" -> (bisectingClusters _),
@@ -431,5 +476,6 @@ object Reduce {
     "mahalanobis_outliers" -> mahalanobisOutliersSql,
     "kmeans_clusters" -> lloydClustersSql,
     "kmeans_elbow" -> lloydElbowSql,
+    "cluster_transitions" -> lloydTransitionsSql,
     "label_silhouette" -> labelSilhouetteSql)
 }

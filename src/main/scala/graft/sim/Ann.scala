@@ -104,10 +104,18 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
-  // 39. IVF-style ANN: MLlib KMeans (k=16, seeded) as the coarse
-  // quantizer; every vector is assigned to its cell, queries probe the
-  // nprobe=4 nearest centroids and scan only those cells. Centroids are
-  // a broadcast-sized table by construction.
+  // 39. IVF-style ANN: the grid-Lloyd fixed-iteration KMeans
+  // (Reduce.gridLloyd — the harmony_correct determinism template) as
+  // the coarse quantizer, k=16 cells; every vector is assigned to its
+  // cell, queries probe the nprobe=4 nearest centroids on the SAME
+  // integer grid the assignment used (BIGINT d², (d2, cell) total
+  // order — no fp probe ambiguity) and scan only those cells.
+  // Centroids are a broadcast-sized table by construction. The swap
+  // from MLlib KMeans graduates both IVF queries from rows-only to
+  // DuckDB hash-checked; recall is re-pinned in AnnSpec/QuantizeSpec.
+  private[sim] val IvfCells = 16
+  private val IvfProbe = 4
+
   def annIvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopkFrom(s, vectors(s, dir))
 
@@ -115,31 +123,60 @@ object Ann {
     * full-precision #39 and the int8 SQ variant (Quantize.annIvfSqTopk),
     * which passes the dequantized corpus instead. */
   private[sim] def ivfTopkFrom(s: SparkSession, prepared: DataFrame): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // not cached: KMeans.fit re-scans per iteration, but pinning the
-    // corpus in the shared session's storage for the rest of its
-    // lifetime is worse (no clean unpersist point inside a lazy plan);
-    // at real scale the caller persists/checkpoints the corpus once.
-    val vecs = prepared.withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(16).setSeed(42L).setFeaturesCol("fv").fit(vecs)
-    val assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centDf = s.createDataFrame(centroids.toSeq).toDF("cell", "cv")
-    val qs = assigned.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("cell").asc)
-    val probed = qs.crossJoin(broadcast(centDf))
-      .withColumn("dist", expr("aggregate(zip_with(qv, cv, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)"))
+    val (assign, cents) = graft.ml.Reduce.gridLloyd(
+      prepared.select(col("vec_id"), col("v")), Seq(IvfCells))
+    val assigned = prepared
+      .join(assign.select(col("vec_id"), col("k").as("cell")), "vec_id")
+    val qs = prepared.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        expr("transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))").as("qxq"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probed = qs.crossJoin(broadcast(cents.select(col("k").as("cell"), col("cq"))))
+      .withColumn("d2",
+        expr("aggregate(zip_with(qxq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 4) // nprobe=4 of 16 cells: ~1/4 corpus scanned
+      .filter(col("prk") <= IvfProbe) // nprobe=4 of 16 cells: ~1/4 corpus scanned
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cs", cosCol)
     topk(scored, 10)
   }
+
+  /** IVF probe + cell-scan + rank CTEs over [[graft.ml.Reduce.lloydPrefixSql]]'s
+    * `lsrc`/`lxq`/`lg*`/`lcentq*` contract — the oracle twin of
+    * [[ivfTopkFrom]], shared with the SQ variant in Quantize. */
+  private[sim] def ivfTailSql: String = {
+    val R = graft.ml.Reduce.LloydRounds
+    s"""ivfq AS MATERIALIZED (
+         SELECT vec_id AS qid, dim, xq FROM lxq WHERE vec_id % 50 = 0),
+       ivfd AS (
+         SELECT q.qid, c.k AS cell, sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+         FROM ivfq q JOIN lcentq$R c ON q.dim = c.dim
+         GROUP BY 1, 2),
+       ivfp AS (
+         SELECT qid, cell FROM (
+           SELECT qid, cell,
+                  row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS rk
+           FROM ivfd) WHERE rk <= $IvfProbe),
+       ivfscan AS (
+         SELECT p.qid, g.vec_id AS nid
+         FROM ivfp p JOIN lg$R g ON g.k = p.cell
+         WHERE g.vec_id != p.qid),
+       ivfsc AS (
+         SELECT s.qid, s.nid,
+                list_cosine_similarity(q.v, n.v) AS cs,
+                row_number() OVER (PARTITION BY s.qid
+                  ORDER BY list_cosine_similarity(q.v, n.v) DESC, s.nid ASC) AS rk
+         FROM ivfscan s JOIN lsrc q ON s.qid = q.vec_id
+                        JOIN lsrc n ON s.nid = n.vec_id)
+       SELECT qid, nid AS neighbor_id, round(cs, 6) AS cos_sim,
+              CAST(rk AS BIGINT) AS rk
+       FROM ivfsc WHERE rk <= 10"""
+  }
+
+  private[sim] def ivfOracleSql(srcSql: String): String =
+    s"WITH ${graft.ml.Reduce.lloydPrefixSql(Seq(IvfCells), srcSql)},\n$ivfTailSql"
 
   // ---------------------------------------------------------------
   // Shared kNN-edge builders for the graph queries (#76/#123/#153).
@@ -819,6 +856,8 @@ object Ann {
       s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$clusteringTailSql",
     "knn_components_lsh" ->
       s"WITH RECURSIVE $lshSigPrefixSql,\n${lshKnnSql(5)},\n$componentsTailSql",
+    "ann_ivf_topk" -> ivfOracleSql(
+      "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
     "ann_recall_eval" -> annRecallEvalSql,
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_lsh" -> hardNegativesLshSql,

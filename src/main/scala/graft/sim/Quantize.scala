@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   *  - `ann_ivf_sq_topk` (#194): IVF coarse quantizer OVER the int8
   *    corpus — the faiss IVF+SQ8 recipe. Probes nprobe=4 of 16 cells,
   *    scans ~1/4 of a corpus that is itself 4× smaller in memory.
-  *    MLlib-KMeans-trained → rows-only + recall spec (QuantizeSpec),
-  *    like the other estimator-backed ANN paths.
+  *    Grid-Lloyd-trained (Reduce.gridLloyd, r6) → hash-checked like
+  *    the rest of the SQ family; recall re-pinned in QuantizeSpec.
   */
 object Quantize {
 
@@ -336,6 +336,10 @@ object Quantize {
          |  FROM dq q JOIN dq c ON q.vec_id != c.vec_id
          |  WHERE q.vec_id % 50 = 0)
          |WHERE rk <= 10""".stripMargin,
+    "ann_ivf_sq_topk" ->
+      s"""WITH $dqPrefixSql,
+${graft.ml.Reduce.lloydPrefixSql(Seq(Ann.IvfCells), "SELECT vec_id, vq AS v FROM dq")},
+${Ann.ivfTailSql}""",
     "ann_binary_topk" ->
       s"""WITH $binaryScoredSql
          |SELECT qid, nid AS neighbor_id, CAST(ham AS BIGINT) AS hamming,
