@@ -22,7 +22,7 @@ object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
     "dup_pairs_by_source",
-    "pca_embeddings", "bisecting_clusters",
+    "pca_embeddings",
     // exact BNL oracle paths of #206/#218: each broadcasts an entire
     // batch (≈half the embedding corpus) as the small side — fine at
     // sf0.1, quadratic at a larger gate SF. Their _lsh scale twins ARE

@@ -44,7 +44,9 @@ object Reduce {
   }
 
   /** Hierarchical-clustering analog (wrapper.R:267-348 hclust path):
-    * MLlib BisectingKMeans — divisive hierarchy, seeded. */
+    * MLlib BisectingKMeans — divisive hierarchy, seeded. Kept as the
+    * spec'd alternate; the registry entry is [[bisectingGridClusters]]
+    * (hash-checked grid replay below). */
   def bisectingClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.BisectingKMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -319,6 +321,106 @@ object Reduce {
               round(sum(d2) / 1e6, 6) AS sse
        FROM lg$LloydRounds GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 57 hash-checked replay: divisive bisecting KMeans on the integer
+  // grid — 7 unrolled splits to k=8. Each split: pick the largest
+  // cluster (count desc, path-label asc — exact-integer total order),
+  // run grid 2-means (3 rounds, vec_id mod 2 init) over its members,
+  // relabel c → 2c/2c+1 (binary path labels, root=1). The pick is a
+  // bounded driver scalar (≤8-row size table — the pageRank
+  // vertex-count precedent); the SQL oracle computes the identical
+  // pick as a 1-row CTE. MLlib BisectingKMeans stays the spec'd
+  // alternate.
+  private val BisectSplits = 7
+
+  def bisectingGridClusters(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("xq", gridded("v"))
+      .localCheckpoint() // every split's rounds scan it
+    var c = base.select(col("vec_id"), lit(1L).as("c"))
+    for (_ <- 1 to BisectSplits) {
+      val pick = c.groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("c").asc).limit(1)
+        .collect()(0).getLong(0)
+      val members = c.filter(col("c") === pick).select(col("vec_id"))
+      var g = members.select(col("vec_id"),
+        pmod(col("vec_id"), lit(2)).cast("long").as("b"))
+      for (_ <- 1 to LloydRounds) {
+        val cents = base.join(g, "vec_id")
+          .select(col("b"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
+          .groupBy(col("b"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .withColumn("cv", col("sq") / (lit(1e6) * col("n")))
+          .groupBy(col("b"))
+          .agg(expr("transform(sort_array(collect_list(struct(dim, cv))), s -> s.cv)").as("cv"))
+          .withColumn("cq", gridded("cv"))
+        g = base.join(members, "vec_id")
+          .crossJoin(broadcast(cents.select(col("b"), col("cq"))))
+          .select(col("vec_id"), col("b"),
+            expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
+              .as("d2"))
+          .groupBy(col("vec_id")).agg(min(struct(col("d2"), col("b"))).as("m"))
+          .select(col("vec_id"), col("m.b").as("b"))
+      }
+      c = c.filter(col("c") =!= pick)
+        .unionAll(g.select(col("vec_id"), (lit(2L) * pick + col("b")).as("c")))
+        .localCheckpoint() // truncate the per-split lineage
+    }
+    c.join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("c").as("cluster"))
+  }
+
+  /** One bisecting split as CTEs: pick (1-row), member subset, 3 grid
+    * 2-means rounds, relabel. */
+  private def bisectSplitSql(sp: Int): String = {
+    val round = (r: Int) =>
+      s"""bcent${sp}_$r AS (
+           SELECT g.b, v.dim,
+                  sum(CAST(round(v.x * 1e6, 0) AS BIGINT)) AS sq, count(*) AS n
+           FROM bmv$sp v JOIN bg${sp}_${r - 1} g USING (vec_id) GROUP BY 1, 2),
+         bcq${sp}_$r AS (
+           SELECT b, dim, CAST(round((sq / (1e6 * n)) * 1000, 0) AS BIGINT) AS cq
+           FROM bcent${sp}_$r),
+         bd${sp}_$r AS (
+           SELECT q.vec_id, c.b, sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+           FROM bmq$sp q JOIN bcq${sp}_$r c USING (dim) GROUP BY 1, 2),
+         bg${sp}_$r AS MATERIALIZED (
+           SELECT vec_id, b FROM (
+             SELECT vec_id, b,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, b ASC) AS rk
+             FROM bd${sp}_$r) WHERE rk = 1)"""
+    s"""bpick$sp AS (
+         SELECT c FROM (SELECT c, count(*) AS n FROM bc${sp - 1} GROUP BY 1)
+         ORDER BY n DESC, c ASC LIMIT 1),
+       bmem$sp AS MATERIALIZED (
+         SELECT b.vec_id FROM bc${sp - 1} b JOIN bpick$sp p USING (c)),
+       bmv$sp AS MATERIALIZED (
+         SELECT v.vec_id, v.dim, v.x FROM bvx v JOIN bmem$sp m USING (vec_id)),
+       bmq$sp AS MATERIALIZED (
+         SELECT q.vec_id, q.dim, q.xq FROM bxq q JOIN bmem$sp m USING (vec_id)),
+       bg${sp}_0 AS (SELECT vec_id, vec_id % 2 AS b FROM bmem$sp),
+       ${(1 to LloydRounds).map(round).mkString(",\n       ")},
+       bc$sp AS MATERIALIZED (
+         SELECT c.vec_id, c.c FROM bc${sp - 1} c
+         WHERE c.c != (SELECT c FROM bpick$sp)
+         UNION ALL
+         SELECT g.vec_id, 2 * p.c + g.b AS c
+         FROM bg${sp}_$LloydRounds g, bpick$sp p)"""
+  }
+
+  private val bisectingGridClustersSql =
+    s"""WITH bvx AS MATERIALIZED (
+         SELECT vec_id, t.i AS dim, t.x
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
+       bxq AS MATERIALIZED (
+         SELECT vec_id, dim, CAST(round(x * 1000, 0) AS BIGINT) AS xq FROM bvx),
+       bc0 AS (SELECT DISTINCT vec_id, 1::BIGINT AS c FROM bvx),
+       ${(1 to BisectSplits).map(bisectSplitSql).mkString(",\n       ")}
+       SELECT b.vec_id, e.label, CAST(b.c AS BIGINT) AS cluster
+       FROM bc$BisectSplits b JOIN embeddings e ON b.vec_id = e.vec_id"""
+
   /** 163 (hash-checked): the clustree transition table over the grid
     * Lloyd assignments at k=2..6 — one shared pipeline (kval column),
     * one vec_id self-join per adjacent resolution pair. The MLlib
@@ -467,7 +569,7 @@ object Reduce {
     "cluster_transitions" -> (lloydTransitions _),
     "pca_embeddings"    -> (pcaEmbeddings _),
     "kmeans_clusters"   -> (lloydClusters _),
-    "bisecting_clusters" -> (bisectingClusters _),
+    "bisecting_clusters" -> (bisectingGridClusters _),
     "label_silhouette"  -> (labelSilhouette _))
 
   val oracles: Map[String, String] = Map(
@@ -477,5 +579,6 @@ object Reduce {
     "kmeans_clusters" -> lloydClustersSql,
     "kmeans_elbow" -> lloydElbowSql,
     "cluster_transitions" -> lloydTransitionsSql,
+    "bisecting_clusters" -> bisectingGridClustersSql,
     "label_silhouette" -> labelSilhouetteSql)
 }

@@ -60,6 +60,18 @@ class ReduceSpec extends SparkSpecBase {
       s"SSE must drop from k=2 (${elbow(2L)}) to k=8 (${elbow(8L)})")
   }
 
+  test("grid bisecting: 8 leaf clusters partition the corpus, deterministic") {
+    val a = ml.Reduce.bisectingGridClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.length == 500, "every vector gets exactly one leaf")
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == 8, s"7 splits should yield 8 leaves, got ${sizes.size}")
+    assert(sizes.values.sum == 500)
+    val b = ml.Reduce.bisectingGridClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.toMap == b.toMap, "grid bisecting must be deterministic")
+  }
+
   test("embedding dim profile: one row per dim, moment identities hold") {
     val rows = ml.Reduce.embeddingDimProfile(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()
