@@ -12,9 +12,9 @@ import org.apache.spark.sql.SparkSession
   *  - dedup_components: consumes the exact pair list above, skipped for
   *    the same reason; its scale twin dedup_components_lsh (same
   *    component logic over LSH pairs) IS benchmarked.
-  *  - ann_ivf_topk / pca_embeddings / kmeans_clusters: dominated by
-  *    MLlib estimator training, not query execution (ann_lsh_topk covers
-  *    the ANN query path).
+  * (The r6 grid-Lloyd/grid-PCA graduations removed the old MLlib
+  * skips — every clustering/reduction query is now a pure DataFrame
+  * pipeline and is benchmarked.)
   * Results are fully materialized through a noop datasource sink (not
   * count(), which would let Spark skip projection work).
   */
@@ -22,7 +22,6 @@ object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
     "dup_pairs_by_source",
-    "pca_embeddings",
     // exact BNL oracle paths of #206/#218: each broadcasts an entire
     // batch (≈half the embedding corpus) as the small side — fine at
     // sf0.1, quadratic at a larger gate SF. Their _lsh scale twins ARE

@@ -60,6 +60,32 @@ class ReduceSpec extends SparkSpecBase {
       s"SSE must drop from k=2 (${elbow(2L)}) to k=8 (${elbow(8L)})")
   }
 
+  test("grid PCA: variance-ordered, near-orthogonal scores, deterministic") {
+    val rows = ml.Reduce.pcaGridEmbeddings(spark, sf).collect()
+    assert(rows.length == 500)
+    val cols = (1 to 8).map(p => rows.map(_.getDouble(p)).toSeq)
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val vars = cols.map(variance)
+    (0 until 7).foreach(i =>
+      assert(vars(i) >= vars(i + 1) * 0.999,
+        s"pc${i + 1} var ${vars(i)} < pc${i + 2} var ${vars(i + 1)}"))
+    // converged subspace iteration gives near-orthogonal score vectors
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    assert(math.abs(corr(cols(0), cols(1))) < 0.15,
+      s"pc1/pc2 correlation ${corr(cols(0), cols(1))} — not orthogonalized")
+    val again = ml.Reduce.pcaGridEmbeddings(spark, sf).collect()
+    assert(rows.map(_.getDouble(1)).toSeq == again.map(_.getDouble(1)).toSeq,
+      "grid PCA must be deterministic")
+  }
+
   test("grid bisecting: 8 leaf clusters partition the corpus, deterministic") {
     val a = ml.Reduce.bisectingGridClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
