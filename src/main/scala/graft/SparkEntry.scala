@@ -19,6 +19,7 @@ object SparkEntry {
       (sc.Integrate.queries, sc.Integrate.oracles),
       (text.TextOps.queries, text.TextOps.oracles),
       (text.Batching.queries, text.Batching.oracles),
+      (text.Vocab.queries, text.Vocab.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),
       (sim.Quantize.queries, sim.Quantize.oracles),

@@ -1,0 +1,266 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary / tokenizer-training analytics over the corpus (SURVEY.md
+  * §2.5 extension): the corpus-statistics layer a tokenizer-training or
+  * corpus-health pipeline runs before committing a token budget.
+  *
+  * All three operators are hash-checked against the DuckDB oracle:
+  * integer counts, deterministic tie-breaks, and (for the one OLS fit)
+  * the same regr_* aggregates the zipf_fit precedent established.
+  */
+object Vocab {
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  // ---------------------------------------------------------------
+  // 220. BPE merge-pair training primitive (Sennrich et al. 2016;
+  // the first rounds of every GPT/Llama tokenizer build): 5 unrolled
+  // merge rounds over the WORD-FREQUENCY DICT (BPE always trains on
+  // the vocab with counts, never the raw token stream — the dict is
+  // vocab-bounded, sublinear in corpus size, so the 5 shuffles here
+  // stay small at 100 TB while the only corpus-wide pass is the one
+  // word-count aggregation).
+  //
+  // Each round: (a) count adjacent symbol pairs weighted by word
+  // frequency (overlapping positions counted, the HF-trainer
+  // convention), (b) pick argmax with the exact (count desc, lhs asc,
+  // rhs asc) integer/string tie-break — a bounded 1-row driver scalar
+  // (the bisecting_clusters split-pick precedent), (c) greedy
+  // left-to-right non-overlapping merge. The merge's loop-carried
+  // dependency ("a candidate is real iff the previous candidate was
+  // not merged") is expressed without a sequential fold via the
+  // run-parity trick: within each maximal run of CONSECUTIVE candidate
+  // positions, exactly the even offsets merge — plain window
+  // functions, identical semantics in Spark and DuckDB, so the whole
+  // 5-round training replays hash-exact.
+  private val BpeRounds = 5
+
+  private def wordDict(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+
+  /** One greedy non-overlapping merge of (lSym, rSym) over the dict's
+    * symbol sequences — factored out so the spec can pin the
+    * overlapping-run semantics ("aaaa" + (a,a) → ["aa","aa"]) on a
+    * crafted dict. */
+  private[graft] def mergeOnce(dict: DataFrame, lSym: String, rSym: String): DataFrame = {
+    val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val wRun = Window.partitionBy(col("w"), col("grp"))
+    dict.select(col("w"), col("wc"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .withColumn("cand", coalesce(
+        (col("sym") === lit(lSym)) &&
+          (lead(col("sym"), 1).over(wWord) === lit(rSym)), lit(false)))
+      .withColumn("rn_c", sum(col("cand").cast("int"))
+        .over(wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("grp", when(col("cand"), col("pos") - col("rn_c")))
+      .withColumn("off", when(col("cand"),
+        col("rn_c") - min(when(col("cand"), col("rn_c"))).over(wRun)))
+      .withColumn("kept", coalesce(col("cand") && (col("off") % 2 === 0), lit(false)))
+      .withColumn("prev_kept", coalesce(lag(col("kept"), 1).over(wWord), lit(false)))
+      .filter(!col("prev_kept"))
+      .withColumn("sym2", when(col("kept"), lit(lSym + rSym)).otherwise(col("sym")))
+      .groupBy(col("w"), col("wc"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sym2))), x -> x.sym2)").as("syms"))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    var dict = wordDict(s, dir).localCheckpoint() // 5 rounds re-scan it; truncate lineage between rounds (the harmony precedent)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    (1 to BpeRounds).foreach { round =>
+      val top = dict.select(col("wc"), explode(expr(
+        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+          |         slice(syms, 2, greatest(size(syms) - 1, 0)),
+          |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0) // bounded driver scalar: the single argmax pair
+      val (lSym, rSym, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      out += ((round.toLong, lSym, rSym, lSym + rSym, cnt))
+      if (round < BpeRounds) dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
+    }
+    import s.implicits._
+    out.result().toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** One BPE round as DuckDB CTEs: d${i-1} -> (top$i, d$i), mirroring
+    * wordDict/mergeOnce op-for-op (1-based list indexing; pos = i-1
+    * matches posexplode's 0-base; ROWS frame pinned explicitly — Spark's
+    * RANGE default is equivalent because pos is unique per word). */
+  private def bpeRoundSql(i: Int): String = {
+    val d = s"d${i - 1}"
+    s"""pairs$i AS (
+         SELECT syms[t.i] AS l, syms[t.i + 1] AS r, sum(wc) AS cnt
+         FROM $d, LATERAL (SELECT unnest(range(1, len(syms))) AS i) t
+         GROUP BY 1, 2),
+       top$i AS (
+         SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM pairs$i
+         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+       e$i AS (
+         SELECT w, wc, t.i - 1 AS pos, syms[t.i] AS sym
+         FROM $d, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i) t),
+       c$i AS (
+         SELECT w, wc, pos, sym, coalesce(
+             sym = (SELECT l FROM top$i)
+             AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM top$i),
+             FALSE) AS cand
+         FROM e$i),
+       r$i AS (
+         SELECT *, sum(CASE WHEN cand THEN 1 ELSE 0 END)
+             OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rn_c
+         FROM c$i),
+       g$i AS (SELECT *, CASE WHEN cand THEN pos - rn_c END AS grp FROM r$i),
+       k$i AS (
+         SELECT *, CASE WHEN cand THEN rn_c - min(CASE WHEN cand THEN rn_c END)
+             OVER (PARTITION BY w, grp) END AS off
+         FROM g$i),
+       m$i AS (SELECT *, coalesce(cand AND off % 2 = 0, FALSE) AS kept FROM k$i),
+       f$i AS (
+         SELECT *, coalesce(lag(kept) OVER (PARTITION BY w ORDER BY pos), FALSE) AS prev_kept
+         FROM m$i),
+       d$i AS (
+         SELECT w, wc, list(CASE WHEN kept
+               THEN (SELECT l FROM top$i) || (SELECT r FROM top$i) ELSE sym END
+             ORDER BY pos) AS syms
+         FROM f$i WHERE NOT prev_kept GROUP BY w, wc)"""
+  }
+
+  private val bpeMergesSql = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n       ")
+    val union = (1 to BpeRounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
+                 l || r AS merged, cnt AS pair_count FROM top$i""")
+      .mkString("\n       UNION ALL\n       ")
+    s"""WITH words AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       d0 AS (
+         SELECT w, count(*) AS wc,
+                list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+         FROM words GROUP BY 1),
+       $rounds
+       $union"""
+  }
+
+  // ---------------------------------------------------------------
+  // 221. Heap's-law vocabulary-growth fit — the zipf_fit sibling on
+  // the other axis: V(n) ≈ K·n^β (β ≈ 0.4-0.6 for natural language;
+  // template spam flattens it, OCR noise inflates it). One corpus pass
+  // finds each word's FIRST document; the cumulative curve is then a
+  // |docs|-row prefix sum (a single ordered window here; at 100 TB the
+  // same curve comes from range-partitioned prefix sums over per-doc
+  // partials, or checkpointed at fixed doc quantiles — the fit never
+  // needs per-token resolution). The ln-ln OLS rides regr_slope /
+  // regr_intercept / regr_r2, the exact cross-engine aggregates
+  // zipf_fit already hash-checks.
+  def heapsFit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val firsts = toks.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("nv"))
+    val ord = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.join(firsts, perDoc("doc_id") === firsts("fd"), "left")
+      .select(col("doc_id"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+      .withColumn("cum_n", sum(col("nt")).over(ord))
+      .withColumn("cum_v", sum(col("nv")).over(ord))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("cum_n")).as("total_tokens"),
+        max(col("cum_v")).as("vocab_size"),
+        r(regr_slope(log(col("cum_v")), log(col("cum_n"))), 6).as("heaps_beta"),
+        r(regr_intercept(log(col("cum_v")), log(col("cum_n"))), 6).as("heaps_lnk"),
+        r(regr_r2(log(col("cum_v")), log(col("cum_n"))), 6).as("r2"))
+  }
+
+  private val heapsFitSql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         FROM documents),
+       per_doc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+       firsts AS (
+         SELECT fd, count(*) AS nv
+         FROM (SELECT w, min(doc_id) AS fd FROM toks GROUP BY 1) GROUP BY 1),
+       curve AS (
+         SELECT p.doc_id, p.nt, coalesce(f.nv, 0) AS nv,
+                sum(p.nt) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS cum_n,
+                sum(coalesce(f.nv, 0)) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS cum_v
+         FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.fd)
+       SELECT count(*) AS n_docs,
+              CAST(max(cum_n) AS BIGINT) AS total_tokens,
+              CAST(max(cum_v) AS BIGINT) AS vocab_size,
+              round(regr_slope(ln(cum_v), ln(cum_n)), 6) AS heaps_beta,
+              round(regr_intercept(ln(cum_v), ln(cum_n)), 6) AS heaps_lnk,
+              round(regr_r2(ln(cum_v), ln(cum_n)), 6) AS r2
+       FROM curve"""
+
+  // ---------------------------------------------------------------
+  // 222. Character-class composition profile per (lang, source) — the
+  // script/encoding health screen (mojibake, markup bleed, and
+  // wrong-script contamination all move these fractions before any
+  // model-based signal fires). Counts are length deltas under
+  // class-stripping regexes shared verbatim by Java regex and RE2
+  // (explicit ASCII ranges only — Java's \s and RE2's \s disagree on
+  // \x0B, so the space class is spelled out); "other" (= non-ASCII,
+  // e.g. CJK) falls out by subtraction. Pure narrow per-row work +
+  // one bounded-key aggregation: embarrassingly parallel at 100 TB.
+  private val ClassPats = Seq(
+    "alpha" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "space" -> "[ \\t\\n\\r]",
+    "punct" -> "[!-/:-@\\[-`{-~]")
+
+  def charclassProfile(s: SparkSession, dir: String): DataFrame = {
+    def cnt(pat: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), lit(pat), lit("")))).cast("long")
+    val perDoc = Tables.documents(s, dir).select(
+      col("lang") +: col("source") +: length(col("text")).cast("long").as("n") +:
+        ClassPats.map { case (name, pat) => cnt(pat).as(name) }: _*)
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_docs") +: sum(col("n")).as("n_chars") +:
+        ClassPats.map { case (name, _) =>
+          r(sum(col(name)) / sum(col("n")).cast("double"), 6).as(s"${name}_frac")
+        } :+ r((sum(col("n")) - ClassPats.map(p => sum(col(p._1))).reduce(_ + _))
+          / sum(col("n")).cast("double"), 6).as("other_frac")
+    perDoc.groupBy(col("lang"), col("source")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val charclassProfileSql = {
+    val cnts = ClassPats.map { case (name, pat) =>
+      val sqlPat = pat.replace("\\\\", "\\") // Scala escapes -> literal regex text
+      s"length(text) - length(regexp_replace(text, '$sqlPat', '', 'g')) AS $name"
+    }.mkString(",\n                ")
+    val fracs = ClassPats.map { case (name, _) =>
+      s"round(sum($name) / CAST(sum(n) AS DOUBLE), 6) AS ${name}_frac"
+    }.mkString(",\n              ")
+    val otherSum = ClassPats.map(p => s"sum(${p._1})").mkString(" - ")
+    s"""WITH per_doc AS (
+         SELECT lang, source, length(text) AS n,
+                $cnts
+         FROM documents)
+       SELECT lang, source, count(*) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS n_chars,
+              $fracs,
+              round((sum(n) - $otherSum) / CAST(sum(n) AS DOUBLE), 6) AS other_frac
+       FROM per_doc GROUP BY 1, 2"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges"        -> (bpeMerges _),
+    "heaps_fit"         -> (heapsFit _),
+    "charclass_profile" -> (charclassProfile _))
+
+  val oracles: Map[String, String] = Map(
+    "bpe_merges"        -> bpeMergesSql,
+    "heaps_fit"         -> heapsFitSql,
+    "charclass_profile" -> charclassProfileSql)
+}
