@@ -497,10 +497,13 @@ object Integrate {
   //   X₀X₁ᵀ = Q₀ (R₀R₁ᵀ) Q₁ᵀ — SVD of the 64×64 core on the driver
   //   (the |clusters|²-bounded driver-geometry precedent), then each
   //   cell projects through a broadcast d×5 matrix: U = X₀·W₀.
-  // Driver-side SVD/Cholesky (breeze/LAPACK) has no DuckDB replay →
-  // rows-only at the gate; IntegrateSpec pins the algebra instead:
-  // orthonormal per-batch loadings, decreasing singular values, and
-  // U_kᵀ(X₀X₁ᵀ)V_k = s_k recomputed distributively.
+  // Driver-side SVD/Cholesky (breeze/LAPACK) has no DuckDB replay —
+  // this breeze version stays as the spec'd alternate (IntegrateSpec
+  // pins the algebra: orthonormal per-batch loadings, decreasing
+  // singular values, U_kᵀ(X₀X₁ᵀ)V_k = s_k recomputed distributively).
+  // The REGISTERED cca_project query is CcaGrid.ccaGridProject: the
+  // same pipeline re-derived as deterministic ascending-fold algebra
+  // on quantized Grams, hash-checked against a full DuckDB replay.
   private val CcaK = 5
 
   def ccaProject(s: SparkSession, dir: String): DataFrame = {
@@ -690,7 +693,7 @@ object Integrate {
     "mnn_correct"     -> (mnnCorrect _),
     "harmony_correct" -> (harmonyCorrect _),
     "harmony_mixing"  -> (harmonyMixing _),
-    "cca_project"     -> (ccaProject _),
+    "cca_project"     -> (CcaGrid.ccaGridProject _), // hash-checked grid replay; breeze ccaProject stays the spec'd alternate
     "cca_grams"       -> (ccaGrams _),
     "bitext_margin_mining" -> (bitextMarginMining _),
     "bitext_margin_mining_lsh" -> (bitextMarginMiningLsh _))
@@ -702,6 +705,7 @@ object Integrate {
     "mnn_correct"     -> mnnCorrectSql,
     "harmony_correct" -> harmonyCorrectSql,
     "harmony_mixing"  -> harmonyMixingOuterSql,
+    "cca_project"     -> CcaGrid.ccaGridSql,
     "cca_grams"       -> ccaGramsSql,
     "bitext_margin_mining" -> bitextMarginMiningSql,
     "bitext_margin_mining_lsh" -> bitextMarginMiningLshSql)
