@@ -731,11 +731,14 @@ object Dedup {
        WHERE p.n_shared >= 5"""
 
   /** Exact SQL replay of minhash_calibration: FNV-1a 64 per DISTINCT
-    * shingle (the dedup_simhash byte fold), SplitMix64 step via the
-    * shared HUGEINT CTE chain, Kirsch–Mitzenmacher h1 + j·h2 mod 2⁶⁴,
-    * signed-BIGINT mins per hash index, literal band tuples as join
-    * keys, md5-uniform sample cap, and the same est/true-Jaccard
-    * algebra. */
+    * shingle (the dedup_simhash byte fold), then the per-slot
+    * SplitMix64 STREAM — slot j's seed is (h1 + j·GAMMA) mod 2⁶⁴ fed
+    * through the shared mix64 HUGEINT CTE chain (the r6 family: a
+    * per-slot finalizer, because the r5 Kirsch–Mitzenmacher linear
+    * walk left consecutive slots correlated and blew the banding
+    * candidate volume ~300×) — signed-BIGINT mins per hash index,
+    * literal band tuples as join keys, md5-uniform sample cap, and the
+    * same est/true-Jaccard algebra. */
   private val minhashCalibrationSql: String = {
     val uPair = {
       val md5k = "md5(CAST(d1 AS VARCHAR) || '_' || CAST(d2 AS VARCHAR))"
@@ -754,22 +757,13 @@ object Dedup {
            (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
                         * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS x
          FROM (SELECT DISTINCT g FROM sh)),
-       ${graft.sim.Ann.splitmixCtes("mh", "gh", "g")},
-       hstep AS MATERIALIZED (
-         SELECT gh.g, gh.x AS h1u,
-                CASE WHEN (mhh.hs | 1) >= 0 THEN (mhh.hs | 1)::HUGEINT
-                     ELSE (mhh.hs | 1)::HUGEINT + 18446744073709551616::HUGEINT
-                END AS h2u
-         FROM gh JOIN mhh USING (g)),
-       hjs AS MATERIALIZED (
-         SELECT h.g, t.j,
-                CASE WHEN ((h.h1u + t.j::HUGEINT * h.h2u) % 18446744073709551616::HUGEINT)
-                       < 9223372036854775808::HUGEINT
-                     THEN ((h.h1u + t.j::HUGEINT * h.h2u) % 18446744073709551616::HUGEINT)::BIGINT
-                     ELSE (((h.h1u + t.j::HUGEINT * h.h2u) % 18446744073709551616::HUGEINT)
-                           - 18446744073709551616::HUGEINT)::BIGINT
-                END AS hj
-         FROM hstep h, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) t),
+       gj AS MATERIALIZED (
+         SELECT gh.g, t.j,
+                (gh.x + t.j::HUGEINT * 11400714819323198485::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS x
+         FROM gh, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) t),
+       ${graft.sim.Ann.splitmixCtes("mj", "gj", "g, j")},
+       hjs AS MATERIALIZED (SELECT g, j, hs AS hj FROM mjh),
        msig AS MATERIALIZED (
          SELECT doc_id, list(v ORDER BY j) AS sig
          FROM (SELECT s.doc_id, h.j, min(h.hj) AS v

@@ -487,26 +487,36 @@ case class JaccardSim(left: Expression, right: Expression)
   * work per shingle. Used on the banding branch; the verification
   * branch still materializes CharShingles for JaccardSim.
   *
-  * Hash family: h1 = FNV-1a 64 over the shingle's UTF-8 bytes, h2 =
-  * SplitMix64(h1) | 1, h_j = h1 + j·h2 (Kirsch–Mitzenmacher double
-  * hashing, mod-2⁶⁴ wrap). FNV + SplitMix rather than xxhash64
-  * deliberately — both replay exactly in DuckDB (the dedup_simhash /
-  * hyperplane-plane precedents: byte fold + HUGEINT mod-2⁶⁴
-  * arithmetic), which makes signature-bearing queries hash-checkable
-  * instead of rows-only. Mixing quality is equivalent for min-hashing.
+  * Hash family: h1 = FNV-1a 64 over the shingle's UTF-8 bytes, then
+  * slot j draws from the SplitMix64 STREAM seeded at h1:
+  * h_j = mix64(h1 + j·GAMMA) (mod-2⁶⁴ wrap; mix64 = the SplitMix64
+  * finalizer, GAMMA = 0x9E3779B97F4A7C15). FNV + SplitMix rather than
+  * xxhash64 deliberately — both replay exactly in DuckDB (the
+  * dedup_simhash / hyperplane-plane precedents: byte fold + HUGEINT
+  * mod-2⁶⁴ arithmetic), which makes signature-bearing queries
+  * hash-checkable instead of rows-only.
   *
-  * DOWNSTREAM NOTE (r5 hash-family change): every consumer of this
-  * signature — Similarity.nearDupPairsLsh (dedup_minhash_lsh), the
-  * streaming near-dup detector (StreamSessionize.nearDupStream), and
-  * minhash_calibration — changed candidate sets when the family moved
-  * from xxhash64 to FNV-1a+SplitMix64. FNV-1a has weaker avalanche
-  * over short shingles, so banding recall is re-verified EMPIRICALLY
-  * each round rather than assumed: DedupSpec pins "banding recalls
-  * every true J≥0.7 pair" on the batch path and StreamingSpec pins
-  * "a close variant loses ≥half its bands" on the streaming path —
-  * either assertion failing on a regenerated corpus is the signal to
-  * parameterize the family back toward xxhash64 (at the cost of the
-  * DuckDB replay).
+  * The r5 family used Kirsch–Mitzenmacher h_j = h1 + j·h2 with NO
+  * per-slot finalizer. That is fine for Bloom filters but wrong for
+  * min-hashing: all shingles advance linearly at their own rate, so
+  * the per-slot argmin drifts slowly and CONSECUTIVE SLOTS ARE
+  * CORRELATED — a 4-row band then collapses to "shares one popular
+  * shingle", and at sf0.1 the 16×4 banding emitted ~451k candidate
+  * pairs for 256 true pairs (one band bucket held 658 docs; the r6
+  * bench regression of the whole components-LSH family). The r6
+  * per-slot mix64 restores slot independence: ~120k candidates (3.8×
+  * less; the rest is corpus-inherent — this low-vocab corpus has many
+  * doc clusters at J≈0.5-0.6, which 16×4 banding at t≈0.5 rightly
+  * surfaces and the signature screen + exact verification discard).
+  *
+  * DOWNSTREAM NOTE: every consumer of this signature —
+  * Similarity.nearDupPairsLsh (dedup_minhash_lsh), the streaming
+  * near-dup detector (StreamSessionize.nearDupStream), and
+  * minhash_calibration — changes candidate sets when the family
+  * changes. Banding recall is re-verified EMPIRICALLY each round:
+  * DedupSpec pins "banding recalls every true J≥0.7 pair" on the batch
+  * path and StreamingSpec pins "a close variant loses ≥half its bands"
+  * on the streaming path.
   */
 case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
@@ -528,12 +538,12 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
     while (i <= last) {
       val s = t.substringSQL(i, n)
       val h1 = MinHashSigText.fnv1a64(s)
-      val h2 = HyperplaneBucket.mix64(h1) | 1L
       var j = 0
-      var h = h1
+      var seed = h1
       while (j < numHashes) {
+        val h = HyperplaneBucket.mix64(seed)
         if (h < sig(j)) sig(j) = h
-        h += h2
+        seed += MinHashSigText.Gamma
         j += 1
       }
       i += 1
@@ -557,12 +567,11 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
         java.util.Arrays.fill($sig, Long.MAX_VALUE);
         for (int $i = 1; $i <= $last; $i++) {
           UTF8String $s = $c.substringSQL($i, $n);
-          long ${h}1 = graft.functions.MinHashSigText$$.MODULE$$.fnv1a64($s);
-          long ${h}2 = graft.functions.HyperplaneBucket.mix64(${h}1) | 1L;
-          long $h = ${h}1;
+          long ${h}seed = graft.functions.MinHashSigText$$.MODULE$$.fnv1a64($s);
           for (int $j = 0; $j < $numHashes; $j++) {
+            long $h = graft.functions.HyperplaneBucket.mix64(${h}seed);
             if ($h < $sig[$j]) $sig[$j] = $h;
-            $h += ${h}2;
+            ${h}seed += graft.functions.MinHashSigText$$.MODULE$$.Gamma();
           }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -574,6 +583,9 @@ case class MinHashSigText(child: Expression, n: Int, numHashes: Int)
 }
 
 object MinHashSigText {
+  /** SplitMix64 stream increment — called from generated code. */
+  val Gamma: Long = 0x9E3779B97F4A7C15L
+
   /** FNV-1a 64 over a UTF8String's bytes — called from generated code,
     * must be public. Same fold as SimHash64's word hash. */
   def fnv1a64(s: UTF8String): Long = {
