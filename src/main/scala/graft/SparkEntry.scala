@@ -20,6 +20,7 @@ object SparkEntry {
       (text.TextOps.queries, text.TextOps.oracles),
       (text.Batching.queries, text.Batching.oracles),
       (text.Vocab.queries, text.Vocab.oracles),
+      (text.Clean.queries, text.Clean.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),
       (sim.Quantize.queries, sim.Quantize.oracles),
