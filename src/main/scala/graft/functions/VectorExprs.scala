@@ -263,6 +263,12 @@ object VectorFunctions {
   def approxHeavyHitters(item: Column, k: Int): Column =
     GraftGlue.column(
       ApproxHeavyHitters(toExpr(item), k).toAggregateExpression())
+  /** Aggregate: flattened d×d array<long> of Σ round(v[i]·v[j]·1e6) —
+    * the Gram/covariance accumulator (one long[d²] buffer per
+    * partition instead of the n·d² posexplode). */
+  def quantOuterProduct(vec: Column): Column =
+    GraftGlue.column(
+      QuantOuterProduct(toExpr(vec)).toAggregateExpression())
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint

@@ -463,18 +463,13 @@ object Reduce {
     val d = muSums.size
     val mu = Array.tabulate(d)(i => muSums(i) / (1e6 * n))
     val muCol = array(mu.map(lit(_)): _*)
-    // C from integer-quantized centered products
-    val cRows = vecs.withColumn("__mus", muCol)
-      .select(posexplode(expr(
-        s"""flatten(transform(sequence(0, ${d - 1}), i ->
-           |  transform(sequence(0, ${d - 1}), j ->
-           |    named_struct('kk', i * $d + j,
-           |      'q', CAST(round((v[i] - __mus[i]) * (v[j] - __mus[j]) * 1e6, 0) AS BIGINT)))))"""
-          .stripMargin))
-        .as(Seq("ord", "e")))
-      .groupBy(col("e.kk").as("kk")).agg(sum(col("e.q")).as("sq"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cMat = Array.tabulate(d, d)((i, j) => cRows(i * d + j) / (1e6 * n))
+    // C from integer-quantized centered products — one native
+    // QuantOuterProduct pass (long[d²] partials, no n·d² explode)
+    val cArr = vecs.withColumn("__mus", muCol)
+      .select(graft.functions.VectorFunctions.quantOuterProduct(
+        expr("zip_with(v, __mus, (x, m) -> x - m)")).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val cMat = Array.tabulate(d, d)((i, j) => cArr(i * d + j) / (1e6 * n))
     // 12 rounds of subspace iteration + GS, ascending folds from 0.0
     var vMat = Array.tabulate(PcaK, d)((k, i) => if (k == i) 1.0 else 0.0)
     for (_ <- 1 to PcaIters) {

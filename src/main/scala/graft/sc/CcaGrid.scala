@@ -81,17 +81,16 @@ object CcaGrid {
           "(x, p) -> IF(p.s = 0D, 0D, (x - p.m) / p.s))"))
       .select(col("vec_id"), col("batch"), col("z"))
       .localCheckpoint() // scanned twice: gram pass + projection pass
-    // 2. quantized Grams, one shuffle for both batches
-    val gRows = std.select(col("batch"), posexplode(expr(
-      s"""flatten(transform(sequence(0, ${d - 1}), i ->
-         |  transform(sequence(0, ${d - 1}), j ->
-         |    named_struct('kk', i * $d + j,
-         |      'q', CAST(round(z[i] * z[j] * 1e6, 0) AS BIGINT)))))""".stripMargin))
-      .as(Seq("ord", "e")))
-      .groupBy(col("batch"), col("e.kk").as("kk")).agg(sum(col("e.q")).as("sq"))
-      .collect().map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2)))
+    // 2. quantized Grams — one native QuantOuterProduct pass for both
+    // batches (long[d²] partials, no n·d² explode)
+    val gRows = std.groupBy(col("batch"))
+      .agg(graft.functions.VectorFunctions.quantOuterProduct(col("z")).as("s"))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1))
     val g = Array.fill(2, d, d)(0.0)
-    gRows.foreach { case (b, kk, sq) => g(b)(kk / d)(kk % d) = sq / 1e6 }
+    gRows.foreach { case (b, arr) =>
+      var kk = 0
+      while (kk < arr.length) { g(b)(kk / d)(kk % d) = arr(kk) / 1e6; kk += 1 }
+    }
     (0 until 2).foreach(b => (0 until d).foreach(i => g(b)(i)(i) += 1e-9))
     // 3. driver algebra — every loop ascending, seeded 0.0
     def cholesky(gm: Array[Array[Double]]): Array[Array[Double]] = {

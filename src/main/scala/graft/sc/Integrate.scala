@@ -587,16 +587,13 @@ object Integrate {
       .withColumn("z", expr(
         "zip_with(v, zip_with(mus, sds, (m, s) -> named_struct('m', m, 's', s)), " +
           "(x, p) -> IF(p.s = 0D, 0D, (x - p.m) / p.s))"))
-      .select(col("batch"), posexplode(expr(
-        """flatten(transform(sequence(0, size(z) - 1), i ->
-          |  transform(sequence(0, size(z) - 1), j ->
-          |    named_struct('i', i, 'j', j,
-          |      'q', CAST(round(z[i] * z[j] * 1e6, 0) AS BIGINT)))))""".stripMargin))
-        .as(Seq("ord", "e")))
-      .groupBy(col("batch").cast("long").as("batch"),
-        col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
-      .agg(sum(col("e.q")).as("sq"))
-      .select(col("batch"), col("i"), col("j"),
+      .groupBy(col("batch").cast("long").as("batch"))
+      .agg(graft.functions.VectorFunctions.quantOuterProduct(col("z")).as("s"))
+      .withColumn("dd", sqrt(size(col("s"))).cast("int"))
+      .select(col("batch"), col("dd"), posexplode(col("s")).as(Seq("kk", "sq")))
+      .select(col("batch"),
+        expr("CAST(kk DIV dd AS BIGINT)").as("i"),
+        (col("kk") % col("dd")).cast("long").as("j"),
         r(col("sq") / lit(1e6), 6).as("gram"))
   }
 
