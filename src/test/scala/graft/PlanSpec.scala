@@ -190,6 +190,34 @@ class PlanSpec extends SparkSpecBase {
       s"the decision table must stay linear:\n${plan.take(3000)}")
   }
 
+  test("span removal joins its gram-frequency table on the gram key, not broadcast") {
+    // the df table is corpus-vocabulary-sized — broadcasting it is the
+    // mistake that OOMs at 100 TB; the hint must hold
+    val plan = text.Clean.dedupSpanRemoval(spark, sf).queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gram df join must be shuffle-hash on the gram key:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span removal must stay linear:\n${plan.take(3000)}")
+  }
+
+  test("bpe merge windows partition by word — no global-order window") {
+    // every window in the merge step is per-word; a missing partitionBy
+    // would serialize the token stream through one task
+    val plan = text.Vocab.mergeOnce(
+      Tables.documents(spark, sf)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(col("w"), col("wc"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms")),
+      "t", "h").queryExecution.sparkPlan.toString
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(windows.nonEmpty)
+    windows.filter(_.contains("windowspecdefinition")).foreach { w =>
+      assert(w.contains("w#") || w.contains("w "),
+        s"merge window must partition by the word column:\n$w")
+    }
+  }
+
   test("no registry query hides an accidental quadratic join") {
     // the ONLY operators allowed a cartesian/BNL shape are the ones
     // explicitly documented as brute-force baselines
