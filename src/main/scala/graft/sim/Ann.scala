@@ -45,13 +45,13 @@ object Ann {
   private def cosCol: Column = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
 
   /** Query subset: every 50th vector — the "needles" side. */
-  private def queriesSide(vecs: DataFrame): DataFrame =
+  private[sim] def queriesSide(vecs: DataFrame): DataFrame =
     vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
 
   // per-query top-k via the native bounded-heap aggregate: candidates
   // fold into map-side k-heaps, the exchange carries O(queries·k) rows
-  private def topk(scored: DataFrame, k: Int): DataFrame =
+  private[sim] def topk(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.VectorFunctions.topKByScore(col("cs"), col("vec_id"), k).as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
