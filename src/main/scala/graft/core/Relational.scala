@@ -231,6 +231,36 @@ object Relational {
         col("n"), col("sum_qty"), col("sum_price"))
 
   // ---------------------------------------------------------------
+  // 225. CUBE aggregates — the full 2^d grouping lattice in ONE pass
+  // (rollup_pricing's #82 sibling: ROLLUP walks one hierarchy; CUBE
+  // also emits the (ALL, status) slice). Spark's Expand feeds a single
+  // hash aggregation, so all four grouping levels cost one shuffle.
+  // The grouping id is DERIVED from the 'ALL' markers (these columns
+  // are non-null in the data) instead of grouping_id() so both engines
+  // share one definition regardless of their native grouping-id
+  // bit-orders.
+  def cubePricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        (when(col("l_returnflag").isNull, lit(2L)).otherwise(lit(0L))
+          + when(col("l_linestatus").isNull, lit(1L)).otherwise(lit(0L))).as("gid"),
+        col("n"), col("sum_qty"), col("avg_disc"))
+
+  private val cubePricingSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              coalesce(l_linestatus, 'ALL') AS linestatus,
+              (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+               + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS gid,
+              count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+              round(avg(l_discount), 6) AS avg_disc
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
+  // ---------------------------------------------------------------
   // Equi-depth decile binning WITHOUT a global sort: exact interpolated
   // boundary computation (one aggregation; percentile_approx at corpus
   // scale), then per-row bucket assignment against the broadcast
@@ -533,6 +563,7 @@ object Relational {
     "cat_assoc"              -> (catAssoc _),
     "make_unique_names"      -> (makeUniqueNames _),
     "rollup_pricing"         -> (rollupPricing _),
+    "cube_pricing"           -> (cubePricing _),
     "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
     "user_spend_salted"      -> (userSpendSalted _),
@@ -564,6 +595,7 @@ object Relational {
            SELECT p_partkey, p_name,
                   row_number() OVER (PARTITION BY p_name ORDER BY p_partkey ASC) - 1 AS occ
            FROM part)""",
+    "cube_pricing" -> cubePricingSql,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          coalesce(l_linestatus, 'ALL') AS linestatus,

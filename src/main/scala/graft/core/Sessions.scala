@@ -672,7 +672,93 @@ object Sessions {
               m.a / (sqrt(s.s2) * sqrt(s.nb)) > 1.358 AS shifted
        FROM mx m JOIN st s USING (event_type) WHERE m.rk = 1"""
 
+  // ---------------------------------------------------------------
+  // 226. activity islands (gaps-and-islands): per user, maximal runs of
+  // CONSECUTIVE active days — the warehouse streak/churn primitive the
+  // 30-min sessionizer (#45) is the intraday cousin of. Day index is
+  // the integer UTC epoch-day (exact on both engines); the island key
+  // is the classic day − row_number() constant, so one shuffle on
+  // user_id drives both windows and the island rollup rides the same
+  // partitioning. Pure integers end to end.
+  def activityIslands(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val isl = days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"))
+    val wi = Window.partitionBy(col("user_id")).orderBy(col("start_day").asc)
+    isl.withColumn("island_idx", row_number().over(wi).cast("long"))
+      .select(col("user_id"), col("island_idx"), col("start_day"),
+        col("end_day"), col("n_days"))
+  }
+
+  private val activityIslandsSql =
+    """WITH days AS (
+         SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+         FROM events),
+       isl AS (
+         SELECT user_id,
+                day - row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp,
+                day
+         FROM days),
+       agg AS (
+         SELECT user_id, grp, min(day) AS start_day, max(day) AS end_day,
+                count(*) AS n_days
+         FROM isl GROUP BY 1, 2)
+       SELECT user_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY start_day ASC) AS island_idx,
+              start_day, end_day, n_days
+       FROM agg"""
+
+  // ---------------------------------------------------------------
+  // 227. SCD Type-2 history build — the dimension-table twin of
+  // latest_per_key (#84, the SCD-1 snapshot): collapse each user's
+  // event-type stream into change intervals [valid_from, valid_to) with
+  // an is_current flag. Change points come from lag() over the
+  // (ts, event_id) total order; valid_to from lead() over the change
+  // points — both windows plus the version counter ride ONE shuffle on
+  // user_id. Timestamps stay exact epoch-nanos BIGINTs.
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    changes
+      .withColumn("version", row_number().over(wc).cast("long"))
+      .withColumn("valid_to_ns", lead(col("ts_ns"), 1).over(wc))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts_ns").as("valid_from_ns"), col("valid_to_ns"),
+        col("valid_to_ns").isNull.as("is_current"))
+  }
+
+  private val scd2HistorySql =
+    """WITH ord AS (
+         SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev
+         FROM events),
+       chg AS (
+         SELECT user_id, tn, event_id, event_type
+         FROM ord WHERE prev IS NULL OR prev != event_type)
+       SELECT user_id,
+              row_number() OVER w AS version,
+              event_type AS state,
+              tn AS valid_from_ns,
+              lead(tn) OVER w AS valid_to_ns,
+              lead(tn) OVER w IS NULL AS is_current
+       FROM chg
+       WINDOW w AS (PARTITION BY user_id ORDER BY tn ASC, event_id ASC)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "activity_islands"       -> (activityIslands _),
+    "scd2_history"           -> (scd2History _),
     "cusum_shift"            -> (cusumShift _),
     "event_debounce"         -> (eventDebounce _),
     "active_time_union"      -> (activeTimeUnion _),
@@ -699,6 +785,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "activity_islands"       -> activityIslandsSql,
+    "scd2_history"           -> scd2HistorySql,
     "cusum_shift"            -> cusumShiftSql,
     "event_debounce"         -> eventDebounceSql,
     "active_time_union"      -> activeTimeUnionSql,
