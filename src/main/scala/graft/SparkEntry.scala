@@ -21,8 +21,10 @@ object SparkEntry {
       (text.Batching.queries, text.Batching.oracles),
       (text.Vocab.queries, text.Vocab.oracles),
       (text.Clean.queries, text.Clean.oracles),
+      (text.Classify.queries, text.Classify.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Ann.queries, sim.Ann.oracles),
+      (sim.GraphOps.queries, sim.GraphOps.oracles),
       (sim.Quantize.queries, sim.Quantize.oracles),
       (ml.Reduce.queries, ml.Reduce.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),

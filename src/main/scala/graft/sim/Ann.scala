@@ -186,7 +186,7 @@ object Ann {
   // scale. `exact = false` is the SCALE feed: Similarity.lshTopK's
   // hyperplane-bucket self-join (candidates bounded per bucket, no
   // broadcast of the corpus) — approximate, recall-spec'd in AnnSpec.
-  private def knnEdges(s: SparkSession, dir: String, k: Int,
+  private[sim] def knnEdges(s: SparkSession, dir: String, k: Int,
       exact: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     if (exact)
@@ -201,7 +201,7 @@ object Ann {
   }
 
   /** MUTUAL kNN edges (both endpoints list each other), a < b. */
-  private def mutualEdges(knn: DataFrame): DataFrame =
+  private[sim] def mutualEdges(knn: DataFrame): DataFrame =
     knn.as("x")
       .join(knn.as("y"),
         col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
@@ -603,7 +603,7 @@ object Ann {
   /** Exact kNN feed for the brute-force graph oracles: all-pairs
     * cosine rank. The `_lsh` twins swap in lshKnnSql's bucket feed;
     * both produce the same `knn (qid, nid)` contract the tails eat. */
-  private def bruteKnnSql(k: Int): String =
+  private[sim] def bruteKnnSql(k: Int): String =
     s"""scored AS (
          SELECT q.vec_id AS qid, c.vec_id AS nid,
                 row_number() OVER (PARTITION BY q.vec_id

@@ -1,0 +1,188 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structural graph operators over the mutual-kNN graph (SURVEY.md §2
+  * #228-229) — the two standard neighbors of the existing family
+  * (components #76, PageRank #153, clustering coeff #198, LPA #180,
+  * Louvain #219).
+  *
+  * #228 snn_graph is the Seurat FindNeighbors SNN step itself
+  * (/root/reference/R/wrapper.R:267-348 get_clusters runs Louvain over
+  * the SHARED-nearest-neighbor graph, not the raw kNN): edge weight =
+  * Jaccard of the two endpoints' neighbor sets (self included), pruned
+  * below a threshold. #219 consumed the raw mutual-kNN edges; this op
+  * emits the weighted SNN edge list that the reference's default
+  * pipeline actually feeds to Louvain.
+  *
+  * #229 kcore_knn is k-core decomposition by fixed unrolled peeling —
+  * the degeneracy screen (dense-core vs periphery membership) used to
+  * strip hub-and-spoke noise before community steps.
+  *
+  * Both ship as exact + `_lsh` twins over the shared `knn (qid, nid)`
+  * feed contract (brute-force oracle / hyperplane-LSH scale path), like
+  * every other graph query.
+  */
+object GraphOps {
+
+  private val SnnK = 5
+
+  // ---------------------------------------------------------------
+  // 228. SNN graph: |N⁺(a) ∩ N⁺(b)| / |N⁺(a) ∪ N⁺(b)| with N⁺ = kNN
+  // list ∪ {self}. Pair generation is keyed on the SHARED NEIGHBOR
+  // (inverted-list co-occurrence): fan-out per vertex is indegree²,
+  // bounded in a kNN graph (out-degree fixed at k, in-degree
+  // concentrated near k; a skew-salting pass is the lever if a hub
+  // appears). Set sizes are exact per vertex (the LSH feed can return
+  // < k neighbors), so the Jaccard stays integer-exact on both
+  // engines. Pruned below 0.25 — the Seurat prune analog scaled to
+  // k=5 (Seurat: 1/15 at k=20).
+  def snnGraph(s: SparkSession, dir: String): DataFrame =
+    snnFrom(Ann.knnEdges(s, dir, k = SnnK, exact = true))
+
+  /** Scale twin: identical SNN tail over the LSH kNN feed. */
+  def snnGraphLsh(s: SparkSession, dir: String): DataFrame =
+    snnFrom(Ann.knnEdges(s, dir, k = SnnK, exact = false))
+
+  private def snnFrom(knn: DataFrame): DataFrame = {
+    val nplus = knn.select(col("qid").as("v"), col("nid").as("n"))
+      .unionAll(knn.select(col("qid").as("v"), col("qid").as("n")).distinct())
+      .localCheckpoint() // feeds the co-occurrence join twice + sizes
+    val setSize = nplus.groupBy(col("v")).agg(count(lit(1)).as("sz"))
+    val shared = nplus.as("x")
+      .join(nplus.as("y"), col("x.n") === col("y.n") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(setSize.select(col("v").as("a"), col("sz").as("sa")), "a")
+      .join(setSize.select(col("v").as("b"), col("sz").as("sb")), "b")
+      .withColumn("union_cnt", col("sa") + col("sb") - col("shared"))
+      .withColumn("snn_w", round(col("shared") / col("union_cnt").cast("double"), 6))
+      .filter(col("snn_w") >= 0.25)
+      .select(col("a"), col("b"), col("shared"), col("union_cnt"), col("snn_w"))
+  }
+
+  /** SNN tail over the `knn (qid, nid)` contract — oracle twin of
+    * [[snnFrom]]. */
+  private val snnTailSql =
+    """nplus AS MATERIALIZED (
+         SELECT qid AS v, nid AS n FROM knn
+         UNION ALL
+         SELECT DISTINCT qid, qid FROM knn),
+       setsize AS (SELECT v, count(*) AS sz FROM nplus GROUP BY 1),
+       shared AS (
+         SELECT x.v AS a, y.v AS b, count(*) AS shared
+         FROM nplus x JOIN nplus y ON x.n = y.n AND x.v < y.v
+         GROUP BY 1, 2)
+       SELECT s.a, s.b, s.shared,
+              sa.sz + sb.sz - s.shared AS union_cnt,
+              round(s.shared / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 6) AS snn_w
+       FROM shared s
+       JOIN setsize sa ON s.a = sa.v
+       JOIN setsize sb ON s.b = sb.v
+       WHERE s.shared / CAST(sa.sz + sb.sz - s.shared AS DOUBLE) >= 0.25"""
+
+  // ---------------------------------------------------------------
+  // 229. k-core by fixed unrolled peeling: round t removes every vertex
+  // whose degree within the surviving subgraph is < K; KcoreRounds
+  // synchronous rounds for K=2 and K=3 give the coreness band
+  // {0, 1, 2, 3} per vertex. Fixed rounds keep the result a pure
+  // deterministic function (the Louvain/LPA unroll contract) — peeling
+  // converges geometrically and 5 rounds are observed-converged on the
+  // test graph; at corpus scale each round is one degree aggregation +
+  // one semi-join, vertices localCheckpoint between rounds.
+  private val KcoreRounds = 5
+
+  def kcoreKnn(s: SparkSession, dir: String): DataFrame =
+    kcoreFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = true))
+
+  /** Scale twin: identical peeling over the LSH kNN feed. */
+  def kcoreKnnLsh(s: SparkSession, dir: String): DataFrame =
+    kcoreFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = false))
+
+  private def kcoreFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
+    val mut = Ann.mutualEdges(knn)
+    val und = mut.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(mut.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint() // feeds every peel round
+    val deg0 = und.groupBy(col("s").as("v")).agg(count(lit(1)).as("degree"))
+    def peel(k: Int): DataFrame = {
+      var alive = deg0.select(col("v"))
+      for (i <- 1 to KcoreRounds) {
+        val next = und
+          .join(alive.select(col("v").as("s")), "s")
+          .join(alive.select(col("v").as("t")), "t")
+          .groupBy(col("s").as("v")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("v"))
+        alive = (if (i < KcoreRounds) next.localCheckpoint() else next)
+      }
+      alive
+    }
+    val c2 = peel(2).withColumn("in2", lit(true))
+    val c3 = peel(3).withColumn("in3", lit(true))
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(deg0.select(col("v").as("vec_id"), col("degree")), Seq("vec_id"), "left")
+      .join(c2.select(col("v").as("vec_id"), col("in2")), Seq("vec_id"), "left")
+      .join(c3.select(col("v").as("vec_id"), col("in3")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("in2"), lit(false)).as("in_core2"),
+        coalesce(col("in3"), lit(false)).as("in_core3"),
+        when(coalesce(col("in3"), lit(false)), lit(3L))
+          .when(coalesce(col("in2"), lit(false)), lit(2L))
+          .when(coalesce(col("degree"), lit(0L)) > 0, lit(1L))
+          .otherwise(lit(0L)).as("core_band"))
+  }
+
+  /** Unrolled peel CTEs for one K over the `und`/`deg0` contract. */
+  private def peelSql(k: Int): String = {
+    val pfx = s"a$k"
+    val step = (i: Int) =>
+      s"""${pfx}_$i AS (
+           SELECT e.s AS v FROM und e
+           JOIN ${pfx}_${i - 1} x ON e.s = x.v
+           JOIN ${pfx}_${i - 1} y ON e.t = y.v
+           GROUP BY 1 HAVING count(*) >= $k)"""
+    s"""${pfx}_0 AS (SELECT v FROM deg0),
+       ${(1 to KcoreRounds).map(step).mkString(",\n       ")}"""
+  }
+
+  private val kcoreTailSql =
+    s"""mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       und AS MATERIALIZED (SELECT a AS s, b AS t FROM mutual
+               UNION ALL SELECT b, a FROM mutual),
+       deg0 AS (SELECT s AS v, count(*) AS degree FROM und GROUP BY 1),
+       ${peelSql(2)},
+       ${peelSql(3)}
+       SELECT e.vec_id,
+              coalesce(d.degree, 0) AS degree,
+              c2.v IS NOT NULL AS in_core2,
+              c3.v IS NOT NULL AS in_core3,
+              (CASE WHEN c3.v IS NOT NULL THEN 3
+                    WHEN c2.v IS NOT NULL THEN 2
+                    WHEN coalesce(d.degree, 0) > 0 THEN 1
+                    ELSE 0 END)::BIGINT AS core_band
+       FROM embeddings e
+       LEFT JOIN deg0 d ON e.vec_id = d.v
+       LEFT JOIN a2_$KcoreRounds c2 ON e.vec_id = c2.v
+       LEFT JOIN a3_$KcoreRounds c3 ON e.vec_id = c3.v"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snn_graph"     -> (snnGraph _),
+    "snn_graph_lsh" -> (snnGraphLsh _),
+    "kcore_knn"     -> (kcoreKnn _),
+    "kcore_knn_lsh" -> (kcoreKnnLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "snn_graph" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$snnTailSql",
+    "snn_graph_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$snnTailSql",
+    "kcore_knn" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$kcoreTailSql",
+    "kcore_knn_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$kcoreTailSql")
+}

@@ -100,6 +100,130 @@ object Quantize {
         .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
 
   // ---------------------------------------------------------------
+  // 230. product quantization + ADC (Jégou et al. 2011; faiss PQ) —
+  // the missing member of the quantization family (SQ8 #192-194 keeps
+  // d bytes/vector; PQ keeps m SUB-vector codes: 4 codes × 4 bits here
+  // = 2 bytes/vector, 128× smaller than float32). m=4 subspaces of 16
+  // dims, 16 centroids per subspace trained by the SAME fixed-3-round
+  // integer-grid Lloyd as IVF (vec_id mod 16 init, quantized centroid
+  // sums, BIGINT d² argmin with (d2, k) total order — the
+  // Reduce.gridLloyd contract keyed by subspace instead of kval, so
+  // the whole train+encode+search path replays in DuckDB). ADC: each
+  // query precomputes a 4×16 integer distance table (one broadcast-
+  // sized frame); corpus distance = Σ_sub dtab[sub, code] — the scan
+  // touches only the 4 codes per vector, never the floats. All
+  // arithmetic BIGINT end to end → hash-checked.
+  private val PqSubs = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.ml.Reduce.LloydRounds
+    val base = graft.api.Analytics.spread(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .withColumn("sub", explode(array((0 until PqSubs).map(lit(_)): _*)))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * $PqSubDim + 1, $PqSubDim)").as("sv"))
+      .withColumn("xq", expr("transform(sv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
+      .localCheckpoint() // every round + the encode/query passes scan it
+    var g = base.select(col("vec_id"), col("sub"),
+      pmod(col("vec_id"), lit(PqK.toLong)).as("k"))
+    var cents: DataFrame = null
+    for (i <- 1 to R) {
+      cents = base.join(g, Seq("vec_id", "sub"))
+        .select(col("sub"), col("k"),
+          posexplode(expr("transform(sv, x -> CAST(round(x * 1e6, 0) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+        .groupBy(col("sub"), col("k"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c", col("sq") / (lit(1e6) * col("n")))
+        .groupBy(col("sub"), col("k"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+        .withColumn("cq", expr("transform(cv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
+      val assigned = base.select(col("vec_id"), col("sub"), col("xq"))
+        .join(broadcast(cents.select(col("sub"), col("k"), col("cq"))), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("k"),
+          expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
+            .as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("k"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.k").as("k"))
+      g = (if (i < R) assigned.localCheckpoint() else assigned)
+    }
+    val dtab = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("sub"), col("xq").as("qxq"))
+      .join(broadcast(cents.select(col("sub"), col("k"), col("cq"))), Seq("sub"))
+      .select(col("qid"), col("sub"), col("k"),
+        expr("aggregate(zip_with(qxq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
+          .as("d2"))
+    // ADC max = 4 subs × 16 dims × (Δgrid)² ≲ 4e9 ≪ 2^53: the −d
+    // double score in the bounded-heap top-k is exact, ties by smaller
+    // vec_id — the oracle's (adc asc, nid asc) total order.
+    val scored = g.join(broadcast(dtab), Seq("sub", "k"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(-col("adc").cast("double"), col("vec_id"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("neighbor_id"),
+        (-col("e.score")).cast("long").as("adc_d2"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** PQ train/encode/ADC oracle: the lloydPrefixSql shape keyed by
+    * (sub) instead of (kval). */
+  private val annPqTopkSql = {
+    val R = graft.ml.Reduce.LloydRounds
+    val round = (i: Int) =>
+      s"""pcent$i AS (
+         |  SELECT v.sub, g.k, v.dim,
+         |         sum(CAST(round(v.x * 1e6, 0) AS BIGINT)) AS sq, count(*) AS n
+         |  FROM pqv v JOIN pg${i - 1} g ON v.vec_id = g.vec_id AND v.sub = g.sub
+         |  GROUP BY 1, 2, 3),
+         |pcentq$i AS (
+         |  SELECT sub, k, dim,
+         |         CAST(round((sq / (1e6 * n)) * 1000, 0) AS BIGINT) AS cq
+         |  FROM pcent$i),
+         |pd$i AS (
+         |  SELECT q.vec_id, q.sub, c.k,
+         |         sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+         |  FROM pqxq q JOIN pcentq$i c ON q.sub = c.sub AND q.dim = c.dim
+         |  GROUP BY 1, 2, 3),
+         |pg$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, k FROM (
+         |    SELECT vec_id, sub, k,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |             ORDER BY d2 ASC, k ASC) AS rk
+         |    FROM pd$i) WHERE rk = 1)""".stripMargin
+    s"""WITH pqv AS MATERIALIZED (
+       |  SELECT vec_id, t.i // $PqSubDim AS sub, t.i % $PqSubDim AS dim, t.x
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+       |  LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
+       |pqxq AS MATERIALIZED (
+       |  SELECT vec_id, sub, dim, CAST(round(x * 1000, 0) AS BIGINT) AS xq
+       |  FROM pqv),
+       |pg0 AS (SELECT DISTINCT vec_id, sub, vec_id % $PqK AS k FROM pqv),
+       |${(1 to R).map(round).mkString(",\n")},
+       |pdt AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, q.sub, c.k,
+       |         sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+       |  FROM pqxq q JOIN pcentq$R c ON q.sub = c.sub AND q.dim = c.dim
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2, 3),
+       |padc AS (
+       |  SELECT t.qid, g.vec_id AS nid, CAST(sum(t.d2) AS BIGINT) AS adc
+       |  FROM pg$R g JOIN pdt t ON g.sub = t.sub AND g.k = t.k
+       |  WHERE g.vec_id != t.qid GROUP BY 1, 2)
+       |SELECT qid, nid AS neighbor_id, adc AS adc_d2, rk FROM (
+       |  SELECT qid, nid, adc,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc ASC, nid ASC) AS rk
+       |  FROM padc) WHERE rk <= 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // 196-197. 1-bit binary quantization (sign-bit codes): the extreme
   // memory tier (32× smaller than float32 — 100 TB of embeddings serve
   // from ~3 TB) behind two-stage retrieval: a popcount hamming scan
@@ -303,6 +427,7 @@ object Quantize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize_audit" -> (embeddingQuantizeAudit _),
     "ann_sq_topk"              -> (annSqTopk _),
+    "ann_pq_topk"              -> (annPqTopk _),
     "ann_ivf_sq_topk"          -> (annIvfSqTopk _),
     "ann_binary_topk"          -> (annBinaryTopk _),
     "ann_binary_rerank_topk"   -> (annBinaryRerankTopk _),
@@ -378,5 +503,6 @@ ${Ann.ivfTailSql}""",
          |SELECT qid, nid AS neighbor_id, round(rrf, 6) AS rrf_score,
          |       CAST(rk AS BIGINT) AS rk
          |FROM rnk WHERE rk <= 10""".stripMargin,
-    "ann_matryoshka_eval" -> annMatryoshkaEvalSql)
+    "ann_matryoshka_eval" -> annMatryoshkaEvalSql,
+    "ann_pq_topk" -> annPqTopkSql)
 }

@@ -1,0 +1,122 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trainable quality/routing classifier over hashed bag-of-words
+  * features (SURVEY.md §2 #231) — the fastText-shaped linear filter
+  * every major curation pipeline trains (GPT-3's curated-vs-random
+  * quality filter, CCNet's wiki-vs-crawl classifier, RefinedWeb/Dolma
+  * routing heads): feature-hash the words into a fixed bucket space,
+  * train a linear model, score every document.
+  *
+  * The trainer is a BATCH PERCEPTRON with 3 fixed synchronous unrolled
+  * rounds: w ← w + Σ_{misclassified} y·x. With integer counts and unit
+  * learning rate every weight, margin, and update is a pure BIGINT —
+  * no sigmoid, no learning-rate float, no convergence test — so the
+  * whole training loop replays bit-exactly in DuckDB (the grid-Lloyd
+  * determinism contract applied to a learner). The label here is
+  * lang='en' (a stand-in separable signal on the test corpus; the
+  * binding is a column expression — any curated-vs-random flag slots
+  * in).
+  *
+  * Scale: features are one (doc, bucket) aggregation (vocab-bounded
+  * hash join for the word hashes); each round is one margin pass
+  * (feature rows × broadcast 65-row weight vector, re-aggregated per
+  * doc) + one bounded-key update aggregation. Weights localCheckpoint
+  * between rounds. At 100 TB: identical plan, bucket count is the
+  * capacity lever (2^18 buckets is still a broadcast).
+  */
+object Classify {
+
+  private val NumBuckets = 64
+  private val Rounds = 3
+
+  /** Polynomial word hash mod NumBuckets — the doc_fingerprint (#43)
+    * device per DISTINCT word: Σ ascii(c_i)·((i·2654435761) mod p)
+    * mod p, p = 1e9+7. */
+  private val wordBucket =
+    expr(s"""aggregate(sequence(1, length(w)), 0L,
+        (acc, i) -> (acc + ascii(substring(w, i, 1))
+          * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)
+        % $NumBuckets""")
+
+  def perceptronQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val buckets = words.select(col("w")).distinct()
+      .withColumn("b", wordBucket)
+    val feats = words.join(buckets, "w")
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
+      .unionByName(docs.select(col("doc_id"),
+        lit(NumBuckets.toLong).as("b"), lit(1L).as("x"))) // bias feature
+      .localCheckpoint() // scanned by every round's margin + update pass
+    val lab = docs.select(col("doc_id"),
+      when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"))
+    var w = s.range(NumBuckets + 1).select(col("id").as("b"), lit(0L).as("wv"))
+    for (t <- 1 to Rounds) {
+      val m = feats.join(broadcast(w), "b")
+        .groupBy(col("doc_id")).agg(sum(col("x") * col("wv")).as("mg"))
+      val upd = feats.join(lab, "doc_id").join(m, "doc_id")
+        .filter(col("y") * col("mg") <= 0)
+        .groupBy(col("b")).agg(sum(col("y") * col("x")).as("dw"))
+      w = w.join(upd, Seq("b"), "left")
+        .select(col("b"), (col("wv") + coalesce(col("dw"), lit(0L))).as("wv"))
+      if (t < Rounds) w = w.localCheckpoint()
+    }
+    val mf = feats.join(broadcast(w), "b")
+      .groupBy(col("doc_id")).agg(sum(col("x") * col("wv")).as("margin"))
+    lab.join(mf, "doc_id")
+      .select(col("doc_id"), col("y").as("y_true"), col("margin"),
+        when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+      .withColumn("correct", col("pred") === col("y_true"))
+  }
+
+  private val perceptronQualitySql = {
+    val step = (t: Int) =>
+      s"""m$t AS (
+         |  SELECT f.doc_id, sum(f.x * w.wv) AS mg
+         |  FROM feats f JOIN w${t - 1} w USING (b) GROUP BY 1),
+         |u$t AS (
+         |  SELECT f.b, sum(l.y * f.x) AS dw
+         |  FROM feats f JOIN lab l USING (doc_id) JOIN m$t m USING (doc_id)
+         |  WHERE l.y * m.mg <= 0 GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.b, w.wv + coalesce(u.dw, 0) AS wv
+         |  FROM w${t - 1} w LEFT JOIN u$t u USING (b))""".stripMargin
+    s"""WITH wrds AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |wh AS MATERIALIZED (
+       |  SELECT w, COALESCE((
+       |      SELECT CAST(sum(ascii(substr(w, CAST(i AS INT), 1))
+       |             * ((i * 2654435761) % 1000000007) % 1000000007) % 1000000007 AS BIGINT)
+       |      FROM unnest(generate_series(1, length(w))) AS t(i)), 0) % $NumBuckets AS b
+       |  FROM (SELECT DISTINCT w FROM wrds)),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, b, count(*)::BIGINT AS x
+       |  FROM wrds JOIN wh USING (w) GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, $NumBuckets::BIGINT AS b, 1::BIGINT AS x FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y
+       |  FROM documents),
+       |w0 AS (SELECT unnest(generate_series(0, $NumBuckets))::BIGINT AS b, 0::BIGINT AS wv),
+       |${(1 to Rounds).map(step).mkString(",\n")},
+       |mf AS (
+       |  SELECT f.doc_id, CAST(sum(f.x * w.wv) AS BIGINT) AS margin
+       |  FROM feats f JOIN w$Rounds w USING (b) GROUP BY 1)
+       |SELECT l.doc_id, l.y AS y_true, m.margin,
+       |       (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END)::BIGINT AS pred,
+       |       (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.y AS correct
+       |FROM lab l JOIN mf m USING (doc_id)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "perceptron_quality" -> (perceptronQuality _))
+
+  val oracles: Map[String, String] = Map(
+    "perceptron_quality" -> perceptronQualitySql)
+}
