@@ -261,6 +261,41 @@ object Relational {
        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
 
   // ---------------------------------------------------------------
+  // 235. k-anonymity audit (Sweeney 2002) — the governance screen a
+  // training-data release runs over its metadata: group by the
+  // quasi-identifier tuple (nation, market segment, account-balance
+  // band), count the equivalence class, flag classes below k=5 as
+  // re-identifiable. One shuffle on the bounded QI key; the balance
+  // band is integer floor-division (no fp boundary ambiguity). The
+  // row_share column is the class's population share (l-diversity and
+  // suppression planning read off the same table).
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val classes = c.select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    val tot = c.agg(count(lit(1)).as("n_total"))
+    classes.crossJoin(broadcast(tot))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("class_size"),
+        (col("class_size") < 5).as("at_risk"),
+        round(col("class_size") / col("n_total").cast("double"), 6).as("row_share"))
+  }
+
+  private val kAnonymitySql =
+    """WITH cls AS (
+         SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                count(*) AS class_size
+         FROM customer GROUP BY 1, 2, 3),
+       tot AS (SELECT count(*) AS n_total FROM customer)
+       SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+              class_size < 5 AS at_risk,
+              round(class_size / CAST(n_total AS DOUBLE), 6) AS row_share
+       FROM cls, tot"""
+
+  // ---------------------------------------------------------------
   // Equi-depth decile binning WITHOUT a global sort: exact interpolated
   // boundary computation (one aggregation; percentile_approx at corpus
   // scale), then per-row bucket assignment against the broadcast
@@ -564,6 +599,7 @@ object Relational {
     "make_unique_names"      -> (makeUniqueNames _),
     "rollup_pricing"         -> (rollupPricing _),
     "cube_pricing"           -> (cubePricing _),
+    "k_anonymity"            -> (kAnonymity _),
     "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
     "user_spend_salted"      -> (userSpendSalted _),
@@ -596,6 +632,7 @@ object Relational {
                   row_number() OVER (PARTITION BY p_name ORDER BY p_partkey ASC) - 1 AS occ
            FROM part)""",
     "cube_pricing" -> cubePricingSql,
+    "k_anonymity" -> kAnonymitySql,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -292,7 +292,90 @@ object Scores {
        FROM z"""
   }
 
+  // ---------------------------------------------------------------
+  // 233. deterministic Poisson-bootstrap confidence intervals (Chamandy
+  // et al. 2012, "Estimating Uncertainty for Massive Data Streams" —
+  // the Google large-scale bootstrap): per customer segment, a 95% CI
+  // on mean order value from B=64 resample replicas. The classic
+  // n-out-of-n resample needs global coordination; the Poisson trick
+  // gives every row an INDEPENDENT Poisson(1) weight per replica, so
+  // one streaming pass computes all B replicas. Weights derive from
+  // SplitMix64(row_key·64+b) folded onto the 2000003 grid and an
+  // integer inverse-CDF threshold chain — no RNG state, bit-identical
+  // on any cluster and in DuckDB. The 64× explode collapses map-side
+  // to (segment, replica) partials, so the exchange carries
+  // |segments|·64 rows regardless of corpus size; replica sums are
+  // rounded (4dp — magnitude ~1e8, fp slack ~1e-7) before the exact
+  // order-statistic CI pick (rank 2 / rank 63 of 64, no interpolation).
+  private val PoisThresholds =
+    Seq(735760L, 1471520L, 1839400L, 1962027L, 1992683L, 1998815L)
+
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val rows = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("key"),
+        col("o_totalprice").as("x"))
+    val weighted = rows
+      .select(col("seg"), col("key"), col("x"),
+        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn("v",
+        graft.functions.VectorFunctions
+          .splitMixComp(col("key") * lit(B.toLong) + col("b")) + lit(1000001L))
+      .withColumn("w", PoisThresholds
+        .map(t => when(col("v") >= t, lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    val reps = weighted.groupBy(col("seg"), col("b"))
+      .agg((round(sum(col("w") * col("x")), 4) / sum(col("w"))).as("m"))
+    val ci = reps.groupBy(col("seg"))
+      .agg(expr("sort_array(collect_list(round(m, 6)))").as("ms"))
+      .select(col("seg"),
+        round(element_at(col("ms"), 2), 6).as("ci_lo"),
+        round(element_at(col("ms"), B - 1), 6).as("ci_hi"))
+    rows.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_orders"), round(avg(col("x")), 4).as("mean_price"))
+      .join(ci, "seg")
+      .select(col("seg").as("c_mktsegment"), col("n_orders"), col("mean_price"),
+        col("ci_lo"), col("ci_hi"), lit(64L).as("n_replicas"))
+  }
+
+  private val bootstrapCiSql = {
+    val thr = PoisThresholds
+      .map(t => s"(CASE WHEN v >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH rows_ AS MATERIALIZED (
+         SELECT c.c_mktsegment AS seg, o.o_orderkey AS key, o.o_totalprice AS xv
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       bskeys AS MATERIALIZED (
+         SELECT seg, key, xv, CAST(t.b AS BIGINT) AS b,
+                (key * 64 + t.b)::HUGEINT AS x
+         FROM rows_, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) t),
+       ${graft.sim.Ann.splitmixCtes("bs", "bskeys", "seg, key, xv, b")},
+       wtd AS (
+         SELECT seg, xv AS x, b,
+                ($thr)::BIGINT AS w
+         FROM (SELECT seg, key, xv, b,
+                      ((hs % 2000003) + 2000003) % 2000003 AS v
+               FROM bsh)),
+       reps AS (
+         SELECT seg, b, round(sum(w * x), 4) / sum(w) AS m
+         FROM wtd GROUP BY 1, 2),
+       ci AS (
+         SELECT seg, list_sort(list(round(m, 6))) AS ms
+         FROM reps GROUP BY 1)
+       SELECT r.seg AS c_mktsegment,
+              count(*) AS n_orders,
+              round(avg(r.xv), 4) AS mean_price,
+              round(any_value(c.ms)[2], 6) AS ci_lo,
+              round(any_value(c.ms)[63], 6) AS ci_hi,
+              64::BIGINT AS n_replicas
+       FROM rows_ r JOIN ci c ON r.seg = c.seg
+       GROUP BY 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bootstrap_ci"     -> (bootstrapCi _),
     "rfm_segments"     -> (rfmSegments _),
     "hourly_uniformity" -> (hourlyUniformity _),
     "score_auc"        -> (scoreAuc _),
@@ -301,6 +384,7 @@ object Scores {
     "calibration_bins" -> (calibrationBins _))
 
   val oracles: Map[String, String] = Map(
+    "bootstrap_ci"      -> bootstrapCiSql,
     "rfm_segments"      -> rfmSegmentsSql,
     "hourly_uniformity" -> hourlyUniformitySql,
     "score_auc"        -> scoreAucSql,

@@ -172,13 +172,77 @@ object GraphOps {
        LEFT JOIN a2_$KcoreRounds c2 ON e.vec_id = c2.v
        LEFT JOIN a3_$KcoreRounds c3 ON e.vec_id = c3.v"""
 
+  // ---------------------------------------------------------------
+  // 234. multi-source BFS distances over the mutual-kNN graph: hop
+  // distance ≤ BfsRounds from each seed (every 50th vector — the ANN
+  // query protocol) to every reachable vertex. Fixed synchronous
+  // frontier rounds (the Louvain/LPA unroll contract): round t expands
+  // the current distance table along every edge and min-folds — one
+  // bounded-key aggregation per round, state localCheckpoints between
+  // rounds. Distances are pure integers. The per-seed reach profile is
+  // the graph-diameter/connectivity screen the embedding-health suite
+  // reads next to components (#76) and clustering coeff (#198).
+  private val BfsRounds = 4
+
+  def knnBfsDists(s: SparkSession, dir: String): DataFrame =
+    bfsFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = true))
+
+  /** Scale twin: identical BFS over the LSH kNN feed. */
+  def knnBfsDistsLsh(s: SparkSession, dir: String): DataFrame =
+    bfsFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = false))
+
+  private def bfsFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
+    val mut = Ann.mutualEdges(knn)
+    val und = mut.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(mut.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint() // feeds every frontier round
+    var d = Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("seed_id"), col("vec_id").as("v"), lit(0L).as("dist"))
+    for (i <- 1 to BfsRounds) {
+      val next = d
+        .unionAll(d.join(und, col("v") === col("s"))
+          .select(col("seed_id"), col("t").as("v"), (col("dist") + 1).as("dist")))
+        .groupBy(col("seed_id"), col("v")).agg(min(col("dist")).as("dist"))
+      d = (if (i < BfsRounds) next.localCheckpoint() else next)
+    }
+    d.select(col("seed_id"), col("v").as("vec_id"), col("dist"))
+  }
+
+  private val bfsTailSql = {
+    val step = (i: Int) =>
+      s"""bd$i AS (
+           SELECT seed_id, v, min(dist) AS dist FROM (
+             SELECT seed_id, v, dist FROM bd${i - 1}
+             UNION ALL
+             SELECT p.seed_id, e.t AS v, p.dist + 1 AS dist
+             FROM bd${i - 1} p JOIN und e ON p.v = e.s)
+           GROUP BY 1, 2)"""
+    s"""mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       und AS MATERIALIZED (SELECT a AS s, b AS t FROM mutual
+               UNION ALL SELECT b, a FROM mutual),
+       bd0 AS (
+         SELECT vec_id AS seed_id, vec_id AS v, 0::BIGINT AS dist
+         FROM embeddings WHERE vec_id % 50 = 0),
+       ${(1 to BfsRounds).map(step).mkString(",\n       ")}
+       SELECT seed_id, v AS vec_id, CAST(dist AS BIGINT) AS dist
+       FROM bd$BfsRounds"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_bfs_dists"     -> (knnBfsDists _),
+    "knn_bfs_dists_lsh" -> (knnBfsDistsLsh _),
     "snn_graph"     -> (snnGraph _),
     "snn_graph_lsh" -> (snnGraphLsh _),
     "kcore_knn"     -> (kcoreKnn _),
     "kcore_knn_lsh" -> (kcoreKnnLsh _))
 
   val oracles: Map[String, String] = Map(
+    "knn_bfs_dists" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$bfsTailSql",
+    "knn_bfs_dists_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$bfsTailSql",
     "snn_graph" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$snnTailSql",
     "snn_graph_lsh" ->
       s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$snnTailSql",

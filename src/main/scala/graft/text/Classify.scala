@@ -114,9 +114,71 @@ object Classify {
        |FROM lab l JOIN mf m USING (doc_id)""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // 232. word-bigram LM score with Jelinek-Mercer interpolation — the
+  // KenLM-shaped fluency scorer at WORD level (char_lm_score #124 is
+  // the character-level cousin; CCNet/RefinedWeb filter on exactly this
+  // family): P(w2|w1) = λ·c12/c1 + (1−λ)·c2/N over corpus-trained
+  // counts, per-doc mean log-probability. The score rides the weighted
+  // Σ dc·ln(p) / Σ dc form grouped identically on both engines (the
+  // #124 determinism contract, 6dp round). Scale: the bigram count
+  // table is vocab²-bounded (one corpus shuffle on the bigram key);
+  // unigram tables broadcast.
+  private val JmLambda = 0.7
+
+  def wordLmScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("dc"))
+    val c12 = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("dc")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).cast("double").as("nn"))
+    perDoc.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).cast("long").as("n_bigrams"),
+        round(sum(col("dc") * log(lit(JmLambda) * col("c12") / col("c1")
+            + lit(1 - JmLambda) * col("c2") / col("nn"))) / sum(col("dc")), 6)
+          .as("lm_score"))
+  }
+
+  private val wordLmScoreSql =
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT doc_id, ws[CAST(t.i AS INT)] AS w1, ws[CAST(t.i + 1 AS INT)] AS w2
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents),
+       |       LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2),
+       |pd AS MATERIALIZED (
+       |  SELECT doc_id, w1, w2, count(*)::BIGINT AS dc FROM pr GROUP BY 1, 2, 3),
+       |c12 AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(sum(dc) AS BIGINT) AS c12 FROM pd GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+       |n AS (SELECT CAST(sum(c12) AS DOUBLE) AS nn FROM c12)
+       |SELECT pd.doc_id, CAST(sum(pd.dc) AS BIGINT) AS n_bigrams,
+       |       round(sum(pd.dc * ln($JmLambda * c12.c12 / c1.c1
+       |                 + ${1 - JmLambda} * c2.c2 / n.nn)) / sum(pd.dc), 6) AS lm_score
+       |FROM pd
+       |JOIN c12 USING (w1, w2)
+       |JOIN c1 USING (w1)
+       |JOIN c2 USING (w2), n
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "perceptron_quality" -> (perceptronQuality _))
+    "perceptron_quality" -> (perceptronQuality _),
+    "word_lm_score"      -> (wordLmScore _))
 
   val oracles: Map[String, String] = Map(
-    "perceptron_quality" -> perceptronQualitySql)
+    "perceptron_quality" -> perceptronQualitySql,
+    "word_lm_score"      -> wordLmScoreSql)
 }
