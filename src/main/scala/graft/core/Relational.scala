@@ -296,6 +296,98 @@ object Relational {
        FROM cls, tot"""
 
   // ---------------------------------------------------------------
+  // 237. market-basket association mining (support/confidence/lift —
+  // the Agrawal association-rule core, and the co-occurrence
+  // recommendation primitive): part pairs co-ordered in the same
+  // order. Pair generation self-joins WITHIN each order key, so the
+  // fan-out is (order size choose 2) — bounded by the ~7-lineitem
+  // order shape, never corpus-quadratic; the pair aggregation
+  // shuffles on the (p1, p2) key. Min support 3, global top-100 by
+  // (lift desc, p1, p2) via TakeOrdered (the pmi_bigrams device).
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(col("ok")).distinct().count() // bounded driver scalar
+    val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n1"))
+    val pairs = items.as("x")
+      .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= 3)
+    pairs
+      .join(supp.select(col("pk").as("p1"), col("n1").as("s1")), "p1")
+      .join(supp.select(col("pk").as("p2"), col("n1").as("s2")), "p2")
+      .select(col("p1"), col("p2"), col("n12"),
+        round(col("n12") / lit(nOrders.toDouble), 6).as("support"),
+        round(col("n12") / col("s1").cast("double"), 6).as("confidence"),
+        round(col("n12") * lit(nOrders.toDouble) / (col("s1") * col("s2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("p1").asc, col("p2").asc)
+      .limit(100)
+  }
+
+  private val basketLiftSql =
+    """WITH items AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM items),
+       supp AS (SELECT pk, count(*) AS n1 FROM items GROUP BY 1),
+       pairs AS (
+         SELECT x.pk AS p1, y.pk AS p2, count(*) AS n12
+         FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+         GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT p.p1, p.p2, p.n12,
+              round(p.n12 / n.n_orders, 6) AS support,
+              round(p.n12 / CAST(s1.n1 AS DOUBLE), 6) AS confidence,
+              round(p.n12 * n.n_orders / (s1.n1 * s2.n1), 6) AS lift
+       FROM pairs p
+       JOIN supp s1 ON p.p1 = s1.pk
+       JOIN supp s2 ON p.p2 = s2.pk, n
+       ORDER BY lift DESC, p.p1 ASC, p.p2 ASC
+       LIMIT 100"""
+
+  // ---------------------------------------------------------------
+  // 239. exact weighted median per group WITHOUT a global sort: per
+  // (group, value) weight rollup, cumulative weight over the bounded
+  // distinct-value window, first value where 2·cumw ≥ total — a pure
+  // INTEGER comparison (weights cast to BIGINT on both engines), so no
+  // fp percentile interpolation can diverge. At corpus scale the
+  // distinct-value rollup is the shuffle; the window runs per group
+  // over distinct values, not rows.
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"),
+        expr("CAST(round(l_quantity, 0) AS BIGINT)").as("w"))
+      .groupBy(col("flag"), col("x")).agg(sum(col("w")).as("wv"))
+    val win = Window.partitionBy(col("flag")).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byVal.groupBy(col("flag")).agg(sum(col("wv")).as("wtot"))
+    byVal.withColumn("cumw", sum(col("wv")).over(win))
+      .join(broadcast(tot), "flag")
+      .filter(col("cumw") * 2 >= col("wtot"))
+      .groupBy(col("flag"))
+      .agg(min(col("x")).as("median_price"), first(col("wtot")).as("wtot"))
+      .select(col("flag").as("l_returnflag"), col("wtot").as("total_weight"),
+        round(col("median_price"), 4).as("weighted_median"))
+  }
+
+  private val weightedMedianSql =
+    """WITH byval AS (
+         SELECT l_returnflag AS flag, l_extendedprice AS x,
+                CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS wv
+         FROM lineitem GROUP BY 1, 2),
+       cum AS (
+         SELECT flag, x, wv,
+                CAST(sum(wv) OVER (PARTITION BY flag ORDER BY x ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+         FROM byval),
+       tot AS (SELECT flag, CAST(sum(wv) AS BIGINT) AS wtot FROM byval GROUP BY 1)
+       SELECT c.flag AS l_returnflag,
+              any_value(t.wtot) AS total_weight,
+              round(min(c.x), 4) AS weighted_median
+       FROM cum c JOIN tot t USING (flag)
+       WHERE c.cumw * 2 >= t.wtot
+       GROUP BY 1"""
+
+  // ---------------------------------------------------------------
   // Equi-depth decile binning WITHOUT a global sort: exact interpolated
   // boundary computation (one aggregation; percentile_approx at corpus
   // scale), then per-row bucket assignment against the broadcast
@@ -600,6 +692,8 @@ object Relational {
     "rollup_pricing"         -> (rollupPricing _),
     "cube_pricing"           -> (cubePricing _),
     "k_anonymity"            -> (kAnonymity _),
+    "basket_lift"            -> (basketLift _),
+    "weighted_median"        -> (weightedMedian _),
     "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
     "user_spend_salted"      -> (userSpendSalted _),
@@ -633,6 +727,8 @@ object Relational {
            FROM part)""",
     "cube_pricing" -> cubePricingSql,
     "k_anonymity" -> kAnonymitySql,
+    "basket_lift" -> basketLiftSql,
+    "weighted_median" -> weightedMedianSql,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          coalesce(l_linestatus, 'ALL') AS linestatus,

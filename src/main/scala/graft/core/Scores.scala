@@ -374,7 +374,75 @@ object Scores {
        GROUP BY 1"""
   }
 
+  // ---------------------------------------------------------------
+  // 238. Benford's-law first-digit screen (Nigrini's forensic/data-
+  // quality test): per order priority, the observed leading-digit mix
+  // of order totals vs the Benford expectation log10(1+1/d), with the
+  // group χ². The leading digit is extracted from the INTEGER cents
+  // string (round(x·100) → VARCHAR → first char): identical in both
+  // engines, no log10-of-double boundary anywhere. Zero-count digits
+  // materialize via the 9-digit frame so χ² sums all 9 cells; one
+  // bounded-key shuffle.
+  private val BenfordExp = Seq(
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561)
+
+  def benfordScreen(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("d"))
+      .groupBy(col("prio"), col("d")).agg(count(lit(1)).as("n_d"))
+    val frame = digits.select(col("prio")).distinct()
+      .crossJoin(broadcast(s.range(1, 10).select(col("id").cast("int").as("d"))))
+    val tot = digits.groupBy(col("prio")).agg(sum(col("n_d")).as("n"))
+    val expArr = array(BenfordExp.map(lit(_)): _*)
+    val cells = frame
+      .join(digits, Seq("prio", "d"), "left")
+      .join(broadcast(tot), "prio")
+      .select(col("prio"), col("d"), coalesce(col("n_d"), lit(0L)).as("n_d"), col("n"),
+        (coalesce(col("n_d"), lit(0L)) / col("n").cast("double")).as("obs"),
+        element_at(expArr, col("d")).as("exp"))
+    val chi2 = cells.groupBy(col("prio"))
+      .agg(round(sum(col("n") * (col("obs") - col("exp")) * (col("obs") - col("exp"))
+        / col("exp")), 4).as("chi2"))
+    cells.join(broadcast(chi2), "prio")
+      .select(col("prio").as("o_orderpriority"), col("d").as("digit"),
+        col("n_d"), round(col("obs"), 6).as("obs_share"),
+        round(col("exp"), 6).as("exp_share"), col("chi2"))
+  }
+
+  private val benfordScreenSql = {
+    val expList = BenfordExp.mkString("[", ", ", "]")
+    s"""WITH digits AS (
+         SELECT o_orderpriority AS prio,
+                CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+                count(*) AS n_d
+         FROM orders GROUP BY 1, 2),
+       frame AS (
+         SELECT p.prio, CAST(t.d AS INT) AS d
+         FROM (SELECT DISTINCT prio FROM digits) p,
+              LATERAL (SELECT unnest(generate_series(1, 9)) AS d) t),
+       tot AS (SELECT prio, CAST(sum(n_d) AS BIGINT) AS n FROM digits GROUP BY 1),
+       cells AS MATERIALIZED (
+         SELECT f.prio, f.d, coalesce(g.n_d, 0) AS n_d, t.n,
+                coalesce(g.n_d, 0) / CAST(t.n AS DOUBLE) AS obs,
+                ($expList)[f.d] AS exp
+         FROM frame f
+         LEFT JOIN digits g ON f.prio = g.prio AND f.d = g.d
+         JOIN tot t ON f.prio = t.prio),
+       chi AS (
+         SELECT prio, round(sum(n * (obs - exp) * (obs - exp) / exp), 4) AS chi2
+         FROM cells GROUP BY 1)
+       SELECT c.prio AS o_orderpriority, c.d AS digit, c.n_d,
+              round(c.obs, 6) AS obs_share, round(c.exp, 6) AS exp_share,
+              h.chi2
+       FROM cells c JOIN chi h USING (prio)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benford_screen"   -> (benfordScreen _),
     "bootstrap_ci"     -> (bootstrapCi _),
     "rfm_segments"     -> (rfmSegments _),
     "hourly_uniformity" -> (hourlyUniformity _),
@@ -385,6 +453,7 @@ object Scores {
 
   val oracles: Map[String, String] = Map(
     "bootstrap_ci"      -> bootstrapCiSql,
+    "benford_screen"    -> benfordScreenSql,
     "rfm_segments"      -> rfmSegmentsSql,
     "hourly_uniformity" -> hourlyUniformitySql,
     "score_auc"        -> scoreAucSql,

@@ -46,6 +46,10 @@ object GraphOps {
   def snnGraphLsh(s: SparkSession, dir: String): DataFrame =
     snnFrom(Ann.knnEdges(s, dir, k = SnnK, exact = false))
 
+  /** Pruned SNN edges (a, b, shared, union_cnt, snn_w) — the prune is
+    * the INTEGER inequality 4·shared ≥ union (≡ jaccard ≥ 0.25): no fp
+    * boundary comparison anywhere. Shared by #228 and the weighted
+    * Louvain #236. */
   private def snnFrom(knn: DataFrame): DataFrame = {
     val nplus = knn.select(col("qid").as("v"), col("nid").as("n"))
       .unionAll(knn.select(col("qid").as("v"), col("qid").as("n")).distinct())
@@ -59,14 +63,15 @@ object GraphOps {
       .join(setSize.select(col("v").as("a"), col("sz").as("sa")), "a")
       .join(setSize.select(col("v").as("b"), col("sz").as("sb")), "b")
       .withColumn("union_cnt", col("sa") + col("sb") - col("shared"))
+      .filter(col("shared") * 4 >= col("union_cnt"))
       .withColumn("snn_w", round(col("shared") / col("union_cnt").cast("double"), 6))
-      .filter(col("snn_w") >= 0.25)
       .select(col("a"), col("b"), col("shared"), col("union_cnt"), col("snn_w"))
   }
 
-  /** SNN tail over the `knn (qid, nid)` contract — oracle twin of
-    * [[snnFrom]]. */
-  private val snnTailSql =
+  /** SNN CTE prefix over the `knn (qid, nid)` contract, ending in
+    * `snnkeep (a, b, shared, union_cnt)` — oracle twin of [[snnFrom]],
+    * shared by the #228 edge list and the #236 weighted-Louvain feed. */
+  private val snnPrefixSql =
     """nplus AS MATERIALIZED (
          SELECT qid AS v, nid AS n FROM knn
          UNION ALL
@@ -75,14 +80,20 @@ object GraphOps {
        shared AS (
          SELECT x.v AS a, y.v AS b, count(*) AS shared
          FROM nplus x JOIN nplus y ON x.n = y.n AND x.v < y.v
-         GROUP BY 1, 2)
-       SELECT s.a, s.b, s.shared,
-              sa.sz + sb.sz - s.shared AS union_cnt,
-              round(s.shared / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 6) AS snn_w
-       FROM shared s
-       JOIN setsize sa ON s.a = sa.v
-       JOIN setsize sb ON s.b = sb.v
-       WHERE s.shared / CAST(sa.sz + sb.sz - s.shared AS DOUBLE) >= 0.25"""
+         GROUP BY 1, 2),
+       snnkeep AS MATERIALIZED (
+         SELECT s.a, s.b, s.shared,
+                sa.sz + sb.sz - s.shared AS union_cnt
+         FROM shared s
+         JOIN setsize sa ON s.a = sa.v
+         JOIN setsize sb ON s.b = sb.v
+         WHERE s.shared * 4 >= sa.sz + sb.sz - s.shared)"""
+
+  private val snnTailSql =
+    s"""$snnPrefixSql
+       SELECT a, b, shared, union_cnt,
+              round(shared / CAST(union_cnt AS DOUBLE), 6) AS snn_w
+       FROM snnkeep"""
 
   // ---------------------------------------------------------------
   // 229. k-core by fixed unrolled peeling: round t removes every vertex
@@ -231,7 +242,108 @@ object GraphOps {
        FROM bd$BfsRounds"""
   }
 
+  // ---------------------------------------------------------------
+  // 236. weighted Louvain over the SNN graph — the reference's default
+  // clustering END TO END (wrapper.R:267-348: FindNeighbors SNN →
+  // FindClusters Louvain): #219 ran the modularity moves over raw
+  // mutual-kNN edges; this runs them over the #228 pruned SNN edge
+  // list with INTEGER weights w = shared-neighbor count (the Jaccard
+  // numerator — same ordering as the jaccard weight for fixed set
+  // sizes, and it keeps every modularity score a pure BIGINT:
+  // score(c) = 2W·k_in,w − s_i·(Σtot_w − [own]s_i), strengths s =
+  // weighted degree, W = total edge weight). 3 synchronous rounds,
+  // argmax (score desc, community asc) — the #219 determinism
+  // contract; 2W·kin ≤ ~2e18 at W≈1e12, kin≤1e6 stays in BIGINT
+  // (document the overflow envelope at larger weights: rescale w).
+  private val SnnLouvainRounds = 3
+
+  def louvainSnn(s: SparkSession, dir: String): DataFrame =
+    louvainSnnFrom(snnFrom(Ann.knnEdges(s, dir, k = SnnK, exact = true)))
+
+  /** Scale twin: same weighted moves over the LSH-fed SNN edges. */
+  def louvainSnnLsh(s: SparkSession, dir: String): DataFrame =
+    louvainSnnFrom(snnFrom(Ann.knnEdges(s, dir, k = SnnK, exact = false)))
+
+  private def louvainSnnFrom(snn: DataFrame): DataFrame = {
+    val edges = snn.select(col("a").as("src"), col("b").as("dst"), col("shared").as("w"))
+      .unionAll(snn.select(col("b").as("src"), col("a").as("dst"), col("shared").as("w")))
+      .localCheckpoint() // feeds every round (the #219 contract)
+    val str = edges.groupBy(col("src").as("v")).agg(sum(col("w")).as("s"))
+    // total edge weight W: bounded driver scalar off the checkpointed
+    // edges (the #219 |E| precedent) — a literal keeps rounds equi-keyed
+    val bigW = edges.agg(sum(col("w")).as("t")).collect()(0).getLong(0) / 2
+    var c = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("c"))
+    for (i <- 1 to SnnLouvainRounds) {
+      val tot = c.join(str, "v").groupBy(col("c")).agg(sum(col("s")).as("tot"))
+      val kin = edges.join(c.select(col("v").as("dst"), col("c").as("cand")), "dst")
+        .groupBy(col("src"), col("cand")).agg(sum(col("w")).as("kin"))
+        .select(col("src").as("v"), col("cand"), col("kin"))
+      val cands = kin
+        .unionByName(c.select(col("v"), col("c").as("cand"), lit(0L).as("kin")))
+        .groupBy(col("v"), col("cand")).agg(max(col("kin")).as("kin"))
+      val scored = cands
+        .join(c.select(col("v"), col("c").as("own")), "v")
+        .join(str, "v")
+        .join(tot.select(col("c").as("cand"), col("tot")), "cand")
+        .select(col("v"), col("cand"),
+          (lit(2L * bigW) * col("kin")
+            - col("s") * (col("tot")
+              - when(col("cand") === col("own"), col("s")).otherwise(lit(0L))))
+            .as("score"))
+      val next = scored
+        .select(col("v"), struct((-col("score")).as("ns"), col("cand").as("c")).as("sc"))
+        .groupBy(col("v")).agg(min(col("sc")).as("mx"))
+        .select(col("v"), col("mx.c").as("c"))
+      c = (if (i < SnnLouvainRounds) next.localCheckpoint() else next)
+    }
+    c.select(col("v").as("vec_id"), col("c").as("community"))
+  }
+
+  /** Weighted-Louvain unroll over the `snnkeep` contract — oracle twin
+    * of [[louvainSnnFrom]] (integer scores, total-ordered argmax). */
+  private val louvainSnnTailSql = {
+    val step = (i: Int) =>
+      s"""wtot$i AS (
+           SELECT c.c, CAST(sum(s.s) AS BIGINT) AS tot
+           FROM wc${i - 1} c JOIN wstr s USING (v) GROUP BY 1),
+         wkin$i AS (
+           SELECT e.src AS v, c.c AS cand, CAST(sum(e.w) AS BIGINT) AS kin
+           FROM wedges e JOIN wc${i - 1} c ON e.dst = c.v GROUP BY 1, 2),
+         wcand$i AS (
+           SELECT v, cand, max(kin) AS kin FROM (
+             SELECT v, cand, kin FROM wkin$i
+             UNION ALL
+             SELECT v, c AS cand, 0::BIGINT AS kin FROM wc${i - 1})
+           GROUP BY 1, 2),
+         wsc$i AS (
+           SELECT cd.v, cd.cand,
+                  2 * ww.w2 * cd.kin
+                    - s.s * (t.tot - CASE WHEN cd.cand = o.c THEN s.s ELSE 0 END)
+                    AS score
+           FROM wcand$i cd
+           JOIN wc${i - 1} o ON cd.v = o.v
+           JOIN wstr s ON cd.v = s.v
+           JOIN wtot$i t ON cd.cand = t.c, ww),
+         wc$i AS MATERIALIZED (
+           SELECT v, cand AS c FROM (
+             SELECT v, cand,
+                    row_number() OVER (PARTITION BY v
+                      ORDER BY score DESC, cand ASC) AS rk
+             FROM wsc$i) WHERE rk = 1)"""
+    s"""wedges AS MATERIALIZED (
+         SELECT a AS src, b AS dst, shared AS w FROM snnkeep
+         UNION ALL SELECT b, a, shared FROM snnkeep),
+       wstr AS (SELECT src AS v, CAST(sum(w) AS BIGINT) AS s FROM wedges GROUP BY 1),
+       ww AS (SELECT CAST(sum(shared) AS BIGINT) AS w2 FROM snnkeep),
+       wc0 AS (SELECT DISTINCT src AS v, src AS c FROM wedges),
+       ${(1 to SnnLouvainRounds).map(step).mkString(",\n       ")}
+       SELECT v AS vec_id, c AS community FROM wc$SnnLouvainRounds"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "louvain_snn"       -> (louvainSnn _),
+    "louvain_snn_lsh"   -> (louvainSnnLsh _),
     "knn_bfs_dists"     -> (knnBfsDists _),
     "knn_bfs_dists_lsh" -> (knnBfsDistsLsh _),
     "snn_graph"     -> (snnGraph _),
@@ -240,6 +352,10 @@ object GraphOps {
     "kcore_knn_lsh" -> (kcoreKnnLsh _))
 
   val oracles: Map[String, String] = Map(
+    "louvain_snn" ->
+      s"WITH ${Ann.bruteKnnSql(SnnK)},\n$snnPrefixSql,\n$louvainSnnTailSql",
+    "louvain_snn_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$snnPrefixSql,\n$louvainSnnTailSql",
     "knn_bfs_dists" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$bfsTailSql",
     "knn_bfs_dists_lsh" ->
       s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$bfsTailSql",
