@@ -441,7 +441,135 @@ object Scores {
        FROM cells c JOIN chi h USING (prio)"""
   }
 
+  // ---------------------------------------------------------------
+  // 241. HBOS anomaly scores (Goldstein & Dengel 2012 histogram-based
+  // outlier score — the deterministic unsupervised screen that scales
+  // where isolation forests need RNG): three independent feature
+  // histograms over orders (price in 10 fixed-width bins off the
+  // global [min,max], day-of-week, capped line count), score =
+  // Σ_f ln(N / n_bin(f)) — rare bins score high. Bin indices are
+  // shared-IEEE floor arithmetic (identical op order both engines);
+  // the flag compares the ROUNDED score to a literal. One pass +
+  // broadcast bin tables; the lineitem count is the only extra
+  // shuffle (its natural orderkey).
+  def hbosOutliers(s: SparkSession, dir: String): DataFrame = {
+    val nl = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("nl0"))
+    val base0 = Tables.orders(s, dir)
+      .join(nl, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice").as("x"),
+        // NTZ→TZ cast is value-identity under the session's UTC TZ
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 % 7").as("dow"),
+        least(coalesce(col("nl0"), lit(0L)), lit(7L)).as("nlb"))
+    val mm = base0.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val base = base0.crossJoin(broadcast(mm))
+      .withColumn("pb", least(floor((col("x") - col("mn")) * lit(10.0)
+        / (col("mx") - col("mn"))).cast("long"), lit(9L)))
+      .localCheckpoint() // 3 bin-table scans + the final score pass
+    val nTot = base.count() // bounded driver scalar
+    def binTab(c: String) = base.groupBy(col(c)).agg(count(lit(1)).as(s"n_$c"))
+    base
+      .join(broadcast(binTab("pb")), "pb")
+      .join(broadcast(binTab("dow")), "dow")
+      .join(broadcast(binTab("nlb")), "nlb")
+      .select(col("o_orderkey"), col("pb").as("price_bin"), col("dow"),
+        col("nlb").as("lines_bin"),
+        round(log(lit(nTot.toDouble) / col("n_pb"))
+          + log(lit(nTot.toDouble) / col("n_dow"))
+          + log(lit(nTot.toDouble) / col("n_nlb")), 6).as("hbos_score"))
+      .withColumn("is_outlier", col("hbos_score") >= 6.0)
+  }
+
+  private val hbosOutliersSql =
+    """WITH nl AS (
+         SELECT l_orderkey AS o_orderkey, count(*) AS nl0
+         FROM lineitem GROUP BY 1),
+       base0 AS (
+         SELECT o.o_orderkey, o.o_totalprice AS x,
+                epoch_us(o.o_orderdate) // 86400000000 % 7 AS dow,
+                least(coalesce(nl.nl0, 0), 7) AS nlb
+         FROM orders o LEFT JOIN nl USING (o_orderkey)),
+       mm AS (SELECT min(x) AS mn, max(x) AS mx FROM base0),
+       base AS MATERIALIZED (
+         SELECT o_orderkey, x, dow, nlb,
+                least(CAST(floor((x - mn) * 10.0 / (mx - mn)) AS BIGINT), 9) AS pb
+         FROM base0, mm),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM base),
+       bpb AS (SELECT pb, count(*) AS n_pb FROM base GROUP BY 1),
+       bdw AS (SELECT dow, count(*) AS n_dow FROM base GROUP BY 1),
+       bnl AS (SELECT nlb, count(*) AS n_nlb FROM base GROUP BY 1)
+       SELECT b.o_orderkey, b.pb AS price_bin, b.dow, b.nlb AS lines_bin,
+              round(ln(n.nt / p.n_pb) + ln(n.nt / d.n_dow) + ln(n.nt / l.n_nlb), 6)
+                AS hbos_score,
+              round(ln(n.nt / p.n_pb) + ln(n.nt / d.n_dow) + ln(n.nt / l.n_nlb), 6)
+                >= 6.0 AS is_outlier
+       FROM base b
+       JOIN bpb p USING (pb)
+       JOIN bdw d USING (dow)
+       JOIN bnl l USING (nlb), n"""
+
+  // ---------------------------------------------------------------
+  // 242. two-proportion z-test per segment (one-vs-rest): is this
+  // customer segment's urgent-order rate different from everyone
+  // else's? Pooled-variance z off pure integer counts, p-value via the
+  // shared Zelen–Severo normal tail (Stats.normalUpperTail — the
+  // hourly_uniformity device), two-sided. One bounded-key aggregation;
+  // the one-vs-rest complement comes from broadcast totals, not a
+  // second scan.
+  def conversionZtest(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n1"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("k1"))
+    val tot = seg.agg(sum(col("n1")).as("nt"), sum(col("k1")).as("kt"))
+    val z = seg.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nt") - col("n1"))
+      .withColumn("k2", col("kt") - col("k1"))
+      .withColumn("p1", col("k1") / col("n1").cast("double"))
+      .withColumn("p2", col("k2") / col("n2").cast("double"))
+      .withColumn("pp", col("kt") / col("nt").cast("double"))
+      .withColumn("z", (col("p1") - col("p2"))
+        / sqrt(col("pp") * (lit(1.0) - col("pp"))
+          * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+    z.select(col("c_mktsegment"), col("n1").as("n_orders"),
+        col("k1").as("n_urgent"),
+        round(col("p1"), 6).as("rate"),
+        round(col("p2"), 6).as("rate_rest"),
+        round(col("z"), 4).as("z"),
+        round(lit(2.0) * graft.core.Stats.normalUpperTail(abs(col("z"))), 6).as("p_value"))
+      .withColumn("significant", col("p_value") < 0.05)
+  }
+
+  private val conversionZtestSql = {
+    val q = graft.core.Stats.normalUpperTailSql("abs(z)")
+    s"""WITH seg AS (
+         SELECT c.c_mktsegment, count(*) AS n1,
+                CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS k1
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1),
+       tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nt, CAST(sum(k1) AS BIGINT) AS kt FROM seg),
+       zt AS (
+         SELECT c_mktsegment, n1, k1,
+                k1 / CAST(n1 AS DOUBLE) AS p1,
+                (kt - k1) / CAST(nt - n1 AS DOUBLE) AS p2,
+                (k1 / CAST(n1 AS DOUBLE) - (kt - k1) / CAST(nt - n1 AS DOUBLE))
+                  / sqrt(kt / CAST(nt AS DOUBLE) * (1.0 - kt / CAST(nt AS DOUBLE))
+                    * (1.0 / n1 + 1.0 / (nt - n1))) AS z
+         FROM seg, tot)
+       SELECT c_mktsegment, n1 AS n_orders, k1 AS n_urgent,
+              round(p1, 6) AS rate, round(p2, 6) AS rate_rest,
+              round(z, 4) AS z,
+              round(2.0 * $q, 6) AS p_value,
+              round(2.0 * $q, 6) < 0.05 AS significant
+       FROM zt"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hbos_outliers"    -> (hbosOutliers _),
+    "conversion_ztest" -> (conversionZtest _),
     "benford_screen"   -> (benfordScreen _),
     "bootstrap_ci"     -> (bootstrapCi _),
     "rfm_segments"     -> (rfmSegments _),
@@ -454,6 +582,8 @@ object Scores {
   val oracles: Map[String, String] = Map(
     "bootstrap_ci"      -> bootstrapCiSql,
     "benford_screen"    -> benfordScreenSql,
+    "hbos_outliers"     -> hbosOutliersSql,
+    "conversion_ztest"  -> conversionZtestSql,
     "rfm_segments"      -> rfmSegmentsSql,
     "hourly_uniformity" -> hourlyUniformitySql,
     "score_auc"        -> scoreAucSql,

@@ -440,6 +440,83 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // 240. golden-record construction — the MDM/entity-resolution
+  // capstone over #89's blocked fuzzy matches: candidate pairs
+  // (edit distance ≤ 2 within (brand, type) blocks) → connected
+  // components (the near-dup cluster machinery) → one canonical record
+  // per merge cluster: mode name with (count desc, name asc) total
+  // order, member count, price envelope. Singleton entities are
+  // suppressed (this is the merge-review table); the cluster label is
+  // the component's min key — stable under re-runs. Scale: pairs are
+  // block-bounded (#89), components are the hybrid union-find/label-
+  // propagation path, the canonical pick is a bounded per-cluster
+  // argmin — no step exceeds the dedup family's contracts.
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyBlockedJoin(s, dir).select(col("id1"), col("id2"))
+    val comp = graft.api.Similarity.connectedComponents(pairs, col("id1"), col("id2"))
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    val withC = p
+      .join(comp.select(col("vertex").as("p_partkey"), col("component")),
+        Seq("p_partkey"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("p_partkey")))
+    val nameCnt = withC.groupBy(col("cluster"), col("p_name"))
+      .agg(count(lit(1)).as("c"))
+    val canon = nameCnt
+      .select(col("cluster"),
+        struct((-col("c")).as("nc"), col("p_name").as("nm")).as("sc"))
+      .groupBy(col("cluster")).agg(min(col("sc")).as("m"))
+      .select(col("cluster"), col("m.nm").as("canonical_name"))
+    withC.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        r(min(col("p_retailprice")), 4).as("min_price"),
+        r(max(col("p_retailprice")), 4).as("max_price"))
+      .filter(col("n_members") >= 2)
+      .join(canon, "cluster")
+      .select(col("cluster").as("cluster_id"), col("n_members"),
+        col("canonical_name"), col("min_price"), col("max_price"))
+  }
+
+  private val goldenRecordSql =
+    """WITH RECURSIVE fp AS (
+         SELECT a.p_partkey AS id1, b.p_partkey AS id2
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+          AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2),
+       gedges AS (SELECT id1 AS a, id2 AS b FROM fp
+                  UNION SELECT id2, id1 FROM fp),
+       greach AS (
+         SELECT a, b FROM gedges
+         UNION
+         SELECT r.a, e.b FROM greach r JOIN gedges e ON r.b = e.a),
+       gverts AS (SELECT DISTINCT a AS vertex FROM gedges),
+       gcomp AS (
+         SELECT v.vertex, least(v.vertex, min(r.b)) AS component
+         FROM gverts v LEFT JOIN greach r ON v.vertex = r.a
+         GROUP BY 1),
+       wc AS MATERIALIZED (
+         SELECT p.p_partkey, p.p_name, p.p_retailprice,
+                coalesce(c.component, p.p_partkey) AS cluster
+         FROM part p LEFT JOIN gcomp c ON p.p_partkey = c.vertex),
+       nc AS (SELECT cluster, p_name, count(*) AS c FROM wc GROUP BY 1, 2),
+       canon AS (
+         SELECT cluster, p_name AS canonical_name FROM (
+           SELECT cluster, p_name,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY c DESC, p_name ASC) AS rk
+           FROM nc) WHERE rk = 1),
+       agg AS (
+         SELECT cluster, count(*) AS n_members,
+                round(min(p_retailprice), 4) AS min_price,
+                round(max(p_retailprice), 4) AS max_price
+         FROM wc GROUP BY 1)
+       SELECT a.cluster AS cluster_id, a.n_members, c.canonical_name,
+              a.min_price, a.max_price
+       FROM agg a JOIN canon c USING (cluster)
+       WHERE a.n_members >= 2"""
+
+  // ---------------------------------------------------------------
   // 113. cross-source contamination matrix: for every source pair, how
   // many distinct 20-char shingles they share — the corpus-level audit
   // behind per-doc decontamination (#64). Distinct (source, shingle)
@@ -531,6 +608,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_overlap"      -> (sourceOverlap _),
     "fuzzy_blocked_join"  -> (fuzzyBlockedJoin _),
+    "golden_record"       -> (goldenRecord _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "decontaminate"       -> (decontaminate _),
@@ -810,6 +888,7 @@ object Dedup {
     "dedup_containment" -> dedupContainmentSql,
     "dup_pairs_by_source" -> dupPairsBySourceSql,
     "source_overlap" -> sourceOverlapSql,
+    "golden_record" -> goldenRecordSql,
     "fuzzy_blocked_join" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist

@@ -323,7 +323,18 @@ class PlanSpec extends SparkSpecBase {
       "ann_matryoshka_eval",
       // bitext mining scores through the exact cross-batch oracle
       // scorer (mnn_pairs precedent)
-      "bitext_margin_mining")
+      "bitext_margin_mining",
+      // the SNN / k-core / BFS / weighted-Louvain exact feeds ride the
+      // same documented brute-force kNN scorer (louvain_knn precedent);
+      // their _lsh twins are the scale feeds and stay BNL-free
+      "snn_graph", "kcore_knn", "knn_bfs_dists", "louvain_snn",
+      // word_lm_score attaches the 1-row corpus bigram total (the
+      // char_lm_score precedent); k_anonymity / hbos_outliers /
+      // conversion_ztest attach 1-row totals/min-max/pooled aggs;
+      // benford_screen crosses the |priorities|×9 digit scaffold
+      // (ma_stats precedent)
+      "word_lm_score", "k_anonymity", "hbos_outliers",
+      "conversion_ztest", "benford_screen")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
