@@ -567,7 +567,154 @@ object Scores {
        FROM zt"""
   }
 
+  // ---------------------------------------------------------------
+  // 244. Mann-Kendall trend test per event type over the daily count
+  // series — the nonparametric monotonic-trend screen (is traffic
+  // drifting?) that needs no distributional assumption: S = Σ_{i<j}
+  // sign(x_j − x_i), tie-corrected variance, continuity-corrected z,
+  // p via the shared normal tail. S and the tie terms are pure
+  // integers; the pair join is per-type over the DAY-count series
+  // (bounded by the retention window, never by event volume — at
+  // scale the same test runs windowed or seasonally partitioned).
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // feeds the pair join twice + ties + n
+    val sStat = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val nD = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    val z = sStat.join(nD, "event_type").join(ties, "event_type")
+      .withColumn("var_s",
+        (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - col("tie_term")) / lit(18.0))
+      .withColumn("z",
+        when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+    z.select(col("event_type"), col("n_days"), col("s_stat"),
+        round(col("var_s"), 4).as("var_s"), round(col("z"), 4).as("z"),
+        round(lit(2.0) * graft.core.Stats.normalUpperTail(abs(col("z"))), 6).as("p_value"))
+      .withColumn("trend",
+        when(col("p_value") >= 0.05, lit("none"))
+          .when(col("s_stat") > 0, lit("increasing")).otherwise(lit("decreasing")))
+  }
+
+  private val mannKendallSql = {
+    val q = graft.core.Stats.normalUpperTailSql("abs(z)")
+    s"""WITH daily AS MATERIALIZED (
+         SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                count(*) AS x
+         FROM events GROUP BY 1, 2),
+       sstat AS (
+         SELECT a.event_type,
+                CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.day < b.day
+         GROUP BY 1),
+       nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+       ties AS (
+         SELECT event_type,
+                CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+         GROUP BY 1),
+       zt AS (
+         SELECT s.event_type, n.n_days, s.s_stat,
+                (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term) / 18.0 AS var_s,
+                CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term) / 18.0)
+                     WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term) / 18.0)
+                     ELSE 0.0 END AS z
+         FROM sstat s JOIN nd n USING (event_type) JOIN ties t USING (event_type))
+       SELECT event_type, n_days, s_stat,
+              round(var_s, 4) AS var_s, round(z, 4) AS z,
+              round(2.0 * $q, 6) AS p_value,
+              CASE WHEN round(2.0 * $q, 6) >= 0.05 THEN 'none'
+                   WHEN s_stat > 0 THEN 'increasing'
+                   ELSE 'decreasing' END AS trend
+       FROM zt"""
+  }
+
+  // ---------------------------------------------------------------
+  // 245. Cohen's kappa between the two annotation methods (#20's
+  // agreement score): per order priority, chance-corrected agreement
+  // of the price-argmax vs quantity-argmax labels. The whole statistic
+  // reduces to integers before one final division — kappa =
+  // (diag·n − Σ_l c1_l·c2_l) / (n² − Σ_l c1_l·c2_l) — so no expected-
+  // proportion fp accumulates. Winner construction mirrors
+  // annotation_combine (bounded per-entity label windows).
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("entity")).orderBy(col("v1").desc, col("label").asc)
+    val w2 = Window.partitionBy(col("entity")).orderBy(col("v2").desc, col("label").asc)
+    val winners = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
+      .agg(sum(col("l_extendedprice")).as("v1"), sum(col("l_quantity")).as("v2"))
+      .withColumn("rk1", row_number().over(w1))
+      .withColumn("rk2", row_number().over(w2))
+      .groupBy(col("entity"))
+      .agg(max(when(col("rk1") === 1, col("label"))).as("m1"),
+        max(when(col("rk2") === 1, col("label"))).as("m2"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("entity"), col("o_orderpriority").as("prio")), "entity")
+    val n = winners.groupBy(col("prio")).agg(count(lit(1)).as("n"),
+      sum(when(col("m1") === col("m2"), 1L).otherwise(0L)).as("diag"))
+    val c1 = winners.groupBy(col("prio"), col("m1").as("lbl")).agg(count(lit(1)).as("c1"))
+    val c2 = winners.groupBy(col("prio"), col("m2").as("lbl")).agg(count(lit(1)).as("c2"))
+    val peNum = c1.join(c2, Seq("prio", "lbl"))
+      .groupBy(col("prio")).agg(sum(col("c1") * col("c2")).as("pe_num"))
+    n.join(peNum, "prio")
+      .select(col("prio").as("o_orderpriority"), col("n"), col("diag"),
+        round(col("diag") / col("n").cast("double"), 6).as("po"),
+        round(col("pe_num") / (col("n") * col("n")).cast("double"), 6).as("pe"),
+        when(col("n") * col("n") - col("pe_num") > 0,
+          round((col("diag") * col("n") - col("pe_num"))
+            / (col("n") * col("n") - col("pe_num")).cast("double"), 6)).as("kappa"))
+  }
+
+  private val cohensKappaSql =
+    """WITH agg AS (
+         SELECT l_orderkey AS entity, l_returnflag AS label,
+                sum(l_extendedprice) AS v1, sum(l_quantity) AS v2
+         FROM lineitem GROUP BY 1, 2),
+       rk AS (
+         SELECT entity, label,
+                row_number() OVER (PARTITION BY entity ORDER BY v1 DESC, label ASC) AS rk1,
+                row_number() OVER (PARTITION BY entity ORDER BY v2 DESC, label ASC) AS rk2
+         FROM agg),
+       winners AS MATERIALIZED (
+         SELECT r.entity,
+                max(CASE WHEN rk1 = 1 THEN label END) AS m1,
+                max(CASE WHEN rk2 = 1 THEN label END) AS m2,
+                any_value(o.o_orderpriority) AS prio
+         FROM rk r JOIN orders o ON r.entity = o.o_orderkey
+         GROUP BY 1),
+       n AS (
+         SELECT prio, count(*) AS n,
+                CAST(sum(CASE WHEN m1 = m2 THEN 1 ELSE 0 END) AS BIGINT) AS diag
+         FROM winners GROUP BY 1),
+       c1 AS (SELECT prio, m1 AS lbl, count(*) AS c1 FROM winners GROUP BY 1, 2),
+       c2 AS (SELECT prio, m2 AS lbl, count(*) AS c2 FROM winners GROUP BY 1, 2),
+       pe AS (
+         SELECT prio, CAST(sum(c1.c1 * c2.c2) AS BIGINT) AS pe_num
+         FROM c1 JOIN c2 USING (prio, lbl) GROUP BY 1)
+       SELECT n.prio AS o_orderpriority, n.n, n.diag,
+              round(n.diag / CAST(n.n AS DOUBLE), 6) AS po,
+              round(pe.pe_num / CAST(n.n * n.n AS DOUBLE), 6) AS pe,
+              CASE WHEN n.n * n.n - pe.pe_num > 0 THEN
+                round((n.diag * n.n - pe.pe_num)
+                      / CAST(n.n * n.n - pe.pe_num AS DOUBLE), 6) END AS kappa
+       FROM n JOIN pe USING (prio)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mann_kendall"     -> (mannKendall _),
+    "cohens_kappa"     -> (cohensKappa _),
     "hbos_outliers"    -> (hbosOutliers _),
     "conversion_ztest" -> (conversionZtest _),
     "benford_screen"   -> (benfordScreen _),
@@ -583,6 +730,8 @@ object Scores {
     "bootstrap_ci"      -> bootstrapCiSql,
     "benford_screen"    -> benfordScreenSql,
     "hbos_outliers"     -> hbosOutliersSql,
+    "mann_kendall"      -> mannKendallSql,
+    "cohens_kappa"      -> cohensKappaSql,
     "conversion_ztest"  -> conversionZtestSql,
     "rfm_segments"      -> rfmSegmentsSql,
     "hourly_uniformity" -> hourlyUniformitySql,

@@ -718,11 +718,22 @@ object Ann {
        FROM embeddings e LEFT JOIN l3 l ON e.vec_id = l.vec_id"""
   }
 
+  private[sim] def LouvainRoundsSql: Int = LouvainRounds
+
   /** 3-round synchronous Louvain unroll over the `knn (qid, nid)`
     * contract — the oracle twin of [[louvainFrom]]. Scores are pure
     * integers (scaled by 2m), argmax total-ordered (score desc, c asc),
-    * so every round replays exactly. */
-  private val louvainTailSql = {
+    * so every round replays exactly. The CTE chain (ending in
+    * c$LouvainRounds, with `mutual`/`edges`/`deg` in scope) is exposed
+    * separately for the GraphOps refinement/modularity audits. */
+  private val louvainTailSql =
+    louvainCtesSqlVal + s"\n       SELECT v AS vec_id, c AS community FROM c$LouvainRounds"
+
+  /** The Louvain CTE chain alone (mutual/edges/deg/m/c0..c3), for the
+    * GraphOps audits that extend it with more CTEs. */
+  private[sim] def louvainUnrollSql: String = louvainCtesSqlVal
+
+  private lazy val louvainCtesSqlVal: String = {
     val step = (i: Int) =>
       s"""tot$i AS (
            SELECT c.c, sum(d.d) AS tot
@@ -751,7 +762,7 @@ object Ann {
                     row_number() OVER (PARTITION BY v
                       ORDER BY score DESC, cand ASC) AS rk
              FROM sc$i) WHERE rk = 1)"""
-    s"""mutual AS (
+    s"""mutual AS MATERIALIZED (
          SELECT x.qid AS a, x.nid AS b FROM knn x
          JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
          WHERE x.qid < x.nid),
@@ -760,8 +771,7 @@ object Ann {
        deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY 1),
        m AS (SELECT count(*)::BIGINT AS m FROM mutual),
        c0 AS (SELECT DISTINCT src AS v, src AS c FROM edges),
-       ${(1 to LouvainRounds).map(step).mkString(",\n       ")}
-       SELECT v AS vec_id, c AS community FROM c$LouvainRounds"""
+       ${(1 to LouvainRounds).map(step).mkString(",\n       ")}"""
   }
 
   private val hardNegativesSql =

@@ -341,7 +341,190 @@ object GraphOps {
        SELECT v AS vec_id, c AS community FROM wc$SnnLouvainRounds"""
   }
 
+  // ---------------------------------------------------------------
+  // 247. Leiden-style refinement of the Louvain partition (Traag et al.
+  // 2019's core fix: Louvain communities can be INTERNALLY
+  // DISCONNECTED; Leiden refines each into its connected pieces):
+  // restrict the edge list to same-community pairs, run connected
+  // components within each community, relabel. Emits old vs refined
+  // community plus a was_split flag — the audit that tells you how
+  // badly plain Louvain misbehaved. Exact + `_lsh` twins.
+  def leidenRefine(s: SparkSession, dir: String): DataFrame =
+    leidenFrom(Ann.knnEdges(s, dir, k = SnnK, exact = true),
+      Ann.louvainKnn(s, dir))
+
+  def leidenRefineLsh(s: SparkSession, dir: String): DataFrame =
+    leidenFrom(Ann.knnEdges(s, dir, k = SnnK, exact = false),
+      Ann.louvainKnnLsh(s, dir))
+
+  private def leidenFrom(knn: DataFrame, louvain: DataFrame): DataFrame = {
+    val mut = Ann.mutualEdges(knn)
+    val c = louvain.select(col("vec_id").as("v"), col("community"))
+      .localCheckpoint() // read by the restrict join + the relabel join
+    val intra = mut
+      .join(c.select(col("v").as("a"), col("community").as("ca")), "a")
+      .join(c.select(col("v").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .select(col("a"), col("b"))
+    val refined = graft.api.Similarity.connectedComponents(intra, col("a"), col("b"))
+      .select(col("vertex").as("v"), col("component").as("refined"))
+    val out = c.join(refined, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("community"),
+        coalesce(col("refined"), col("v")).as("refined_community"))
+    val splitFlag = out.groupBy(col("community"))
+      .agg((countDistinct(col("refined_community")) > 1).as("was_split"))
+    out.join(splitFlag, "community")
+      .select(col("vec_id"), col("community"), col("refined_community"),
+        col("was_split"))
+  }
+
+  /** Leiden-refinement tail over the `knn` contract: the #219 Louvain
+    * unroll feeds the intra-community components. The Louvain CTEs
+    * (c3 = final assignment) come from Ann.louvainUnrollSql. */
+  private def leidenTailSql =
+    s"""${Ann.louvainUnrollSql},
+       lvc AS MATERIALIZED (SELECT v, c AS community FROM c${Ann.LouvainRoundsSql}),
+       intra AS (
+         SELECT m.a, m.b FROM mutual m
+         JOIN lvc x ON m.a = x.v
+         JOIN lvc y ON m.b = y.v
+         WHERE x.community = y.community),
+       iedges AS (SELECT a, b FROM intra UNION SELECT b, a FROM intra),
+       ireach AS (
+         SELECT a, b FROM iedges
+         UNION
+         SELECT r.a, e.b FROM ireach r JOIN iedges e ON r.b = e.a),
+       iverts AS (SELECT DISTINCT a AS vertex FROM iedges),
+       icomp AS (
+         SELECT v.vertex, least(v.vertex, min(r.b)) AS refined
+         FROM iverts v LEFT JOIN ireach r ON v.vertex = r.a
+         GROUP BY 1),
+       refined AS MATERIALIZED (
+         SELECT l.v, l.community,
+                coalesce(i.refined, l.v) AS refined_community
+         FROM lvc l LEFT JOIN icomp i ON l.v = i.vertex),
+       splitf AS (
+         SELECT community, count(DISTINCT refined_community) > 1 AS was_split
+         FROM refined GROUP BY 1)
+       SELECT r.v AS vec_id, r.community, r.refined_community, s.was_split
+       FROM refined r JOIN splitf s USING (community)"""
+
+  // ---------------------------------------------------------------
+  // 248. modularity audit of the #219 partition: Q = Σ_c [e_c/m −
+  // (d_c/2m)²] computed as the INTEGER numerator (4m·e_c − d_c²) over
+  // 4m² — one exact division at the end. Per-community contributions +
+  // the partition total (as a window sum, same table). The score every
+  // community detection should report next to its labels.
+  def modularityScore(s: SparkSession, dir: String): DataFrame =
+    modularityFrom(s, dir, exact = true)
+
+  def modularityScoreLsh(s: SparkSession, dir: String): DataFrame =
+    modularityFrom(s, dir, exact = false)
+
+  private def modularityFrom(s: SparkSession, dir: String, exact: Boolean): DataFrame = {
+    val mut = Ann.mutualEdges(Ann.knnEdges(s, dir, k = SnnK, exact = exact))
+      .localCheckpoint() // m + intra-edge + degree passes
+    val c = (if (exact) Ann.louvainKnn(s, dir) else Ann.louvainKnnLsh(s, dir))
+      .select(col("vec_id").as("v"), col("community"))
+    val m = mut.count() // bounded driver scalar (the louvainFrom precedent)
+    val eIn = mut
+      .join(c.select(col("v").as("a"), col("community").as("ca")), "a")
+      .join(c.select(col("v").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = mut.select(col("a").as("v")).unionAll(mut.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val dC = c.join(deg, "v").groupBy(col("community")).agg(sum(col("d")).as("d_c"))
+    dC.join(eIn, Seq("community"), "left")
+      .select(col("community"), coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
+        // + 0.0 folds IEEE −0.0 (a tiny negative contribution rounded
+        // away) to +0.0 on both engines — the hash compare prints sign
+        (round((lit(4L * m) * coalesce(col("e_in"), lit(0L)) - col("d_c") * col("d_c"))
+          / lit(4.0 * m * m), 6) + lit(0.0)).as("q_contrib"))
+  }
+
+  private def modularityTailSql =
+    s"""${Ann.louvainUnrollSql},
+       mvc AS MATERIALIZED (SELECT v, c AS community FROM c${Ann.LouvainRoundsSql}),
+       mm2 AS (SELECT count(*)::BIGINT AS m FROM mutual),
+       mein AS (
+         SELECT x.community, count(*) AS e_in
+         FROM mutual mu
+         JOIN mvc x ON mu.a = x.v
+         JOIN mvc y ON mu.b = y.v
+         WHERE x.community = y.community
+         GROUP BY 1),
+       mdeg AS (
+         SELECT v, count(*) AS d FROM (
+           SELECT a AS v FROM mutual UNION ALL SELECT b FROM mutual)
+         GROUP BY 1),
+       mdc AS (
+         SELECT c.community, CAST(sum(d.d) AS BIGINT) AS d_c
+         FROM mvc c JOIN mdeg d USING (v) GROUP BY 1)
+       SELECT dc.community,
+              coalesce(e.e_in, 0) AS e_in, dc.d_c,
+              round((4 * m.m * coalesce(e.e_in, 0) - dc.d_c * dc.d_c)
+                    / (4.0 * m.m * m.m), 6) + 0.0 AS q_contrib
+       FROM mdc dc LEFT JOIN mein e USING (community), mm2 m"""
+
+  // ---------------------------------------------------------------
+  // 249. degree assortativity (Newman 2002) of the mutual-kNN graph:
+  // Pearson correlation of endpoint degrees over the directed edge
+  // list — hub-attracts-hub vs hub-avoids-hub, the one-number
+  // structure screen next to clustering coeff (#198). All five sums
+  // are integers; one closed-form division at the end.
+  def knnAssortativity(s: SparkSession, dir: String): DataFrame =
+    assortFrom(s, dir, exact = true)
+
+  def knnAssortativityLsh(s: SparkSession, dir: String): DataFrame =
+    assortFrom(s, dir, exact = false)
+
+  private def assortFrom(s: SparkSession, dir: String, exact: Boolean): DataFrame = {
+    val mut = Ann.mutualEdges(Ann.knnEdges(s, dir, k = SnnK, exact = exact))
+    val und = mut.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(mut.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    val deg = und.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+    pairs.agg(
+        count(lit(1)).as("n_dir_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n_dir_edges"),
+        round((col("n_dir_edges") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt((col("n_dir_edges") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n_dir_edges") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("assortativity"))
+  }
+
+  private val assortTailSql =
+    """und2 AS MATERIALIZED (
+         SELECT a AS x, b AS y FROM mutual UNION ALL SELECT b, a FROM mutual),
+       adeg AS (SELECT x AS v, count(*) AS d FROM und2 GROUP BY 1),
+       apairs AS (
+         SELECT dx.d AS dx, dy.d AS dy
+         FROM und2 u JOIN adeg dx ON u.x = dx.v JOIN adeg dy ON u.y = dy.v)
+       SELECT count(*) AS n_dir_edges,
+              round((count(*) * CAST(sum(dx * dy) AS BIGINT)
+                     - CAST(sum(dx) AS BIGINT) * CAST(sum(dy) AS BIGINT))
+                    / (sqrt(CAST(count(*) * CAST(sum(dx * dx) AS BIGINT)
+                             - CAST(sum(dx) AS BIGINT) * CAST(sum(dx) AS BIGINT) AS DOUBLE))
+                       * sqrt(CAST(count(*) * CAST(sum(dy * dy) AS BIGINT)
+                               - CAST(sum(dy) AS BIGINT) * CAST(sum(dy) AS BIGINT) AS DOUBLE))), 6)
+                AS assortativity
+       FROM apairs"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "leiden_refine"       -> (leidenRefine _),
+    "leiden_refine_lsh"   -> (leidenRefineLsh _),
+    "modularity_score"    -> (modularityScore _),
+    "modularity_score_lsh" -> (modularityScoreLsh _),
+    "knn_assortativity"   -> (knnAssortativity _),
+    "knn_assortativity_lsh" -> (knnAssortativityLsh _),
     "louvain_snn"       -> (louvainSnn _),
     "louvain_snn_lsh"   -> (louvainSnnLsh _),
     "knn_bfs_dists"     -> (knnBfsDists _),
@@ -351,7 +534,25 @@ object GraphOps {
     "kcore_knn"     -> (kcoreKnn _),
     "kcore_knn_lsh" -> (kcoreKnnLsh _))
 
+  private val mutualPrefixSql =
+    """mutual AS MATERIALIZED (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid)"""
+
   val oracles: Map[String, String] = Map(
+    "leiden_refine" ->
+      s"WITH RECURSIVE ${Ann.bruteKnnSql(SnnK)},\n$leidenTailSql",
+    "leiden_refine_lsh" ->
+      s"WITH RECURSIVE ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$leidenTailSql",
+    "modularity_score" ->
+      s"WITH ${Ann.bruteKnnSql(SnnK)},\n$modularityTailSql",
+    "modularity_score_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$modularityTailSql",
+    "knn_assortativity" ->
+      s"WITH ${Ann.bruteKnnSql(SnnK)},\n$mutualPrefixSql,\n$assortTailSql",
+    "knn_assortativity_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$mutualPrefixSql,\n$assortTailSql",
     "louvain_snn" ->
       s"WITH ${Ann.bruteKnnSql(SnnK)},\n$snnPrefixSql,\n$louvainSnnTailSql",
     "louvain_snn_lsh" ->

@@ -42,7 +42,11 @@ object Classify {
           * ((i * 2654435761L) % 1000000007L) % 1000000007L) % 1000000007L)
         % $NumBuckets""")
 
-  def perceptronQuality(s: SparkSession, dir: String): DataFrame = {
+  /** Shared trainer: 3 perceptron rounds with updates restricted to
+    * `trainCond` docs, margins for ALL docs — (doc_id, y, margin).
+    * #231 trains on everything; #243 holds out doc_id % 5 = 0. */
+  private def trainMargins(s: SparkSession, dir: String,
+      trainCond: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables.documents(s, dir)
     val words = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
@@ -60,7 +64,7 @@ object Classify {
       val m = feats.join(broadcast(w), "b")
         .groupBy(col("doc_id")).agg(sum(col("x") * col("wv")).as("mg"))
       val upd = feats.join(lab, "doc_id").join(m, "doc_id")
-        .filter(col("y") * col("mg") <= 0)
+        .filter(col("y") * col("mg") <= 0 && trainCond)
         .groupBy(col("b")).agg(sum(col("y") * col("x")).as("dw"))
       w = w.join(upd, Seq("b"), "left")
         .select(col("b"), (col("wv") + coalesce(col("dw"), lit(0L))).as("wv"))
@@ -69,12 +73,47 @@ object Classify {
     val mf = feats.join(broadcast(w), "b")
       .groupBy(col("doc_id")).agg(sum(col("x") * col("wv")).as("margin"))
     lab.join(mf, "doc_id")
+  }
+
+  def perceptronQuality(s: SparkSession, dir: String): DataFrame =
+    trainMargins(s, dir, lit(true))
       .select(col("doc_id"), col("y").as("y_true"), col("margin"),
         when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
       .withColumn("correct", col("pred") === col("y_true"))
+
+  // ---------------------------------------------------------------
+  // 243. held-out classifier evaluation — the go/no-go table before a
+  // trained filter touches the corpus: train the #231 perceptron on
+  // the content-hash 80% split (doc_id % 5 ≠ 0 — the dataset_split
+  // convention), score the held-out 20%, emit the confusion matrix +
+  // precision/recall/F1/accuracy. All counts integer; ratios rounded.
+  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    val m = trainMargins(s, dir, pmod(col("doc_id"), lit(5)) =!= 0)
+    val test = m.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("pred", when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)))
+    val nTrain = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0).count() // bounded driver scalar
+    test.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("y") === -1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === -1 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === -1 && col("y") === -1, 1L).otherwise(0L)).as("tn"))
+      .select(lit(nTrain).as("n_train"), col("n_test"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")) / col("n_test").cast("double"), 6).as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp") / (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp") / (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp")
+            / (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)).as("f1"))
   }
 
-  private val perceptronQualitySql = {
+  /** Shared perceptron CTE chain (wrds ... w3 -> mf) with updates
+    * restricted to `trainCond` — oracle twin of [[trainMargins]]. */
+  private def perceptronCtes(trainCond: String): String = {
     val step = (t: Int) =>
       s"""m$t AS (
          |  SELECT f.doc_id, sum(f.x * w.wv) AS mg
@@ -82,11 +121,11 @@ object Classify {
          |u$t AS (
          |  SELECT f.b, sum(l.y * f.x) AS dw
          |  FROM feats f JOIN lab l USING (doc_id) JOIN m$t m USING (doc_id)
-         |  WHERE l.y * m.mg <= 0 GROUP BY 1),
+         |  WHERE l.y * m.mg <= 0 AND ($trainCond) GROUP BY 1),
          |w$t AS MATERIALIZED (
          |  SELECT w.b, w.wv + coalesce(u.dw, 0) AS wv
          |  FROM w${t - 1} w LEFT JOIN u$t u USING (b))""".stripMargin
-    s"""WITH wrds AS MATERIALIZED (
+    s"""wrds AS MATERIALIZED (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |  FROM documents),
        |wh AS MATERIALIZED (
@@ -107,12 +146,46 @@ object Classify {
        |${(1 to Rounds).map(step).mkString(",\n")},
        |mf AS (
        |  SELECT f.doc_id, CAST(sum(f.x * w.wv) AS BIGINT) AS margin
-       |  FROM feats f JOIN w$Rounds w USING (b) GROUP BY 1)
+       |  FROM feats f JOIN w$Rounds w USING (b) GROUP BY 1)""".stripMargin
+  }
+
+  private val perceptronQualitySql =
+    s"""WITH ${perceptronCtes("TRUE")}
        |SELECT l.doc_id, l.y AS y_true, m.margin,
        |       (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END)::BIGINT AS pred,
        |       (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.y AS correct
        |FROM lab l JOIN mf m USING (doc_id)""".stripMargin
-  }
+
+  private val classifierEvalSql =
+    s"""WITH ${perceptronCtes("f.doc_id % 5 != 0")},
+       |test AS (
+       |  SELECT l.doc_id, l.y,
+       |         (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END)::BIGINT AS pred
+       |  FROM lab l JOIN mf m USING (doc_id)
+       |  WHERE l.doc_id % 5 = 0)
+       |SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 != 0)::BIGINT AS n_train,
+       |       count(*) AS n_test,
+       |       CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |       CAST(sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |       CAST(sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |       CAST(sum(CASE WHEN pred = -1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |       round((sum(CASE WHEN pred = y THEN 1 ELSE 0 END))
+       |             / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+       |       CASE WHEN sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) > 0 THEN
+       |         round(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |               / CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS precision,
+       |       CASE WHEN sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0 THEN
+       |         round(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |               / CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS recall,
+       |       CASE WHEN 2 * sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |                 + sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END)
+       |                 + sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END) > 0 THEN
+       |         round(2.0 * sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |               / CAST(2 * sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |                      + sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END)
+       |                      + sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS f1
+       |FROM test""".stripMargin
+
 
   // ---------------------------------------------------------------
   // 232. word-bigram LM score with Jelinek-Mercer interpolation — the
@@ -176,9 +249,11 @@ object Classify {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "perceptron_quality" -> (perceptronQuality _),
+    "classifier_eval"    -> (classifierEval _),
     "word_lm_score"      -> (wordLmScore _))
 
   val oracles: Map[String, String] = Map(
     "perceptron_quality" -> perceptronQualitySql,
+    "classifier_eval"    -> classifierEvalSql,
     "word_lm_score"      -> wordLmScoreSql)
 }

@@ -150,6 +150,56 @@ object Vocab {
   }
 
   // ---------------------------------------------------------------
+  // 246. BPE ENCODE — the apply side of #220 (train + apply = the
+  // whole tokenizer loop): run the same 5 greedy merge rounds, then
+  // tokenize every document under the final symbol table and emit the
+  // per-doc token accounting (the corpus-side fertility audit a new
+  // vocab is judged by; #183 measured a fixed BPE-ish regex, this
+  // measures the LEARNED vocab). Encoding is a dict join — each word
+  // looks up its merged symbol sequence; the corpus-wide passes are
+  // the one word count (training) and the one word→dict join (apply).
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    var dict = wordDict(s, dir).localCheckpoint()
+    (1 to BpeRounds).foreach { _ =>
+      val top = dict.select(col("wc"), explode(expr(
+        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+          |         slice(syms, 2, greatest(size(syms) - 1, 0)),
+          |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      dict = mergeOnce(dict, top.getString(0), top.getString(1)).localCheckpoint()
+    }
+    val docw = Tables.documents(s, dir).select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    docw.join(dict.select(col("w"), size(col("syms")).cast("long").as("nt")), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        r(sum(col("nt")) / count(lit(1)).cast("double"), 6).as("tokens_per_word"))
+  }
+
+  private val bpeEncodeSql = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n       ")
+    s"""WITH words AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       d0 AS (
+         SELECT w, count(*) AS wc,
+                list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+         FROM words GROUP BY 1),
+       $rounds,
+       docw AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         FROM documents)
+       SELECT dw.doc_id, count(*) AS n_words,
+              CAST(sum(len(d.syms)) AS BIGINT) AS n_tokens,
+              round(sum(len(d.syms)) / CAST(count(*) AS DOUBLE), 6) AS tokens_per_word
+       FROM docw dw JOIN d$BpeRounds d USING (w)
+       GROUP BY 1"""
+  }
+
+  // ---------------------------------------------------------------
   // 221. Heap's-law vocabulary-growth fit — the zipf_fit sibling on
   // the other axis: V(n) ≈ K·n^β (β ≈ 0.4-0.6 for natural language;
   // template spam flattens it, OCR noise inflates it). One corpus pass
@@ -256,11 +306,13 @@ object Vocab {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges"        -> (bpeMerges _),
+    "bpe_encode"        -> (bpeEncode _),
     "heaps_fit"         -> (heapsFit _),
     "charclass_profile" -> (charclassProfile _))
 
   val oracles: Map[String, String] = Map(
     "bpe_merges"        -> bpeMergesSql,
+    "bpe_encode"        -> bpeEncodeSql,
     "heaps_fit"         -> heapsFitSql,
     "charclass_profile" -> charclassProfileSql)
 }
