@@ -102,9 +102,11 @@ object Quantize {
   // ---------------------------------------------------------------
   // 230. product quantization + ADC (Jégou et al. 2011; faiss PQ) —
   // the missing member of the quantization family (SQ8 #192-194 keeps
-  // d bytes/vector; PQ keeps m SUB-vector codes: 4 codes × 4 bits here
-  // = 2 bytes/vector, 128× smaller than float32). m=4 subspaces of 16
-  // dims, 16 centroids per subspace trained by the SAME fixed-3-round
+  // d bytes/vector; PQ keeps m SUB-vector codes: 8 codes × 4 bits here
+  // = 4 bytes/vector, 64× smaller than float32; m=4/16-dim measured
+  // recall@10 0.11 on this corpus, m=8 clears the ≥0.25 GraphOpsSpec
+  // floor — the m-vs-memory lever). m=8 subspaces of 8 dims, 16
+  // centroids per subspace trained by the SAME fixed-3-round
   // integer-grid Lloyd as IVF (vec_id mod 16 init, quantized centroid
   // sums, BIGINT d² argmin with (d2, k) total order — the
   // Reduce.gridLloyd contract keyed by subspace instead of kval, so
@@ -113,8 +115,8 @@ object Quantize {
   // sized frame); corpus distance = Σ_sub dtab[sub, code] — the scan
   // touches only the 4 codes per vector, never the floats. All
   // arithmetic BIGINT end to end → hash-checked.
-  private val PqSubs = 4
-  private val PqSubDim = 16
+  private val PqSubs = 8
+  private val PqSubDim = 8
   private val PqK = 16
 
   def annPqTopk(s: SparkSession, dir: String): DataFrame = {
@@ -157,7 +159,7 @@ object Quantize {
       .select(col("qid"), col("sub"), col("k"),
         expr("aggregate(zip_with(qxq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
           .as("d2"))
-    // ADC max = 4 subs × 16 dims × (Δgrid)² ≲ 4e9 ≪ 2^53: the −d
+    // ADC max = m subs × subdim dims × (Δgrid)² ≲ 4e9 ≪ 2^53: the −d
     // double score in the bounded-heap top-k is exact, ties by smaller
     // vec_id — the oracle's (adc asc, nid asc) total order.
     val scored = g.join(broadcast(dtab), Seq("sub", "k"))

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-6-continuation operators (#225-249)
+  * that the per-query DuckDB oracle can't express as a single result
+  * check: cross-query structural invariants (partition refinement,
+  * core nesting, recall floors, CI ordering). */
+class GraphOpsSpec extends SparkSpecBase {
+
+  test("snn weights are valid jaccards and honor the integer prune") {
+    val snn = sim.GraphOps.snnGraph(spark, sf).collect()
+    assert(snn.nonEmpty)
+    snn.foreach { r =>
+      val shared = r.getAs[Long]("shared")
+      val union = r.getAs[Long]("union_cnt")
+      val w = r.getAs[Double]("snn_w")
+      assert(shared >= 1 && union >= shared)
+      assert(w > 0.0 && w <= 1.0)
+      assert(shared * 4 >= union, s"pruned edge leaked: $shared/$union")
+    }
+  }
+
+  test("k-cores nest: core3 inside core2, core members have the degree") {
+    val rows = sim.GraphOps.kcoreKnn(spark, sf).collect()
+    rows.foreach { r =>
+      val (in2, in3) = (r.getAs[Boolean]("in_core2"), r.getAs[Boolean]("in_core3"))
+      if (in3) assert(in2, "3-core vertex outside the 2-core")
+      if (in3) assert(r.getAs[Long]("degree") >= 3)
+      val band = r.getAs[Long]("core_band")
+      assert(band >= 0 && band <= 3)
+    }
+    assert(rows.exists(_.getAs[Boolean]("in_core2")))
+  }
+
+  test("bfs distances: seeds at 0, everything within the round budget") {
+    val d = sim.GraphOps.knnBfsDists(spark, sf).collect()
+    val bySeed = d.groupBy(_.getAs[Long]("seed_id"))
+    bySeed.foreach { case (seed, rows) =>
+      val self = rows.filter(_.getAs[Long]("vec_id") == seed)
+      assert(self.length == 1 && self.head.getAs[Long]("dist") == 0L)
+      rows.foreach(r => assert(r.getAs[Long]("dist") <= 4L))
+    }
+  }
+
+  test("leiden refinement is a strict refinement of the louvain partition") {
+    val ref = sim.GraphOps.leidenRefine(spark, sf)
+    // each refined community maps into exactly one coarse community
+    val crossed = ref.groupBy(col("refined_community"))
+      .agg(countDistinct(col("community")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(crossed == 0, "a refined community spans two louvain communities")
+  }
+
+  test("modularity total is in range and assortativity is a correlation") {
+    val q = sim.GraphOps.modularityScore(spark, sf)
+      .agg(sum(col("q_contrib"))).collect()(0).getDouble(0)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    val a = sim.GraphOps.knnAssortativity(spark, sf)
+      .collect()(0).getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"assortativity $a out of range")
+  }
+
+  test("pq adc retrieval recalls the exact L2 top-10 it approximates") {
+    // ADC approximates (grid) L2 distance — the right truth set is the
+    // exact L2 top-10, not the cosine ranking (#37's metric)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val truth = vecs.keys.filter(_ % 50 == 0).flatMap { q =>
+      val qv = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val d2 = qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, id)
+        }.sortBy(identity).take(10).map { case (_, id) => (q, id) }
+    }.toSet
+    val pq = sim.Quantize.annPqTopk(spark, sf)
+      .select(col("qid"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & pq).size.toDouble / truth.size
+    // PQ at 2 bytes/vector is the lossiest tier; it must still beat
+    // random retrieval (10/499 ≈ 0.02 is chance) by a wide margin
+    assert(recall >= 0.25, s"PQ recall@10 vs exact L2 collapsed: $recall")
+  }
+
+  test("classifier eval confusion matrix is complete and consistent") {
+    val r = text.Classify.classifierEval(spark, sf).collect()(0)
+    val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn")
+    assert(total == r.getAs[Long]("n_test"))
+    assert(r.getAs[Double]("accuracy") >= 0.0 && r.getAs[Double]("accuracy") <= 1.0)
+  }
+
+  test("bootstrap ci brackets are ordered and finite") {
+    core.Scores.bootstrapCi(spark, sf).collect().foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi, s"inverted CI: $lo > $hi")
+      assert(!lo.isNaN && !hi.isNaN)
+    }
+  }
+
+  test("benford shares sum to one per group") {
+    core.Scores.benfordScreen(spark, sf)
+      .groupBy(col("o_orderpriority")).agg(sum(col("obs_share")).as("t"))
+      .collect().foreach(r => assert(math.abs(r.getAs[Double]("t") - 1.0) < 1e-4))
+  }
+
+  test("weighted median lies inside the value range per group") {
+    val mm = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    core.Relational.weightedMedian(spark, sf).collect().foreach { r =>
+      val (mn, mx) = mm(r.getAs[String]("l_returnflag"))
+      val med = r.getAs[Double]("weighted_median")
+      assert(med >= mn - 1e-4 && med <= mx + 1e-4)
+    }
+  }
+
+  test("basket rules have valid support/confidence and positive lift") {
+    core.Relational.basketLift(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("support") > 0.0 && r.getAs[Double]("support") <= 1.0)
+      assert(r.getAs[Double]("confidence") > 0.0 && r.getAs[Double]("confidence") <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+}
