@@ -756,7 +756,149 @@ object Sessions {
        FROM chg
        WINDOW w AS (PARTITION BY user_id ORDER BY tn ASC, event_id ASC)"""
 
+  // ---------------------------------------------------------------
+  // 250. autocorrelation function (lag 1..7) per event type over the
+  // daily count series — the seasonality/persistence screen next to
+  // Mann-Kendall (#244 asks "is there a trend", this asks "how does
+  // today predict day t+k"). The ACF estimator r_k = c_k/c_0 is
+  // rearranged so BOTH sums are integers before the one division:
+  // n²·n·c_k = n²·A_k − n·S·(H_k+T_k) + (n−k)·S² with A_k = Σx_d·x_{d+k},
+  // H/T the head/tail sums, S/n the series total/length — no
+  // mean-subtracted double accumulates. Series index = dense
+  // row_number per type (gap-tolerant), pairs from ONE banded
+  // self-join (idx+1..idx+7); everything rides the per-type shuffle.
+  // Overflow envelope: n²·A_k ≲ 8e18 needs daily counts ≤ ~3e5 at
+  // n=60 — rescale to weekly buckets beyond that.
+  private val AcfMaxLag = 7
+
+  def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .localCheckpoint() // pair join both sides + totals
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("a0"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("b.idx") > col("a.idx")
+          && col("b.idx") <= col("a.idx") + AcfMaxLag)
+      .select(col("a.event_type").as("event_type"),
+        (col("b.idx") - col("a.idx")).as("k"),
+        col("a.x").as("xa"), col("b.x").as("xb"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum(col("xa") * col("xb")).as("ak"),
+        sum(col("xa")).as("hk"), sum(col("xb")).as("tk"))
+    pairs.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("k"), col("n").as("n_days"),
+        round(
+          (col("n") * col("n") * col("ak") - col("n") * col("s") * (col("hk") + col("tk"))
+            + (col("n") - col("k")) * col("s") * col("s"))
+            / (col("n") * col("n") * col("a0") - col("n") * col("s") * col("s")).cast("double"),
+          6).as("acf"))
+  }
+
+  private val acfDailySql =
+    s"""WITH daily AS MATERIALIZED (
+         SELECT event_type, day, x,
+                row_number() OVER (PARTITION BY event_type ORDER BY day ASC) - 1 AS idx
+         FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                      count(*) AS x
+               FROM events GROUP BY 1, 2)),
+       tot AS (
+         SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+                CAST(sum(x * x) AS BIGINT) AS a0
+         FROM daily GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type, b.idx - a.idx AS k,
+                CAST(sum(a.x * b.x) AS BIGINT) AS ak,
+                CAST(sum(a.x) AS BIGINT) AS hk,
+                CAST(sum(b.x) AS BIGINT) AS tk
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type
+          AND b.idx > a.idx AND b.idx <= a.idx + $AcfMaxLag
+         GROUP BY 1, 2)
+       SELECT p.event_type, p.k, t.n AS n_days,
+              round((t.n * t.n * p.ak - t.n * t.s * (p.hk + p.tk)
+                     + (t.n - p.k) * t.s * t.s)
+                    / CAST(t.n * t.n * t.a0 - t.n * t.s * t.s AS DOUBLE), 6) AS acf
+       FROM pairs p JOIN tot t USING (event_type)"""
+
+  // ---------------------------------------------------------------
+  // 251. linear multi-touch attribution (the #13 as-of join was
+  // last-touch; this splits credit): each purchase's value divides
+  // equally across the user's clicks in the trailing hour; the
+  // "channel" is the click's props.k mod 5 (the #77 JSON-extraction
+  // device); purchases with no qualifying click credit 'direct'. The
+  // pair join shuffles on user_id with the time predicate screening
+  // inside the partition (per-user bounded; the #49 binned equi-join
+  // is the shape at hotter keys).
+  def linearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts_ns").as("pt"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns").as("ct"),
+        (get_json_object(col("props"), "$.k").cast("long") % 5).as("channel"))
+    // the window predicate lives IN the join condition: a purchase with
+    // clicks but none in-window must still surface (one null row →
+    // 'direct'), which a post-join filter would drop
+    val touched = purchases.as("p").join(clicks.as("c"),
+      col("p.user_id") === col("c.user_id")
+        && col("c.ct") <= col("p.pt")
+        && col("c.ct") > col("p.pt") - lit(3600L * 1000 * 1000 * 1000),
+      "left")
+      .select(col("p.pid").as("pid"), col("p.value").as("value"),
+        col("c.ct").as("ct"), col("c.channel").as("channel"))
+    val perP = touched.groupBy(col("pid"), col("value"))
+      .agg(sum(when(col("ct").isNotNull, 1L).otherwise(0L)).as("n_touch"))
+    val shares = touched.filter(col("ct").isNotNull)
+      .join(perP.select(col("pid"), col("n_touch")), "pid")
+      .filter(col("n_touch") > 0)
+      .select(concat(lit("ch"), col("channel")).as("channel"),
+        (col("value") / col("n_touch")).as("share"))
+      .unionByName(perP.filter(col("n_touch") === 0)
+        .select(lit("direct").as("channel"), col("value").as("share")))
+    shares.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("share")), 4).as("attributed_value"))
+  }
+
+  private val linearAttributionSql =
+    """WITH p AS (
+         SELECT user_id, event_id AS pid, epoch_ns(ts) AS pt, value
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, epoch_ns(ts) AS ct,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS channel
+         FROM events WHERE event_type = 'click'),
+       touched AS MATERIALIZED (
+         SELECT p.pid, p.value, c.ct, c.channel
+         FROM p LEFT JOIN c ON p.user_id = c.user_id
+          AND c.ct <= p.pt AND c.ct > p.pt - 3600000000000),
+       perp AS (
+         SELECT pid, any_value(value) AS value,
+                CAST(sum(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_touch
+         FROM touched GROUP BY 1),
+       shares AS (
+         SELECT 'ch' || CAST(t.channel AS VARCHAR) AS channel,
+                t.value / pp.n_touch AS share
+         FROM touched t JOIN perp pp USING (pid)
+         WHERE t.ct IS NOT NULL AND pp.n_touch > 0
+         UNION ALL
+         SELECT 'direct' AS channel, value AS share
+         FROM perp WHERE n_touch = 0)
+       SELECT channel, count(*) AS n_touches,
+              round(sum(share), 4) AS attributed_value
+       FROM shares GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "acf_daily"              -> (acfDaily _),
+    "linear_attribution"     -> (linearAttribution _),
     "activity_islands"       -> (activityIslands _),
     "scd2_history"           -> (scd2History _),
     "cusum_shift"            -> (cusumShift _),
@@ -785,6 +927,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "acf_daily"              -> acfDailySql,
+    "linear_attribution"     -> linearAttributionSql,
     "activity_islands"       -> activityIslandsSql,
     "scd2_history"           -> scd2HistorySql,
     "cusum_shift"            -> cusumShiftSql,
