@@ -896,7 +896,40 @@ object Sessions {
               round(sum(share), 4) AS attributed_value
        FROM shares GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 252. period-over-period deltas — the reporting-layer staple (DoD
+  // growth per event type): daily counts with lag-1 absolute and
+  // relative change. One shuffle on event_type drives the lag window;
+  // the pct change is a ratio of exact integers (NULL on the first
+  // day, identical on both engines).
+  def periodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta_n"),
+        round((col("n") - col("prev_n")) / col("prev_n").cast("double"), 6)
+          .as("pct_change"))
+  }
+
+  private val periodOverPeriodSql =
+    """WITH daily AS (
+         SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                count(*) AS n
+         FROM events GROUP BY 1, 2),
+       lagd AS (
+         SELECT event_type, day, n,
+                lag(n) OVER (PARTITION BY event_type ORDER BY day ASC) AS prev_n
+         FROM daily)
+       SELECT event_type, day, n, prev_n,
+              n - prev_n AS delta_n,
+              round((n - prev_n) / CAST(prev_n AS DOUBLE), 6) AS pct_change
+       FROM lagd"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "period_over_period"     -> (periodOverPeriod _),
     "acf_daily"              -> (acfDaily _),
     "linear_attribution"     -> (linearAttribution _),
     "activity_islands"       -> (activityIslands _),
@@ -927,6 +960,7 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "period_over_period"     -> periodOverPeriodSql,
     "acf_daily"              -> acfDailySql,
     "linear_attribution"     -> linearAttributionSql,
     "activity_islands"       -> activityIslandsSql,

@@ -518,7 +518,91 @@ object GraphOps {
                 AS assortativity
        FROM apairs"""
 
+  // ---------------------------------------------------------------
+  // 253. kNN label-noise screen (confident-learning-lite; Northcutt
+  // 2021's cheap cousin): per vector, the fraction of its k=5 cosine
+  // neighbors carrying a DIFFERENT label — mislabeled points sit in
+  // the wrong neighborhood and score high. Pure neighbor-count
+  // integers; flag at ≥ 4 of 5 disagreeing (integer compare). Exact +
+  // `_lsh` twins over the shared feed.
+  def knnLabelNoise(s: SparkSession, dir: String): DataFrame =
+    labelNoiseFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = true))
+
+  def knnLabelNoiseLsh(s: SparkSession, dir: String): DataFrame =
+    labelNoiseFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = false))
+
+  private def labelNoiseFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    knn
+      .join(lab.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("nl")), "nid")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_nbr"),
+        sum(when(col("ql") =!= col("nl"), 1L).otherwise(0L)).as("n_diff"),
+        first(col("ql")).as("label"))
+      .select(col("qid").as("vec_id"), col("label"), col("n_nbr"), col("n_diff"),
+        round(col("n_diff") / col("n_nbr").cast("double"), 6).as("noise_score"),
+        (col("n_diff") * 5 >= col("n_nbr") * 4).as("suspect"))
+  }
+
+  private val labelNoiseTailSql =
+    """SELECT k.qid AS vec_id,
+              any_value(q.label) AS label,
+              count(*) AS n_nbr,
+              CAST(sum(CASE WHEN q.label != n.label THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+              round(sum(CASE WHEN q.label != n.label THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 6) AS noise_score,
+              sum(CASE WHEN q.label != n.label THEN 1 ELSE 0 END) * 5 >= count(*) * 4 AS suspect
+       FROM knn k
+       JOIN embeddings q ON k.qid = q.vec_id
+       JOIN embeddings n ON k.nid = n.vec_id
+       GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 254. linear-kernel MMD² between label groups — the embedding-space
+  // distribution-shift screen (are two labels' clouds separated?):
+  // MMD²_linear = ‖μ_a − μ_b‖². Means come from integer-quantized
+  // per-dim sums (the grid-Lloyd device), so μ = Sq/(1e6·n) is the
+  // same rational on both engines and the 64-term squared sum is
+  // bit-identical. One posexplode aggregation + a |labels|²-bounded
+  // pair join of 64-dim mean arrays.
+  def embeddingMmd(s: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(round(x * 1e6, 0) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("mu", col("sq") / (lit(1e6) * col("n")))
+    val mmd = sums.as("a")
+      .join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"),
+        round(sum((col("a.mu") - col("b.mu")) * (col("a.mu") - col("b.mu"))), 6)
+          .as("mmd2"))
+    mmd.select(col("label_a"), col("label_b"), col("n_a"), col("n_b"), col("mmd2"))
+  }
+
+  private val embeddingMmdSql =
+    """WITH sums AS MATERIALIZED (
+         SELECT label, t.i AS dim,
+                CAST(sum(CAST(round(t.x * 1e6, 0) AS BIGINT)) AS BIGINT) AS sq,
+                count(*) AS n
+         FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t
+         GROUP BY 1, 2),
+       mu AS (SELECT label, dim, n, sq / (1e6 * n) AS mu FROM sums)
+       SELECT a.label AS label_a, b.label AS label_b,
+              any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+              round(sum((a.mu - b.mu) * (a.mu - b.mu)), 6) AS mmd2
+       FROM mu a JOIN mu b ON a.dim = b.dim AND a.label < b.label
+       GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_label_noise"     -> (knnLabelNoise _),
+    "knn_label_noise_lsh" -> (knnLabelNoiseLsh _),
+    "embedding_mmd"       -> (embeddingMmd _),
     "leiden_refine"       -> (leidenRefine _),
     "leiden_refine_lsh"   -> (leidenRefineLsh _),
     "modularity_score"    -> (modularityScore _),
@@ -541,6 +625,11 @@ object GraphOps {
          WHERE x.qid < x.nid)"""
 
   val oracles: Map[String, String] = Map(
+    "knn_label_noise" ->
+      s"WITH ${Ann.bruteKnnSql(SnnK)}\n$labelNoiseTailSql",
+    "knn_label_noise_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)}\n$labelNoiseTailSql",
+    "embedding_mmd" -> embeddingMmdSql,
     "leiden_refine" ->
       s"WITH RECURSIVE ${Ann.bruteKnnSql(SnnK)},\n$leidenTailSql",
     "leiden_refine_lsh" ->

@@ -329,6 +329,7 @@ class PlanSpec extends SparkSpecBase {
       // their _lsh twins are the scale feeds and stay BNL-free
       "snn_graph", "kcore_knn", "knn_bfs_dists", "louvain_snn",
       "leiden_refine", "modularity_score", "knn_assortativity",
+      "knn_label_noise",
       // word_lm_score attaches the 1-row corpus bigram total (the
       // char_lm_score precedent); k_anonymity / hbos_outliers /
       // conversion_ztest attach 1-row totals/min-max/pooled aggs;
