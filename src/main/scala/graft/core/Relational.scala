@@ -388,6 +388,56 @@ object Relational {
        GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // 257. key-sequence gap detection (missing-ID audit — the
+  // completeness check every ingestion pipeline runs on a supposedly
+  // dense surrogate key; audited here over ONE upstream partition's
+  // key stream — status 'F' — the practical shape when each shard owns
+  // a key range and its holes are the lost records). NOT a
+  // global-sort window: keys bucket by k div 1024, the within-bucket
+  // lead() runs per bucket (parallel), and cross-bucket gaps come from
+  // a lead() over the BOUNDED bucket summary (keys/1024 rows — the
+  // decile-bounds scale of driver-safe). Pure integers.
+  def keySequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k")).distinct()
+    val bucketed = keys.withColumn("bucket", expr("k div 1024"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("k").asc)
+    val within = bucketed.withColumn("nxt", lead(col("k"), 1).over(wb))
+      .filter(col("nxt") > col("k") + 1)
+      .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    val bsum = bucketed.groupBy(col("bucket"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    val wg = Window.orderBy(col("bucket").asc) // bounded bucket summary
+    val across = bsum.withColumn("nxtmn", lead(col("mn"), 1).over(wg))
+      .filter(col("nxtmn") > col("mx") + 1)
+      .select((col("mx") + 1).as("gap_start"), (col("nxtmn") - 1).as("gap_end"))
+    within.unionByName(across)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+  }
+
+  private val keySequenceGapsSql =
+    """WITH keys AS (
+         SELECT DISTINCT o_orderkey AS k FROM orders
+         WHERE o_orderstatus = 'F'),
+       b AS (SELECT k, k // 1024 AS bucket FROM keys),
+       within AS (
+         SELECT k + 1 AS gap_start, nxt - 1 AS gap_end FROM (
+           SELECT k, lead(k) OVER (PARTITION BY bucket ORDER BY k ASC) AS nxt
+           FROM b)
+         WHERE nxt > k + 1),
+       bsum AS (
+         SELECT bucket, min(k) AS mn, max(k) AS mx FROM b GROUP BY 1),
+       across AS (
+         SELECT mx + 1 AS gap_start, nxtmn - 1 AS gap_end FROM (
+           SELECT bucket, mn, mx, lead(mn) OVER (ORDER BY bucket ASC) AS nxtmn
+           FROM bsum)
+         WHERE nxtmn > mx + 1),
+       gaps AS (SELECT * FROM within UNION ALL SELECT * FROM across)
+       SELECT gap_start, gap_end, gap_end - gap_start + 1 AS gap_len
+       FROM gaps"""
+
+  // ---------------------------------------------------------------
   // Equi-depth decile binning WITHOUT a global sort: exact interpolated
   // boundary computation (one aggregation; percentile_approx at corpus
   // scale), then per-row bucket assignment against the broadcast
@@ -693,6 +743,7 @@ object Relational {
     "cube_pricing"           -> (cubePricing _),
     "k_anonymity"            -> (kAnonymity _),
     "basket_lift"            -> (basketLift _),
+    "key_sequence_gaps"      -> (keySequenceGaps _),
     "weighted_median"        -> (weightedMedian _),
     "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
@@ -728,6 +779,7 @@ object Relational {
     "cube_pricing" -> cubePricingSql,
     "k_anonymity" -> kAnonymitySql,
     "basket_lift" -> basketLiftSql,
+    "key_sequence_gaps" -> keySequenceGapsSql,
     "weighted_median" -> weightedMedianSql,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -928,7 +928,91 @@ object Sessions {
               round((n - prev_n) / CAST(prev_n AS DOUBLE), 6) AS pct_change
        FROM lagd"""
 
+  // ---------------------------------------------------------------
+  // 255. active-user rollup (DAU/WAU/MAU + stickiness) — THE product
+  // dashboard table: per day, distinct users that day, in the trailing
+  // 7 days, and in the trailing 30, plus DAU/MAU. Sliding DISTINCT
+  // doesn't fit a window frame, so each trailing window is an
+  // equi-join of the day grid against the distinct (day, user) pairs
+  // in range — fan-out bounded by window length × daily actives, then
+  // a distinct count per day. All integers; stickiness is one exact
+  // ratio. At 100 TB the (day, user) dedupe is the only corpus pass;
+  // the grid join touches the bounded daily-actives table.
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // grid join scans it three times
+    val days = du.select(col("day")).distinct()
+    def trailing(win: Int, name: String): DataFrame =
+      days.as("g").join(du.as("e"),
+          col("e.day") <= col("g.day") && col("e.day") > col("g.day") - win)
+        .groupBy(col("g.day").as("day"))
+        .agg(countDistinct(col("e.user_id")).as(name))
+    trailing(1, "dau")
+      .join(trailing(7, "wau"), "day")
+      .join(trailing(30, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau") / col("mau").cast("double"), 6).as("stickiness"))
+  }
+
+  private val activeUsersSql =
+    """WITH du AS MATERIALIZED (
+         SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+         FROM events),
+       days AS (SELECT DISTINCT day FROM du),
+       dau AS (
+         SELECT g.day, count(DISTINCT e.user_id) AS dau
+         FROM days g JOIN du e ON e.day = g.day GROUP BY 1),
+       wau AS (
+         SELECT g.day, count(DISTINCT e.user_id) AS wau
+         FROM days g JOIN du e ON e.day <= g.day AND e.day > g.day - 7 GROUP BY 1),
+       mau AS (
+         SELECT g.day, count(DISTINCT e.user_id) AS mau
+         FROM days g JOIN du e ON e.day <= g.day AND e.day > g.day - 30 GROUP BY 1)
+       SELECT d.day, d.dau, w.wau, m.mau,
+              round(d.dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+       FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)"""
+
+  // ---------------------------------------------------------------
+  // 256. audience overlap between event types: pairwise distinct-user
+  // Jaccard — the segment-overlap matrix marketing/product reads
+  // before targeting. Distinct (type, user) pairs self-join on user
+  // (fan-out = types-per-user², bounded by the type cardinality);
+  // counts are integers, Jaccard one division.
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+      .localCheckpoint() // pair join + per-type sizes
+    val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("nu"))
+    tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("t").as("type_a"), col("nu").as("n_a")), "type_a")
+      .join(sizes.select(col("t").as("type_b"), col("nu").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  private val audienceOverlapSql =
+    """WITH tu AS MATERIALIZED (
+         SELECT DISTINCT event_type AS t, user_id FROM events),
+       sizes AS (SELECT t, count(*) AS nu FROM tu GROUP BY 1),
+       pairs AS (
+         SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+         FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
+         GROUP BY 1, 2)
+       SELECT p.type_a, p.type_b, sa.nu AS n_a, sb.nu AS n_b, p.n_both,
+              round(p.n_both / CAST(sa.nu + sb.nu - p.n_both AS DOUBLE), 6) AS jaccard
+       FROM pairs p
+       JOIN sizes sa ON p.type_a = sa.t
+       JOIN sizes sb ON p.type_b = sb.t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "active_users"           -> (activeUsers _),
+    "audience_overlap"       -> (audienceOverlap _),
     "period_over_period"     -> (periodOverPeriod _),
     "acf_daily"              -> (acfDaily _),
     "linear_attribution"     -> (linearAttribution _),
@@ -960,6 +1044,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "active_users"           -> activeUsersSql,
+    "audience_overlap"       -> audienceOverlapSql,
     "period_over_period"     -> periodOverPeriodSql,
     "acf_daily"              -> acfDailySql,
     "linear_attribution"     -> linearAttributionSql,
