@@ -448,12 +448,25 @@ object Ann {
   // quadratic step; assignments localCheckpoint between rounds.
   private val LouvainRounds = 3
 
+  /** Memoized per (session, dir, exact) — the lloydState/harmonyState
+    * contract: the checkpointed 3-round assignment is vertex-bounded
+    * and consumed by #219 itself plus the GraphOps refinement (#247)
+    * and modularity (#248) audits, which would otherwise each pay the
+    * full iteration again (measured 4.0-4.4 s apiece at sf0.1). */
+  private val louvainCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+
+  private def louvainState(s: SparkSession, dir: String, exact: Boolean): DataFrame =
+    louvainCache.computeIfAbsent((s, dir, exact), { _ =>
+      louvainFrom(knnEdges(s, dir, k = 5, exact = exact)).localCheckpoint()
+    })
+
   def louvainKnn(s: SparkSession, dir: String): DataFrame =
-    louvainFrom(knnEdges(s, dir, k = 5, exact = true))
+    louvainState(s, dir, exact = true)
 
   /** Scale twin: same 3-round modularity moves over the LSH kNN feed. */
   def louvainKnnLsh(s: SparkSession, dir: String): DataFrame =
-    louvainFrom(knnEdges(s, dir, k = 5, exact = false))
+    louvainState(s, dir, exact = false)
 
   private def louvainFrom(knn: DataFrame): DataFrame = {
     val mut = mutualEdges(knn)
