@@ -36,6 +36,24 @@ object StreamSessionize {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("norm_hash")
 
+  /** Streaming DAU — the streaming face of the #255 actives rollup:
+    * exact per-day distinct users via watermark-bounded dedup on
+    * (user, day window), then a windowed count — two chained stateful
+    * operators, both state-bounded by the watermark horizon. WAU/MAU
+    * stay batch rollups over the sink (the lambda split every actives
+    * dashboard uses: trailing-30-day distinct state has no watermark-
+    * bounded streaming form). */
+  def activeUsersStream(events: DataFrame, watermark: String = "25 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      // project ts away: the day window inherits event-time, and a
+      // stream may carry at most one event-time column downstream
+      .select(col("user_id"), window(col("ts"), "1 day").as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("day.start").as("day_start"), col("dau"))
+
   /** Streaming ingest filter — the streaming front door of a training-
     * data pipeline: stateless per-doc quality signals (codegen'd
     * regex counts, no state) plus a stream-static broadcast join to

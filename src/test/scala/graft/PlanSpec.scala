@@ -330,6 +330,11 @@ class PlanSpec extends SparkSpecBase {
       "snn_graph", "kcore_knn", "knn_bfs_dists", "louvain_snn",
       "leiden_refine", "modularity_score", "knn_assortativity",
       "knn_label_noise",
+      // active_users joins the deduped (day, user) pairs against the
+      // BOUNDED day grid (retention-window rows) on a trailing-range
+      // predicate — the ma_stats bounded-scaffold shape, not a
+      // fact-fact pair join
+      "active_users",
       // word_lm_score attaches the 1-row corpus bigram total (the
       // char_lm_score precedent); k_anonymity / hbos_outliers /
       // conversion_ztest attach 1-row totals/min-max/pooled aggs;

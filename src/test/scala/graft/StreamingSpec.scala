@@ -128,6 +128,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming DAU dedups repeat users within the day then counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val q = StreamSessionize.activeUsersStream(ms.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("dau").outputMode("append").start()
+    try {
+      // day 1: users 1, 1, 2 (user 1 twice — must count once)
+      ms.addData((ts(0), 1L), (ts(30), 1L), (ts(90), 2L))
+      q.processAllAvailable()
+      // push event-time two days ahead → watermark closes day 1
+      ms.addData((ts(60 * 24 * 2), 9L))
+      q.processAllAvailable()
+      ms.addData((ts(60 * 24 * 4), 9L))
+      q.processAllAvailable()
+      val out = spark.table("dau").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      assert(out.values.toSeq.contains(2L),
+        s"day-1 DAU must be 2 (user 1 deduped): $out")
+      assert(!out.values.exists(_ > 2L), s"no day can exceed 2 actives: $out")
+    } finally q.stop()
+  }
+
   test("native topk_by aggregate partial-merges inside a streaming windowed agg") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
