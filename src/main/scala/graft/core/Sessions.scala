@@ -1010,7 +1010,109 @@ object Sessions {
        JOIN sizes sa ON p.type_a = sa.t
        JOIN sizes sb ON p.type_b = sb.t"""
 
+  // ---------------------------------------------------------------
+  // 259. session bounce/entry analysis — the web-analytics read on the
+  // #45 sessionizer: per entry event type (the session's first event
+  // under the (ts, event_id) total order), how many sessions start
+  // there, how many bounce (single-event), and the mean session depth.
+  // One user shuffle builds sessions; the entry pick is a struct-min
+  // (no per-session sort).
+  def sessionBounce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val sess = graft.api.Analytics.sessionize(
+      e, col("user_id"), col("ts_us"), col("event_id"), GapUs)
+    val per = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("fst"))
+      .select(col("fst.event_type").as("entry_type"), col("n_events"))
+    per.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("total_events"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces") / col("n_sessions").cast("double"), 6).as("bounce_rate"),
+        round(col("total_events") / col("n_sessions").cast("double"), 6).as("avg_depth"))
+  }
+
+  private val sessionBounceSql =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       flagged AS (
+         SELECT user_id, event_id, event_type, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+       sess AS (
+         SELECT user_id, event_id, event_type, ts_us,
+                CAST(sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts_us ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM flagged),
+       firsts AS (
+         SELECT user_id, session_idx, event_type AS entry_type FROM (
+           SELECT user_id, session_idx, event_type,
+                  row_number() OVER (PARTITION BY user_id, session_idx
+                    ORDER BY ts_us ASC, event_id ASC) AS rk
+           FROM sess) WHERE rk = 1),
+       cnts AS (
+         SELECT user_id, session_idx, count(*) AS n_events
+         FROM sess GROUP BY 1, 2),
+       per AS (
+         SELECT f.entry_type, c.n_events
+         FROM firsts f JOIN cnts c USING (user_id, session_idx))
+       SELECT entry_type,
+              count(*) AS n_sessions,
+              CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+              round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+              round(sum(n_events) / CAST(count(*) AS DOUBLE), 6) AS avg_depth
+       FROM per GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 260. bounded-balance replay (credit/inventory semantics): per user,
+  // fold the event stream in (ts, event_id) order through
+  // acc' = clamp(acc + delta, 0, 100) with purchases depositing value
+  // and other events draining value/4. The clamp makes the recursion
+  // NON-LINEAR — no window frame or prefix-sum trick expresses it —
+  // so it rides the #93 EWMA device: sort the bounded per-user stream
+  // into an array, run one deterministic fold (identical order in
+  // DuckDB's list_reduce). Per-user history must fit an array — true
+  // for session-scale entities; shard long histories by period and
+  // carry the closing balance.
+  def cappedRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val delta = when(col("event_type") === "purchase", col("value"))
+      .otherwise(-col("value") / 4)
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), delta.as("delta"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("""aggregate(
+             transform(sort_array(collect_list(struct(ts_us, event_id, delta))), x -> x.delta),
+             0D, (acc, d) -> least(100D, greatest(0D, acc + d)))""").as("bal"))
+      .select(col("user_id"), col("n_events"),
+        round(col("bal"), 6).as("final_balance"))
+  }
+
+  private val cappedRunningSumSql =
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CASE WHEN event_type = 'purchase' THEN value ELSE -value / 4 END AS delta
+         FROM events),
+       l AS (
+         SELECT user_id, count(*) AS n_events,
+                list(delta ORDER BY ts_us ASC, event_id ASC) AS ds
+         FROM e GROUP BY 1)
+       SELECT user_id, n_events,
+              round(list_reduce(list_prepend(0.0, ds),
+                (acc, d) -> least(100.0, greatest(0.0, acc + d))), 6) AS final_balance
+       FROM l"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_bounce"         -> (sessionBounce _),
+    "capped_running_sum"     -> (cappedRunningSum _),
     "active_users"           -> (activeUsers _),
     "audience_overlap"       -> (audienceOverlap _),
     "period_over_period"     -> (periodOverPeriod _),
@@ -1044,6 +1146,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "session_bounce"         -> sessionBounceSql,
+    "capped_running_sum"     -> cappedRunningSumSql,
     "active_users"           -> activeUsersSql,
     "audience_overlap"       -> audienceOverlapSql,
     "period_over_period"     -> periodOverPeriodSql,

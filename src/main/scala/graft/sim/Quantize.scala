@@ -119,47 +119,65 @@ object Quantize {
   private val PqSubDim = 8
   private val PqK = 16
 
-  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val R = graft.ml.Reduce.LloydRounds
-    val base = graft.api.Analytics.spread(
-        Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-      .withColumn("sub", explode(array((0 until PqSubs).map(lit(_)): _*)))
-      .select(col("vec_id"), col("sub"),
-        expr(s"slice(v, sub * $PqSubDim + 1, $PqSubDim)").as("sv"))
-      .withColumn("xq", expr("transform(sv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
-      .localCheckpoint() // every round + the encode/query passes scan it
-    var g = base.select(col("vec_id"), col("sub"),
-      pmod(col("vec_id"), lit(PqK.toLong)).as("k"))
-    var cents: DataFrame = null
-    for (i <- 1 to R) {
-      cents = base.join(g, Seq("vec_id", "sub"))
-        .select(col("sub"), col("k"),
-          posexplode(expr("transform(sv, x -> CAST(round(x * 1e6, 0) AS BIGINT))"))
-            .as(Seq("dim", "q")))
-        .groupBy(col("sub"), col("k"), col("dim"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        .withColumn("c", col("sq") / (lit(1e6) * col("n")))
-        .groupBy(col("sub"), col("k"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
-        .withColumn("cq", expr("transform(cv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
-      val assigned = base.select(col("vec_id"), col("sub"), col("xq"))
-        .join(broadcast(cents.select(col("sub"), col("k"), col("cq"))), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("k"),
-          expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
-            .as("d2"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("d2"), col("k"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.k").as("k"))
-      g = (if (i < R) assigned.localCheckpoint() else assigned)
-    }
-    val dtab = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+  /** PQ training state, memoized per (session, dir) — the lloydState
+    * contract: (base sub-vector grid table, final codes, final
+    * codebooks), each localCheckpointed; consumed by #230 and the
+    * IVF+PQ composition #258. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private def pqState(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    pqCache.computeIfAbsent((s, dir), { _ =>
+      val R = graft.ml.Reduce.LloydRounds
+      val base = graft.api.Analytics.spread(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .withColumn("sub", explode(array((0 until PqSubs).map(lit(_)): _*)))
+        .select(col("vec_id"), col("sub"),
+          expr(s"slice(v, sub * $PqSubDim + 1, $PqSubDim)").as("sv"))
+        .withColumn("xq", expr("transform(sv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
+        .localCheckpoint() // every round + the encode/query passes scan it
+      var g = base.select(col("vec_id"), col("sub"),
+        pmod(col("vec_id"), lit(PqK.toLong)).as("k"))
+      var cents: DataFrame = null
+      for (i <- 1 to R) {
+        cents = base.join(g, Seq("vec_id", "sub"))
+          .select(col("sub"), col("k"),
+            posexplode(expr("transform(sv, x -> CAST(round(x * 1e6, 0) AS BIGINT))"))
+              .as(Seq("dim", "q")))
+          .groupBy(col("sub"), col("k"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .withColumn("c", col("sq") / (lit(1e6) * col("n")))
+          .groupBy(col("sub"), col("k"))
+          .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+          .withColumn("cq", expr("transform(cv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
+        val assigned = base.select(col("vec_id"), col("sub"), col("xq"))
+          .join(broadcast(cents.select(col("sub"), col("k"), col("cq"))), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("k"),
+            expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
+              .as("d2"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("d2"), col("k"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.k").as("k"))
+        g = assigned.localCheckpoint()
+      }
+      (base, g, cents.localCheckpoint())
+    })
+
+  /** Per-query ADC distance tables (qid, sub, k, d2) over the final
+    * codebooks — broadcast-sized (|queries| x m x PqK integers). */
+  private def pqDtab(base: DataFrame, cents: DataFrame): DataFrame =
+    base.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"), col("sub"), col("xq").as("qxq"))
       .join(broadcast(cents.select(col("sub"), col("k"), col("cq"))), Seq("sub"))
       .select(col("qid"), col("sub"), col("k"),
         expr("aggregate(zip_with(qxq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
           .as("d2"))
-    // ADC max = m subs × subdim dims × (Δgrid)² ≲ 4e9 ≪ 2^53: the −d
+
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (base, g, cents) = pqState(s, dir)
+    val dtab = pqDtab(base, cents)
+    // ADC max = m subs x subdim dims x (grid delta)^2 << 2^53: the -d
     // double score in the bounded-heap top-k is exact, ties by smaller
     // vec_id — the oracle's (adc asc, nid asc) total order.
     val scored = g.join(broadcast(dtab), Seq("sub", "k"))
@@ -175,9 +193,57 @@ object Quantize {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  // ---------------------------------------------------------------
+  // 258. IVF + PQ — the complete faiss IVFPQ recipe (#194 was IVF+SQ8):
+  // the grid-Lloyd coarse quantizer prunes the scan to nprobe=4 of 16
+  // cells, and the scan itself reads only the 4-byte PQ codes through
+  // the query's ADC table. Both trainings are the shared deterministic
+  // grid pipelines, so the whole composed index replays in DuckDB.
+  // (Codes are over raw vectors, not residuals — the residual variant
+  // needs a second codebook conditioned on the cell; documented trade.)
+  def annIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (base, codes, cents) = pqState(s, dir)
+    val dtab = pqDtab(base, cents)
+    val vecs = graft.api.Analytics.spread(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val (assign, icents) = graft.ml.Reduce.gridLloyd(
+      vecs.select(col("vec_id"), col("v")), Seq(Ann.IvfCells))
+    val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"),
+        expr("transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))").as("qxq"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val probed = qs.crossJoin(broadcast(icents.select(col("k").as("cell"), col("cq"))))
+      .withColumn("d2",
+        expr("aggregate(zip_with(qxq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 4)
+      .select(col("qid"), col("cell"))
+    val cand = assign.select(col("vec_id"), col("k").as("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val scored = cand
+      .join(codes, "vec_id")
+      .join(broadcast(dtab), Seq("qid", "sub", "k"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(-col("adc").cast("double"), col("vec_id"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("neighbor_id"),
+        (-col("e.score")).cast("long").as("adc_d2"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+
   /** PQ train/encode/ADC oracle: the lloydPrefixSql shape keyed by
     * (sub) instead of (kval). */
-  private val annPqTopkSql = {
+  /** PQ CTE chain (pqv … pg$R, pcentq$R, pdt) — shared by #230 and
+    * the IVFPQ oracle #258. */
+  private val pqCtesSql = {
     val R = graft.ml.Reduce.LloydRounds
     val round = (i: Int) =>
       s"""pcent$i AS (
@@ -200,7 +266,7 @@ object Quantize {
          |           row_number() OVER (PARTITION BY vec_id, sub
          |             ORDER BY d2 ASC, k ASC) AS rk
          |    FROM pd$i) WHERE rk = 1)""".stripMargin
-    s"""WITH pqv AS MATERIALIZED (
+    s"""pqv AS MATERIALIZED (
        |  SELECT vec_id, t.i // $PqSubDim AS sub, t.i % $PqSubDim AS dim, t.x
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
        |  LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
@@ -213,7 +279,12 @@ object Quantize {
        |  SELECT q.vec_id AS qid, q.sub, c.k,
        |         sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
        |  FROM pqxq q JOIN pcentq$R c ON q.sub = c.sub AND q.dim = c.dim
-       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2, 3),
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  private val annPqTopkSql = {
+    val R = graft.ml.Reduce.LloydRounds
+    s"""WITH $pqCtesSql,
        |padc AS (
        |  SELECT t.qid, g.vec_id AS nid, CAST(sum(t.d2) AS BIGINT) AS adc
        |  FROM pg$R g JOIN pdt t ON g.sub = t.sub AND g.k = t.k
@@ -223,6 +294,39 @@ object Quantize {
        |         row_number() OVER (PARTITION BY qid
        |           ORDER BY adc ASC, nid ASC) AS rk
        |  FROM padc) WHERE rk <= 10""".stripMargin
+  }
+
+  /** IVFPQ oracle: the IVF probe over the grid-Lloyd cells prunes the
+    * candidate set, the PQ code join scores it — both chains shared. */
+  private val annIvfPqTopkSql = {
+    val R = graft.ml.Reduce.LloydRounds
+    s"""WITH $pqCtesSql,
+       |${graft.ml.Reduce.lloydPrefixSql(Seq(Ann.IvfCells))},
+       |ipd AS (
+       |  SELECT q.vec_id AS qid, c.k AS cell,
+       |         sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+       |  FROM lxq q JOIN lcentq$R c ON q.dim = c.dim
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+       |ipp AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY d2 ASC, cell ASC) AS rk
+       |    FROM ipd) WHERE rk <= 4),
+       |icand AS (
+       |  SELECT p.qid, g.vec_id AS nid
+       |  FROM ipp p JOIN lg$R g ON g.k = p.cell
+       |  WHERE g.vec_id != p.qid),
+       |iadc AS (
+       |  SELECT c.qid, c.nid, CAST(sum(t.d2) AS BIGINT) AS adc
+       |  FROM icand c JOIN pg$R g ON c.nid = g.vec_id
+       |  JOIN pdt t ON t.qid = c.qid AND t.sub = g.sub AND t.k = g.k
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid AS neighbor_id, adc AS adc_d2, rk FROM (
+       |  SELECT qid, nid, adc,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc ASC, nid ASC) AS rk
+       |  FROM iadc) WHERE rk <= 10""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -430,6 +534,7 @@ object Quantize {
     "embedding_quantize_audit" -> (embeddingQuantizeAudit _),
     "ann_sq_topk"              -> (annSqTopk _),
     "ann_pq_topk"              -> (annPqTopk _),
+    "ann_ivfpq_topk"           -> (annIvfPqTopk _),
     "ann_ivf_sq_topk"          -> (annIvfSqTopk _),
     "ann_binary_topk"          -> (annBinaryTopk _),
     "ann_binary_rerank_topk"   -> (annBinaryRerankTopk _),
@@ -506,5 +611,6 @@ ${Ann.ivfTailSql}""",
          |       CAST(rk AS BIGINT) AS rk
          |FROM rnk WHERE rk <= 10""".stripMargin,
     "ann_matryoshka_eval" -> annMatryoshkaEvalSql,
-    "ann_pq_topk" -> annPqTopkSql)
+    "ann_pq_topk" -> annPqTopkSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql)
 }
