@@ -179,6 +179,79 @@ object Ann {
     s"WITH ${graft.ml.Reduce.lloydPrefixSql(Seq(IvfCells), srcSql)},\n$ivfTailSql"
 
   // ---------------------------------------------------------------
+  // 261. IVF nprobe-recall sweep — the tuning table you read BEFORE
+  // fixing nprobe (the "measure, don't guess" exhibit for #39): exact
+  // recall@10 at nprobe ∈ {1, 2, 4, 8} in ONE pipeline. Because
+  // scoring inside the probed cells is exact cosine, recall@10 equals
+  // CELL COVERAGE of the true top-10 (any true neighbor in a probed
+  // cell outscores every non-true candidate), so the sweep needs no
+  // re-scoring per setting — just each true neighbor's cell probe
+  // rank. Integer hit counts; one division per row.
+  def ivfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(s, dir)
+    val (assign, cents) = graft.ml.Reduce.gridLloyd(
+      vecs.select(col("vec_id"), col("v")), Seq(IvfCells))
+    val truth = annBruteforceTopk(s, dir).select(col("qid"), col("neighbor_id"))
+    val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"),
+        expr("transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))").as("qxq"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)
+    val prk = qs.crossJoin(broadcast(cents.select(col("k").as("cell"), col("cq"))))
+      .withColumn("d2",
+        expr("aggregate(zip_with(qxq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)"))
+      .withColumn("prk", row_number().over(wProbe))
+      .select(col("qid"), col("cell"), col("prk"))
+    val truthPrk = truth
+      .join(assign.select(col("vec_id").as("neighbor_id"), col("k").as("cell")),
+        "neighbor_id")
+      .join(prk, Seq("qid", "cell"))
+    val nq = truth.select(col("qid")).distinct().count() // bounded driver scalar
+    truthPrk
+      .select(col("qid"), col("prk"),
+        explode(expr("array(1, 2, 4, 8)")).as("nprobe"))
+      .groupBy(col("nprobe"))
+      .agg(sum(when(col("prk") <= col("nprobe"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        lit(nq).as("n_queries"),
+        col("n_hit"),
+        round(col("n_hit") / lit(10.0 * nq), 6).as("avg_recall"))
+  }
+
+  private[sim] def ivfNprobeSweepSql: String = {
+    val R = graft.ml.Reduce.LloydRounds
+    s"""WITH ${graft.ml.Reduce.lloydPrefixSql(Seq(IvfCells))},
+       bscored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         WHERE q.vec_id % 50 = 0),
+       btruth AS (SELECT qid, nid FROM bscored WHERE rk <= 10),
+       nq AS (SELECT count(DISTINCT qid) AS n FROM btruth),
+       ivfd AS (
+         SELECT q.vec_id AS qid, c.k AS cell, sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+         FROM lxq q JOIN lcentq$R c ON q.dim = c.dim
+         WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+       iprk AS (
+         SELECT qid, cell,
+                row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cell ASC) AS prk
+         FROM ivfd),
+       tp AS (
+         SELECT t.qid, p.prk
+         FROM btruth t
+         JOIN lg$R g ON t.nid = g.vec_id
+         JOIN iprk p ON t.qid = p.qid AND g.k = p.cell)
+       SELECT CAST(u.np AS BIGINT) AS nprobe,
+              (SELECT CAST(n AS BIGINT) FROM nq) AS n_queries,
+              CAST(sum(CASE WHEN tp.prk <= u.np THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              round(sum(CASE WHEN tp.prk <= u.np THEN 1 ELSE 0 END)
+                    / (10.0 * (SELECT n FROM nq)), 6) AS avg_recall
+       FROM tp, (SELECT unnest([1, 2, 4, 8]) AS np) u
+       GROUP BY 1"""
+  }
+
+  // ---------------------------------------------------------------
   // Shared kNN-edge builders for the graph queries (#76/#123/#153).
   // `exact = true` is the ORACLE feed: bruteForceTopK broadcasts the
   // whole corpus as the query side and scores all n² pairs — exact and
@@ -854,6 +927,7 @@ object Ann {
     "knn_clustering_coeff"     -> (knnClusteringCoeff _),
     "knn_clustering_coeff_lsh" -> (knnClusteringCoeffLsh _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
+    "ivf_nprobe_sweep"    -> (ivfNprobeSweep _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _),
     "ann_recall_eval"     -> (annRecallEval _),
@@ -879,6 +953,7 @@ object Ann {
       s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$clusteringTailSql",
     "knn_components_lsh" ->
       s"WITH RECURSIVE $lshSigPrefixSql,\n${lshKnnSql(5)},\n$componentsTailSql",
+    "ivf_nprobe_sweep" -> ivfNprobeSweepSql,
     "ann_ivf_topk" -> ivfOracleSql(
       "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
     "ann_recall_eval" -> annRecallEvalSql,

@@ -599,7 +599,55 @@ object GraphOps {
        FROM mu a JOIN mu b ON a.dim = b.dim AND a.label < b.label
        GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------
+  // 263. cosine-distance histogram, intra- vs inter-label — the
+  // separability audit behind #254's one-number MMD: sampled anchors
+  // (every 10th vector — the documented brute-force sampling bound)
+  // against the corpus, cosine binned into 10 fixed cells over [−1,1],
+  // split by label agreement. Bin indices are shared-IEEE floor
+  // arithmetic; counts integer.
+  def distanceHistogram(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val vecs = graft.api.Analytics.spread(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val anchors = vecs.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("aid"), col("label").as("al"),
+        col("v").as("av"), col("nrm").as("an"))
+    val pairs = vecs.join(broadcast(anchors), col("vec_id") =!= col("aid"))
+      .withColumn("cs", dot(col("av"), col("v")) / (col("an") * col("nrm")))
+      .withColumn("bin",
+        least(greatest(floor((col("cs") + 1.0) * 5.0).cast("long"), lit(0L)), lit(9L)))
+      .withColumn("same_label", col("al") === col("label"))
+    val counts = pairs.groupBy(col("same_label"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("same_label")).agg(sum(col("n")).as("nt"))
+    counts.join(tot, "same_label")
+      .select(col("same_label"), col("bin"), col("n"),
+        round(col("n") / col("nt").cast("double"), 6).as("share"))
+  }
+
+  private val distanceHistogramSql =
+    """WITH vecs AS MATERIALIZED (
+         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       pairs AS (
+         SELECT a.label = c.label AS same_label,
+                least(greatest(CAST(floor(
+                  (list_cosine_similarity(a.v, c.v) + 1.0) * 5.0) AS BIGINT), 0), 9) AS bin
+         FROM vecs a JOIN vecs c ON a.vec_id != c.vec_id
+         WHERE a.vec_id % 10 = 0),
+       counts AS (
+         SELECT same_label, bin, count(*) AS n FROM pairs GROUP BY 1, 2),
+       tot AS (
+         SELECT same_label, CAST(sum(n) AS BIGINT) AS nt FROM counts GROUP BY 1)
+       SELECT c.same_label, c.bin, c.n,
+              round(c.n / CAST(t.nt AS DOUBLE), 6) AS share
+       FROM counts c JOIN tot t USING (same_label)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distance_histogram"  -> (distanceHistogram _),
     "knn_label_noise"     -> (knnLabelNoise _),
     "knn_label_noise_lsh" -> (knnLabelNoiseLsh _),
     "embedding_mmd"       -> (embeddingMmd _),
@@ -625,6 +673,7 @@ object GraphOps {
          WHERE x.qid < x.nid)"""
 
   val oracles: Map[String, String] = Map(
+    "distance_histogram" -> distanceHistogramSql,
     "knn_label_noise" ->
       s"WITH ${Ann.bruteKnnSql(SnnK)}\n$labelNoiseTailSql",
     "knn_label_noise_lsh" ->

@@ -247,12 +247,42 @@ object Classify {
        |JOIN c2 USING (w2), n
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // 262. language-ID confusion matrix — the eval table for #42 (the
+  // classifier_eval convention applied to the heuristic): per
+  // (tagged, predicted) language pair, counts + row recall. Pure
+  // aggregation over the #42 output; the oracle composes the #42
+  // oracle SQL as a CTE, so the two can never drift.
+  def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(s, dir)
+      .groupBy(col("tagged_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_true",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tagged_lang"))))
+      .select(col("tagged_lang").as("true_lang"), col("pred_lang"), col("n"),
+        round(col("n") / col("n_true").cast("double"), 6).as("row_share"))
+
+  private def langidConfusionSql =
+    s"""WITH li AS (${TextOps.oracles("lang_id")}),
+       conf AS (
+         SELECT tagged_lang, pred_lang, count(*) AS n
+         FROM li GROUP BY 1, 2),
+       tot AS (
+         SELECT tagged_lang, CAST(sum(n) AS BIGINT) AS n_true
+         FROM conf GROUP BY 1)
+       SELECT c.tagged_lang AS true_lang, c.pred_lang, c.n,
+              round(c.n / CAST(t.n_true AS DOUBLE), 6) AS row_share
+       FROM conf c JOIN tot t USING (tagged_lang)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "langid_confusion"   -> (langidConfusion _),
     "perceptron_quality" -> (perceptronQuality _),
     "classifier_eval"    -> (classifierEval _),
     "word_lm_score"      -> (wordLmScore _))
 
   val oracles: Map[String, String] = Map(
+    "langid_confusion"   -> langidConfusionSql,
     "perceptron_quality" -> perceptronQualitySql,
     "classifier_eval"    -> classifierEvalSql,
     "word_lm_score"      -> wordLmScoreSql)

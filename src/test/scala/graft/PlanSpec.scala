@@ -335,6 +335,10 @@ class PlanSpec extends SparkSpecBase {
       // predicate — the ma_stats bounded-scaffold shape, not a
       // fact-fact pair join
       "active_users",
+      // distance_histogram broadcasts the sampled anchor set (the
+      // documented brute-force sampling bound); ivf_nprobe_sweep rides
+      // the brute-force truth scorer (ann_recall_eval precedent)
+      "distance_histogram", "ivf_nprobe_sweep",
       // word_lm_score attaches the 1-row corpus bigram total (the
       // char_lm_score precedent); k_anonymity / hbos_outliers /
       // conversion_ztest attach 1-row totals/min-max/pooled aggs;
