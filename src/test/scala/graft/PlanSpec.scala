@@ -339,6 +339,9 @@ class PlanSpec extends SparkSpecBase {
       // documented brute-force sampling bound); ivf_nprobe_sweep rides
       // the brute-force truth scorer (ann_recall_eval precedent)
       "distance_histogram", "ivf_nprobe_sweep",
+      // ann_ivfpq_topk crosses queries with the 16-row centroid
+      // broadcast for probing (the ann_ivf_topk shape)
+      "ann_ivfpq_topk",
       // word_lm_score attaches the 1-row corpus bigram total (the
       // char_lm_score precedent); k_anonymity / hbos_outliers /
       // conversion_ztest attach 1-row totals/min-max/pooled aggs;
