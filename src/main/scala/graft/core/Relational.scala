@@ -438,6 +438,51 @@ object Relational {
        FROM gaps"""
 
   // ---------------------------------------------------------------
+  // 264. ranking-function suite — the window-function completeness
+  // exhibit (#4 used row_number; this emits rank/dense_rank/
+  // percent_rank/cume_dist/ntile in one window pass): per brand, part
+  // revenue ranked under the (revenue desc, partkey) total order. All
+  // five are POSITIONAL (ties broken by the order columns), so every
+  // output is hash-exact; one shuffle on the brand key serves all
+  // five frames.
+  def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(rev), 4).as("revenue"))
+    // rank-family over revenue ALONE (real ties — the tie-aware
+    // functions are deterministic on them); ntile needs the total
+    // order (intra-tie position is otherwise arbitrary). Same
+    // partitioning → one exchange serves both windows.
+    val wTies = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc)
+    val wTotal = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    base
+      .withColumn("rnk", rank().over(wTies).cast("long"))
+      .withColumn("drnk", dense_rank().over(wTies).cast("long"))
+      .withColumn("prank", round(percent_rank().over(wTies), 6))
+      .withColumn("cdist", round(cume_dist().over(wTies), 6))
+      .withColumn("quartile", ntile(4).over(wTotal).cast("long"))
+  }
+
+  private val windowRankSuiteSql =
+    """WITH base AS (
+         SELECT p.p_brand, p.p_partkey,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2)
+       SELECT p_brand, p_partkey, revenue,
+              rank() OVER wt AS rnk,
+              dense_rank() OVER wt AS drnk,
+              round(percent_rank() OVER wt, 6) AS prank,
+              round(cume_dist() OVER wt, 6) AS cdist,
+              CAST(ntile(4) OVER wo AS BIGINT) AS quartile
+       FROM base
+       WINDOW wt AS (PARTITION BY p_brand ORDER BY revenue DESC),
+              wo AS (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC)"""
+
+  // ---------------------------------------------------------------
   // Equi-depth decile binning WITHOUT a global sort: exact interpolated
   // boundary computation (one aggregation; percentile_approx at corpus
   // scale), then per-row bucket assignment against the broadcast
@@ -744,6 +789,7 @@ object Relational {
     "k_anonymity"            -> (kAnonymity _),
     "basket_lift"            -> (basketLift _),
     "key_sequence_gaps"      -> (keySequenceGaps _),
+    "window_rank_suite"      -> (windowRankSuite _),
     "weighted_median"        -> (weightedMedian _),
     "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
@@ -780,6 +826,7 @@ object Relational {
     "k_anonymity" -> kAnonymitySql,
     "basket_lift" -> basketLiftSql,
     "key_sequence_gaps" -> keySequenceGapsSql,
+    "window_rank_suite" -> windowRankSuiteSql,
     "weighted_median" -> weightedMedianSql,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
