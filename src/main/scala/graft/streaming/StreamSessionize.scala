@@ -54,6 +54,25 @@ object StreamSessionize {
       .agg(count(lit(1)).as("dau"))
       .select(col("day.start").as("day_start"), col("dau"))
 
+  /** Streaming trending items: per tumbling 10-minute window, the
+    * Misra-Gries heavy hitters of the (event_type, props.k) item
+    * stream through the native ApproxHeavyHitters aggregate — ≤ k
+    * counters per window partial on the exchange AND in the streaming
+    * state store (the same mergeable-partial property that bounds the
+    * batch exchange bounds incremental state). Append mode: each
+    * window's top list finalizes when the watermark passes. */
+  def trendingItems(events: DataFrame, k: Int = 5,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("item",
+        concat(col("event_type"), lit(":"),
+          get_json_object(col("props"), "$.k")))
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.VectorFunctions
+        .approxHeavyHitters(col("item"), k).as("top"))
+      .select(col("window.start").as("window_start"), col("top"))
+
   /** Streaming ingest filter — the streaming front door of a training-
     * data pipeline: stateless per-doc quality signals (codegen'd
     * regex counts, no state) plus a stream-static broadcast join to

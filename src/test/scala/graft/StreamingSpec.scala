@@ -151,6 +151,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming trending items surface the window's dominant item") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, String)]
+    val q = StreamSessionize.trendingItems(
+        ms.toDF().toDF("ts", "event_type", "props"), k = 3)
+      .writeStream.format("memory").queryName("trending").outputMode("append").start()
+    try {
+      // window 1: item click:7 dominates (4 of 6 events)
+      ms.addData(
+        (ts(0), "click", "{\"k\": 7}"), (ts(1), "click", "{\"k\": 7}"),
+        (ts(2), "click", "{\"k\": 7}"), (ts(3), "click", "{\"k\": 7}"),
+        (ts(4), "view", "{\"k\": 1}"), (ts(5), "view", "{\"k\": 2}"))
+      q.processAllAvailable()
+      ms.addData((ts(240), "view", "{\"k\": 9}")) // advance watermark
+      q.processAllAvailable()
+      ms.addData((ts(480), "view", "{\"k\": 9}"))
+      q.processAllAvailable()
+      val rows = spark.table("trending").collect()
+      assert(rows.nonEmpty, "no finalized trending window")
+      val top = rows.map(_.getSeq[org.apache.spark.sql.Row](1))
+        .find(_.exists(_.getString(0) == "click:7"))
+      assert(top.isDefined, s"dominant item missing: ${rows.mkString(";")}")
+      val entry = top.get.find(_.getString(0) == "click:7").get
+      assert(entry.getLong(1) >= 4L, s"dominant count under-estimated: $entry")
+    } finally q.stop()
+  }
+
   test("native topk_by aggregate partial-merges inside a streaming windowed agg") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
