@@ -646,7 +646,82 @@ object GraphOps {
               round(c.n / CAST(t.nt AS DOUBLE), 6) AS share
        FROM counts c JOIN tot t USING (same_label)"""
 
+  // ---------------------------------------------------------------
+  // 265. personalized PageRank from the seed set (the relatedness/
+  // recommendation primitive: global PageRank #153 measures
+  // centrality, PPR measures proximity TO the seeds): restart mass
+  // 0.15 concentrated on the seeds (every 50th vector present in the
+  // graph), 5 fixed synchronous power rounds, dangling mass dropped
+  // identically on both engines. The seed count is a bounded driver
+  // scalar (the louvainFrom |E| precedent). Exact + `_lsh` twins.
+  private val PprRounds = 5
+
+  def pprKnn(s: SparkSession, dir: String): DataFrame =
+    pprFrom(Ann.knnEdges(s, dir, k = SnnK, exact = true))
+
+  def pprKnnLsh(s: SparkSession, dir: String): DataFrame =
+    pprFrom(Ann.knnEdges(s, dir, k = SnnK, exact = false))
+
+  private def pprFrom(knn: DataFrame): DataFrame = {
+    val mut = Ann.mutualEdges(knn)
+    val edges = mut.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(mut.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // every power round scans it
+    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val verts = edges.select(col("src").as("v")).distinct()
+      .withColumn("is_seed", pmod(col("v"), lit(50)) === 0)
+    val nS = verts.filter(col("is_seed")).count() // bounded driver scalar
+    var r = verts.select(col("v"),
+      when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("r"))
+    for (i <- 1 to PprRounds) {
+      val contrib = r.join(deg, "v")
+        .join(edges, col("v") === col("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("r") / col("d")).as("inflow"))
+      val next = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (when(col("is_seed"), lit(0.15 / nS)).otherwise(lit(0.0))
+            + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      r = (if (i < PprRounds) next.localCheckpoint() else next)
+    }
+    verts.join(r, "v")
+      .select(col("v").as("vec_id"), col("is_seed"), round(col("r"), 6).as("ppr"))
+  }
+
+  private val pprTailSql = {
+    val step = (i: Int) =>
+      s"""pc$i AS (
+           SELECT e.t AS v, sum(p.r / d.d) AS inflow
+           FROM ppr${i - 1} p
+           JOIN pdeg d ON p.v = d.v
+           JOIN und e ON p.v = e.s
+           GROUP BY 1),
+         ppr$i AS (
+           SELECT vt.v,
+                  CASE WHEN vt.is_seed THEN 0.15 / ns.n ELSE 0.0 END
+                    + 0.85 * coalesce(c.inflow, 0.0) AS r
+           FROM pverts vt LEFT JOIN pc$i c ON vt.v = c.v, pns ns)"""
+    s"""mutual AS (
+         SELECT x.qid AS a, x.nid AS b FROM knn x
+         JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+         WHERE x.qid < x.nid),
+       und AS MATERIALIZED (SELECT a AS s, b AS t FROM mutual
+               UNION ALL SELECT b, a FROM mutual),
+       pdeg AS (SELECT s AS v, count(*) AS d FROM und GROUP BY 1),
+       pverts AS MATERIALIZED (
+         SELECT DISTINCT s AS v, s % 50 = 0 AS is_seed FROM und),
+       pns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pverts WHERE is_seed),
+       ppr0 AS (
+         SELECT v, CASE WHEN is_seed THEN 1.0 / ns.n ELSE 0.0 END AS r
+         FROM pverts, pns ns),
+       ${(1 to PprRounds).map(step).mkString(",\n       ")}
+       SELECT vt.v AS vec_id, vt.is_seed, round(p.r, 6) AS ppr
+       FROM pverts vt JOIN ppr$PprRounds p ON vt.v = p.v"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ppr_knn"             -> (pprKnn _),
+    "ppr_knn_lsh"         -> (pprKnnLsh _),
     "distance_histogram"  -> (distanceHistogram _),
     "knn_label_noise"     -> (knnLabelNoise _),
     "knn_label_noise_lsh" -> (knnLabelNoiseLsh _),
@@ -673,6 +748,9 @@ object GraphOps {
          WHERE x.qid < x.nid)"""
 
   val oracles: Map[String, String] = Map(
+    "ppr_knn" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$pprTailSql",
+    "ppr_knn_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$pprTailSql",
     "distance_histogram" -> distanceHistogramSql,
     "knn_label_noise" ->
       s"WITH ${Ann.bruteKnnSql(SnnK)}\n$labelNoiseTailSql",

@@ -342,6 +342,9 @@ class PlanSpec extends SparkSpecBase {
       // ann_ivfpq_topk crosses queries with the 16-row centroid
       // broadcast for probing (the ann_ivf_topk shape)
       "ann_ivfpq_topk",
+      // ppr_knn's exact feed rides the brute-force scorer (pagerank_knn
+      // precedent); the _lsh twin is the scale feed
+      "ppr_knn",
       // word_lm_score attaches the 1-row corpus bigram total (the
       // char_lm_score precedent); k_anonymity / hbos_outliers /
       // conversion_ztest attach 1-row totals/min-max/pooled aggs;
