@@ -118,6 +118,28 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("personalized pagerank mass stays bounded and favors seeds") {
+    val rows = sim.GraphOps.pprKnn(spark, sf).collect()
+    val total = rows.map(_.getAs[Double]("ppr")).sum
+    assert(total > 0.0 && total <= 1.0 + 1e-6,
+      s"PPR mass out of bounds: $total") // dangling mass leaks, never grows
+    val seedAvg = rows.filter(_.getAs[Boolean]("is_seed"))
+      .map(_.getAs[Double]("ppr"))
+    val otherAvg = rows.filterNot(_.getAs[Boolean]("is_seed"))
+      .map(_.getAs[Double]("ppr"))
+    assert(seedAvg.nonEmpty && otherAvg.nonEmpty)
+    assert(seedAvg.sum / seedAvg.length > otherAvg.sum / otherAvg.length,
+      "seeds must hold more PPR mass than non-seeds on average")
+  }
+
+  test("bpe encode fertility is at least one token per word") {
+    text.Vocab.bpeEncode(spark, sf).collect().foreach { r =>
+      val tpw = r.getAs[Double]("tokens_per_word")
+      assert(tpw >= 1.0, s"fertility below 1: $r")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("basket rules have valid support/confidence and positive lift") {
     core.Relational.basketLift(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("support") > 0.0 && r.getAs[Double]("support") <= 1.0)
