@@ -712,7 +712,57 @@ object Scores {
                       / CAST(n.n * n.n - pe.pe_num AS DOUBLE), 6) END AS kappa
        FROM n JOIN pe USING (prio)"""
 
+  // ---------------------------------------------------------------
+  // 266. Wilson score intervals per segment — the small-sample-safe
+  // rate CI (the #242 z-test's estimation dual; Wald intervals lie at
+  // the extremes, Wilson doesn't): closed-form from the integer
+  // (k, n) pair with z = 1.959964 — identical IEEE arithmetic on both
+  // engines, no resampling. One bounded-key aggregation.
+  private val WilsonZ = 1.959964
+
+  def wilsonRates(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("k"))
+    val z2 = WilsonZ * WilsonZ
+    val p = col("k") / col("n").cast("double")
+    val denom = lit(1.0) + lit(z2) / col("n")
+    val center = (p + lit(z2) / (lit(2.0) * col("n"))) / denom
+    val half = lit(WilsonZ) * sqrt(p * (lit(1.0) - p) / col("n")
+      + lit(z2) / (lit(4.0) * col("n") * col("n"))) / denom
+    seg.select(col("c_mktsegment"), col("n").as("n_orders"), col("k").as("n_urgent"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
+  private val wilsonRatesSql = {
+    val z = WilsonZ
+    val z2 = z * z
+    s"""WITH seg AS (
+         SELECT c.c_mktsegment, count(*) AS n,
+                CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS k
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1)
+       SELECT c_mktsegment, n AS n_orders, k AS n_urgent,
+              round(k / CAST(n AS DOUBLE), 6) AS rate,
+              round(((k / CAST(n AS DOUBLE) + $z2 / (2.0 * n))
+                     / (1.0 + $z2 / n))
+                    - ($z * sqrt(k / CAST(n AS DOUBLE) * (1.0 - k / CAST(n AS DOUBLE)) / n
+                                 + $z2 / (4.0 * n * n)) / (1.0 + $z2 / n)), 6) AS wilson_lo,
+              round(((k / CAST(n AS DOUBLE) + $z2 / (2.0 * n))
+                     / (1.0 + $z2 / n))
+                    + ($z * sqrt(k / CAST(n AS DOUBLE) * (1.0 - k / CAST(n AS DOUBLE)) / n
+                                 + $z2 / (4.0 * n * n)) / (1.0 + $z2 / n)), 6) AS wilson_hi
+       FROM seg"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wilson_rates"     -> (wilsonRates _),
     "mann_kendall"     -> (mannKendall _),
     "cohens_kappa"     -> (cohensKappa _),
     "hbos_outliers"    -> (hbosOutliers _),
@@ -730,6 +780,7 @@ object Scores {
     "bootstrap_ci"      -> bootstrapCiSql,
     "benford_screen"    -> benfordScreenSql,
     "hbos_outliers"     -> hbosOutliersSql,
+    "wilson_rates"      -> wilsonRatesSql,
     "mann_kendall"      -> mannKendallSql,
     "cohens_kappa"      -> cohensKappaSql,
     "conversion_ztest"  -> conversionZtestSql,

@@ -43,6 +43,43 @@ object Dedup {
       col("doc_id"), col("text"))
 
   // ---------------------------------------------------------------
+  // 267. Chao1 distinct-population estimate over the exact-dup cluster
+  // sizes (capture-recapture applied to corpus audit: "how many
+  // distinct documents would an infinite crawl surface?"): with f1
+  // singletons and f2 doubletons among D observed distinct texts,
+  // Chao1 = D + f1(f1−1)/(2(f2+1)) (the bias-corrected form — defined
+  // even at f2=0), plus the Good-Turing sample coverage 1 − f1/N. All
+  // integers until two closed-form divisions. One aggregation over the
+  // #32 group table.
+  def chaoEstimate(s: SparkSession, dir: String): DataFrame =
+    dedupExact(s, dir)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n_docs") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_docs"), col("n_distinct"), col("f1"), col("f2"),
+        round(col("n_distinct")
+          + col("f1") * (col("f1") - 1) / (lit(2.0) * (col("f2") + 1)), 4)
+          .as("chao1"),
+        round(lit(1.0) - col("f1") / col("n_docs").cast("double"), 6)
+          .as("coverage"))
+
+  private val chaoEstimateSql =
+    s"""WITH g AS (
+         SELECT md5($normSql) AS h, count(*) AS c
+         FROM documents GROUP BY 1),
+       agg AS (
+         SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+                count(*) AS n_distinct,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         FROM g)
+       SELECT n_docs, n_distinct, f1, f2,
+              round(n_distinct + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 4) AS chao1,
+              round(1.0 - f1 / CAST(n_docs AS DOUBLE), 6) AS coverage
+       FROM agg"""
+
+  // ---------------------------------------------------------------
   // 33. n-gram Jaccard near-dup pairs via shingle inverted index:
   // explode distinct shingles, self-join on shingle (the inverted-index
   // bucket), count intersections, Jaccard = |∩|/(|A|+|B|−|∩|).
@@ -609,6 +646,7 @@ object Dedup {
     "source_overlap"      -> (sourceOverlap _),
     "fuzzy_blocked_join"  -> (fuzzyBlockedJoin _),
     "golden_record"       -> (goldenRecord _),
+    "chao_estimate"       -> (chaoEstimate _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "decontaminate"       -> (decontaminate _),
@@ -889,6 +927,7 @@ object Dedup {
     "dup_pairs_by_source" -> dupPairsBySourceSql,
     "source_overlap" -> sourceOverlapSql,
     "golden_record" -> goldenRecordSql,
+    "chao_estimate" -> chaoEstimateSql,
     "fuzzy_blocked_join" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
