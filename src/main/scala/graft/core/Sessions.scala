@@ -1110,7 +1110,88 @@ object Sessions {
                 (acc, d) -> least(100.0, greatest(0.0, acc + d))), 6) AS final_balance
        FROM l"""
 
+  // ---------------------------------------------------------------
+  // 268. funnel step latencies — the timing half of #109 (which
+  // measured conversion RATES): per completed transition within a
+  // session (first view → first subsequent click → first subsequent
+  // purchase), the n/mean/p50/p90 of the step latency. Latencies are
+  // exact integer micros; the quantiles are the shared exact
+  // interpolated percentile (the group_quantiles contract). One user
+  // shuffle drives sessionization, staging, and both rollups.
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val sess = graft.api.Analytics.sessionize(
+        ev, col("user_id"), col("ts_us"), col("event_id"), GapUs)
+      .select(col("user_id"), col("session_idx"), col("event_type"), col("ts_us"))
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+    val staged = sess
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" &&
+        col("ts_us") >= col("tv"), col("ts_us"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" &&
+        col("ts_us") >= col("tc"), col("ts_us"))).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(max(col("tv")).as("v"), max(col("tc")).as("c"), max(col("tp")).as("p"))
+    val lats = staged
+      .select(lit("view_to_click").as("step"), (col("c") - col("v")).as("lat"))
+      .unionByName(staged
+        .select(lit("click_to_purchase").as("step"), (col("p") - col("c")).as("lat")))
+      .filter(col("lat").isNotNull)
+    lats.groupBy(col("step"))
+      .agg(count(lit(1)).as("n"),
+        r(avg(col("lat")), 4).as("mean_us"),
+        r(graft.core.Stats.quantileCol(col("lat"), 0.5), 4).as("p50_us"),
+        r(graft.core.Stats.quantileCol(col("lat"), 0.9), 4).as("p90_us"))
+  }
+
+  private val funnelLatencySql =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       flagged AS (
+         SELECT user_id, event_id, event_type, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+       sess AS (
+         SELECT user_id, event_type, ts_us,
+                CAST(sum(is_new) OVER (PARTITION BY user_id
+                  ORDER BY ts_us ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM flagged),
+       tv AS (
+         SELECT user_id, session_idx,
+                min(CASE WHEN event_type = 'view' THEN ts_us END) AS v
+         FROM sess GROUP BY 1, 2),
+       tc AS (
+         SELECT s.user_id, s.session_idx,
+                min(CASE WHEN s.event_type = 'click' AND s.ts_us >= t.v
+                    THEN s.ts_us END) AS c
+         FROM sess s JOIN tv t USING (user_id, session_idx)
+         GROUP BY 1, 2),
+       tp AS (
+         SELECT s.user_id, s.session_idx,
+                min(CASE WHEN s.event_type = 'purchase' AND s.ts_us >= t.c
+                    THEN s.ts_us END) AS p
+         FROM sess s JOIN tc t USING (user_id, session_idx)
+         GROUP BY 1, 2),
+       lats AS (
+         SELECT 'view_to_click' AS step, c.c - v.v AS lat
+         FROM tv v JOIN tc c USING (user_id, session_idx)
+         WHERE c.c IS NOT NULL AND v.v IS NOT NULL
+         UNION ALL
+         SELECT 'click_to_purchase' AS step, p.p - c.c AS lat
+         FROM tc c JOIN tp p USING (user_id, session_idx)
+         WHERE p.p IS NOT NULL AND c.c IS NOT NULL)
+       SELECT step, count(*) AS n,
+              round(avg(lat), 4) AS mean_us,
+              round(quantile_cont(lat, 0.5), 4) AS p50_us,
+              round(quantile_cont(lat, 0.9), 4) AS p90_us
+       FROM lats GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_latency"         -> (funnelLatency _),
     "session_bounce"         -> (sessionBounce _),
     "capped_running_sum"     -> (cappedRunningSum _),
     "active_users"           -> (activeUsers _),
@@ -1146,6 +1227,7 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "funnel_latency"         -> funnelLatencySql,
     "session_bounce"         -> sessionBounceSql,
     "capped_running_sum"     -> cappedRunningSumSql,
     "active_users"           -> activeUsersSql,
