@@ -453,6 +453,27 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // 270. leakage-by-source rollup — the per-source read on #64's
+  // decontamination flags (which SOURCES are contaminated against the
+  // held-out set tells you where to cut, not just which docs):
+  // contaminated-doc counts and rate per source, plus the flagged
+  // docs' mean shared-shingle count. Pure aggregation over the #64
+  // output joined back to the source column.
+  def leakageBySource(s: SparkSession, dir: String): DataFrame = {
+    val flags = decontaminate(s, dir)
+      .select(col("doc_id"), col("contaminated"), col("n_shared"))
+    Tables.documents(s, dir).filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"))
+      .join(flags, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_leaked"),
+        r(sum(when(col("contaminated"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("leak_rate"),
+        r(avg(when(col("contaminated"), col("n_shared"))), 4).as("mean_shared"))
+  }
+
+  // ---------------------------------------------------------------
   // Blocked fuzzy match (entity-resolution building block): candidate
   // pairs come from an EQUI-join on the blocking key (brand, type) —
   // a plain shuffle join with bounded blocks — and only candidates pay
@@ -647,6 +668,7 @@ object Dedup {
     "fuzzy_blocked_join"  -> (fuzzyBlockedJoin _),
     "golden_record"       -> (goldenRecord _),
     "chao_estimate"       -> (chaoEstimate _),
+    "leakage_by_source"   -> (leakageBySource _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "decontaminate"       -> (decontaminate _),
@@ -928,6 +950,28 @@ object Dedup {
     "source_overlap" -> sourceOverlapSql,
     "golden_record" -> goldenRecordSql,
     "chao_estimate" -> chaoEstimateSql,
+    "leakage_by_source" ->
+      s"""WITH nrm AS (SELECT doc_id, source, $normSql AS t FROM documents),
+          esh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 20) AS g
+                  FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+                  WHERE source = 'src0'),
+          tsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 20) AS g
+                  FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-19, 1))) AS u(i)
+                  WHERE source <> 'src0'),
+          shared AS (SELECT doc_id, count(*) AS n_shared
+                     FROM tsh JOIN esh USING (g) GROUP BY 1),
+          flags AS (
+            SELECT n.doc_id, n.source,
+                   coalesce(s.n_shared, 0) AS n_shared,
+                   coalesce(s.n_shared, 0) >= 5 AS contaminated
+            FROM nrm n LEFT JOIN shared s ON n.doc_id = s.doc_id
+            WHERE n.source <> 'src0')
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+                 round(sum(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS leak_rate,
+                 round(avg(CASE WHEN contaminated THEN n_shared END), 4) AS mean_shared
+          FROM flags GROUP BY 1""",
     "fuzzy_blocked_join" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist

@@ -275,13 +275,63 @@ object Classify {
               round(c.n / CAST(t.n_true AS DOUBLE), 6) AS row_share
        FROM conf c JOIN tot t USING (tagged_lang)"""
 
+  // ---------------------------------------------------------------
+  // 269. per-source style drift: KL(source word mix ‖ corpus word mix)
+  // — the text twin of the #86 composition screen (template farms and
+  // boilerplate-heavy sources light up before any model-based signal).
+  // Vocabulary-bounded: one (source, word) count + one word count; the
+  // KL sum runs over each source's own vocabulary (p > 0 terms only —
+  // q > 0 whenever p > 0 since the corpus contains the source),
+  // grouped identically on both engines (the #124 contract, 6dp).
+  def sourceStyleKl(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val sw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds source totals, corpus totals, the KL pass
+    val sTot = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val n = sw.agg(sum(col("c")).as("nn"))
+    sw.join(broadcast(sTot), "source")
+      .join(cw, "w")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        round(sum((col("c") / col("ns").cast("double"))
+          * log((col("c") / col("ns").cast("double"))
+            / (col("cc") / col("nn").cast("double")))), 6).as("kl_vs_corpus"))
+  }
+
+  private val sourceStyleKlSql =
+    """WITH sw AS MATERIALIZED (
+         SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         FROM documents),
+       swc AS MATERIALIZED (
+         SELECT source, w, count(*)::BIGINT AS c FROM sw GROUP BY 1, 2),
+       stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM swc GROUP BY 1),
+       cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM swc GROUP BY 1),
+       n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM swc)
+       SELECT s.source,
+              any_value(t.ns) AS n_tokens,
+              count(*) AS vocab_size,
+              round(sum((s.c / CAST(t.ns AS DOUBLE))
+                    * ln((s.c / CAST(t.ns AS DOUBLE))
+                      / (c.cc / CAST(n.nn AS DOUBLE)))), 6) AS kl_vs_corpus
+       FROM swc s
+       JOIN stot t USING (source)
+       JOIN cw c USING (w), n
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_style_kl"    -> (sourceStyleKl _),
     "langid_confusion"   -> (langidConfusion _),
     "perceptron_quality" -> (perceptronQuality _),
     "classifier_eval"    -> (classifierEval _),
     "word_lm_score"      -> (wordLmScore _))
 
   val oracles: Map[String, String] = Map(
+    "source_style_kl"    -> sourceStyleKlSql,
     "langid_confusion"   -> langidConfusionSql,
     "perceptron_quality" -> perceptronQualitySql,
     "classifier_eval"    -> classifierEvalSql,
