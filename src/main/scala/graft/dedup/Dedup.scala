@@ -474,6 +474,52 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // 271. dedup savings by source — the budget sheet dedup hands the
+  // data-mix planner: per source, docs and whitespace tokens REMOVED
+  // by exact dedup (non-keeper members of #32's groups) and the
+  // retention rate. Token counts ride the removed docs only; one
+  // group join + one bounded-key rollup.
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long").as("nt"),
+      md5(graft.api.Similarity.normalizeText(col("text"))).as("norm_hash"))
+    val keep = dedupExact(s, dir).select(col("norm_hash"), col("keep_id"))
+    docs.join(keep, "norm_hash")
+      .withColumn("removed", col("doc_id") =!= col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("removed"), col("nt")).otherwise(0L)).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("n_tokens"), col("tokens_removed"),
+        r(lit(1.0) - col("n_removed") / col("n_docs").cast("double"), 6)
+          .as("doc_retention"),
+        r(lit(1.0) - col("tokens_removed") / col("n_tokens").cast("double"), 6)
+          .as("token_retention"))
+  }
+
+  private val dedupSavingsSql =
+    s"""WITH d AS MATERIALIZED (
+         SELECT doc_id, source,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt,
+                md5($normSql) AS norm_hash
+         FROM documents),
+       keep AS (
+         SELECT norm_hash, min(doc_id) AS keep_id
+         FROM d GROUP BY 1)
+       SELECT d.source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              CAST(sum(d.nt) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN d.doc_id != k.keep_id THEN d.nt ELSE 0 END) AS BIGINT) AS tokens_removed,
+              round(1.0 - sum(CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 6) AS doc_retention,
+              round(1.0 - sum(CASE WHEN d.doc_id != k.keep_id THEN d.nt ELSE 0 END)
+                    / CAST(sum(d.nt) AS DOUBLE), 6) AS token_retention
+       FROM d JOIN keep k USING (norm_hash)
+       GROUP BY 1"""
+
+  // ---------------------------------------------------------------
   // Blocked fuzzy match (entity-resolution building block): candidate
   // pairs come from an EQUI-join on the blocking key (brand, type) —
   // a plain shuffle join with bounded blocks — and only candidates pay
@@ -669,6 +715,7 @@ object Dedup {
     "golden_record"       -> (goldenRecord _),
     "chao_estimate"       -> (chaoEstimate _),
     "leakage_by_source"   -> (leakageBySource _),
+    "dedup_savings"       -> (dedupSavings _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "decontaminate"       -> (decontaminate _),
@@ -950,6 +997,7 @@ object Dedup {
     "source_overlap" -> sourceOverlapSql,
     "golden_record" -> goldenRecordSql,
     "chao_estimate" -> chaoEstimateSql,
+    "dedup_savings" -> dedupSavingsSql,
     "leakage_by_source" ->
       s"""WITH nrm AS (SELECT doc_id, source, $normSql AS t FROM documents),
           esh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 20) AS g

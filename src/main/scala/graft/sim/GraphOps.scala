@@ -719,7 +719,50 @@ object GraphOps {
        FROM pverts vt JOIN ppr$PprRounds p ON vt.v = p.v"""
   }
 
+  // ---------------------------------------------------------------
+  // 272. centroid stability across sample halves — the sampling-noise
+  // floor for every centroid-based decision (#254's MMD, #125's
+  // annotation, the Lloyd inits): split the corpus by vec_id parity,
+  // compare each label's half-centroids; a label whose own halves
+  // disagree more than two labels differ is too thin to trust.
+  // Integer-quantized per-dim sums (the MMD device), one 64-term
+  // squared sum per label.
+  def centroidStability(s: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(s, dir)
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(expr("transform(embedding, x -> CAST(round(x * 1e6, 0) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      .groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("mu", col("sq") / (lit(1e6) * col("n")))
+    sums.filter(col("half") === 0).as("a")
+      .join(sums.filter(col("half") === 1).as("b"),
+        col("a.label") === col("b.label") && col("a.dim") === col("b.dim"))
+      .groupBy(col("a.label").as("label"))
+      .agg(first(col("a.n")).as("n_half0"), first(col("b.n")).as("n_half1"),
+        round(sqrt(sum((col("a.mu") - col("b.mu")) * (col("a.mu") - col("b.mu")))), 6)
+          .as("centroid_shift"))
+  }
+
+  private val centroidStabilitySql =
+    """WITH sums AS MATERIALIZED (
+         SELECT label, vec_id % 2 AS half, t.i AS dim,
+                CAST(sum(CAST(round(t.x * 1e6, 0) AS BIGINT)) AS BIGINT) AS sq,
+                count(*) AS n
+         FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t
+         GROUP BY 1, 2, 3),
+       mu AS (SELECT label, half, dim, n, sq / (1e6 * n) AS mu FROM sums)
+       SELECT a.label,
+              any_value(a.n) AS n_half0, any_value(b.n) AS n_half1,
+              round(sqrt(sum((a.mu - b.mu) * (a.mu - b.mu))), 6) AS centroid_shift
+       FROM mu a JOIN mu b
+         ON a.label = b.label AND a.dim = b.dim
+        AND a.half = 0 AND b.half = 1
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "centroid_stability"  -> (centroidStability _),
     "ppr_knn"             -> (pprKnn _),
     "ppr_knn_lsh"         -> (pprKnnLsh _),
     "distance_histogram"  -> (distanceHistogram _),
@@ -748,6 +791,7 @@ object GraphOps {
          WHERE x.qid < x.nid)"""
 
   val oracles: Map[String, String] = Map(
+    "centroid_stability" -> centroidStabilitySql,
     "ppr_knn" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$pprTailSql",
     "ppr_knn_lsh" ->
       s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$pprTailSql",
