@@ -345,6 +345,9 @@ class PlanSpec extends SparkSpecBase {
       // ppr_knn's exact feed rides the brute-force scorer (pagerank_knn
       // precedent); the _lsh twin is the scale feed
       "ppr_knn",
+      // source_style_kl attaches the 1-row corpus word-total (the
+      // char_lm_score scalar-attach precedent)
+      "source_style_kl",
       // word_lm_score attaches the 1-row corpus bigram total (the
       // char_lm_score precedent); k_anonymity / hbos_outliers /
       // conversion_ztest attach 1-row totals/min-max/pooled aggs;
