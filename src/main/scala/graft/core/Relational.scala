@@ -483,6 +483,90 @@ object Relational {
               wo AS (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC)"""
 
   // ---------------------------------------------------------------
+  // 273. price-consistency audit — the same-entity-different-value
+  // data-quality screen (one part selling at wildly different unit
+  // prices usually means a load bug, not a market): per part, distinct
+  // observed prices, the min/max spread, and a flag when the spread
+  // exceeds half the minimum. One shuffle on the part key; the flag is
+  // a comparison of exact aggregates.
+  def priceConsistency(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_sales"),
+        countDistinct(col("l_extendedprice")).as("n_prices"),
+        r(min(col("l_extendedprice")), 4).as("min_price"),
+        r(max(col("l_extendedprice")), 4).as("max_price"))
+      .select(col("l_partkey"), col("n_sales"), col("n_prices"),
+        col("min_price"), col("max_price"),
+        r((col("max_price") - col("min_price")) / col("min_price"), 6)
+          .as("rel_spread"),
+        ((col("max_price") - col("min_price")) * 2 > col("min_price"))
+          .as("inconsistent"))
+
+  private val priceConsistencySql =
+    """SELECT l_partkey, count(*) AS n_sales,
+              count(DISTINCT l_extendedprice) AS n_prices,
+              round(min(l_extendedprice), 4) AS min_price,
+              round(max(l_extendedprice), 4) AS max_price,
+              round((round(max(l_extendedprice), 4) - round(min(l_extendedprice), 4))
+                    / round(min(l_extendedprice), 4), 6) AS rel_spread,
+              (round(max(l_extendedprice), 4) - round(min(l_extendedprice), 4)) * 2
+                > round(min(l_extendedprice), 4) AS inconsistent
+       FROM lineitem GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // 274. referential-integrity audit — the FK health table every
+  // warehouse load gate runs: orphan counts and match rates for
+  // lineitem→orders, lineitem→part, and orders→customer. Left anti
+  // joins on the key columns (each one shuffle or broadcast by dim
+  // size); counts integer, rates one division.
+  def fkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame = {
+      val n = fact.count() // bounded driver scalars: audit-table grain
+      val orphans = fact.join(dim.select(col(pk)),
+        col(fk) === col(pk), "left_anti").count()
+      import s.implicits._
+      Seq((name, n, orphans)).toDF("relation", "n_rows", "n_orphans")
+    }
+    audit("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(audit("orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      // ENGINE round, not driver BigDecimal — the cross-engine contract
+      .select(col("relation"), col("n_rows"), col("n_orphans"),
+        round(lit(1.0) - col("n_orphans") / col("n_rows").cast("double"), 6)
+          .as("match_rate"))
+  }
+
+  private val fkIntegritySql =
+    """SELECT 'lineitem_orders' AS relation,
+              (SELECT count(*) FROM lineitem) AS n_rows,
+              (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey) AS n_orphans,
+              round(1.0 - (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey)
+                / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6) AS match_rate
+       UNION ALL
+       SELECT 'lineitem_part',
+              (SELECT count(*) FROM lineitem),
+              (SELECT count(*) FROM lineitem l ANTI JOIN part p
+                 ON l.l_partkey = p.p_partkey),
+              round(1.0 - (SELECT count(*) FROM lineitem l ANTI JOIN part p
+                 ON l.l_partkey = p.p_partkey)
+                / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6)
+       UNION ALL
+       SELECT 'orders_customer',
+              (SELECT count(*) FROM orders),
+              (SELECT count(*) FROM orders o ANTI JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+              round(1.0 - (SELECT count(*) FROM orders o ANTI JOIN customer c
+                 ON o.o_custkey = c.c_custkey)
+                / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6)"""
+
+  // ---------------------------------------------------------------
   // Equi-depth decile binning WITHOUT a global sort: exact interpolated
   // boundary computation (one aggregation; percentile_approx at corpus
   // scale), then per-row bucket assignment against the broadcast
@@ -790,6 +874,8 @@ object Relational {
     "basket_lift"            -> (basketLift _),
     "key_sequence_gaps"      -> (keySequenceGaps _),
     "window_rank_suite"      -> (windowRankSuite _),
+    "price_consistency"      -> (priceConsistency _),
+    "fk_integrity"           -> (fkIntegrity _),
     "weighted_median"        -> (weightedMedian _),
     "decile_bins"            -> (decileBins _),
     "weighted_sample"        -> (weightedSample _),
@@ -827,6 +913,8 @@ object Relational {
     "basket_lift" -> basketLiftSql,
     "key_sequence_gaps" -> keySequenceGapsSql,
     "window_rank_suite" -> windowRankSuiteSql,
+    "price_consistency" -> priceConsistencySql,
+    "fk_integrity" -> fkIntegritySql,
     "weighted_median" -> weightedMedianSql,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
