@@ -72,10 +72,15 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); -1.0 }
           finally {
-            // drop per-build persists, and GC so the ContextCleaner
-            // releases localCheckpoint blocks — otherwise orphaned
-            // blocks accumulate across the suite and later queries
-            // measure memory pressure, not work (all untimed)
+            // drop per-build persists, EMPTY the memo caches (r6 ADVICE:
+            // every timed run is COLD — a query that consumes a shared
+            // Lloyd/Louvain/PQ/Harmony state pays its own state build;
+            // cache-hit times no longer leak into the committed map and
+            // the numbers are independent of query execution order), and
+            // GC so the ContextCleaner releases localCheckpoint blocks —
+            // otherwise orphaned blocks accumulate across the suite and
+            // later queries measure memory pressure, not work (all untimed)
+            graft.api.Memo.reset()
             spark.catalog.clearCache()
             System.gc()
           }

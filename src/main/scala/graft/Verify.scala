@@ -6,11 +6,21 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // local iteration aid (driver always passes exactly 2 args):
-    // "--only a,b,c" dumps just those queries
-    val only: Option[Set[String]] = args.drop(2) match {
-      case Array("--only", names) => Some(names.split(",").map(_.trim).toSet)
-      case _ => None
+    // local iteration aids (driver always passes exactly 2 args):
+    //   "--only a,b,c"  dumps just those queries
+    //   "--shard k/n"   dumps queries with sortedIndex % n == k, writing
+    //                   oracle_sql.shard-k.json / manifest.shard-k.json
+    //                   so n JVMs can sweep the registry in parallel into
+    //                   ONE outDir (tools/run_gate.sh; compare.py merges
+    //                   the shard files) — the r6 verdict's gate-budget fix
+    val (only: Option[Set[String]], shardTag: String) = args.drop(2) match {
+      case Array("--only", names) => (Some(names.split(",").map(_.trim).toSet), "")
+      case Array("--shard", spec) =>
+        val Array(k, n) = spec.split("/").map(_.trim.toInt)
+        val mine = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+          .collect { case (q, i) if i % n == k => q }.toSet
+        (Some(mine), s".shard-$k")
+      case _ => (None, "")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -49,10 +59,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql$shardTag.json"), json)
     // manifest of every registered query: a query that CRASHED (no
     // output dir) must fail the gate loudly, not vanish from it
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+    Files.writeString(Paths.get(s"$outDir/manifest$shardTag.json"),
       SparkEntry.queries.keys.toSeq.sorted
         .filter(k => only.forall(_.contains(k))).map(q).mkString("[", ",", "]"))
     spark.stop()

@@ -778,6 +778,19 @@ object Sessions {
       .agg(count(lit(1)).as("x"))
       .withColumn("idx", (row_number().over(w) - 1).cast("long"))
       .localCheckpoint() // pair join both sides + totals
+    // BIGINT overflow envelope, asserted not narrated (r6 ADVICE 4):
+    // the rearranged estimator's largest term is n²·A_k ≤ n³·xmax²;
+    // past it non-ANSI Spark wraps silently while DuckDB raises —
+    // fail loudly here from a bounded driver scalar over the
+    // checkpointed (|types|×|days|)-row series. Beyond the envelope,
+    // rescale to weekly buckets (the documented swap).
+    val env = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("x")).as("xm"))
+      .agg(max(col("n")).as("n"), max(col("xm")).as("xm")).collect()(0)
+    val (envN, envX) = (env.getLong(0).toDouble, env.getLong(1).toDouble)
+    require(envN * envN * envN * envX * envX < 9e18,
+      s"acfDaily: n=${envN.toLong} days x max daily count ${envX.toLong} " +
+        "exceeds the BIGINT envelope (n^3*xmax^2 >= 2^63); use weekly buckets")
     val tot = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
         sum(col("x") * col("x")).as("a0"))

@@ -248,10 +248,11 @@ object Reduce {
     * assignment is corpus-bounded and consumed by repeated bench runs
     * and (for the same kvals) multiple queries. */
   private val lloydCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Seq[Int]), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Seq[Int]), DataFrame]()
+  graft.api.Memo.register(() => lloydCache.clear())
 
   private def lloydState(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame =
-    lloydCache.computeIfAbsent((s, dir, kvals), { _ =>
+    lloydCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir), kvals), { _ =>
       gridLloyd(
         Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),

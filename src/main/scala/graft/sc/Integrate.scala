@@ -224,10 +224,11 @@ object Integrate {
     * checkpointed RDDs are corpus-bounded (n×d doubles) and live for
     * the session — the standard shared-intermediate trade. */
   private val stateCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), (DataFrame, DataFrame)]()
+  graft.api.Memo.register(() => stateCache.clear())
 
   private def harmonyState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    stateCache.computeIfAbsent((s, dir), { _ =>
+    stateCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir)), { _ =>
       val cur0 = batched(s, dir).select(col("vec_id"), col("batch"), col("v"))
       val g0 = cur0.select(col("vec_id"),
         hyperplaneBucket(col("v"), LshPlanes).as("k"))

@@ -527,10 +527,11 @@ object Ann {
     * and modularity (#248) audits, which would otherwise each pay the
     * full iteration again (measured 4.0-4.4 s apiece at sf0.1). */
   private val louvainCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Boolean), DataFrame]()
+  graft.api.Memo.register(() => louvainCache.clear())
 
   private def louvainState(s: SparkSession, dir: String, exact: Boolean): DataFrame =
-    louvainCache.computeIfAbsent((s, dir, exact), { _ =>
+    louvainCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir), exact), { _ =>
       louvainFrom(knnEdges(s, dir, k = 5, exact = exact)).localCheckpoint()
     })
 
@@ -696,7 +697,7 @@ object Ann {
                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                            c.vec_id ASC) AS rk
          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
-       knn AS (SELECT qid, nid FROM scored WHERE rk <= $k)"""
+       knn AS MATERIALIZED (SELECT qid, nid FROM scored WHERE rk <= $k)"""
 
   private val pagerankTailSql = {
     val step = (i: Int) =>
@@ -706,13 +707,13 @@ object Ann {
            JOIN edges e ON p.v = e.a
            JOIN deg d ON p.v = d.v, n
            GROUP BY e.b, nv)"""
-    s"""mutual AS (
+    s"""mutual AS MATERIALIZED (
          SELECT x.qid AS a, x.nid AS b FROM knn x
          JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
          WHERE x.qid < x.nid),
-       edges AS (SELECT a, b FROM mutual UNION ALL SELECT b, a FROM mutual),
-       deg AS (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
-       verts AS (SELECT DISTINCT a AS v FROM edges),
+       edges AS MATERIALIZED (SELECT a, b FROM mutual UNION ALL SELECT b, a FROM mutual),
+       deg AS MATERIALIZED (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
+       verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM edges),
        n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM verts),
        pr0 AS (SELECT v, 1.0 / nv AS r FROM verts, n),
        ${(1 to 5).map(step).mkString(",\n       ")}
@@ -720,11 +721,11 @@ object Ann {
   }
 
   private val componentsTailSql =
-    """mutual AS (
+    """mutual AS MATERIALIZED (
          SELECT x.qid AS a, x.nid AS b FROM knn x
          JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
          WHERE x.qid < x.nid),
-       edges AS (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+       edges AS MATERIALIZED (SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
        reach AS (
          SELECT a, b FROM edges
          UNION
@@ -750,11 +751,11 @@ object Ann {
   /** Triangle/clustering tail over the `knn (qid, nid)` contract —
     * oracle twin of [[clusteringFrom]]. */
   private val clusteringTailSql =
-    """mutual AS (
+    """mutual AS MATERIALIZED (
          SELECT x.qid AS a, x.nid AS b FROM knn x
          JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
          WHERE x.qid < x.nid),
-       und AS (SELECT a AS v, b AS n FROM mutual
+       und AS MATERIALIZED (SELECT a AS v, b AS n FROM mutual
                UNION ALL SELECT b, a FROM mutual),
        deg AS (SELECT v, count(*) AS degree FROM und GROUP BY 1),
        wed AS (SELECT e1.v, e1.n AS x, e2.n AS y
@@ -789,13 +790,13 @@ object Ann {
              FROM v$i)
            WHERE rk = 1 AND dst % 10 != 0),
          l$i AS (SELECT * FROM seeds UNION ALL SELECT * FROM p$i)"""
-    s"""mutual AS (
+    s"""mutual AS MATERIALIZED (
          SELECT x.qid AS a, x.nid AS b FROM knn x
          JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
          WHERE x.qid < x.nid),
-       edges AS (SELECT a AS src, b AS dst FROM mutual
+       edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM mutual
                  UNION ALL SELECT b, a FROM mutual),
-       seeds AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 10 = 0),
+       seeds AS MATERIALIZED (SELECT vec_id, label FROM embeddings WHERE vec_id % 10 = 0),
        l0 AS (SELECT * FROM seeds),
        ${(1 to 3).map(step).mkString(",\n       ")}
        SELECT e.vec_id, e.label AS true_label,

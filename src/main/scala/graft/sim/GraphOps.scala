@@ -272,6 +272,15 @@ object GraphOps {
     // total edge weight W: bounded driver scalar off the checkpointed
     // edges (the #219 |E| precedent) — a literal keeps rounds equi-keyed
     val bigW = edges.agg(sum(col("w")).as("t")).collect()(0).getLong(0) / 2
+    // BIGINT overflow envelope, asserted not narrated (r6 ADVICE 4):
+    // score = 2W·k_in − s·Σtot with k_in,s,Σtot ≤ 2W, so |score| ≤ 4W².
+    // Past the envelope non-ANSI Spark would wrap silently while DuckDB
+    // raises — fail loudly HERE instead, from the already-collected
+    // scalar. 4W² < 2^63 ⟺ W < ~1.5e9; rescale w (shared-count buckets)
+    // beyond that.
+    require(bigW < 1500000000L,
+      s"louvainSnn: total edge weight W=$bigW exceeds the BIGINT score " +
+        "envelope (4W^2 >= 2^63); rescale edge weights before clustering")
     var c = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("c"))
     for (i <- 1 to SnnLouvainRounds) {
@@ -629,13 +638,20 @@ object GraphOps {
         round(col("n") / col("nt").cast("double"), 6).as("share"))
   }
 
+  // cosine spelled as the SAME expression tree as the Spark side —
+  // dot / (sqrt(dot)·sqrt(dot)), sequential left-to-right accumulation
+  // on both engines — NOT list_cosine_similarity (whose internal
+  // sqrt-of-product form differs in ULP and the value feeds a floor
+  // bin boundary; r6 ADVICE item 3)
   private val distanceHistogramSql =
     """WITH vecs AS MATERIALIZED (
-         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         FROM embeddings),
        pairs AS (
          SELECT a.label = c.label AS same_label,
                 least(greatest(CAST(floor(
-                  (list_cosine_similarity(a.v, c.v) + 1.0) * 5.0) AS BIGINT), 0), 9) AS bin
+                  (list_dot_product(a.v, c.v) / (a.nrm * c.nrm) + 1.0) * 5.0) AS BIGINT), 0), 9) AS bin
          FROM vecs a JOIN vecs c ON a.vec_id != c.vec_id
          WHERE a.vec_id % 10 = 0),
        counts AS (

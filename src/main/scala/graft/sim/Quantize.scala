@@ -124,10 +124,11 @@ object Quantize {
     * codebooks), each localCheckpointed; consumed by #230 and the
     * IVF+PQ composition #258. */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+    (SparkSession, String, Long), (DataFrame, DataFrame, DataFrame)]()
+  graft.api.Memo.register(() => pqCache.clear())
 
   private def pqState(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    pqCache.computeIfAbsent((s, dir), { _ =>
+    pqCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir)), { _ =>
       val R = graft.ml.Reduce.LloydRounds
       val base = graft.api.Analytics.spread(
           Tables.embeddings(s, dir)

@@ -101,7 +101,7 @@ object Vocab {
          SELECT syms[t.i] AS l, syms[t.i + 1] AS r, sum(wc) AS cnt
          FROM $d, LATERAL (SELECT unnest(range(1, len(syms))) AS i) t
          GROUP BY 1, 2),
-       top$i AS (
+       top$i AS MATERIALIZED (
          SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM pairs$i
          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
        e$i AS (
@@ -126,7 +126,7 @@ object Vocab {
        f$i AS (
          SELECT *, coalesce(lag(kept) OVER (PARTITION BY w ORDER BY pos), FALSE) AS prev_kept
          FROM m$i),
-       d$i AS (
+       d$i AS MATERIALIZED (
          SELECT w, wc, list(CASE WHEN kept
                THEN (SELECT l FROM top$i) || (SELECT r FROM top$i) ELSE sym END
              ORDER BY pos) AS syms
@@ -141,7 +141,7 @@ object Vocab {
       .mkString("\n       UNION ALL\n       ")
     s"""WITH words AS (
          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
-       d0 AS (
+       d0 AS MATERIALIZED (
          SELECT w, count(*) AS wc,
                 list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
          FROM words GROUP BY 1),
@@ -184,7 +184,7 @@ object Vocab {
     val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n       ")
     s"""WITH words AS (
          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
-       d0 AS (
+       d0 AS MATERIALIZED (
          SELECT w, count(*) AS wc,
                 list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
          FROM words GROUP BY 1),
@@ -203,13 +203,20 @@ object Vocab {
   // 221. Heap's-law vocabulary-growth fit — the zipf_fit sibling on
   // the other axis: V(n) ≈ K·n^β (β ≈ 0.4-0.6 for natural language;
   // template spam flattens it, OCR noise inflates it). One corpus pass
-  // finds each word's FIRST document; the cumulative curve is then a
-  // |docs|-row prefix sum (a single ordered window here; at 100 TB the
-  // same curve comes from range-partitioned prefix sums over per-doc
-  // partials, or checkpointed at fixed doc quantiles — the fit never
-  // needs per-token resolution). The ln-ln OLS rides regr_slope /
-  // regr_intercept / regr_r2, the exact cross-engine aggregates
-  // zipf_fit already hash-checks.
+  // finds each word's FIRST document; the cumulative curve is a
+  // RANGE-PARTITIONED two-pass prefix sum (the r6-verdict fix — the
+  // old single global window dragged every doc through ONE partition,
+  // the suite's only unbounded `WindowExec: No Partition Defined`):
+  // docs bucket by doc_id range into HeapsBuckets contiguous slices,
+  // each slice prefix-sums independently (partitioned window), and the
+  // bounded per-bucket totals (≤64 rows, a driver scalar in the
+  // bisecting split-pick sense) become broadcast exclusive offsets.
+  // cum values are bit-identical to the global window's, so the DuckDB
+  // oracle keeps the straightforward single-window form. The ln-ln OLS
+  // rides regr_slope / regr_intercept / regr_r2, the exact
+  // cross-engine aggregates zipf_fit already hash-checks.
+  private val HeapsBuckets = 64
+
   def heapsFit(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -217,12 +224,39 @@ object Vocab {
     val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     val firsts = toks.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
       .groupBy(col("fd")).agg(count(lit(1)).as("nv"))
-    val ord = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDoc.join(firsts, perDoc("doc_id") === firsts("fd"), "left")
+    val curve = perDoc.join(firsts, perDoc("doc_id") === firsts("fd"), "left")
       .select(col("doc_id"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
-      .withColumn("cum_n", sum(col("nt")).over(ord))
-      .withColumn("cum_v", sum(col("nv")).over(ord))
+      .localCheckpoint() // scanned 3× below (bounds, bucket totals, prefix pass)
+    // bucket = equal-width doc_id slice: any contiguous split yields the
+    // same cum values (prefix sums are associative) — boundaries only
+    // steer parallelism, so the 1-row min/max scalar is safe to embed
+    val Array(bounds) = curve.agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).collect()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo + 1, 1L)
+    val bkt = ((col("doc_id") - lit(lo)) * lit(HeapsBuckets.toLong) / lit(span))
+      .cast("long").as("bkt")
+    // pass 1: bounded per-bucket totals -> driver-side exclusive offsets
+    val offsets = curve.select(bkt, col("nt"), col("nv"))
+      .groupBy(col("bkt")).agg(sum(col("nt")).as("tn"), sum(col("nv")).as("tv"))
+      .collect().sortBy(_.getLong(0))
+      .scanLeft((-1L, 0L, 0L)) { case ((_, accN, accV), r) =>
+        (r.getLong(0), accN + r.getLong(1), accV + r.getLong(2))
+      }
+    val offDf = s.createDataFrame(s.sparkContext.parallelize(
+      offsets.sliding(2).map { case Array((_, n, v), (b, _, _)) =>
+        org.apache.spark.sql.Row(b, n, v) }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("off_n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("off_v", org.apache.spark.sql.types.LongType))))
+    // pass 2: per-bucket prefix sums + broadcast offsets = global cum
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve.select(bkt, col("doc_id"), col("nt"), col("nv"))
+      .join(broadcast(offDf), Seq("bkt"))
+      .withColumn("cum_n", col("off_n") + sum(col("nt")).over(inBkt))
+      .withColumn("cum_v", col("off_v") + sum(col("nv")).over(inBkt))
       .agg(
         count(lit(1)).as("n_docs"),
         max(col("cum_n")).as("total_tokens"),
