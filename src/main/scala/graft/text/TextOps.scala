@@ -1245,6 +1245,49 @@ object TextOps {
       r(graft.functions.DeflateRatio.column(col("text")), 6).as("deflate_ratio"))
 
   // ---------------------------------------------------------------
+  // 275. integer compression proxy — the hash-checked twin #166's
+  // deflate ratio cannot be (no zlib in the oracle engine; r6 verdict
+  // item 4): distinct character-8-grams / total character-8-grams per
+  // document. This is the LZ dictionary-saturation measure — repeated
+  // boilerplate re-uses 8-gram "dictionary entries" and drives the
+  // ratio toward 0 exactly where deflate's window matches fire, while
+  // high-entropy prose stays near 1.0. All-integer until the one final
+  // division, per-row narrow work (no shuffle), so it replays
+  // bit-exact in DuckDB. Docs shorter than 8 chars carry ratio 1.0
+  // (nothing to match). deflate_ratio (#166) remains the benched
+  // scale signal; this is the portable audit twin.
+  def textCompressionProxy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(length(col("text")) >= 8,
+          expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
+          .otherwise(expr("array()")).as("grams"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_grams"),
+        col("n_distinct"),
+        when(col("n_grams") > 0,
+          r(col("n_distinct") / col("n_grams").cast("double"), 6))
+          .otherwise(lit(1.0)).as("distinct_ratio"))
+
+  private val textCompressionProxySql =
+    """WITH g AS (
+         SELECT doc_id, source, length(text) AS n_chars,
+                CASE WHEN length(text) >= 8
+                     THEN list_transform(range(1, length(text) - 6), i -> substr(text, i, 8))
+                     ELSE [] END AS grams
+         FROM documents)
+       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+              CAST(len(grams) AS BIGINT) AS n_grams,
+              CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+              CASE WHEN len(grams) > 0
+                   THEN round(len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+                   ELSE 1.0 END AS distinct_ratio
+       FROM g"""
+
+  // ---------------------------------------------------------------
   // 145. approximate heavy hitters per group (native Misra-Gries
   // aggregate — ≤ k counters per group per partition on the exchange,
   // the scale path for "top frequent values" when the value cardinality
@@ -1303,6 +1346,7 @@ object TextOps {
     "length_profile"   -> (lengthProfile _),
     "heavy_hitters"    -> (heavyHitters _),
     "text_compression" -> (textCompression _),
+    "text_compression_proxy" -> (textCompressionProxy _),
     "para_dedup"       -> (paraDedup _),
     "dup_ngram_fraction" -> (dupNgramFraction _),
     "char_lm_score"    -> (charLmScore _),
@@ -1401,6 +1445,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_compression_proxy" -> textCompressionProxySql,
     "mix_resample" -> mixResampleSql,
     "length_profile" -> lengthProfileSql,
     "heavy_hitters" -> heavyHittersSql,

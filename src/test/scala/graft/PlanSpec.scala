@@ -366,6 +366,53 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("no registry query windows an unbounded input through a single partition") {
+    // The guard that would have caught heaps_fit at authoring time
+    // (r6 verdict item 2/5): a WindowExec with an EMPTY partitionSpec
+    // drags its whole input through ONE task — fine on rows that are
+    // bounded by construction (post-aggregation curves, dims, post-limit
+    // top-k, |sources|/|labels|/|bins| tables), an OOM + serial
+    // bottleneck on anything fact-sized. Every query allowed a global
+    // window below must name its bound.
+    val allowedGlobalWindow: Map[String, String] = Map(
+      // per-feature statistics / BH-adjust ranks: |features| rows
+      "hvg_mean_var" -> "|features| aggregate", "hvg_trend" -> "|features| aggregate",
+      "de_markers" -> "|features| BH ranks", "de_wilcoxon" -> "|features| BH ranks",
+      "kruskal_wallis" -> "|features| BH ranks", "trajectory_ols" -> "|features| BH ranks",
+      "pseudotime_de" -> "|features| BH ranks", "enrichment_ora" -> "|terms| BH ranks",
+      // binned Welch profile contrasts: |features|x|bins| rows
+      "pattern_diff" -> "|features|x|bins| profile", "early_de" -> "|features|x|bins| profile",
+      "condition_test" -> "|features|x|bins| profile", "diff_end" -> "|features| endpoint stats",
+      "start_vs_end" -> "|features| contrast stats",
+      // post-aggregation curves over bounded grids
+      "survival_km" -> "day grid (retention-window rows)",
+      "barcode_ranks" -> "distinct (total,count) curve points",
+      "abc_analysis" -> "per-part revenue aggregate (catalog-bounded)",
+      "key_sequence_gaps" -> "bucketed gap summary (|buckets| rows)",
+      // vocabulary-bounded rank tables (corpus-sublinear; cap at top-N
+      // vocab at larger scale — documented in SURVEY §5)
+      "zipf_fit" -> "vocab rank (sublinear)", "pmi_bigrams" -> "bigram vocab rank (df-cut)",
+      "top_paths" -> "distinct session-path counts (post-agg top-k)",
+      "factor_by_size" -> "|levels| frequency rank",
+      // |sources|-row allocation tables
+      "proportional_allocation" -> "|sources| rows",
+      "token_budget_alloc" -> "|sources| rows")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (allowedGlobalWindow.contains(name)) Nil
+      else {
+        val globals = fn(spark, sf).queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+        }
+        if (globals.isEmpty) Nil else Seq(name)
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries with a single-partition window not in the allowlist: ${offenders.mkString(", ")}")
+  }
+
   test("every registry query analyzes against every testdata scale factor") {
     // Schema-drift guard: the r4 gate silently dropped 32 queries when a
     // regenerated events.parquet changed ts's encoding and analysis threw.
