@@ -33,17 +33,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: $e")
-        Option(e.getCause).foreach(c => System.err.println(s"[verify]   cause: $c"))
-      }
-      finally spark.catalog.clearCache() // drop per-query persists (LSH sigs etc.)
+    // queries run on a small thread pool: Spark schedules concurrent
+    // jobs from one session safely, each query writes its own dir, and
+    // the wall-clock is dominated by per-query fixed overhead (~4 s/query
+    // sequential at the gate SF → the driver's 18-minute sweep; 4-way
+    // concurrency amortizes it ~4×). Cache clearing moves AFTER the
+    // pool drains — a mid-flight global clear would only force another
+    // thread's persisted intermediate to recompute (correctness-neutral
+    // but wasteful).
+    val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val todo = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    todo.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: $e")
+            Option(e.getCause).foreach(c => System.err.println(s"[verify]   cause: $c"))
+          }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS)
+    spark.catalog.clearCache() // drop per-query persists (LSH sigs etc.)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
