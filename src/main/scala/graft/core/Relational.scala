@@ -191,6 +191,42 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // 284. forward as-of join — #13's mirror (pandas merge_asof
+  // direction='forward' / QuestDB LT JOIN reversed): each purchase
+  // picks the EARLIEST click at-or-after it per user — "what did the
+  // user do next" where #13 asks "what led here". Same union + one
+  // per-user window device, with the reversed sort and a first-
+  // non-null carry from the future side; ties (same ts) break to the
+  // smaller click id — the exact total order the oracle replays.
+  def asofForwardClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("click_value"),
+        lit(1).as("side"))
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"),
+        lit(0).as("side"))
+    // reversed scan: descending time; at equal ts clicks sort BEFORE
+    // purchases (side asc) so the join is at-or-after (the ≤ mirror of
+    // #13's ≥); among equal-ts clicks the smaller id sits nearest the
+    // purchase (click_id desc), so "last non-null" = earliest
+    // at-or-after click, ties to the smaller id
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("side").asc, col("click_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("next_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("next_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("next_click_id").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), expr("t div 1000").as("ts_us"),
+        col("next_click_id"), col("next_click_value"))
+  }
+
+  // ---------------------------------------------------------------
   // 58. deterministic weighted sample (Efraimidis–Spirakis A-ES): 10
   // customers per segment, inclusion probability ∝ shifted account
   // balance, reproducible via the content-hash uniform.
@@ -891,7 +927,8 @@ object Relational {
     "melt_lineitem_metrics"  -> (meltLineitemMetrics _),
     "stratified_sample"      -> (stratifiedSample _),
     "upset_membership"       -> (upsetMembership _),
-    "asof_purchase_click"    -> (asofPurchaseClick _))
+    "asof_purchase_click"    -> (asofPurchaseClick _),
+    "asof_forward_click"     -> (asofForwardClick _))
 
   val oracles: Map[String, String] = Map(
     "abc_analysis" -> abcAnalysisSql,
@@ -1045,6 +1082,17 @@ object Relational {
                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
            FROM events p JOIN events c
              ON c.user_id = p.user_id AND c.ts <= p.ts AND c.event_type = 'click'
+           WHERE p.event_type = 'purchase')
+         WHERE rn = 1""",
+    "asof_forward_click" ->
+      """SELECT event_id, user_id, ts_us, next_click_id, next_click_value FROM (
+           SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                  c.event_id AS next_click_id, c.value AS next_click_value,
+                  row_number() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY c.ts ASC, c.event_id ASC) AS rn
+           FROM events p JOIN events c
+             ON c.user_id = p.user_id AND c.ts >= p.ts AND c.event_type = 'click'
            WHERE p.event_type = 'purchase')
          WHERE rn = 1""")
 }

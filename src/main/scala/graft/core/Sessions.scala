@@ -535,6 +535,129 @@ object Sessions {
        FROM j"""
 
   // ---------------------------------------------------------------
+  // 282. linear interpolation over the dense hour grid — the
+  // zoo::na.approx twin of #187's LOCF fill (sensor/metric gap repair
+  // where carry-forward biases a trend): per user, missing hours get
+  // vp + (vn−vp)·(h−hp)/(hn−hp) between the bracketing observed
+  // values. The grid spans [min h, max h] per user, so every missing
+  // point has both brackets by construction. Two per-user windows
+  // (forward + reverse LOCF of value and hour); the interpolation is
+  // one shared-IEEE expression, identical tree in the oracle.
+  def timeGridInterp(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_ns"),
+        expr("ts_ns div 3600000000000").as("h"))
+    val wIn = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val lastInHour = ev.withColumn("rk", row_number().over(wIn))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("h"), col("value").as("v"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = span.select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastInHour, Seq("user_id", "h"), "left")
+      .withColumn("hp", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wB))
+      .withColumn("vp", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("hn", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wF))
+      .withColumn("vn", last(col("v"), ignoreNulls = true).over(wF))
+      .select(col("user_id"), col("h").as("hour_idx"),
+        col("v").isNull.as("interpolated"),
+        // UNROUNDED (the §5 exact-rational rule): both engines build
+        // the value from the same IEEE tree over the same inputs, and
+        // interpolated values land on exact decimal midpoints where a
+        // 6dp round is what DIVERGES (HALF_UP vs away-from-zero)
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) * (col("h") - col("hp"))
+            / (col("hn") - col("hp"))).as("value_interp"))
+  }
+
+  private val timeGridInterpSql =
+    """WITH ev AS (
+         SELECT user_id, event_id, value, epoch_ns(ts) AS tn,
+                epoch_ns(ts) // 3600000000000 AS h
+         FROM events),
+       last_in AS (
+         SELECT user_id, h, value AS v FROM (
+           SELECT user_id, h, value,
+                  row_number() OVER (PARTITION BY user_id, h
+                    ORDER BY tn DESC, event_id DESC) AS rk
+           FROM ev)
+         WHERE rk = 1),
+       span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+       grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span),
+       j AS (SELECT g.user_id, g.h, l.v
+             FROM grid g LEFT JOIN last_in l ON g.user_id = l.user_id AND g.h = l.h),
+       br AS (
+         SELECT user_id, h, v,
+                last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                  OVER wb AS hp,
+                last_value(v IGNORE NULLS) OVER wb AS vp,
+                last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                  OVER wf AS hn,
+                last_value(v IGNORE NULLS) OVER wf AS vn
+         FROM j
+         WINDOW wb AS (PARTITION BY user_id ORDER BY h ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wf AS (PARTITION BY user_id ORDER BY h DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT user_id, h AS hour_idx, (v IS NULL) AS interpolated,
+              CASE WHEN v IS NOT NULL THEN v
+                   ELSE vp + (vn - vp) * (h - hp) / (hn - hp) END
+                AS value_interp
+       FROM br"""
+
+  // ---------------------------------------------------------------
+  // 283. Theil–Sen robust slope per event type over the daily count
+  // series — the magnitude to #244's Mann–Kendall direction (the
+  // standard pairing: MK says "is there a monotonic trend", Theil–Sen
+  // says "how steep", both outlier-immune): median of all pairwise
+  // slopes (x_j−x_i)/(day_j−day_i). Day count per type is
+  // retention-window-bounded, so the pair self-join is ≤ |days|²
+  // rows per type — a bounded scaffold, not a fact join. Slopes are
+  // one integer/integer division each; the median interpolates the
+  // two middle order statistics identically in both engines (the
+  // group_quantiles percentile device).
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // both sides of the pair join
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("b.day") > col("a.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.x") - col("a.x")).cast("double")
+          / (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r(expr("percentile(slope, 0.5)"), 6).as("slope_per_day"))
+      .join(nd, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"), col("slope_per_day"))
+  }
+
+  private val theilSenSql =
+    """WITH daily AS MATERIALIZED (
+         SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                count(*) AS x
+         FROM events GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.event_type,
+                CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND b.day > a.day),
+       nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+       SELECT p.event_type, n.n_days, CAST(count(*) AS BIGINT) AS n_pairs,
+              round(quantile_cont(p.slope, 0.5), 6) AS slope_per_day
+       FROM pairs p JOIN nd n USING (event_type)
+       GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
   // 200. event debounce: telemetry-cleaning primitive — within each
   // (user, event_type) stream, keep only events ≥ 5 s after their
   // predecessor (the first event of every burst survives; retries /
@@ -1203,6 +1326,42 @@ object Sessions {
               round(quantile_cont(lat, 0.9), 4) AS p90_us
        FROM lats GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 280. day-of-week seasonal indices per event type — the weekly
+  // seasonality decomposition next to #151's hour-of-day χ² (that asks
+  // "is the hourly mix uniform", this quantifies the weekly shape a
+  // capacity plan or anomaly baseline divides by): n events per
+  // (type, dow), share of the type's total, and the seasonal index
+  // 7·n/total (1.0 = flat week). dow by pure epoch-day integer
+  // arithmetic — (day + 3) % 7 puts Monday at 0 (day 0 = Thursday) —
+  // identical in both engines, no timezone/calendar functions. One
+  // bounded-key aggregation; the totals ride a |types|-row join.
+  def dowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(ts_ns div 86400000000000 + 3) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = byDow.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    byDow.join(tot, "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("n") / col("total").cast("double"), 6).as("share"),
+        round(col("n") * lit(7) / col("total").cast("double"), 6).as("seasonal_index"))
+  }
+
+  private val dowSeasonalitySql =
+    """WITH byd AS (
+         SELECT event_type, ((epoch_ns(ts) // 86400000000000) + 3) % 7 AS dow,
+                count(*) AS n
+         FROM events GROUP BY 1, 2),
+       tot AS (
+         SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+         FROM byd GROUP BY 1)
+       SELECT b.event_type, b.dow, b.n,
+              round(b.n / CAST(t.total AS DOUBLE), 6) AS share,
+              round(b.n * 7 / CAST(t.total AS DOUBLE), 6) AS seasonal_index
+       FROM byd b JOIN tot t USING (event_type)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_latency"         -> (funnelLatency _),
     "session_bounce"         -> (sessionBounce _),
@@ -1211,6 +1370,9 @@ object Sessions {
     "audience_overlap"       -> (audienceOverlap _),
     "period_over_period"     -> (periodOverPeriod _),
     "acf_daily"              -> (acfDaily _),
+    "dow_seasonality"        -> (dowSeasonality _),
+    "time_grid_interp"       -> (timeGridInterp _),
+    "theil_sen"              -> (theilSen _),
     "linear_attribution"     -> (linearAttribution _),
     "activity_islands"       -> (activityIslands _),
     "scd2_history"           -> (scd2History _),
@@ -1247,6 +1409,9 @@ object Sessions {
     "audience_overlap"       -> audienceOverlapSql,
     "period_over_period"     -> periodOverPeriodSql,
     "acf_daily"              -> acfDailySql,
+    "dow_seasonality"        -> dowSeasonalitySql,
+    "time_grid_interp"       -> timeGridInterpSql,
+    "theil_sen"              -> theilSenSql,
     "linear_attribution"     -> linearAttributionSql,
     "activity_islands"       -> activityIslandsSql,
     "scd2_history"           -> scd2HistorySql,

@@ -222,6 +222,40 @@ object Dedup {
       .select(col("id1"), col("id2"), r(col("cos_sim"), 6).as("cos_sim"))
 
   // ---------------------------------------------------------------
+  // 277. semantic decontamination — the embedding-space face of #64's
+  // shingle decontamination (paraphrased eval leakage slips past
+  // n-gram overlap; cosine similarity catches it): eval set = every
+  // 50th vector (the query protocol), train = the rest. A train vector
+  // is contaminated when some eval vector sits at cosine ≥ 0.4 among
+  // its LSH probe candidates — the #36-lsh bucket feed, so the check
+  // is bounded bucket fan-out, never an eval×train pair scan (and at
+  // a real eval-set size the eval side is a broadcast). Argmax on the
+  // 6dp-rounded sim (the cross-engine equality the #36 oracle proves),
+  // ties to the larger eval id; untouched train rows carry the
+  // explicit not-contaminated row (the #64 output contract).
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.Similarity.cosinePairsLsh(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), threshold = 0.4)
+      .select(col("id1"), col("id2"), r(col("cos_sim"), 6).as("cs"))
+    val hits = pairs
+      .filter((pmod(col("id1"), lit(50)) === 0) =!= (pmod(col("id2"), lit(50)) === 0))
+      .select(
+        when(pmod(col("id1"), lit(50)) === 0, col("id2")).otherwise(col("id1")).as("vec_id"),
+        when(pmod(col("id1"), lit(50)) === 0, col("id1")).otherwise(col("id2")).as("eval_id"),
+        col("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.cs").as("best"), col("m.eval_id").as("ev"))
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("best").isNotNull.as("contaminated"),
+        coalesce(col("best"), lit(0.0)).as("best_sim"),
+        coalesce(col("ev"), lit(-1L)).as("eval_match"))
+  }
+
+  // ---------------------------------------------------------------
   // 173. SemDeDup semantic dedup (Abbas et al. 2023): hyperplane-bucket
   // clusters, within-cluster cosine duplicates at eps=0.4 (the #36
   // threshold), keep the member least similar to the integer-quantized
@@ -727,6 +761,7 @@ object Dedup {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_incremental"   -> (dedupIncremental _),
     "minhash_calibration" -> (minhashCalibration _),
@@ -1109,6 +1144,39 @@ object Dedup {
          JOIN embeddings b ON s2.vec_id = b.vec_id
          WHERE p.qid < s2.vec_id
            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    // #277: the dedup_embedding_lsh candidate chain, restricted to
+    // train-eval pairs, then a (sim desc, eval_id desc) argmax per
+    // train vector and an explicit not-contaminated row for the rest.
+    "decontaminate_semantic" ->
+      s"""WITH ${graft.sim.Ann.lshSigPrefixSql},
+         probes AS MATERIALIZED (
+           SELECT s.vec_id AS qid,
+                  CASE WHEN t.p < 0 THEN s.bucket
+                       ELSE xor(s.bucket, (1::BIGINT << t.p)) END AS bucket
+           FROM lsig s, LATERAL (SELECT unnest(generate_series(-1, 4)) AS p) t),
+         prs AS MATERIALIZED (
+           SELECT p.qid AS id1, s2.vec_id AS id2,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cs
+           FROM probes p JOIN lsig s2 USING (bucket)
+           JOIN embeddings a ON p.qid = a.vec_id
+           JOIN embeddings b ON s2.vec_id = b.vec_id
+           WHERE p.qid < s2.vec_id
+             AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+         hits AS (
+           SELECT CASE WHEN id1 % 50 = 0 THEN id2 ELSE id1 END AS vec_id,
+                  CASE WHEN id1 % 50 = 0 THEN id1 ELSE id2 END AS eval_id, cs
+           FROM prs WHERE (id1 % 50 = 0) != (id2 % 50 = 0)),
+         best AS (
+           SELECT vec_id, cs, eval_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cs DESC, eval_id DESC) AS rk
+             FROM hits) WHERE rk = 1)
+         SELECT e.vec_id,
+                b.vec_id IS NOT NULL AS contaminated,
+                coalesce(b.cs, 0.0) AS best_sim,
+                CAST(coalesce(b.eval_id, -1) AS BIGINT) AS eval_match
+         FROM embeddings e LEFT JOIN best b ON e.vec_id = b.vec_id
+         WHERE e.vec_id % 50 != 0""",
     // Exact SQL re-derivation of the engine's simhash: FNV-1a 64 per
     // DISTINCT word (HUGEINT fold, mod-2⁶⁴; xor emulated on the low
     // byte only, since the byte operand is < 256), signed-BIGINT

@@ -780,6 +780,47 @@ object TextOps {
       round(regr_r2(log(col("c")), log(col("rank"))), 6).as("r2"))
   }
 
+  // ---------------------------------------------------------------
+  // 281. per-source Zipf fit — #118 per corpus slice: a source whose
+  // slope sits far off the corpus's is template spam (flat) or
+  // boilerplate-dominated (steep) before any model-based signal fires;
+  // the per-source rank table partitions by source (no global window)
+  // and the regr_* aggregates are the exact cross-engine ones the
+  // corpus-level fit already hash-checks.
+  def zipfBySource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("tok").asc)).cast("double"))
+    ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"),
+      round(regr_slope(log(col("c")), log(col("rank"))), 6).as("zipf_slope"),
+      round(regr_r2(log(col("c")), log(col("rank"))), 6).as("r2"))
+  }
+
+  private val zipfBySourceSql =
+    raw"""WITH toks AS (
+           SELECT source,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT source, tok, count(*) AS c FROM toks WHERE tok <> ''
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT source, c,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY c DESC, tok ASC) AS DOUBLE) AS rank
+           FROM counts)
+         SELECT source, count(*) AS n_tokens,
+                round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+                round(regr_r2(ln(c), ln(rank)), 6) AS r2
+         FROM ranked GROUP BY 1"""
+
   private val zipfFitSql =
     raw"""WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
@@ -1353,6 +1394,7 @@ object TextOps {
     "perplexity_buckets" -> (perplexityBuckets _),
     "filter_decision"  -> (filterDecision _),
     "zipf_fit"         -> (zipfFit _),
+    "zipf_by_source"   -> (zipfBySource _),
     "bm25_top_terms"   -> (bm25TopTerms _),
     "pmi_bigrams"      -> (pmiBigrams _),
     "dsir_weights"     -> (dsirWeights _),
@@ -1470,6 +1512,7 @@ object TextOps {
               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
           FROM ($charLmScoreSql) s JOIN documents d USING (doc_id)""",
     "zipf_fit" -> zipfFitSql,
+    "zipf_by_source" -> zipfBySourceSql,
     "bm25_top_terms" ->
       """WITH terms AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

@@ -200,6 +200,88 @@ object Vocab {
   }
 
   // ---------------------------------------------------------------
+  // 278. BPE merge curve — the marginal-compression audit of the
+  // #220/#246 tokenizer loop (the table a vocab-size decision reads:
+  // each merge buys a measured drop in tokens/word, and the curve's
+  // flattening says when to stop training): corpus tokens-per-word
+  // after each of merge rounds 0..5, over the same frequency-weighted
+  // dict. Per-round stats are 1-row driver scalars off the shared
+  // checkpointed dict (the bisecting split-pick precedent); the rounds
+  // themselves are the #220 chain, so the whole curve replays exactly.
+  def bpeMergeCurve(s: SparkSession, dir: String): DataFrame = {
+    var dict = wordDict(s, dir).localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    def snap(round: Int): Unit = {
+      val r0 = dict.agg(sum(col("wc")).as("nw"),
+        sum(col("wc") * size(col("syms")).cast("long")).as("nt")).collect()(0)
+      out += ((round.toLong, r0.getLong(0), r0.getLong(1)))
+    }
+    snap(0)
+    (1 to BpeRounds).foreach { round =>
+      val top = dict.select(col("wc"), explode(expr(
+        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+          |         slice(syms, 2, greatest(size(syms) - 1, 0)),
+          |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      dict = mergeOnce(dict, top.getString(0), top.getString(1)).localCheckpoint()
+      snap(round)
+    }
+    import s.implicits._
+    out.result().toDF("merge_round", "n_words", "n_tokens")
+      .withColumn("tokens_per_word",
+        r(col("n_tokens") / col("n_words").cast("double"), 6))
+  }
+
+  private val bpeMergeCurveSql = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n       ")
+    val snaps = (0 to BpeRounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_round,
+                 CAST(sum(wc) AS BIGINT) AS n_words,
+                 CAST(sum(wc * len(syms)) AS BIGINT) AS n_tokens,
+                 round(sum(wc * len(syms)) / CAST(sum(wc) AS DOUBLE), 6) AS tokens_per_word
+          FROM d$i""")
+      .mkString("\n       UNION ALL\n       ")
+    s"""WITH words AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       d0 AS MATERIALIZED (
+         SELECT w, count(*) AS wc,
+                list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+         FROM words GROUP BY 1),
+       $rounds
+       $snaps"""
+  }
+
+  // ---------------------------------------------------------------
+  // 279. word burstiness (Church & Gale 1995): per word, document
+  // frequency df, collection frequency cf, and burstiness = cf/df —
+  // the mean occurrences per CONTAINING document. Bursty words
+  // (cf/df ≫ corpus mean) are topical/template; burstiness ≈ 1 marks
+  // function-word-like dispersion — the screen that separates the two
+  // before any model-based signal. One (word, doc) aggregation then a
+  // vocab-bounded rollup: integer until the single division.
+  def wordBurstiness(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
+      .select(col("w"), col("df"), col("cf"),
+        r(col("cf") / col("df").cast("double"), 6).as("burstiness"))
+
+  private val wordBurstinessSql =
+    """WITH wd AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         FROM documents),
+       per_doc AS (SELECT w, doc_id, count(*) AS c FROM wd GROUP BY 1, 2)
+       SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
+              round(sum(c) / CAST(count(*) AS DOUBLE), 6) AS burstiness
+       FROM per_doc GROUP BY 1"""
+
+  // ---------------------------------------------------------------
   // 221. Heap's-law vocabulary-growth fit — the zipf_fit sibling on
   // the other axis: V(n) ≈ K·n^β (β ≈ 0.4-0.6 for natural language;
   // template spam flattens it, OCR noise inflates it). One corpus pass
@@ -340,12 +422,16 @@ object Vocab {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges"        -> (bpeMerges _),
+    "bpe_merge_curve"   -> (bpeMergeCurve _),
+    "word_burstiness"   -> (wordBurstiness _),
     "bpe_encode"        -> (bpeEncode _),
     "heaps_fit"         -> (heapsFit _),
     "charclass_profile" -> (charclassProfile _))
 
   val oracles: Map[String, String] = Map(
     "bpe_merges"        -> bpeMergesSql,
+    "bpe_merge_curve"   -> bpeMergeCurveSql,
+    "word_burstiness"   -> wordBurstinessSql,
     "bpe_encode"        -> bpeEncodeSql,
     "heaps_fit"         -> heapsFitSql,
     "charclass_profile" -> charclassProfileSql)

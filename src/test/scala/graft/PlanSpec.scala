@@ -339,9 +339,9 @@ class PlanSpec extends SparkSpecBase {
       // documented brute-force sampling bound); ivf_nprobe_sweep rides
       // the brute-force truth scorer (ann_recall_eval precedent)
       "distance_histogram", "ivf_nprobe_sweep",
-      // ann_ivfpq_topk crosses queries with the 16-row centroid
-      // broadcast for probing (the ann_ivf_topk shape)
-      "ann_ivfpq_topk",
+      // ann_ivfpq_topk / _residual cross queries with the 16-row
+      // centroid broadcast for probing (the ann_ivf_topk shape)
+      "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
       // ppr_knn's exact feed rides the brute-force scorer (pagerank_knn
       // precedent); the _lsh twin is the scale feed
       "ppr_knn",
