@@ -658,6 +658,109 @@ object Sessions {
        GROUP BY 1, 2"""
 
   // ---------------------------------------------------------------
+  // 285. seasonality-adjusted anomaly screen — #280 put to work (a
+  // Saturday spike that is normal FOR Saturdays must not page anyone):
+  // per (event_type, day), the expected count is that type's mean for
+  // the day's weekday (integer sums: dow_total / dow_days), and the
+  // anomaly flags are EXACT integer cross-multiplications
+  // (2·n·dow_days < dow_total → low, n·dow_days > 2·dow_total → high)
+  // — no fp in the decision, ratios only in the reported columns.
+  def seasonalAdjustedAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (col("day") + 3) % 7)
+      .localCheckpoint() // re-joined against its own dow rollup
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("dow_total"), count(lit(1)).as("dow_days"))
+    daily.join(byDow, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        round(col("dow_total") / col("dow_days").cast("double"), 6).as("expected"),
+        round(col("n") * col("dow_days") / col("dow_total").cast("double"), 6).as("ratio"),
+        (col("n") * col("dow_days") > col("dow_total") * 2).as("anomaly_high"),
+        (col("n") * col("dow_days") * 2 < col("dow_total")).as("anomaly_low"))
+  }
+
+  private val seasonalAdjustedAnomalySql =
+    """WITH daily AS MATERIALIZED (
+         SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                count(*) AS n
+         FROM events GROUP BY 1, 2),
+       dd AS (SELECT *, (day + 3) % 7 AS dow FROM daily),
+       by_dow AS (
+         SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS dow_total,
+                count(*) AS dow_days
+         FROM dd GROUP BY 1, 2)
+       SELECT d.event_type, d.day, d.dow, d.n,
+              round(b.dow_total / CAST(b.dow_days AS DOUBLE), 6) AS expected,
+              round(d.n * b.dow_days / CAST(b.dow_total AS DOUBLE), 6) AS ratio,
+              (d.n * b.dow_days > b.dow_total * 2) AS anomaly_high,
+              (d.n * b.dow_days * 2 < b.dow_total) AS anomaly_low
+       FROM dd d JOIN by_dow b USING (event_type, dow)"""
+
+  // ---------------------------------------------------------------
+  // 286. retention decay fit — the model on top of #80's cohort
+  // triangle (every growth plan quotes a half-life, not a table):
+  // pooled day-age retention with the triangle correction (an age's
+  // denominator counts only cohorts OLD enough to observe it), then
+  // ln(rate) ~ age OLS over ages 1.. via the exact regr_* aggregates
+  // → decay rate λ/day and half-life ln2/λ. Rates are integer/integer
+  // divisions; the 1-row max-day scalar rides a broadcast attach.
+  def retentionDecayFit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      .localCheckpoint() // actives join + eligibility scaffold
+    val maxDay = ev.agg(max(col("day"))).collect()(0).getLong(0)
+    val actives = ev.join(cohorts, "user_id")
+      .groupBy((col("day") - col("cohort_day")).as("age"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val eligible = cohorts
+      .groupBy(col("cohort_day")).agg(count(lit(1)).as("sz"))
+      .select(explode(expr(s"sequence(0, $maxDay - cohort_day)")).as("age"), col("sz"))
+      .groupBy(col("age")).agg(sum(col("sz")).as("n_eligible"))
+    val rates = actives.join(eligible, "age")
+      .select(col("age"), col("n_active"), col("n_eligible"),
+        (col("n_active") / col("n_eligible").cast("double")).as("rate"))
+    rates.filter(col("age") > 0 && col("n_active") > 0)
+      .agg(count(lit(1)).as("n_ages"),
+        regr_slope(log(col("rate")), col("age").cast("double")).as("sl"),
+        regr_r2(log(col("rate")), col("age").cast("double")).as("r2u"))
+      // half-life from the UNROUNDED slope on both engines; round last
+      .select(col("n_ages"), round(col("sl"), 6).as("ln_slope"),
+        round(col("r2u"), 6).as("r2"),
+        round(when(col("sl") < 0, -log(lit(2.0)) / col("sl")), 6)
+          .as("half_life_days"))
+  }
+
+  private val retentionDecayFitSql =
+    """WITH ev AS MATERIALIZED (
+         SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+       cohorts AS MATERIALIZED (
+         SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+       maxd AS (SELECT max(day) AS md FROM ev),
+       actives AS (
+         SELECT e.day - c.cohort_day AS age, count(DISTINCT e.user_id) AS n_active
+         FROM ev e JOIN cohorts c USING (user_id) GROUP BY 1),
+       sizes AS (SELECT cohort_day, count(*) AS sz FROM cohorts GROUP BY 1),
+       eligible AS (
+         SELECT t.age, CAST(sum(s.sz) AS BIGINT) AS n_eligible
+         FROM sizes s, maxd,
+         LATERAL (SELECT unnest(generate_series(0, md - s.cohort_day)) AS age) t
+         GROUP BY 1),
+       rates AS (
+         SELECT a.age, a.n_active, e.n_eligible,
+                a.n_active / CAST(e.n_eligible AS DOUBLE) AS rate
+         FROM actives a JOIN eligible e USING (age))
+       SELECT count(*) AS n_ages,
+              round(regr_slope(ln(rate), CAST(age AS DOUBLE)), 6) AS ln_slope,
+              round(regr_r2(ln(rate), CAST(age AS DOUBLE)), 6) AS r2,
+              round(CASE WHEN regr_slope(ln(rate), CAST(age AS DOUBLE)) < 0
+                    THEN -ln(2.0) / regr_slope(ln(rate), CAST(age AS DOUBLE)) END, 6)
+                AS half_life_days
+       FROM rates WHERE age > 0 AND n_active > 0"""
+
+  // ---------------------------------------------------------------
   // 200. event debounce: telemetry-cleaning primitive — within each
   // (user, event_type) stream, keep only events ≥ 5 s after their
   // predecessor (the first event of every burst survives; retries /
@@ -1373,6 +1476,8 @@ object Sessions {
     "dow_seasonality"        -> (dowSeasonality _),
     "time_grid_interp"       -> (timeGridInterp _),
     "theil_sen"              -> (theilSen _),
+    "seasonal_adjusted_anomaly" -> (seasonalAdjustedAnomaly _),
+    "retention_decay_fit"    -> (retentionDecayFit _),
     "linear_attribution"     -> (linearAttribution _),
     "activity_islands"       -> (activityIslands _),
     "scd2_history"           -> (scd2History _),
@@ -1412,6 +1517,8 @@ object Sessions {
     "dow_seasonality"        -> dowSeasonalitySql,
     "time_grid_interp"       -> timeGridInterpSql,
     "theil_sen"              -> theilSenSql,
+    "seasonal_adjusted_anomaly" -> seasonalAdjustedAnomalySql,
+    "retention_decay_fit"    -> retentionDecayFitSql,
     "linear_attribution"     -> linearAttributionSql,
     "activity_islands"       -> activityIslandsSql,
     "scd2_history"           -> scd2HistorySql,

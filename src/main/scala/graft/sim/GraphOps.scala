@@ -760,6 +760,57 @@ object GraphOps {
           .as("centroid_shift"))
   }
 
+  // ---------------------------------------------------------------
+  // 288. label-centroid cosine matrix — the label-geometry audit next
+  // to #115's silhouette and #272's stability (which label PAIRS are
+  // confusable is what an annotation or hard-negative plan reads):
+  // integer-quantized per-label centroids (the #272 device), assembled
+  // into dim-ordered arrays, then the |labels|²-bounded pair table
+  // with cosine as the shared dot/(√·√) tree — sequential fold on
+  // both engines (the distance_histogram parity rule).
+  def labelCentroidSims(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val cents = Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(round(x * 1e6, 0) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", col("sq") / (lit(1e6) * col("n")))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+      .withColumn("nrm", sqrt(dot(col("cv"), col("cv"))))
+    cents.select(col("label").as("label_a"), col("n_vecs").as("n_a"),
+        col("cv").as("va"), col("nrm").as("na"))
+      .join(broadcast(cents.select(col("label").as("label_b"),
+        col("n_vecs").as("n_b"), col("cv").as("vb"), col("nrm").as("nb"))),
+        col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+  }
+
+  private val labelCentroidSimsSql =
+    """WITH sums AS MATERIALIZED (
+         SELECT label, t.i AS dim,
+                CAST(sum(CAST(round(t.x * 1e6, 0) AS BIGINT)) AS BIGINT) AS sq,
+                count(*) AS n
+         FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t
+         GROUP BY 1, 2),
+       cent AS (
+         SELECT label, max(n) AS n_vecs,
+                list(sq / (1e6 * n) ORDER BY dim) AS cv
+         FROM sums GROUP BY 1),
+       cn AS (
+         SELECT label, n_vecs, cv,
+                sqrt(list_dot_product(cv, cv)) AS nrm
+         FROM cent)
+       SELECT a.label AS label_a, b.label AS label_b,
+              a.n_vecs AS n_a, b.n_vecs AS n_b,
+              round(list_dot_product(a.cv, b.cv) / (a.nrm * b.nrm), 6) AS cos_sim
+       FROM cn a JOIN cn b ON a.label < b.label"""
+
   private val centroidStabilitySql =
     """WITH sums AS MATERIALIZED (
          SELECT label, vec_id % 2 AS half, t.i AS dim,
@@ -779,6 +830,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "centroid_stability"  -> (centroidStability _),
+    "label_centroid_sims" -> (labelCentroidSims _),
     "ppr_knn"             -> (pprKnn _),
     "ppr_knn_lsh"         -> (pprKnnLsh _),
     "distance_histogram"  -> (distanceHistogram _),
@@ -807,6 +859,7 @@ object GraphOps {
          WHERE x.qid < x.nid)"""
 
   val oracles: Map[String, String] = Map(
+    "label_centroid_sims" -> labelCentroidSimsSql,
     "centroid_stability" -> centroidStabilitySql,
     "ppr_knn" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$pprTailSql",
     "ppr_knn_lsh" ->

@@ -282,6 +282,41 @@ object Vocab {
        FROM per_doc GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // 287. hapax legomena rate per source — the vocabulary-richness
+  // screen that pairs with #279's burstiness and #221's Heap's fit:
+  // the share of a source's vocabulary seen exactly once. Natural
+  // prose runs ~40-60 % hapax; template/boilerplate sources collapse
+  // toward 0, OCR-noise sources inflate toward 1. One (source, word)
+  // count + a source-bounded rollup, integer until two divisions.
+  def hapaxRate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("cf")).as("n_tokens"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("vocab_size"), col("n_tokens"), col("n_hapax"),
+        r(col("n_hapax") / col("vocab_size").cast("double"), 6).as("hapax_share"),
+        r(col("n_hapax") / col("n_tokens").cast("double"), 6).as("hapax_token_share"))
+
+  private val hapaxRateSql =
+    """WITH wc AS (
+         SELECT source, w, count(*) AS cf FROM (
+           SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           FROM documents)
+         GROUP BY 1, 2)
+       SELECT source, count(*) AS vocab_size,
+              CAST(sum(cf) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              round(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+                AS hapax_share,
+              round(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) / CAST(sum(cf) AS DOUBLE), 6)
+                AS hapax_token_share
+       FROM wc GROUP BY 1"""
+
+  // ---------------------------------------------------------------
   // 221. Heap's-law vocabulary-growth fit — the zipf_fit sibling on
   // the other axis: V(n) ≈ K·n^β (β ≈ 0.4-0.6 for natural language;
   // template spam flattens it, OCR noise inflates it). One corpus pass
@@ -424,6 +459,7 @@ object Vocab {
     "bpe_merges"        -> (bpeMerges _),
     "bpe_merge_curve"   -> (bpeMergeCurve _),
     "word_burstiness"   -> (wordBurstiness _),
+    "hapax_rate"        -> (hapaxRate _),
     "bpe_encode"        -> (bpeEncode _),
     "heaps_fit"         -> (heapsFit _),
     "charclass_profile" -> (charclassProfile _))
@@ -432,6 +468,7 @@ object Vocab {
     "bpe_merges"        -> bpeMergesSql,
     "bpe_merge_curve"   -> bpeMergeCurveSql,
     "word_burstiness"   -> wordBurstinessSql,
+    "hapax_rate"        -> hapaxRateSql,
     "bpe_encode"        -> bpeEncodeSql,
     "heaps_fit"         -> heapsFitSql,
     "charclass_profile" -> charclassProfileSql)

@@ -280,6 +280,9 @@ class PlanSpec extends SparkSpecBase {
       // operator); gsea_es tags every ranked feature into every
       // |sets|-row set; cluster_mst crosses the |labels|² centroid pairs
       "annotate_corr", "gsea_es", "cluster_mst",
+      // label_centroid_sims crosses the |labels|-row centroid arrays
+      // (the cluster_mst |labels|² precedent)
+      "label_centroid_sims",
       // ambient_pval / pattern_diff / decayed_sum / psi_drift /
       // survival_km attach 1-row global scalars (threshold, day range,
       // max-ts, ns-range, total-at-risk) or the 10-row bin grid;
