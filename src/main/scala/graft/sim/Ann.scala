@@ -104,6 +104,111 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  // 289. LSH plane-count recall sweep — the tuning table for the
+  // documented scale lever (#38's scaladoc: "raise the plane count so
+  // bucket occupancy stays bounded"; ivf_nprobe_sweep is the IVF
+  // sibling): candidate-set recall@10 and mean candidate count for
+  // p = 3..6 hyperplanes. Because plane j's components depend only on
+  // j (mix64(j·64+i)), the p-plane signature is the low-p-bit PREFIX
+  // of one 6-plane signature — ONE signature build serves the whole
+  // sweep, per-p buckets are `b6 % 2^p`. Recall is candidate-set
+  // coverage (no re-scoring — the nprobe-sweep convention): every
+  // statistic is integer until the two final divisions.
+  def lshPlanesSweep(s: SparkSession, dir: String): DataFrame = {
+    val sig6 = vectors(s, dir)
+      .withColumn("b6", graft.functions.VectorFunctions.hyperplaneBucket(col("v"), 6))
+      .select(col("vec_id"), col("b6"))
+      .localCheckpoint() // shared by all four plane counts
+    val truth = annBruteforceTopk(s, dir)
+      .select(col("qid"), col("neighbor_id").as("nid"))
+      .localCheckpoint() // joined once per plane count
+    (3 to 6).map { p =>
+      val sigp = sig6.select(col("vec_id"), (col("b6") % lit(1L << p)).as("bucket"))
+      val probes = sigp.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("qid"),
+          explode(expr(s"""transform(sequence(0, $p),
+            q -> IF(q = 0, bucket, bucket ^ shiftleft(1L, q - 1)))""")).as("bucket"))
+      val cand = sigp.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"))
+      val nc = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+      val hits = cand.join(truth, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      nc.join(hits, Seq("qid"), "left")
+        .agg(count(lit(1)).as("nq"),
+          sum(col("n_cand")).as("tc"),
+          sum(coalesce(col("n_hit"), lit(0L))).as("th"))
+        .select(lit(p.toLong).as("planes"), col("nq").as("n_queries"),
+          round(col("tc") / col("nq").cast("double"), 6).as("avg_candidates"),
+          round(col("th") / (col("nq") * lit(10)).cast("double"), 6).as("recall_at10"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** #289 oracle: one 6-plane signature chain (same SplitMix64 plane
+    * derivation, distinct CTE names so the 5-plane `lsig` consumers
+    * are untouched), per-p prefix buckets, candidate-coverage counts
+    * against the brute-force truth. */
+  private val lshPlanesSweepSql = {
+    val perP = (3 to 6).map { p =>
+      s"""sig$p AS (SELECT vec_id, b6 % ${1L << p} AS bucket FROM lsig6),
+         pr$p AS (
+           SELECT vec_id AS qid,
+                  CASE WHEN t.q < 0 THEN bucket
+                       ELSE xor(bucket, (1::BIGINT << t.q)) END AS bucket
+           FROM sig$p, LATERAL (SELECT unnest(generate_series(-1, ${p - 1})) AS q) t
+           WHERE vec_id % 50 = 0),
+         cd$p AS MATERIALIZED (
+           SELECT p.qid, s.vec_id AS nid
+           FROM pr$p p JOIN sig$p s USING (bucket)
+           WHERE s.vec_id != p.qid),
+         nc$p AS (SELECT qid, count(*) AS n_cand FROM cd$p GROUP BY 1),
+         ht$p AS (
+           SELECT c.qid, count(*) AS n_hit
+           FROM cd$p c JOIN btruth t ON c.qid = t.qid AND c.nid = t.nid
+           GROUP BY 1)"""
+    }.mkString(",\n       ")
+    val rows = (3 to 6).map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS planes,
+                 count(*) AS n_queries,
+                 round(sum(n.n_cand) / CAST(count(*) AS DOUBLE), 6) AS avg_candidates,
+                 round(sum(coalesce(h.n_hit, 0)) / CAST(count(*) * 10 AS DOUBLE), 6) AS recall_at10
+          FROM nc$p n LEFT JOIN ht$p h USING (qid)"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH dimn6 AS MATERIALIZED (
+         SELECT max(len(embedding::DOUBLE[])) AS nd FROM embeddings),
+       pidx6 AS MATERIALIZED (
+         SELECT t.j, u.i, (t.j*64 + u.i)::HUGEINT AS x
+         FROM (SELECT unnest(generate_series(0, 5)) AS j) t,
+              dimn6, LATERAL (SELECT unnest(generate_series(0, nd - 1)) AS i) u),
+       ${splitmixCtes("p6", "pidx6", "j, i")},
+       planes6 AS MATERIALIZED (
+         SELECT j, i,
+                (((hs % 2000003) + 2000003) % 2000003) / 1000001.0 - 1.0 AS comp
+         FROM p6h),
+       vx6 AS MATERIALIZED (
+         SELECT vec_id, t.i, t.x
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+         LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
+       lsig6 AS MATERIALIZED (
+         SELECT vec_id,
+                sum(CASE WHEN acc > 0 THEN (1::BIGINT << CAST(j AS INT))
+                    ELSE 0 END)::BIGINT AS b6
+         FROM (SELECT vx6.vec_id, p.j, sum(vx6.x * p.comp) AS acc
+               FROM vx6 JOIN planes6 p ON vx6.i = p.i GROUP BY 1, 2)
+         GROUP BY 1),
+       bscored6 AS MATERIALIZED (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         WHERE q.vec_id % 50 = 0),
+       btruth AS MATERIALIZED (SELECT qid, nid FROM bscored6 WHERE rk <= 10),
+       $perP
+       $rows"""
+  }
+
+  // ---------------------------------------------------------------
   // 39. IVF-style ANN: the grid-Lloyd fixed-iteration KMeans
   // (Reduce.gridLloyd — the harmony_correct determinism template) as
   // the coarse quantizer, k=16 cells; every vector is assigned to its
@@ -929,6 +1034,7 @@ object Ann {
     "knn_clustering_coeff_lsh" -> (knnClusteringCoeffLsh _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ivf_nprobe_sweep"    -> (ivfNprobeSweep _),
+    "lsh_planes_sweep"    -> (lshPlanesSweep _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _),
     "ann_recall_eval"     -> (annRecallEval _),
@@ -957,6 +1063,7 @@ object Ann {
     "ivf_nprobe_sweep" -> ivfNprobeSweepSql,
     "ann_ivf_topk" -> ivfOracleSql(
       "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
+    "lsh_planes_sweep" -> lshPlanesSweepSql,
     "ann_recall_eval" -> annRecallEvalSql,
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_lsh" -> hardNegativesLshSql,

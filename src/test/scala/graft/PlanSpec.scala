@@ -342,6 +342,9 @@ class PlanSpec extends SparkSpecBase {
       // documented brute-force sampling bound); ivf_nprobe_sweep rides
       // the brute-force truth scorer (ann_recall_eval precedent)
       "distance_histogram", "ivf_nprobe_sweep",
+      // lsh_planes_sweep rides the brute-force truth scorer
+      // (ann_recall_eval precedent); its candidate joins are bucketed
+      "lsh_planes_sweep",
       // ann_ivfpq_topk / _residual cross queries with the 16-row
       // centroid broadcast for probing (the ann_ivf_topk shape)
       "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
