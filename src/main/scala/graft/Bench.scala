@@ -22,6 +22,10 @@ object Bench {
   private val skip = Set(
     "dedup_ngram_jaccard", "dedup_components", "dedup_containment",
     "dup_pairs_by_source",
+    // offline calibration audit whose TRUTH side is the exact
+    // inverted-index pair set above — same quarantine; the production
+    // banding path it tunes (dedup_minhash_lsh) IS benchmarked
+    "minhash_bands_sweep",
     // exact BNL oracle paths of #206/#218: each broadcasts an entire
     // batch (≈half the embedding corpus) as the small side — fine at
     // sf0.1, quadratic at a larger gate SF. Their _lsh scale twins ARE

@@ -765,6 +765,7 @@ object Dedup {
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_incremental"   -> (dedupIncremental _),
     "minhash_calibration" -> (minhashCalibration _),
+    "minhash_bands_sweep" -> ((a: SparkSession, b: String) => minhashBandsSweep(a, b)),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "winnow_dup_pairs"    -> (winnowDupPairs _),
     "dedup_keeper_quality" -> (dedupKeeperQuality _),
@@ -959,14 +960,103 @@ object Dedup {
     * candidate volume ~300×) — signed-BIGINT mins per hash index,
     * literal band tuples as join keys, md5-uniform sample cap, and the
     * same est/true-Jaccard algebra. */
-  private val minhashCalibrationSql: String = {
-    val uPair = {
-      val md5k = "md5(CAST(d1 AS VARCHAR) || '_' || CAST(d2 AS VARCHAR))"
-      (1 to 6).map { i =>
-        s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i)}"
-      }.mkString("((", "\n                 + ", " + 1.0) / 16777217.0)")
-    }
-    s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+  // ---------------------------------------------------------------
+  // 290. MinHash banding sweep — the S-curve tuning table for the
+  // banding lever, completing the sweep trio (IVF nprobe #261, LSH
+  // planes #289): with the 64-slot signature fixed, band counts
+  // b ∈ {4, 8, 16, 32} (r = 64/b rows per band) trade candidate
+  // volume against recall of the TRUE Jaccard-≥0.7 pair set (the
+  // collision curve 1−(1−s^r)^b made empirical). Truth is the exact
+  // inverted-index pair set (#33's oracle path — this is an offline
+  // calibration audit, Bench-skipped like its feed); candidates per
+  // config are the production banding join. All counts integer; the
+  // two rates divide once at the end.
+  def minhashBandsSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.minhashSigText
+    val sigs = docsNorm(s, dir)
+      .withColumn("sig", minhashSigText(col("t"), 5, 64))
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint() // shared by all four band configs
+    val truth = dedupNgramJaccard(s, dir).select(col("d1"), col("d2"))
+      .localCheckpoint()
+    Seq(4, 8, 16, 32).map { b =>
+      val rpb = 64 / b
+      val bandsDf = sigs.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${b - 1}), bb -> " +
+          s"struct(bb AS band, concat_ws(',', transform(slice(sig, bb*$rpb+1, $rpb), " +
+          "x -> CAST(x AS STRING))) AS bh))")).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bh"))
+      val cand = bandsDf.as("a").hint("shuffle_hash")
+        .join(bandsDf.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .dropDuplicates("d1", "d2")
+        .localCheckpoint() // counted twice (volume + hits)
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nh = cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      nc.crossJoin(nh).crossJoin(nt)
+        .select(lit(b.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
+          col("n_cand"), col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            round(col("n_hit") / col("n_truth").cast("double"), 6))
+            .otherwise(lit(0.0)).as("recall"),
+          when(col("n_cand") > 0,
+            round(col("n_hit") / col("n_cand").cast("double"), 6))
+            .otherwise(lit(0.0)).as("precision"))
+    }.reduce(_ unionByName _)
+  }
+
+  private lazy val minhashBandsSweepSql: String = {
+    val perB = Seq(4, 8, 16, 32).map { b =>
+      val rpb = 64 / b
+      s"""bx$b AS (
+         SELECT doc_id, t.b,
+                array_to_string(list_transform(generate_series(t.b*$rpb+1, t.b*$rpb+$rpb),
+                  i -> sig[i]::VARCHAR), ',') AS bh
+         FROM msig, LATERAL (SELECT unnest(generate_series(0, ${b - 1})) AS b) t),
+       cd$b AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bx$b a JOIN bx$b b
+           ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+    }.mkString(",\n       ")
+    val rows = Seq(4, 8, 16, 32).map { b =>
+      val rpb = 64 / b
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($rpb AS BIGINT) AS rows_per_band,
+                 (SELECT count(*) FROM cd$b) AS n_cand,
+                 (SELECT count(*) FROM mtruth) AS n_truth,
+                 (SELECT count(*) FROM cd$b c JOIN mtruth t USING (d1, d2)) AS n_hit,
+                 CASE WHEN (SELECT count(*) FROM mtruth) > 0
+                      THEN round((SELECT count(*) FROM cd$b c JOIN mtruth t USING (d1, d2))
+                                 / CAST((SELECT count(*) FROM mtruth) AS DOUBLE), 6)
+                      ELSE 0.0 END AS recall,
+                 CASE WHEN (SELECT count(*) FROM cd$b) > 0
+                      THEN round((SELECT count(*) FROM cd$b c JOIN mtruth t USING (d1, d2))
+                                 / CAST((SELECT count(*) FROM cd$b) AS DOUBLE), 6)
+                      ELSE 0.0 END AS precision"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $msigPrefixSql,
+       msizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       minter AS MATERIALIZED (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       mtruth AS MATERIALIZED (
+         SELECT d1, d2 FROM minter v
+         JOIN msizes s1 ON v.d1 = s1.doc_id
+         JOIN msizes s2 ON v.d2 = s2.doc_id
+         WHERE CAST(v.i AS DOUBLE) / (s1.n + s2.n - v.i) >= 0.7),
+       $perB
+       $rows"""
+  }
+
+  /** Shared oracle prefix: normalized docs -> DISTINCT 5-gram shingles
+    * -> FNV-1a/SplitMix64 per-slot hashes -> 64-slot MinHash signature
+    * `msig (doc_id, sig)` with `sh`/`nrm` in scope. Used by the
+    * calibration audit (#190) and the banding sweep (#290). */
+  private lazy val msigPrefixSql: String =
+    s"""nrm AS (SELECT doc_id, $normSql AS t FROM documents),
        sh AS MATERIALIZED (
          SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
          FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
@@ -988,7 +1078,16 @@ object Dedup {
          SELECT doc_id, list(v ORDER BY j) AS sig
          FROM (SELECT s.doc_id, h.j, min(h.hj) AS v
                FROM sh s JOIN hjs h USING (g) GROUP BY 1, 2)
-         GROUP BY 1),
+         GROUP BY 1)"""
+
+  private val minhashCalibrationSql: String = {
+    val uPair = {
+      val md5k = "md5(CAST(d1 AS VARCHAR) || '_' || CAST(d2 AS VARCHAR))"
+      (1 to 6).map { i =>
+        s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i)}"
+      }.mkString("((", "\n                 + ", " + 1.0) / 16777217.0)")
+    }
+    s"""WITH $msigPrefixSql,
        bandsx AS (
          SELECT doc_id, t.b,
                 array_to_string(list_transform(generate_series(t.b*4+1, t.b*4+4),
@@ -1025,6 +1124,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "minhash_calibration" -> minhashCalibrationSql,
+    "minhash_bands_sweep" -> minhashBandsSweepSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
     "winnow_dup_pairs"    -> winnowDupPairsSql,
     "dedup_containment" -> dedupContainmentSql,

@@ -229,6 +229,9 @@ class PlanSpec extends SparkSpecBase {
       // scorer (LSH/IVF candidates are the scale path)
       "local_lisi",
       "dedup_ngram_jaccard", "dedup_containment", "dup_pairs_by_source", "threshold_tally", "feature_filter", "enrichment_ora",
+      // minhash_bands_sweep embeds the exact-Jaccard truth feed above
+      // (offline calibration audit; Bench-skipped)
+      "minhash_bands_sweep",
       // join_key_skew attaches the 1-row totals agg to the 1-row
       // top-10 agg per key column — scalar attaches
       "join_key_skew",
