@@ -658,6 +658,70 @@ object Sessions {
        GROUP BY 1, 2"""
 
   // ---------------------------------------------------------------
+  // 292. session gap-parameter sweep — the tuning table behind #45's
+  // fixed 30-minute rule (the third member of the parameter-sweep
+  // family with #289/#290: pick the knee where session counts
+  // stabilize): for gap thresholds 10/30/60 min, global session
+  // counts, mean events/session and mean session duration. One
+  // per-user ordered window computes the inter-event gaps once; each
+  // threshold is a different integer cut over the SAME gap column —
+  // three aggregations, one sort.
+  def sessionGapSweep(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .localCheckpoint() // re-cut three times
+    Seq(10L, 30L, 60L).map { gapMin =>
+      val thresh = gapMin * 60L * 1000000L
+      val wS = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev
+        .withColumn("brk",
+          when(col("gap_us").isNull || col("gap_us") > thresh, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(wS))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_ev"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      sess.agg(count(lit(1)).as("ns"),
+          sum(col("n_ev")).as("te"), sum(col("dur_us")).as("td"))
+        .select(lit(gapMin).as("gap_minutes"), col("ns").as("n_sessions"),
+          round(col("te") / col("ns").cast("double"), 6).as("avg_events"),
+          round(col("td") / col("ns").cast("double"), 4).as("avg_duration_us"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val sessionGapSweepSql = {
+    val perG = Seq(10L, 30L, 60L).map { gapMin =>
+      val thresh = gapMin * 60L * 1000000L
+      s"""SELECT CAST($gapMin AS BIGINT) AS gap_minutes,
+                 count(*) AS n_sessions,
+                 round(sum(n_ev) / CAST(count(*) AS DOUBLE), 6) AS avg_events,
+                 round(sum(dur_us) / CAST(count(*) AS DOUBLE), 4) AS avg_duration_us
+          FROM (
+            SELECT user_id, sid, count(*) AS n_ev,
+                   max(ts_us) - min(ts_us) AS dur_us
+            FROM (
+              SELECT user_id, ts_us,
+                     sum(CASE WHEN gap_us IS NULL OR gap_us > $thresh
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts_us ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM gse)
+            GROUP BY 1, 2)"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH gse AS MATERIALIZED (
+         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
+         FROM events)
+       $perG"""
+  }
+
+  // ---------------------------------------------------------------
   // 285. seasonality-adjusted anomaly screen — #280 put to work (a
   // Saturday spike that is normal FOR Saturdays must not page anyone):
   // per (event_type, day), the expected count is that type's mean for
@@ -1477,6 +1541,7 @@ object Sessions {
     "time_grid_interp"       -> (timeGridInterp _),
     "theil_sen"              -> (theilSen _),
     "seasonal_adjusted_anomaly" -> (seasonalAdjustedAnomaly _),
+    "session_gap_sweep"      -> (sessionGapSweep _),
     "retention_decay_fit"    -> (retentionDecayFit _),
     "linear_attribution"     -> (linearAttribution _),
     "activity_islands"       -> (activityIslands _),
@@ -1518,6 +1583,7 @@ object Sessions {
     "time_grid_interp"       -> timeGridInterpSql,
     "theil_sen"              -> theilSenSql,
     "seasonal_adjusted_anomaly" -> seasonalAdjustedAnomalySql,
+    "session_gap_sweep"      -> sessionGapSweepSql,
     "retention_decay_fit"    -> retentionDecayFitSql,
     "linear_attribution"     -> linearAttributionSql,
     "activity_islands"       -> activityIslandsSql,

@@ -209,6 +209,43 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  // 291. IVF cell-balance audit — the partition-skew screen for the
+  // coarse quantizer (a hot cell is a hot Spark partition AND a slow
+  // probe: nprobe×(n/cells) scan cost assumes balance; faiss surfaces
+  // the same through imbalance_factor): per-cell vector counts off the
+  // shared grid-Lloyd assignment, each cell's share and its skew ratio
+  // n·cells/total (1.0 = perfectly balanced — the seasonal-index
+  // shape). Integer until the two divisions.
+  def ivfCellBalance(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = graft.ml.Reduce.gridLloyd(
+      vectors(s, dir).select(col("vec_id"), col("v")), Seq(IvfCells))
+    val counts = assign.groupBy(col("k").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("total"), count(lit(1)).as("nc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") / col("total").cast("double"), 6).as("share"),
+        round(col("n_vecs") * col("nc") / col("total").cast("double"), 6).as("skew"))
+  }
+
+  // lazy: IvfCells is declared LATER in this object — an eager val
+  // here would capture 0 (Scala object vals initialize in order)
+  private lazy val ivfCellBalanceSql = {
+    val R = graft.ml.Reduce.LloydRounds
+    s"""WITH ${graft.ml.Reduce.lloydPrefixSql(Seq(IvfCells))},
+       ccounts AS (
+         SELECT CAST(k AS BIGINT) AS cell, count(*) AS n_vecs
+         FROM lg$R GROUP BY 1),
+       ctot AS (
+         SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*) AS nc
+         FROM ccounts)
+       SELECT c.cell, c.n_vecs,
+              round(c.n_vecs / CAST(t.total AS DOUBLE), 6) AS share,
+              round(c.n_vecs * t.nc / CAST(t.total AS DOUBLE), 6) AS skew
+       FROM ccounts c, ctot t"""
+  }
+
+  // ---------------------------------------------------------------
   // 39. IVF-style ANN: the grid-Lloyd fixed-iteration KMeans
   // (Reduce.gridLloyd — the harmony_correct determinism template) as
   // the coarse quantizer, k=16 cells; every vector is assigned to its
@@ -1035,6 +1072,7 @@ object Ann {
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ivf_nprobe_sweep"    -> (ivfNprobeSweep _),
     "lsh_planes_sweep"    -> (lshPlanesSweep _),
+    "ivf_cell_balance"    -> (ivfCellBalance _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _),
     "ann_recall_eval"     -> (annRecallEval _),
@@ -1064,6 +1102,7 @@ object Ann {
     "ann_ivf_topk" -> ivfOracleSql(
       "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
     "lsh_planes_sweep" -> lshPlanesSweepSql,
+    "ivf_cell_balance" -> ivfCellBalanceSql,
     "ann_recall_eval" -> annRecallEvalSql,
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_lsh" -> hardNegativesLshSql,

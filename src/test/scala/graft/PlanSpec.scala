@@ -348,6 +348,9 @@ class PlanSpec extends SparkSpecBase {
       // lsh_planes_sweep rides the brute-force truth scorer
       // (ann_recall_eval precedent); its candidate joins are bucketed
       "lsh_planes_sweep",
+      // ivf_cell_balance attaches the 1-row totals agg to the 16-row
+      // cell counts — scalar attach, not a pair join
+      "ivf_cell_balance",
       // ann_ivfpq_topk / _residual cross queries with the 16-row
       // centroid broadcast for probing (the ann_ivf_topk shape)
       "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
