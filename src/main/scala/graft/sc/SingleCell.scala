@@ -205,6 +205,88 @@ object SingleCell {
   }
 
   // ---------------------------------------------------------------
+  // 293. TF-activity inference by univariate linear model — the
+  // deterministic distributed analog of the reference's BITFAM wrapper
+  // (/root/reference/R/bitfam.R:3-13: per-cell transcription-factor
+  // activities from normalized expression × a TF→target prior).
+  // BITFAM's variational Bayes has no deterministic distributed
+  // replay; the standard fast substitute is decoupleR's ulm — per
+  // (entity, TF) the t-statistic of the univariate OLS of the
+  // entity's expression profile on the TF's binary target mask. The
+  // Pearson core is computed from SPARSE sums only (Σx, Σx², Σx·m
+  // over observed entries + universe/target counts — the zeros of the
+  // dense matrix never materialize), so the whole activity matrix is
+  // one fact shuffle + a |TFs|-row broadcast. Brands play the TF
+  // target sets (the enrichment_ora term convention).
+  def tfActivityUlm(s: SparkSession, dir: String): DataFrame = {
+    val ln = graft.api.Analytics.logNormalize(matrix(s, dir),
+      col("entity"), col("feature"), col("value"))
+    val tfs = Tables.part(s, dir)
+      .select(col("p_partkey").as("feature"), col("p_brand").as("tf"))
+    val nUniv = tfs.count() // bounded dim scalar (|parts|)
+    val nTgt = tfs.groupBy(col("tf")).agg(count(lit(1)).as("n_targets"))
+    val entStats = ln.groupBy(col("entity"))
+      .agg(sum(col("lognorm")).as("sx"),
+        sum(col("lognorm") * col("lognorm")).as("sxx"))
+    val sxm = ln.join(broadcast(tfs), "feature")
+      .groupBy(col("entity"), col("tf")).agg(sum(col("lognorm")).as("sxm"))
+    val bigN = lit(nUniv.toDouble)
+    entStats.crossJoin(broadcast(nTgt))
+      .join(sxm, Seq("entity", "tf"), "left")
+      .select(col("entity"), col("tf"), col("n_targets"), col("sx"), col("sxx"),
+        coalesce(col("sxm"), lit(0.0)).as("sxm"))
+      .withColumn("den", sqrt(
+        (bigN * col("n_targets").cast("double")
+          - (col("n_targets") * col("n_targets")).cast("double"))
+          * (bigN * col("sxx") - col("sx") * col("sx"))))
+      .withColumn("rr", when(col("den") > 0,
+        (bigN * col("sxm") - col("n_targets").cast("double") * col("sx")) / col("den"))
+        .otherwise(lit(0.0)))
+      .select(col("entity"), col("tf"), col("n_targets"),
+        round(col("rr"), 6).as("r"),
+        round(when(abs(col("rr")) < 1,
+          col("rr") * sqrt((bigN - 2.0) / (lit(1.0) - col("rr") * col("rr"))))
+          .otherwise(lit(0.0)), 4).as("activity_t"))
+  }
+
+  private val tfActivityUlmSql =
+    s"""WITH lognorm AS (
+         SELECT entity, feature,
+                ln(1 + value / sum(value) OVER (PARTITION BY entity) * 10000) AS lognorm
+         FROM ($matrixSql)),
+       tfm AS MATERIALIZED (SELECT p_partkey AS feature, p_brand AS tf FROM part),
+       ntg AS MATERIALIZED (SELECT tf, count(*) AS n_targets FROM tfm GROUP BY 1),
+       nuv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS bn FROM part),
+       es AS MATERIALIZED (
+         SELECT entity, sum(lognorm) AS sx, sum(lognorm * lognorm) AS sxx
+         FROM lognorm GROUP BY 1),
+       sxm AS MATERIALIZED (
+         SELECT l.entity, t.tf, sum(l.lognorm) AS sxm
+         FROM lognorm l JOIN tfm t USING (feature) GROUP BY 1, 2),
+       j AS (
+         SELECT e.entity, g.tf, g.n_targets, e.sx, e.sxx,
+                coalesce(m.sxm, 0.0) AS sxm, n.bn
+         FROM es e CROSS JOIN ntg g CROSS JOIN nuv n
+         LEFT JOIN sxm m ON m.entity = e.entity AND m.tf = g.tf),
+       sc AS (
+         SELECT entity, tf, n_targets,
+                CASE WHEN sqrt((bn * CAST(n_targets AS DOUBLE)
+                         - CAST(n_targets * n_targets AS DOUBLE))
+                         * (bn * sxx - sx * sx)) > 0
+                     THEN (bn * sxm - CAST(n_targets AS DOUBLE) * sx)
+                          / sqrt((bn * CAST(n_targets AS DOUBLE)
+                              - CAST(n_targets * n_targets AS DOUBLE))
+                              * (bn * sxx - sx * sx))
+                     ELSE 0.0 END AS rr,
+                bn
+         FROM j)
+       SELECT entity, tf, n_targets, round(rr, 6) AS r,
+              round(CASE WHEN abs(rr) < 1
+                    THEN rr * sqrt((bn - 2.0) / (1.0 - rr * rr))
+                    ELSE 0.0 END, 4) AS activity_t
+       FROM sc"""
+
+  // ---------------------------------------------------------------
   // 26. variance explained per covariate (integrate.R:19-44): per-feature
   // one-way ANOVA R² of value vs batch covariate = SS_between/SS_total.
   // Two-level aggregation — no window, two shuffles total.
@@ -737,6 +819,7 @@ object SingleCell {
     "inverse_simpson"       -> (inverseSimpson _),
     "enrichment_ora"        -> (enrichmentOra _),
     "module_score"          -> (moduleScore _),
+    "tf_activity_ulm"       -> (tfActivityUlm _),
     "variance_explained"    -> (varianceExplained _),
     "hvg_mean_var"          -> (hvgMeanVar _),
     "batch_standardize"     -> (batchStandardize _),
@@ -1157,6 +1240,7 @@ object SingleCell {
                 round(least(1.0, min(p*m/rk) OVER (ORDER BY rk ASC
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),6) AS p_adj
          FROM ranked""",
+    "tf_activity_ulm" -> tfActivityUlmSql,
     "module_score" ->
       s"""WITH lognorm AS (
             SELECT entity, feature,

@@ -56,6 +56,24 @@ class SweepSpec extends SparkSpecBase {
     assert(math.abs(skewMean - 1.0) < 1e-4, s"mean skew $skewMean")
   }
 
+  test("tf activity ulm: complete grid, bounded correlations, consistent signs") {
+    val rows = sc.SingleCell.tfActivityUlm(spark, sf)
+    val tfs = Tables.part(spark, sf).select(col("p_brand")).distinct().count()
+    // every entity scores against EVERY TF (the dense activity matrix)
+    val perEnt = rows.groupBy(col("entity")).agg(countDistinct(col("tf")).as("nt"))
+      .filter(col("nt") =!= tfs).count()
+    assert(perEnt == 0, "an entity is missing TF rows")
+    val bad = rows.filter(abs(col("r")) > 1.0 + 1e-9 ||
+      (col("r") > 0 && col("activity_t") < 0) ||
+      (col("r") < 0 && col("activity_t") > 0)).count()
+    assert(bad == 0, "correlation out of range or t-stat sign mismatch")
+    // masks partition the universe, so activities can't all lean one way
+    val both = rows.agg(
+      sum(when(col("activity_t") > 0, 1).otherwise(0)).as("p"),
+      sum(when(col("activity_t") < 0, 1).otherwise(0)).as("n")).collect()(0)
+    assert(both.getLong(0) > 0 && both.getLong(1) > 0)
+  }
+
   test("grid interpolation stays inside its brackets and agrees with LOCF on observed hours") {
     val interp = core.Sessions.timeGridInterp(spark, sf)
     val locf = core.Sessions.timeGridFill(spark, sf)
