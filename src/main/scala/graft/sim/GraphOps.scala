@@ -568,6 +568,61 @@ object GraphOps {
        GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // 294. kNN differential-abundance screen (Milo/miloR's neighborhood
+  // DA made deterministic — the condition-mix test run per LOCAL
+  // neighborhood instead of per cluster, which catches shifts cluster
+  // boundaries smear away): condition = vec_id parity (the
+  // centroid_stability half convention), per vertex the k-neighborhood
+  // count from condition 0 vs the global share p, scored by the
+  // binomial z = (n0 − k·p)/√(k·p·(1−p)). p is an exact integer
+  // rational from one bounded aggregate; flags by |z| ≥ 2. Exact +
+  // `_lsh` twins over the shared knn feed.
+  def knnDaScreen(s: SparkSession, dir: String): DataFrame =
+    daScreenFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = true))
+
+  def knnDaScreenLsh(s: SparkSession, dir: String): DataFrame =
+    daScreenFrom(s, dir, Ann.knnEdges(s, dir, k = SnnK, exact = false))
+
+  private def daScreenFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"))
+    // global condition share: exact integer rational, bounded scalar
+    val tot = emb.agg(count(lit(1)).as("n"),
+      sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n0"))
+      .collect()(0)
+    val p = tot.getLong(1).toDouble / tot.getLong(0).toDouble
+    knn
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(pmod(col("nid"), lit(2)) === 0, 1L).otherwise(0L)).as("n_cond0"))
+      .select(col("qid").as("vec_id"),
+        pmod(col("vec_id"), lit(2)).cast("long").as("own_cond"),
+        col("k_eff"), col("n_cond0"),
+        round(col("k_eff") * lit(p), 6).as("expected0"),
+        round((col("n_cond0") - col("k_eff") * lit(p))
+          / sqrt(col("k_eff") * lit(p) * lit(1.0 - p)), 4).as("da_z"))
+      .withColumn("da_flag", abs(col("da_z")) >= 2.0)
+  }
+
+  private def daScreenTailSql =
+    """dtot AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+         FROM embeddings),
+       dnb AS (
+         SELECT qid, count(*) AS k_eff,
+                CAST(sum(CASE WHEN nid % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cond0
+         FROM knn GROUP BY 1)
+       SELECT qid AS vec_id,
+              CAST(qid % 2 AS BIGINT) AS own_cond,
+              k_eff, n_cond0,
+              round(k_eff * (n0 / n), 6) AS expected0,
+              round((n_cond0 - k_eff * (n0 / n))
+                    / sqrt(k_eff * (n0 / n) * (1.0 - n0 / n)), 4) AS da_z,
+              abs(round((n_cond0 - k_eff * (n0 / n))
+                    / sqrt(k_eff * (n0 / n) * (1.0 - n0 / n)), 4)) >= 2.0 AS da_flag
+       FROM dnb, dtot"""
+
+  // ---------------------------------------------------------------
   // 254. linear-kernel MMD² between label groups — the embedding-space
   // distribution-shift screen (are two labels' clouds separated?):
   // MMD²_linear = ‖μ_a − μ_b‖². Means come from integer-quantized
@@ -835,6 +890,8 @@ object GraphOps {
     "ppr_knn_lsh"         -> (pprKnnLsh _),
     "distance_histogram"  -> (distanceHistogram _),
     "knn_label_noise"     -> (knnLabelNoise _),
+    "knn_da_screen"       -> (knnDaScreen _),
+    "knn_da_screen_lsh"   -> (knnDaScreenLsh _),
     "knn_label_noise_lsh" -> (knnLabelNoiseLsh _),
     "embedding_mmd"       -> (embeddingMmd _),
     "leiden_refine"       -> (leidenRefine _),
@@ -867,6 +924,10 @@ object GraphOps {
     "distance_histogram" -> distanceHistogramSql,
     "knn_label_noise" ->
       s"WITH ${Ann.bruteKnnSql(SnnK)}\n$labelNoiseTailSql",
+    "knn_da_screen" ->
+      s"WITH ${Ann.bruteKnnSql(SnnK)},\n$daScreenTailSql",
+    "knn_da_screen_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$daScreenTailSql",
     "knn_label_noise_lsh" ->
       s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)}\n$labelNoiseTailSql",
     "embedding_mmd" -> embeddingMmdSql,

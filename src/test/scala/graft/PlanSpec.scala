@@ -286,6 +286,10 @@ class PlanSpec extends SparkSpecBase {
       // label_centroid_sims crosses the |labels|-row centroid arrays
       // (the cluster_mst |labels|² precedent)
       "label_centroid_sims",
+      // tf_activity_ulm crosses each entity's stats with the
+      // |TFs|-row (25 brands) target-count broadcast — the dense
+      // activity matrix is the operator (ma_stats scaffold precedent)
+      "tf_activity_ulm",
       // ambient_pval / pattern_diff / decayed_sum / psi_drift /
       // survival_km attach 1-row global scalars (threshold, day range,
       // max-ts, ns-range, total-at-risk) or the 10-row bin grid;
@@ -335,7 +339,7 @@ class PlanSpec extends SparkSpecBase {
       // their _lsh twins are the scale feeds and stay BNL-free
       "snn_graph", "kcore_knn", "knn_bfs_dists", "louvain_snn",
       "leiden_refine", "modularity_score", "knn_assortativity",
-      "knn_label_noise",
+      "knn_label_noise", "knn_da_screen",
       // active_users joins the deduped (day, user) pairs against the
       // BOUNDED day grid (retention-window rows) on a trailing-range
       // predicate — the ma_stats bounded-scaffold shape, not a

@@ -74,6 +74,22 @@ class SweepSpec extends SparkSpecBase {
     assert(both.getLong(0) > 0 && both.getLong(1) > 0)
   }
 
+  test("knn DA screen: null-world z-scores center near zero, flags are a minority") {
+    // conditions are vec_id parity — a NULL world by construction, so
+    // the binomial z must behave like one: centered, few |z| >= 2
+    val rows = sim.GraphOps.knnDaScreen(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zs = rows.map(_.getAs[Double]("da_z"))
+    val mean = zs.sum / zs.length
+    assert(math.abs(mean) < 0.5, s"null-world z mean drifted: $mean")
+    val flagged = rows.count(_.getAs[Boolean]("da_flag"))
+    assert(flagged.toDouble / rows.length < 0.25,
+      s"null world flagged ${flagged}/${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cond0") <= r.getAs[Long]("k_eff"))
+    }
+  }
+
   test("grid interpolation stays inside its brackets and agrees with LOCF on observed hours") {
     val interp = core.Sessions.timeGridInterp(spark, sf)
     val locf = core.Sessions.timeGridFill(spark, sf)
