@@ -219,6 +219,11 @@ object SingleCell {
   // one fact shuffle + a |TFs|-row broadcast. Brands play the TF
   // target sets (the enrichment_ora term convention).
   def tfActivityUlm(s: SparkSession, dir: String): DataFrame = {
+    // ln is scanned twice (entity moments + target sums) but is
+    // deliberately NOT persisted inside the lazy plan: measured slower
+    // at bench SF (2.36 → 2.99 s — the checkpoint write outweighs the
+    // duplicate scan), the lshTopK signature-table precedent. At
+    // corpus scale the CALLER persists the normalized matrix once.
     val ln = graft.api.Analytics.logNormalize(matrix(s, dir),
       col("entity"), col("feature"), col("value"))
     val tfs = Tables.part(s, dir)
