@@ -41,6 +41,63 @@ object Scores {
        FROM mr GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // 296. categorical drift between stream halves — the categorical
+  // twin of #129 (that bins VALUES; this watches the event-type MIX
+  // itself, the first thing that moves when an upstream producer
+  // changes): per event type, first-half vs second-half counts and
+  // shares (Laplace +1 smoothing over |types| — zero-count-safe,
+  // deterministic), and the per-type PSI contribution
+  // (s2 − s1)·ln(s2/s1) whose sum is the drift index. Same exact
+  // integral midpoint cut as #129.
+  def categoryDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("ts_ns"))
+    val rng = e.agg(min(col("ts_ns")).as("__mnts"), max(col("ts_ns")).as("__mxts"))
+    val counts = e.crossJoin(broadcast(rng))
+      .withColumn("b", col("ts_ns") <= expr("__mnts + (__mxts - __mnts) div 2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("b"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(!col("b"), 1L).otherwise(0L)).as("n_second"))
+      .localCheckpoint() // totals re-join its own rollup
+    val tot = counts.agg(sum(col("n_first")).as("t1"),
+      sum(col("n_second")).as("t2"), count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("s1",
+        (col("n_first") + lit(1L)).cast("double") / (col("t1") + col("k")).cast("double"))
+      .withColumn("s2",
+        (col("n_second") + lit(1L)).cast("double") / (col("t2") + col("k")).cast("double"))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        round(col("s1"), 6).as("share_first"),
+        round(col("s2"), 6).as("share_second"),
+        round((col("s2") - col("s1")) * log(col("s2") / col("s1")), 6)
+          .as("psi_contrib"))
+  }
+
+  private val categoryDriftSql =
+    """WITH rng AS (
+         SELECT min(epoch_ns(ts)) AS mnts, max(epoch_ns(ts)) AS mxts FROM events),
+       counts AS MATERIALIZED (
+         SELECT event_type,
+                CAST(sum(CASE WHEN epoch_ns(ts) <= mnts + (mxts - mnts) // 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                CAST(sum(CASE WHEN epoch_ns(ts) <= mnts + (mxts - mnts) // 2
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_second
+         FROM events, rng GROUP BY 1),
+       tot AS (
+         SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+                CAST(sum(n_second) AS BIGINT) AS t2, count(*) AS k
+         FROM counts),
+       sh AS (
+         SELECT c.event_type, c.n_first, c.n_second,
+                CAST(c.n_first + 1 AS DOUBLE) / CAST(t.t1 + t.k AS DOUBLE) AS s1,
+                CAST(c.n_second + 1 AS DOUBLE) / CAST(t.t2 + t.k AS DOUBLE) AS s2
+         FROM counts c, tot t)
+       SELECT event_type, n_first, n_second,
+              round(s1, 6) AS share_first,
+              round(s2, 6) AS share_second,
+              round((s2 - s1) * ln(s2 / s1), 6) AS psi_contrib
+       FROM sh"""
+
+  // ---------------------------------------------------------------
   // 129. PSI score drift per event type between the first and second
   // half of the stream (by the global ns-timestamp midpoint — exact
   // integer arithmetic, no double rounding at e18 magnitudes): 10
@@ -773,6 +830,7 @@ object Scores {
     "hourly_uniformity" -> (hourlyUniformity _),
     "score_auc"        -> (scoreAuc _),
     "psi_drift"        -> (psiDrift _),
+    "category_drift" -> (categoryDrift _),
     "decayed_sum"      -> (decayedSum _),
     "calibration_bins" -> (calibrationBins _))
 
@@ -788,6 +846,7 @@ object Scores {
     "hourly_uniformity" -> hourlyUniformitySql,
     "score_auc"        -> scoreAucSql,
     "psi_drift"        -> psiDriftSql,
+    "category_drift" -> categoryDriftSql,
     "decayed_sum"      -> decayedSumSql,
     "calibration_bins" -> calibrationBinsSql)
 }

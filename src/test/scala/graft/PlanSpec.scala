@@ -296,6 +296,9 @@ class PlanSpec extends SparkSpecBase {
       // early_de / condition_test / diff_end are the pattern_diff /
       // start_vs_end machinery with different masks — same 1-row
       // day-range attach
+      // category_drift attaches the 1-row ts-range and totals aggs —
+      // scalar attaches (the psi_drift precedent)
+      "category_drift",
       "ambient_pval", "pattern_diff", "decayed_sum", "psi_drift",
       "survival_km", "hvg_trend",
       "early_de", "condition_test", "diff_end",
