@@ -155,6 +155,40 @@ object StreamSessionize {
         col("n"), terms.reduce(_ + _).as("psi"))
   }
 
+  /** Streaming categorical-mix drift monitor — the stream twin of the
+    * batch `category_drift` (#296) the way psiMonitor twins psi_drift:
+    * per tumbling window, the event-TYPE mix against a static baseline
+    * share table (event_type, base_share). TWO chained stateful
+    * aggregations (the Spark 3.4+ multiple-stateful-operator path the
+    * streaming-DAU pipeline also uses): (window, type) counts re-
+    * aggregate per window into the full mix, so shares and PSI
+    * contributions are EXACT within the stream — no sink-side math.
+    * Both states are watermark-bounded; the per-window output is
+    * |types|-bounded rows whose psi_contrib sums to the drift index. */
+  def categoryDriftMonitor(events: DataFrame, baseline: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val mix = counts
+      .groupBy(col("window"))
+      .agg(sum(col("n")).as("total"),
+        count(lit(1)).as("k"),
+        collect_list(struct(col("event_type"), col("n"))).as("mix"))
+      .select(col("window.start").as("window_start"), col("total"), col("k"),
+        explode(col("mix")).as("e"))
+      .select(col("window_start"), col("e.event_type").as("event_type"),
+        col("e.n").as("n"), col("total"),
+        ((col("e.n") + lit(1.0)) / (col("total") + col("k"))).as("share"))
+    mix.join(broadcast(baseline.select(col("event_type"), col("base_share"))),
+        Seq("event_type"))
+      .select(col("window_start"), col("event_type"), col("n"), col("total"),
+        round(col("share"), 6).as("share"),
+        round((col("share") - col("base_share"))
+          * log(col("share") / col("base_share")), 6).as("psi_contrib"))
+  }
+
   /** Streaming NEAR-dup detection — the streaming twin of the batch
     * MinHash-LSH pipeline (graft.api.Similarity.nearDupPairsLsh):
     * every doc explodes into its 16 LSH band keys; a band key already

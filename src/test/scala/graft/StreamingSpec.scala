@@ -228,6 +228,71 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming category-drift monitor flags a flipped mix with exact in-stream shares") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // baseline mix: clicks dominate 80/20
+    val baseline = Seq(("click", 0.8), ("view", 0.2)).toDF("event_type", "base_share")
+    val ms = MemoryStream[(Timestamp, String)]
+    val q = StreamSessionize.categoryDriftMonitor(
+        ms.toDF().toDF("ts", "event_type"), baseline)
+      .writeStream.format("memory").queryName("catdrift").outputMode("append").start()
+    try {
+      // window 1: mix flipped — 2 clicks, 8 views
+      val evs = (1 to 2).map(i => (ts(i), "click")) ++ (1 to 8).map(i => (ts(10 + i), "view"))
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      ms.addData((ts(240), "view")) // advance watermark, close window 1
+      q.processAllAvailable()
+      ms.addData((ts(480), "view"))
+      q.processAllAvailable()
+      // keep only window 1 (it starts exactly at ts(0) — Base is
+      // hour-aligned); later watermark-advance windows are singletons
+      val w1 = ts(0).getTime
+      val rows = spark.table("catdrift").collect()
+        .filter(_.getTimestamp(0).getTime == w1)
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      assert(rows.contains("view") && rows.contains("click"), s"missing types: $rows")
+      val (nV, totV, shareV, psiV) = rows("view")
+      assert(nV == 8 && totV == 10, s"view counts wrong: ${rows("view")}")
+      assert(math.abs(shareV - 9.0 / 12.0) < 1e-6, s"share not the exact smoothed 9/12: $shareV")
+      assert(psiV > 0.5, s"flipped mix must light up the view contribution: $psiV")
+      // state is watermark-bounded across both chained aggregations
+      val maxState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).max
+      assert(maxState <= 20, s"drift-monitor state grew past the horizon: $maxState")
+    } finally q.stop()
+  }
+
+  test("near-dup stream state stays bounded by the watermark across a long replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamSessionize.nearDupStream(
+        ms.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("ndstate").outputMode("append").start()
+    try {
+      // 8 hours × 6 distinct docs/hour, each exploding into 16 band
+      // keys: unbounded dedup state would hold ~768 band rows by the
+      // end; the 1 h watermark must keep it near two horizons' worth
+      for (h <- 0 until 8) {
+        val docs = (0 until 6).map { i =>
+          (ts(h * 60L + i * 7), (h * 10 + i).toLong,
+            s"doc $h $i " + ("unique text block " * 3) + s"tail $h $i")
+        }
+        ms.addData(docs: _*)
+        q.processAllAvailable()
+      }
+      val totals = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      val maxState = totals.max
+      assert(maxState < 400,
+        s"near-dup state grew past the watermark horizon: $maxState")
+      assert(spark.table("ndstate").count() > 0)
+    } finally q.stop()
+  }
+
   test("native topk_by aggregate partial-merges inside a streaming windowed agg") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
