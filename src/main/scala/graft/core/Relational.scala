@@ -227,6 +227,31 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // 298. order-fulfillment latency per priority — the ops cycle-time
+  // table (#268 timed the event funnel; this times the WAREHOUSE
+  // flow): per line, ship delay = epoch-day(l_shipdate) −
+  // epoch-day(o_orderdate), rolled up per priority with n / mean /
+  // exact p50 / p90 / max (the #78 exact-percentile device; integer
+  // day deltas, so the interpolated percentiles replay bit-exact).
+  // Day extraction via unix_micros(CAST(ts)) div — the exact integral
+  // device (o_orderdate ships as TIMESTAMP_NTZ; value-identity under
+  // the session's UTC zone).
+  def fulfillmentLatency(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("ship_day"))
+    val ords = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("order_day"))
+    lines.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay", (col("ship_day") - col("order_day")).cast("double"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg(col("delay")), 6).as("mean_days"),
+        round(expr("percentile(delay, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(delay, 0.9)"), 4).as("p90_days"),
+        max(col("delay")).cast("long").as("max_days"))
+  }
+
+  // ---------------------------------------------------------------
   // 58. deterministic weighted sample (Efraimidis–Spirakis A-ES): 10
   // customers per segment, inclusion probability ∝ shifted account
   // balance, reproducible via the content-hash uniform.
@@ -928,7 +953,8 @@ object Relational {
     "stratified_sample"      -> (stratifiedSample _),
     "upset_membership"       -> (upsetMembership _),
     "asof_purchase_click"    -> (asofPurchaseClick _),
-    "asof_forward_click"     -> (asofForwardClick _))
+    "asof_forward_click"     -> (asofForwardClick _),
+    "order_fulfillment_latency" -> (fulfillmentLatency _))
 
   val oracles: Map[String, String] = Map(
     "abc_analysis" -> abcAnalysisSql,
@@ -1084,6 +1110,18 @@ object Relational {
              ON c.user_id = p.user_id AND c.ts <= p.ts AND c.event_type = 'click'
            WHERE p.event_type = 'purchase')
          WHERE rn = 1""",
+    "order_fulfillment_latency" ->
+      """WITH x AS (
+           SELECT o.o_orderpriority,
+                  CAST(epoch_us(l.l_shipdate) // 86400000000
+                       - epoch_us(o.o_orderdate) // 86400000000 AS DOUBLE) AS delay
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT o_orderpriority, count(*) AS n_lines,
+                round(avg(delay), 6) AS mean_days,
+                round(quantile_cont(delay, 0.5), 4) AS p50_days,
+                round(quantile_cont(delay, 0.9), 4) AS p90_days,
+                CAST(max(delay) AS BIGINT) AS max_days
+         FROM x GROUP BY 1""",
     "asof_forward_click" ->
       """SELECT event_id, user_id, ts_us, next_click_id, next_click_value FROM (
            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
