@@ -252,6 +252,54 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // 299. discount-band revenue effect (the TPC-H Q6 shape generalized
+  // into the pricing-elasticity audit: what does each discount band
+  // actually buy?): lines binned by exact integer percent
+  // (round(l_discount·100) — discounts ship as clean hundredths, so
+  // the bin is exact), per band n / quantity / gross & net revenue /
+  // the discount give-back, and the avg quantity the band moves.
+  def discountBandEffect(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("band", round(col("l_discount") * 100, 0).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(sum(col("l_extendedprice")), 4).as("gross_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("net_revenue"),
+        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("discount_cost"))
+
+  // ---------------------------------------------------------------
+  // 300. supplier concentration per nation — the Herfindahl–Hirschman
+  // procurement-risk audit (HHI = Σ share²; >0.25 = concentrated):
+  // supplier revenue shares within each nation off the lineitem →
+  // supplier join (dims broadcast), with the top-supplier share
+  // alongside. Two bounded-key aggregations; shares are ratios of
+  // 4dp-rounded sums so the Σshare² replays.
+  def supplierConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("rev"))
+    val tot = rev.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("total"))
+    rev.join(tot, "n_name")
+      .withColumn("share", col("rev") / col("total"))
+      .groupBy(col("n_name"))
+      .agg(first(col("n_suppliers")).as("n_suppliers"),
+        round(first(col("total")), 4).as("total_revenue"),
+        round(sum(col("share") * col("share")), 6).as("hhi"),
+        round(max(col("share")), 6).as("top_share"))
+  }
+
+  // ---------------------------------------------------------------
   // 58. deterministic weighted sample (Efraimidis–Spirakis A-ES): 10
   // customers per segment, inclusion probability ∝ shifted account
   // balance, reproducible via the content-hash uniform.
@@ -954,7 +1002,9 @@ object Relational {
     "upset_membership"       -> (upsetMembership _),
     "asof_purchase_click"    -> (asofPurchaseClick _),
     "asof_forward_click"     -> (asofForwardClick _),
-    "order_fulfillment_latency" -> (fulfillmentLatency _))
+    "order_fulfillment_latency" -> (fulfillmentLatency _),
+    "discount_band_effect"   -> (discountBandEffect _),
+    "supplier_concentration" -> (supplierConcentration _))
 
   val oracles: Map[String, String] = Map(
     "abc_analysis" -> abcAnalysisSql,
@@ -1110,6 +1160,32 @@ object Relational {
              ON c.user_id = p.user_id AND c.ts <= p.ts AND c.event_type = 'click'
            WHERE p.event_type = 'purchase')
          WHERE rn = 1""",
+    "discount_band_effect" ->
+      """SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS band,
+                count(*) AS n_lines,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(sum(l_extendedprice), 4) AS gross_revenue,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS net_revenue,
+                round(sum(l_extendedprice * l_discount), 4) AS discount_cost
+         FROM lineitem GROUP BY 1""",
+    "supplier_concentration" ->
+      """WITH rev AS (
+           SELECT n.n_name, l.l_suppkey,
+                  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS rev
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT n_name, count(*) AS n_suppliers, sum(rev) AS total
+           FROM rev GROUP BY 1)
+         SELECT r.n_name, any_value(t.n_suppliers) AS n_suppliers,
+                round(any_value(t.total), 4) AS total_revenue,
+                round(sum((r.rev / t.total) * (r.rev / t.total)), 6) AS hhi,
+                round(max(r.rev / t.total), 6) AS top_share
+         FROM rev r JOIN tot t USING (n_name)
+         GROUP BY 1""",
     "order_fulfillment_latency" ->
       """WITH x AS (
            SELECT o.o_orderpriority,
