@@ -1329,6 +1329,50 @@ object TextOps {
        FROM g"""
 
   // ---------------------------------------------------------------
+  // 301. quality-signal correlation audit per source — the filter-
+  // REDUNDANCY screen a curation pipeline runs before stacking
+  // filters (#171 composes the decisions; this asks which signals are
+  // measuring the same thing — a |r| ≈ 1 pair means the second filter
+  // buys nothing): per-doc length, word count, and the #275
+  // distinct-8-gram compression proxy, pairwise Pearson per source
+  // via the shared corr aggregate (the feature_corr / zipf_fit
+  // cross-engine precedent). Per-row narrow signals + one bounded-key
+  // aggregation.
+  def qualitySignalCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        length(col("text")).cast("double").as("len"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .cast("double").as("words"),
+        when(length(col("text")) >= 8,
+          expr("""size(array_distinct(transform(sequence(1, length(text) - 7),
+                    i -> substring(text, i, 8))))
+                  / CAST(length(text) - 7 AS DOUBLE)"""))
+          .otherwise(lit(1.0)).as("ratio"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(corr(col("len"), col("words")), 6).as("corr_len_words"),
+        round(corr(col("len"), col("ratio")), 6).as("corr_len_ratio"),
+        round(corr(col("words"), col("ratio")), 6).as("corr_words_ratio"))
+
+  private val qualitySignalCorrSql =
+    """WITH sig AS (
+         SELECT source,
+                CAST(length(text) AS DOUBLE) AS len,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) AS words,
+                CASE WHEN length(text) >= 8
+                     THEN len(list_distinct(list_transform(range(1, length(text) - 6),
+                            i -> substr(text, i, 8))))
+                          / CAST(length(text) - 7 AS DOUBLE)
+                     ELSE 1.0 END AS ratio
+         FROM documents)
+       SELECT source, count(*) AS n_docs,
+              round(corr(len, words), 6) AS corr_len_words,
+              round(corr(len, ratio), 6) AS corr_len_ratio,
+              round(corr(words, ratio), 6) AS corr_words_ratio
+       FROM sig GROUP BY 1"""
+
+  // ---------------------------------------------------------------
   // 145. approximate heavy hitters per group (native Misra-Gries
   // aggregate — ≤ k counters per group per partition on the exchange,
   // the scale path for "top frequent values" when the value cardinality
@@ -1388,6 +1432,7 @@ object TextOps {
     "heavy_hitters"    -> (heavyHitters _),
     "text_compression" -> (textCompression _),
     "text_compression_proxy" -> (textCompressionProxy _),
+    "quality_signal_corr" -> (qualitySignalCorr _),
     "para_dedup"       -> (paraDedup _),
     "dup_ngram_fraction" -> (dupNgramFraction _),
     "char_lm_score"    -> (charLmScore _),
@@ -1488,6 +1533,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_compression_proxy" -> textCompressionProxySql,
+    "quality_signal_corr" -> qualitySignalCorrSql,
     "mix_resample" -> mixResampleSql,
     "length_profile" -> lengthProfileSql,
     "heavy_hitters" -> heavyHittersSql,
