@@ -1373,6 +1373,37 @@ object TextOps {
        FROM sig GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // 302. token-count Gini per source — the doc-length INEQUALITY
+  // behind #155's length quantiles (#107's Gini on the corpus axis:
+  // a source where a few giant docs carry most tokens behaves very
+  // differently under packing/sampling than a uniform one, at the
+  // same mean length): exact integer token counts through the shared
+  // giniByGroup rank form (2Σi·xᵢ/(nΣx) − (n+1)/n, ties broken by
+  // doc_id — identical total order in both engines).
+  def tokenGini(s: SparkSession, dir: String): DataFrame =
+    graft.api.Analytics.giniByGroup(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .cast("double").as("toks")),
+        col("source"), col("doc_id"), col("toks"))
+      .select(col("group").as("source"), col("n"), r(col("gini"), 6).as("gini"))
+
+  private val tokenGiniSql =
+    """WITH t AS (
+         SELECT source, doc_id,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) AS toks
+         FROM documents),
+       rk AS (
+         SELECT source, toks,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY toks ASC, doc_id ASC) AS i
+         FROM t)
+       SELECT source, count(*) AS n,
+              round(2.0 * sum(i * toks) / (count(*) * nullif(sum(toks), 0.0))
+                    - (count(*) + 1.0) / count(*), 6) AS gini
+       FROM rk GROUP BY 1"""
+
+  // ---------------------------------------------------------------
   // 145. approximate heavy hitters per group (native Misra-Gries
   // aggregate — ≤ k counters per group per partition on the exchange,
   // the scale path for "top frequent values" when the value cardinality
@@ -1433,6 +1464,7 @@ object TextOps {
     "text_compression" -> (textCompression _),
     "text_compression_proxy" -> (textCompressionProxy _),
     "quality_signal_corr" -> (qualitySignalCorr _),
+    "token_gini" -> (tokenGini _),
     "para_dedup"       -> (paraDedup _),
     "dup_ngram_fraction" -> (dupNgramFraction _),
     "char_lm_score"    -> (charLmScore _),
@@ -1534,6 +1566,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_compression_proxy" -> textCompressionProxySql,
     "quality_signal_corr" -> qualitySignalCorrSql,
+    "token_gini" -> tokenGiniSql,
     "mix_resample" -> mixResampleSql,
     "length_profile" -> lengthProfileSql,
     "heavy_hitters" -> heavyHittersSql,
