@@ -252,12 +252,12 @@ object Reduce {
   graft.api.Memo.register(() => lloydCache.clear())
 
   private def lloydState(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame =
-    lloydCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir), kvals), { _ =>
+    graft.api.Memo.stamped(lloydCache, s, dir, kvals) {
       gridLloyd(
         Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         kvals)._1.localCheckpoint()
-    })
+    }
 
   /** 30 (hash-checked): k=10 Lloyd assignment per vector. */
   def lloydClusters(s: SparkSession, dir: String): DataFrame =

@@ -224,11 +224,11 @@ object Integrate {
     * checkpointed RDDs are corpus-bounded (n×d doubles) and live for
     * the session — the standard shared-intermediate trade. */
   private val stateCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Unit), (DataFrame, DataFrame)]()
   graft.api.Memo.register(() => stateCache.clear())
 
   private def harmonyState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    stateCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir)), { _ =>
+    graft.api.Memo.stamped(stateCache, s, dir, ()) {
       val cur0 = batched(s, dir).select(col("vec_id"), col("batch"), col("v"))
       val g0 = cur0.select(col("vec_id"),
         hyperplaneBucket(col("v"), LshPlanes).as("k"))
@@ -237,7 +237,7 @@ object Integrate {
       val g2 = assignTo(cur1, centroidsOf(cur1, g1)).localCheckpoint()
       val cur2 = correctBy(cur1, g2)
       (cur2, g2)
-    })
+    }
 
   def harmonyCorrect(s: SparkSession, dir: String): DataFrame = {
     val (cur2, g2) = harmonyState(s, dir)

@@ -673,9 +673,9 @@ object Ann {
   graft.api.Memo.register(() => louvainCache.clear())
 
   private def louvainState(s: SparkSession, dir: String, exact: Boolean): DataFrame =
-    louvainCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir), exact), { _ =>
+    graft.api.Memo.stamped(louvainCache, s, dir, exact) {
       louvainFrom(knnEdges(s, dir, k = 5, exact = exact)).localCheckpoint()
-    })
+    }
 
   def louvainKnn(s: SparkSession, dir: String): DataFrame =
     louvainState(s, dir, exact = true)

@@ -124,11 +124,11 @@ object Quantize {
     * codebooks), each localCheckpointed; consumed by #230 and the
     * IVF+PQ composition #258. */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), (DataFrame, DataFrame, DataFrame)]()
+    (SparkSession, String, Long, Unit), (DataFrame, DataFrame, DataFrame)]()
   graft.api.Memo.register(() => pqCache.clear())
 
   private def pqState(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    pqCache.computeIfAbsent((s, dir, graft.api.Memo.dirStamp(dir)), { _ =>
+    graft.api.Memo.stamped(pqCache, s, dir, ()) {
       val R = graft.ml.Reduce.LloydRounds
       val base = graft.api.Analytics.spread(
           Tables.embeddings(s, dir)
@@ -163,7 +163,7 @@ object Quantize {
         g = assigned.localCheckpoint()
       }
       (base, g, cents.localCheckpoint())
-    })
+    }
 
   /** Per-query ADC distance tables (qid, sub, k, d2) over the final
     * codebooks — broadcast-sized (|queries| x m x PqK integers). */

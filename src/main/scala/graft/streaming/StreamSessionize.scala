@@ -163,30 +163,50 @@ object StreamSessionize {
     * streaming-DAU pipeline also uses): (window, type) counts re-
     * aggregate per window into the full mix, so shares and PSI
     * contributions are EXACT within the stream — no sink-side math.
-    * Both states are watermark-bounded; the per-window output is
-    * |types|-bounded rows whose psi_contrib sums to the drift index. */
+    *
+    * The window mix is OUTER-completed against the baseline type set
+    * (a |types|-bounded static table, embedded as a literal at plan
+    * build): a type that VANISHES in a window still yields a smoothed
+    * n=0 row (the loudest categorical-drift signal there is), and a
+    * NOVEL type absent from the baseline is surfaced with a null
+    * base_share / null psi_contrib instead of being dropped by an
+    * inner join. Laplace k smooths over the UNION type set — matching
+    * the batch twin, which smooths over the global set and surfaces
+    * zero-count halves. Both states are watermark-bounded; per-window
+    * output is |union types| rows whose psi_contrib (novel rows
+    * excluded) sums to the drift index. */
   def categoryDriftMonitor(events: DataFrame, baseline: DataFrame,
       watermark: String = "1 hour"): DataFrame = {
+    val base = baseline
+      .select(col("event_type").cast("string"), col("base_share").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val baseTypes = array(base.map(t => lit(t._1)).toIndexedSeq: _*)
+    val baseShares = if (base.isEmpty) typedLit(Map.empty[String, Double])
+      else map(base.flatMap(t => Seq(lit(t._1), lit(t._2))).toIndexedSeq: _*)
     val counts = events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val mix = counts
+    counts
       .groupBy(col("window"))
       .agg(sum(col("n")).as("total"),
-        count(lit(1)).as("k"),
         collect_list(struct(col("event_type"), col("n"))).as("mix"))
+      // union type set: observed ∪ baseline — vanished types re-enter
+      // with n=0 via the map lookup; k counts the union (batch parity)
+      .withColumn("all_types",
+        array_union(expr("transform(mix, e -> e.event_type)"), baseTypes))
+      .withColumn("k", size(col("all_types")).cast("long"))
       .select(col("window.start").as("window_start"), col("total"), col("k"),
-        explode(col("mix")).as("e"))
+        explode(expr("transform(all_types, t -> struct(t AS event_type, " +
+          "coalesce(element_at(map_from_entries(mix), t), 0L) AS n))")).as("e"))
       .select(col("window_start"), col("e.event_type").as("event_type"),
         col("e.n").as("n"), col("total"),
-        ((col("e.n") + lit(1.0)) / (col("total") + col("k"))).as("share"))
-    mix.join(broadcast(baseline.select(col("event_type"), col("base_share"))),
-        Seq("event_type"))
+        ((col("e.n") + lit(1.0)) / (col("total") + col("k"))).as("share_raw"),
+        element_at(baseShares, col("e.event_type")).as("base_share"))
       .select(col("window_start"), col("event_type"), col("n"), col("total"),
-        round(col("share"), 6).as("share"),
-        round((col("share") - col("base_share"))
-          * log(col("share") / col("base_share")), 6).as("psi_contrib"))
+        round(col("share_raw"), 6).as("share"), col("base_share"),
+        round((col("share_raw") - col("base_share"))
+          * log(col("share_raw") / col("base_share")), 6).as("psi_contrib"))
   }
 
   /** Streaming NEAR-dup detection — the streaming twin of the batch

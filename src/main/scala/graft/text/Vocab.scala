@@ -349,6 +349,21 @@ object Vocab {
     // steer parallelism, so the 1-row min/max scalar is safe to embed
     val Array(bounds) = curve.agg(
       min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).collect()
+    // empty input: min/max come back null — getLong would NPE and the
+    // offsets sliding(2) would choke on the 1-row scan. Short-circuit
+    // to the same degenerate aggregate the single-window form produced
+    // (count 0, null maxes / regression stats).
+    if (bounds.isNullAt(0))
+      return curve
+        .withColumn("cum_n", lit(null).cast("long"))
+        .withColumn("cum_v", lit(null).cast("long"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("cum_n")).as("total_tokens"),
+          max(col("cum_v")).as("vocab_size"),
+          r(regr_slope(log(col("cum_v")), log(col("cum_n"))), 6).as("heaps_beta"),
+          r(regr_intercept(log(col("cum_v")), log(col("cum_n"))), 6).as("heaps_lnk"),
+          r(regr_r2(log(col("cum_v")), log(col("cum_n"))), 6).as("r2"))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo + 1, 1L)
     val bkt = ((col("doc_id") - lit(lo)) * lit(HeapsBuckets.toLong) / lit(span))

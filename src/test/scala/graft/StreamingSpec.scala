@@ -242,22 +242,39 @@ class StreamingSpec extends SparkSpecBase {
       val evs = (1 to 2).map(i => (ts(i), "click")) ++ (1 to 8).map(i => (ts(10 + i), "view"))
       ms.addData(evs: _*)
       q.processAllAvailable()
-      ms.addData((ts(240), "view")) // advance watermark, close window 1
+      // window 2 (4 h later): one NOVEL type, clicks/views VANISH
+      ms.addData((ts(240), "novel"))
       q.processAllAvailable()
-      ms.addData((ts(480), "view"))
+      ms.addData((ts(480), "view")) // advance watermark, close window 1+2
       q.processAllAvailable()
-      // keep only window 1 (it starts exactly at ts(0) — Base is
-      // hour-aligned); later watermark-advance windows are singletons
-      val w1 = ts(0).getTime
-      val rows = spark.table("catdrift").collect()
-        .filter(_.getTimestamp(0).getTime == w1)
-        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
-        .toMap
+      ms.addData((ts(720), "view")) // chained ops finalize a batch behind
+      q.processAllAvailable()
+      def win(at: Long) = spark.table("catdrift").collect()
+        .filter(_.getTimestamp(0).getTime == ts(at).getTime)
+        .map(r => r.getString(1) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+      val rows = win(0)
       assert(rows.contains("view") && rows.contains("click"), s"missing types: $rows")
-      val (nV, totV, shareV, psiV) = rows("view")
+      val (nV, totV, shareV, _, psiV) = rows("view")
       assert(nV == 8 && totV == 10, s"view counts wrong: ${rows("view")}")
       assert(math.abs(shareV - 9.0 / 12.0) < 1e-6, s"share not the exact smoothed 9/12: $shareV")
-      assert(psiV > 0.5, s"flipped mix must light up the view contribution: $psiV")
+      assert(psiV.exists(_ > 0.5), s"flipped mix must light up the view contribution: $psiV")
+      // window 2: the two canonical categorical-drift events. A
+      // vanished baseline type still yields a smoothed n=0 row (k=3
+      // union types, share (0+1)/(1+3)); a novel type surfaces with a
+      // null base_share / psi instead of being inner-join-dropped.
+      val w2 = win(240)
+      assert(w2.keySet == Set("click", "view", "novel"), s"union mix incomplete: $w2")
+      val (nC, totC, shareC, baseC, psiC) = w2("click")
+      assert(nC == 0 && totC == 1, s"vanished type counts wrong: ${w2("click")}")
+      assert(math.abs(shareC - 0.25) < 1e-6, s"vanished share not smoothed 1/4: $shareC")
+      assert(baseC.contains(0.8) && psiC.exists(_ > 0.3),
+        s"vanished dominant type must light up: ${w2("click")}")
+      val (nN, _, _, baseN, psiN) = w2("novel")
+      assert(nN == 1 && baseN.isEmpty && psiN.isEmpty,
+        s"novel type must surface with null base_share/psi: ${w2("novel")}")
       // state is watermark-bounded across both chained aggregations
       val maxState = q.recentProgress.filter(_.stateOperators.nonEmpty)
         .map(_.stateOperators.map(_.numRowsTotal).sum).max

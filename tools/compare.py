@@ -50,10 +50,17 @@ def _init(sf_dir, oracles):
 
 def check_one(arg):
     """One query's compare in its own process: returns
-    (name, status, detail, rows, secs)."""
+    (name, status, detail, rows, secs). Any exception (e.g. a
+    partial/corrupt parquet dir left by a killed shard JVM) is reported
+    as THAT query's failure instead of crashing the whole pool sweep."""
     import time
     t0 = time.time()
-    name, status, detail, rows = _check_inner(arg)
+    try:
+        name, status, detail, rows = _check_inner(arg)
+    except Exception as e:  # noqa: BLE001 — one bad dir must not kill the gate
+        name = arg[0]
+        status, rows = "fail", 0
+        detail = f"  [FAIL-read] {name}: read/compare error: {e}"
     return name, status, detail, rows, round(time.time() - t0, 2)
 
 
@@ -105,9 +112,23 @@ def _check_inner(arg):
 
 
 def load_merged(out_dir, stem):
-    """Merge <stem>.json with any <stem>.shard-*.json (Verify --shard)."""
+    """Merge <stem>.json with any <stem>.shard-*.json (Verify --shard).
+
+    A directory holding BOTH an unsharded file and shard-tagged files is
+    almost always a stale-artifact mixup (only run_gate.sh rm -rfs the
+    outDir): a leftover unsharded manifest can FAIL-miss queries that no
+    longer exist, a stale oracle_sql.json can mask a missing shard. Warn
+    loudly so the operator re-runs from a clean outDir."""
+    paths = sorted(glob.glob(os.path.join(out_dir, f"{stem}*.json")))
+    whole = [p for p in paths if os.path.basename(p) == f"{stem}.json"]
+    shards = [p for p in paths if p not in whole]
+    if whole and shards:
+        print(f"WARNING: {out_dir} mixes {stem}.json with shard-tagged "
+              f"{stem}.shard-*.json — one of them is probably stale "
+              "(only run_gate.sh clears outDir); results may be wrong. "
+              "Delete the stale set and re-run.", file=sys.stderr)
     merged = {} if stem == "oracle_sql" else []
-    for p in sorted(glob.glob(os.path.join(out_dir, f"{stem}*.json"))):
+    for p in paths:
         with open(p) as f:
             part = json.load(f)
         if isinstance(merged, dict):
