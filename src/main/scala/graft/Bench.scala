@@ -31,7 +31,12 @@ object Bench {
     // sf0.1, quadratic at a larger gate SF. Their _lsh scale twins ARE
     // benchmarked (same output contract, bounded bucket fan-out) —
     // the dedup_ngram_jaccard convention.
-    "mnn_pairs", "bitext_margin_mining")
+    "mnn_pairs", "bitext_margin_mining",
+    // exact-ECDF oracle twin of #94: per-pair window partitions over
+    // DISTINCT VALUES approach |rows| on continuous data (r7 verdict
+    // item 2). Its pre-binned scale twin pairwise_ks_binned (≤256-row
+    // partitions by construction) IS benchmarked.
+    "pairwise_ks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

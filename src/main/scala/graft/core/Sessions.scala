@@ -182,17 +182,41 @@ object Sessions {
   }
 
   // ---------------------------------------------------------------
+  // Hot-key envelope for the per-key ordered-array folds below,
+  // ASSERTED not narrated (the acfDaily precedent, r7 verdict item 6):
+  // an array fold is bounded by events-per-key — fine at session-scale
+  // cardinalities, a single-task OOM for a bot key with 1e8 events.
+  // Fail loudly at 8M elements (~200 MB of (ts, value) structs in one
+  // task) instead of dying in collect_list. Beyond the envelope both
+  // folds compose by segment — EWMA and the clamped balance are linear
+  // /clamped recurrences whose segments carry (decay^len, offset) /
+  // (entry→exit) maps — the heaps_fit-style bucketed two-pass swap
+  // (SURVEY §5). The guard rides the output expression (coalesce over
+  // assert_true's null) so column pruning can't drop it, and costs one
+  // comparison per KEY, not per event.
+  private val MaxFoldEventsPerKey = 8L * 1000 * 1000
+
+  private def guardedN(n: Column, what: String): Column =
+    coalesce(
+      assert_true(n <= lit(MaxFoldEventsPerKey),
+        lit(s"$what: a key exceeds the $MaxFoldEventsPerKey events-per-key " +
+          "fold envelope; shard the history by period and carry the closing " +
+          "state (segmented-fold swap, SURVEY §5)")).cast("long"),
+      n)
+
+  // ---------------------------------------------------------------
   // Per-user EWMA (α=0.3) over the time-ordered value sequence — the
   // recursive smoothing no window frame expresses. One shuffle into
-  // per-user ordered arrays (bounded by events-per-user), then a
-  // higher-order fold; the fold seeds with the FIRST element to mirror
-  // DuckDB's list_reduce semantics exactly.
+  // per-user ordered arrays (bounded by events-per-user, envelope
+  // asserted above), then a higher-order fold; the fold seeds with the
+  // FIRST element to mirror DuckDB's list_reduce semantics exactly.
   def ewmaUserValue(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
       .groupBy(col("user_id"))
       .agg(expr("transform(sort_array(collect_list(struct(ts_us, value))), e -> e.value)").as("vs"))
-      .select(col("user_id"), size(col("vs")).cast("long").as("n"),
+      .select(col("user_id"),
+        guardedN(size(col("vs")).cast("long"), "ewma_user_value").as("n"),
         r(expr("""aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
                    element_at(vs, 1), (acc, x) -> acc * 0.7 + x * 0.3)"""), 6).as("ewma"))
 
@@ -1443,7 +1467,8 @@ object Sessions {
         expr("""aggregate(
              transform(sort_array(collect_list(struct(ts_us, event_id, delta))), x -> x.delta),
              0D, (acc, d) -> least(100D, greatest(0D, acc + d)))""").as("bal"))
-      .select(col("user_id"), col("n_events"),
+      .select(col("user_id"),
+        guardedN(col("n_events"), "capped_running_sum").as("n_events"),
         round(col("bal"), 6).as("final_balance"))
   }
 

@@ -768,8 +768,11 @@ object SingleCell {
   // (slingshot.R:113 pairwise_ks_test). D = sup|ECDF₁−ECDF₂| computed
   // WITHOUT outer joins: every (group,value) count is tagged into each
   // pair it belongs to, re-aggregated, and the running ECDF gap is a
-  // per-pair window over distinct values (bounded partitions; at corpus
-  // scale pre-bin values through the quantile sketch first). p is the
+  // per-pair window over distinct values. This EXACT form is the
+  // oracle twin only — on continuous values its per-pair partitions
+  // approach |rows|, so it is Bench-quarantined (the dedup_ngram_
+  // jaccard convention); the benched scale path is pairwiseKsBinned
+  // below, whose partitions are ≤ KsBins by construction. p is the
   // one-term asymptotic bound 2·exp(−2·m·D²), m = n₁n₂/(n₁+n₂) — the
   // deterministic contract both engines compute identically.
   def pairwiseKs(s: SparkSession, dir: String): DataFrame = {
@@ -799,8 +802,56 @@ object SingleCell {
           (col("n1") + col("n2"))) * col("d") * col("d"))), 6).as("p_asym"))
   }
 
+  // ---------------------------------------------------------------
+  // Scale path of the KS screen above (the heaps_fit precedent made
+  // explicit): pre-bin values into KsBins fixed-width bins over the
+  // broadcast global [min, max] BEFORE the pair tagging, so the
+  // per-pair ECDF window partitions hold ≤ KsBins rows no matter how
+  // continuous the value column is — the exact form's partitions
+  // approach |rows| per pair on continuous data, which is why THIS is
+  // the benched path and the exact form is the quarantined oracle
+  // twin. The binned D is the exact sup over bin right-edges; it
+  // under-reads the true D by at most the largest single-bin
+  // probability mass (spec-pinned vs the exact form on real data).
+  // Bin assignment is one shared-arithmetic expression both engines
+  // compute identically in IEEE doubles (the value_per_bin contract).
+  private val KsBins = 256
+
+  def pairwiseKsBinned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val rng = ev.agg(min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+    val counts = ev.crossJoin(broadcast(rng))
+      .withColumn("bin", when(col("vmn") === col("vmx"), lit(0L)).otherwise(
+        least(floor((col("value") - col("vmn")) * lit(KsBins.toDouble)
+          / (col("vmx") - col("vmn"))), lit((KsBins - 1).toLong))))
+      .groupBy(col("event_type").as("t"), col("bin")).agg(count(lit(1)).as("c"))
+    val types = counts.select(col("t")).distinct()
+    val pairs = types.select(col("t").as("t1"))
+      .crossJoin(types.select(col("t").as("t2"))).filter(col("t1") < col("t2"))
+    val totals = counts.groupBy(col("t")).agg(sum(col("c")).as("n"))
+    val tagged = broadcast(pairs)
+      .join(counts, col("t") === col("t1") || col("t") === col("t2"))
+      .groupBy(col("t1"), col("t2"), col("bin"))
+      .agg(sum(when(col("t") === col("t1"), col("c")).otherwise(0L)).as("c1"),
+        sum(when(col("t") === col("t2"), col("c")).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy(col("t1"), col("t2")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("r1", sum(col("c1")).over(w))
+      .withColumn("r2", sum(col("c2")).over(w))
+      .join(broadcast(totals.select(col("t").as("t1"), col("n").as("n1"))), "t1")
+      .join(broadcast(totals.select(col("t").as("t2"), col("n").as("n2"))), "t2")
+      .groupBy(col("t1"), col("t2"), col("n1"), col("n2"))
+      .agg(max(abs(col("r1") / col("n1") - col("r2") / col("n2"))).as("d"))
+      .select(col("t1"), col("t2"), col("n1"), col("n2"), r(col("d"), 6).as("ks_d"),
+        r(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * (col("n1") * col("n2") /
+          (col("n1") + col("n2"))) * col("d") * col("d"))), 6).as("p_asym"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pairwise_ks"           -> (pairwiseKs _),
+    "pairwise_ks_binned"    -> (pairwiseKsBinned _),
     "kl_mktsegment"         -> (klMktsegment _),
     "term_groups"           -> (termGroupsQuery _),
     "de_wilcoxon"           -> (deWilcoxonQuery _),
@@ -952,6 +1003,40 @@ object SingleCell {
                   sum(c1) OVER (PARTITION BY t1, t2 ORDER BY value ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
                   sum(c2) OVER (PARTITION BY t1, t2 ORDER BY value ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+           FROM tagged),
+         d AS (
+           SELECT r.t1, r.t2, n1.n AS n1, n2.n AS n2,
+                  max(abs(r.r1 / n1.n - r.r2 / n2.n)) AS d
+           FROM run r JOIN totals n1 ON r.t1 = n1.t JOIN totals n2 ON r.t2 = n2.t
+           GROUP BY 1, 2, 3, 4)
+         SELECT t1, t2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                round(d, 6) AS ks_d,
+                round(least(1.0, 2.0 * exp(-2.0 * (n1 * n2 / (n1 + n2)) * d * d)), 6) AS p_asym
+         FROM d""",
+    "pairwise_ks_binned" ->
+      """WITH rng AS (SELECT min(value) AS vmn, max(value) AS vmx FROM events),
+         counts AS MATERIALIZED (
+           SELECT event_type AS t,
+                  CASE WHEN vmn = vmx THEN 0
+                       ELSE least(CAST(floor((value - vmn) * 256.0 / (vmx - vmn)) AS BIGINT), 255)
+                  END AS bin,
+                  count(*) AS c
+           FROM events, rng GROUP BY 1, 2),
+         types AS (SELECT DISTINCT t FROM counts),
+         pairs AS (SELECT a.t AS t1, b.t AS t2 FROM types a, types b WHERE a.t < b.t),
+         totals AS (SELECT t, sum(c) AS n FROM counts GROUP BY 1),
+         tagged AS (
+           SELECT p.t1, p.t2, c.bin,
+                  sum(CASE WHEN c.t = p.t1 THEN c.c ELSE 0 END) AS c1,
+                  sum(CASE WHEN c.t = p.t2 THEN c.c ELSE 0 END) AS c2
+           FROM pairs p JOIN counts c ON c.t = p.t1 OR c.t = p.t2
+           GROUP BY 1, 2, 3),
+         run AS (
+           SELECT t1, t2, bin,
+                  sum(c1) OVER (PARTITION BY t1, t2 ORDER BY bin ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+                  sum(c2) OVER (PARTITION BY t1, t2 ORDER BY bin ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
            FROM tagged),
          d AS (

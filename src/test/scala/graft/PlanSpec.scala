@@ -268,7 +268,7 @@ class PlanSpec extends SparkSpecBase {
       // pairwise_ks broadcasts the 10-row group-pair table into an
       // OR-predicate tag join; value_per_bin and start_vs_end attach a
       // 1-row global range
-      "pairwise_ks", "value_per_bin", "start_vs_end",
+      "pairwise_ks", "pairwise_ks_binned", "value_per_bin", "start_vs_end",
       // ma_stats crosses the two aggregated DIM sets (samples × genes)
       // to build the dense log-CPM scaffold MA analysis requires
       // (missing entry ≡ count 0) — a bounded scaffold materialization,

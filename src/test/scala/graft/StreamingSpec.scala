@@ -282,6 +282,74 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("funnel state stays bounded by the event-time timeout across a 10-day replay") {
+    // r7 verdict item 7: the flatMapGroupsWithState funnel gets the
+    // same 10-day out-of-order state-bound assertion the sessionizer
+    // and DAU have. 40 users open a funnel (view, no purchase) every
+    // day; the 1 h inactivity timeout must evict each day's partials
+    // as the watermark passes, so state never approaches the 400
+    // open-funnel rows an unbounded store would hold.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StreamSessionize.FunnelEv
+    val ms = MemoryStream[FunnelEv]
+    val q = StreamSessionize.funnel(ms.toDS())
+      .writeStream.format("memory").queryName("funnel_bound").outputMode("append").start()
+    try {
+      val users = 40L
+      for (day <- 0 until 10) {
+        // out-of-order inside each day: late users first
+        val evs = (0L until users).map { u =>
+          FunnelEv(u, ts(day * 24 * 60 + (users - u) * 3), "view")
+        }
+        ms.addData(evs: _*)
+        q.processAllAvailable()
+      }
+      val totals = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      val maxState = totals.max
+      info(s"max funnel state rows over replay: $maxState")
+      assert(maxState <= users * 3,
+        s"funnel state grew past the timeout horizon: $maxState rows")
+      // and the timed-out partials actually came out as view-only rows
+      val outs = spark.table("funnel_bound").as[StreamSessionize.FunnelOut].collect()
+      assert(outs.nonEmpty && outs.forall(o => o.viewed && !o.purchased),
+        s"timed-out partials wrong: ${outs.take(3).mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("trending-items window state stays bounded by the watermark across a 10-day replay") {
+    // r7 verdict item 7, trendingItems half: 24 ten-minute windows per
+    // day × 10 days flow through; the 1 h watermark must keep the
+    // windowed heavy-hitter state near the horizon (each state row is
+    // one window's O(k) Misra-Gries heap), nowhere near the 240
+    // windows an unbounded store would hold.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, String)]
+    val q = StreamSessionize.trendingItems(
+        ms.toDF().toDF("ts", "event_type", "props"), k = 3)
+      .writeStream.format("memory").queryName("trending_bound").outputMode("append").start()
+    try {
+      for (day <- 0 until 10) {
+        // one event per hour, stragglers first within the day
+        val evs = (0 until 24).map { h =>
+          (ts(day * 24 * 60 + (23 - h) * 60L), "click", s"""{"k": ${h % 5}}""")
+        }
+        ms.addData(evs: _*)
+        q.processAllAvailable()
+      }
+      val totals = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      val maxState = totals.max
+      info(s"max trending state rows over replay: $maxState")
+      assert(maxState <= 60,
+        s"trending window state grew past the watermark horizon: $maxState rows")
+      assert(spark.table("trending_bound").count() >= 24 * 9,
+        "closed windows were not finalized")
+    } finally q.stop()
+  }
+
   test("near-dup stream state stays bounded by the watermark across a long replay") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
