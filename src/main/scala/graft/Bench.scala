@@ -98,6 +98,53 @@ object Bench {
         // time — record the sentinel -1 and exclude it from the sum
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
+    // SPARK_GRAFT_BENCH_PROTOCOL=full (builder-side only) appends two
+    // extra per-query fields to the FULL_OUT map (r7 verdict items 4+5;
+    // the driver's stdout line stays scalar suite numbers):
+    //  - isolated: min-of-5 consecutive cold runs for the known
+    //    suite-load drift set — committed next to the suite number so
+    //    verdicts stop re-measuring drift query by query;
+    //  - warm: for the memoized iteration families, one run consuming
+    //    an already-built state — the documented cluster pattern (the
+    //    caller persists Lloyd/Louvain/PQ/Harmony state and fans out);
+    //    cold stays the headline suite number.
+    val extras: Map[String, Map[String, Double]] =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_PROTOCOL").contains("full")) Map.empty
+      else {
+        def timed(name: String): Double = {
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+        def cold(name: String): Double = {
+          graft.api.Memo.reset(); spark.catalog.clearCache(); System.gc()
+          timed(name)
+        }
+        val driftSet = Seq("annotate_corr", "dsir_weights_hashed",
+          "winnow_dup_pairs", "fuzzy_blocked_join", "dedup_cluster_sizes",
+          "classifier_eval", "golden_record", "acf_daily")
+        val memoSet = Seq("kmeans_clusters", "kmeans_elbow",
+          "cluster_transitions", "mahalanobis_outliers", "louvain_knn",
+          "louvain_knn_lsh", "leiden_refine", "modularity_score",
+          "harmony_correct", "harmony_mixing", "ann_pq_topk",
+          "ann_ivf_topk", "ann_ivf_sq_topk", "ann_ivfpq_topk",
+          "ann_ivfpq_residual_topk")
+        val present = (n: String) =>
+          SparkEntry.queries.contains(n) && !skip.contains(n) &&
+            only.forall(_.contains(n))
+        val iso = driftSet.filter(present).map { n =>
+          n -> Map("isolated" -> (1 to 5).map(_ => cold(n)).min)
+        }
+        val warm = memoSet.filter(present).map { n =>
+          cold(n) // untimed state build; next run rides the memo
+          n -> Map("warm" -> timed(n))
+        }
+        graft.api.Memo.reset(); spark.catalog.clearCache()
+        (iso ++ warm).groupBy(_._1)
+          .map { case (n, vs) => n -> vs.map(_._2).reduce(_ ++ _) }
+      }
     // the driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that tail — round 1's full-precision line was
     // ~2600 chars, got truncated mid-line, and the round recorded
@@ -119,9 +166,24 @@ object Bench {
     // full, untruncated per-query map to a file: the driver's 1850-char
     // stdout tail drops the fastest queries (r5 lost ~118 of 194), which
     // made round-over-round regression diffs depend on which queries
-    // happened to be slow — the builder commits this file each round
+    // happened to be slow — the builder commits this file each round.
+    // Queries with PROTOCOL=full extras render as objects
+    // {"suite": s, "isolated": i, "warm": w}; tools/bench_diff.py reads
+    // the suite field as the comparable number.
+    def renderFull(rs: Seq[(String, Double)]): String = {
+      val qs = rs.sortBy(_._1).map { case (k, v) =>
+        extras.get(k) match {
+          case Some(m) =>
+            val fields = (Seq("suite" -> v) ++ m.toSeq.sortBy(_._1))
+              .map { case (f, x) => "\"" + f + "\":" + r3(x) }.mkString(",")
+            "\"" + k + "\":{" + fields + "}"
+          case None => "\"" + k + "\":" + r3(v)
+        }
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), render(results))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), renderFull(results))
     }
     val maxLen = 1850
     var kept = results

@@ -269,6 +269,12 @@ object VectorFunctions {
   def quantOuterProduct(vec: Column): Column =
     GraftGlue.column(
       QuantOuterProduct(toExpr(vec)).toAggregateExpression())
+  /** Aggregate: array<long> of Σ round(v[i]·1e6) per dimension — the
+    * centroid-phase accumulator (one long[d] buffer per group instead
+    * of the n·d posexplode + re-collect double shuffle). */
+  def quantVecSum(vec: Column): Column =
+    GraftGlue.column(
+      QuantVecSum(toExpr(vec)).toAggregateExpression())
 }
 
 /** Distinct character n-gram shingles of a string (1-based, codepoint

@@ -220,13 +220,17 @@ object Reduce {
       pmod(col("vec_id"), col("kval")).as("k"))
     var lastCents: DataFrame = null
     for (i <- 1 to LloydRounds) {
+      // centroid phase: one native quant_vec_sum aggregate — long[d]
+      // buffer per (kval, k), map-side partial merge; bit-identical to
+      // the per-dim posexplode sum it replaces (same q() rounding,
+      // order-free long addition), one shuffle instead of two and no
+      // n·d struct explosion (the r7 cold-path cost)
       val cents = base.join(g, Seq("kval", "vec_id"))
-        .select(col("kval"), col("k"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
-        .groupBy(col("kval"), col("k"), col("dim"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        .withColumn("c", col("sq") / (lit(1e6) * col("n")))
         .groupBy(col("kval"), col("k"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+        .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("kval"), col("k"),
+          expr("transform(sq, q -> q / (1e6 * n))").as("cv"))
         .withColumn("cq", gridded("cv"))
       lastCents = cents
       val assigned = base.select(col("kval"), col("vec_id"), col("xq"))
@@ -358,13 +362,13 @@ object Reduce {
       var g = members.select(col("vec_id"),
         pmod(col("vec_id"), lit(2)).cast("long").as("b"))
       for (_ <- 1 to LloydRounds) {
+        // 2-row centroid table via one native quant_vec_sum pass
+        // (bit-identical to the posexplode per-dim sums it replaces)
         val cents = base.join(g, "vec_id")
-          .select(col("b"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
-          .groupBy(col("b"), col("dim"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-          .withColumn("cv", col("sq") / (lit(1e6) * col("n")))
           .groupBy(col("b"))
-          .agg(expr("transform(sort_array(collect_list(struct(dim, cv))), s -> s.cv)").as("cv"))
+          .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
+            count(lit(1)).as("n"))
+          .select(col("b"), expr("transform(sq, q -> q / (1e6 * n))").as("cv"))
           .withColumn("cq", gridded("cv"))
         g = base.join(members, "vec_id")
           .crossJoin(broadcast(cents.select(col("b"), col("cq"))))

@@ -173,13 +173,13 @@ object Integrate {
   /** Per-cluster centroids of `cur` under assignment `g`: exact-rational
     * array `c` + assignment-grid array `cq`. */
   private def centroidsOf(cur: DataFrame, g: DataFrame): DataFrame =
+    // one native quant_vec_sum pass (long[d] buffer per k, bit-identical
+    // to the posexplode per-dim sums it replaces — same q() rounding)
     cur.join(g, "vec_id")
-      .select(col("k"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
-      .groupBy(col("k"), col("dim"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-      .withColumn("c", col("sq") / (lit(1e6) * col("n")))
       .groupBy(col("k"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("c"))
+      .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("k"), expr("transform(sq, q -> q / (1e6 * n))").as("c"))
       .withColumn("cq", gridded("c"))
 
   /** Nearest-centroid assignment on the integer grid (d² BIGINT,
@@ -196,17 +196,20 @@ object Integrate {
   /** One correction pass: v := v − (centroid(k, batch) − centroid(k)),
     * centroids from the integer-quantized sums of `cur` under `g`. */
   private def correctBy(cur: DataFrame, g: DataFrame): DataFrame = {
+    // fact-side pass is ONE quant_vec_sum aggregate to (k, batch)
+    // partials (bit-identical to the posexplode per-dim sums); the
+    // k-level rollup re-expands only the BOUNDED (k × batch) partial
+    // table — |k|·|batch|·d rows, not n·d
     val sums = cur.join(g, "vec_id")
-      .select(col("k"), col("batch"), posexplode(quant1e6("v")).as(Seq("dim", "q")))
-      .groupBy(col("k"), col("batch"), col("dim"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-    val cb = sums
-      .withColumn("cbv", col("sq") / (lit(1e6) * col("n")))
       .groupBy(col("k"), col("batch"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim, cbv))), s -> s.cbv)").as("cb"))
+      .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
+        count(lit(1)).as("n"))
+    val cb = sums.select(col("k"), col("batch"),
+      expr("transform(sq, q -> q / (1e6 * n))").as("cb"))
     val cAll = sums
+      .select(col("k"), col("n"), posexplode(col("sq")).as(Seq("dim", "q")))
       .groupBy(col("k"), col("dim"))
-      .agg(sum(col("sq")).as("s2"), sum(col("n")).as("n2"))
+      .agg(sum(col("q")).as("s2"), sum(col("n")).as("n2"))
       .withColumn("cv", col("s2") / (lit(1e6) * col("n2")))
       .groupBy(col("k"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, cv))), s -> s.cv)").as("call"))
