@@ -96,7 +96,10 @@ object Bench {
         }
         // a failed query must NOT flatter the total with its fail-fast
         // time — record the sentinel -1 and exclude it from the sum
-        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+        val best = if (times.exists(_ < 0)) -1.0 else times.min
+        // progress to stderr so a long (sf1-scale) run is monitorable
+        System.err.println(f"[bench] $name%s ${best}%.2f s")
+        name -> best
       }
     // SPARK_GRAFT_BENCH_PROTOCOL=full (builder-side only) appends two
     // extra per-query fields to the FULL_OUT map (r7 verdict items 4+5;

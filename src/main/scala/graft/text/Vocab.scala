@@ -470,7 +470,65 @@ object Vocab {
        FROM per_doc GROUP BY 1, 2"""
   }
 
+  // ---------------------------------------------------------------
+  // Corpus saturation / novelty curve per source — the planning table
+  // behind "is more of this source still worth crawling": ingestion
+  // order (doc_id) cut into 10 equal-width batches (the value_per_bin
+  // integer-arithmetic contract), per (source, batch) the distinct
+  // word-8-gram count seen and the fraction of them appearing for the
+  // FIRST time within that source. A saturated/templated source's
+  // novelty collapses toward 0 by mid-corpus (the Heap's-law signal
+  // heaps_fit fits globally, read as a per-source marginal). Spark
+  // shingles ride xxhash64, the oracle raw strings — the established
+  // hash≡string count equivalence (#113). One shingle-bounded shuffle
+  // for the distinct, two bounded re-aggregations; the distinct's
+  // exchange is reused by both branches.
+  def ngramNoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val docs = Tables.documents(s, dir)
+    val rng = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tri = docs.crossJoin(broadcast(rng))
+      .withColumn("batch", expr("((doc_id - mn) * 10) div (mx - mn + 1)"))
+      .select(col("source"), col("batch"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("source"), col("batch"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> xxhash64(array_join(slice(ws, i, $n), ' ')))")).as("h"))
+      .distinct()
+    val seen = tri.groupBy(col("source"), col("batch"))
+      .agg(count(lit(1)).as("n_seen"))
+    val novel = tri.groupBy(col("source"), col("h"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("source"), col("batch")).agg(count(lit(1)).as("n_novel"))
+    seen.join(novel, Seq("source", "batch"), "left")
+      .select(col("source"), col("batch"), col("n_seen"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        r(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_seen"), 6)
+          .as("novelty_rate"))
+  }
+
+  private val ngramNoveltyCurveSql =
+    """WITH rng AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+       toks AS (
+         SELECT source, (doc_id - mn) * 10 // (mx - mn + 1) AS batch,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         FROM documents, rng),
+       tri AS MATERIALIZED (
+         SELECT DISTINCT source, batch,
+                array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+         FROM toks, LATERAL unnest(generate_series(1, len(ws) - 7)) AS u(i)
+         WHERE len(ws) >= 8),
+       seen AS (SELECT source, batch, count(*) AS n_seen FROM tri GROUP BY 1, 2),
+       firsts AS (SELECT source, g, min(batch) AS batch FROM tri GROUP BY 1, 2),
+       novel AS (SELECT source, batch, count(*) AS n_novel FROM firsts GROUP BY 1, 2)
+       SELECT s.source, s.batch, s.n_seen,
+              CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+              round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / s.n_seen, 6) AS novelty_rate
+       FROM seen s LEFT JOIN novel n USING (source, batch)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty_curve" -> (ngramNoveltyCurve _),
     "bpe_merges"        -> (bpeMerges _),
     "bpe_merge_curve"   -> (bpeMergeCurve _),
     "word_burstiness"   -> (wordBurstiness _),
@@ -480,6 +538,7 @@ object Vocab {
     "charclass_profile" -> (charclassProfile _))
 
   val oracles: Map[String, String] = Map(
+    "ngram_novelty_curve" -> ngramNoveltyCurveSql,
     "bpe_merges"        -> bpeMergesSql,
     "bpe_merge_curve"   -> bpeMergeCurveSql,
     "word_burstiness"   -> wordBurstinessSql,
