@@ -527,7 +527,99 @@ object Vocab {
               round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / s.n_seen, 6) AS novelty_rate
        FROM seen s LEFT JOIN novel n USING (source, batch)"""
 
+  // ---------------------------------------------------------------
+  // Token-quota REALIZATION cut — the step between planning a mix
+  // (#168/#175 temperature weights and water-filled quotas) and
+  // emitting it: per source, which documents make the cut. Budget
+  // T = ⌊corpus tokens / 2⌋ allocated ∝ n_s^0.3 (the mBERT/XLM-R
+  // temperature contract); selection priority is the content-hash
+  // uniform (reproducible on any cluster, no RNG). The scale device:
+  // instead of a per-source running-sum window over DOCUMENTS (a
+  // fact-sized partition per source — the heaps_fit trap), docs
+  // pre-bin into 1024 priority bins; the prefix sum runs over the
+  // ≤1024-row bin table per source and the cut keeps whole bins while
+  // cumulative tokens ≤ quota (boundary bin resolves exactly within
+  // one bounded bin at emit time — documented, not computed here).
+  // Output is |sources| rows: quota, cut bin, kept docs/tokens,
+  // realization fraction.
+  def tokenQuotaCut(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").as("nt"))
+      .withColumn("u", graft.api.Analytics.hashUniform(col("doc_id")))
+      .withColumn("bin", least(floor(col("u") * lit(1024.0)), lit(1023L)))
+    val bins = docs.groupBy(col("source"), col("bin"))
+      .agg(sum(col("nt")).as("bt"), count(lit(1)).as("bd"))
+    val src = bins.groupBy(col("source")).agg(sum(col("bt")).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("t_all"),
+      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("z"))
+    val quota = src.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(col("t_all").cast("double") / lit(2.0)
+          * pow(col("n_tokens").cast("double"), lit(0.3)) / col("z"))
+          .cast("long").as("quota_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = bins.join(broadcast(quota), "source")
+      .withColumn("cum_t", sum(col("bt")).over(w))
+      .withColumn("cum_d", sum(col("bd")).over(w))
+      .filter(col("cum_t") <= col("quota_tokens"))
+      .groupBy(col("source"), col("quota_tokens"))
+      .agg(max(col("bin")).as("cut_bin"),
+        max(col("cum_d")).as("kept_docs"),
+        max(col("cum_t")).as("kept_tokens"))
+    quota.join(kept, Seq("source", "quota_tokens"), "left")
+      .select(col("source"), col("quota_tokens"),
+        coalesce(col("cut_bin"), lit(-1L)).as("cut_bin"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        r(coalesce(col("kept_tokens"), lit(0L)).cast("double")
+          / col("quota_tokens"), 6).as("realized_frac"))
+  }
+
+  private val tokenQuotaCutSql = {
+    val md5k = "md5(CAST(doc_id AS VARCHAR))"
+    val u = (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i)}"
+    }.mkString("((", "\n                 + ", " + 1.0) / 16777217.0)")
+    s"""WITH docs AS (
+         SELECT source,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt,
+                least(CAST(floor($u * 1024.0) AS BIGINT), 1023) AS bin
+         FROM documents),
+       bins AS MATERIALIZED (
+         SELECT source, bin, CAST(sum(nt) AS BIGINT) AS bt, count(*) AS bd
+         FROM docs GROUP BY 1, 2),
+       src AS (SELECT source, CAST(sum(bt) AS BIGINT) AS n_tokens FROM bins GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all,
+                      sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z FROM src),
+       quota AS MATERIALIZED (
+         SELECT source,
+                CAST(floor(CAST(t_all AS DOUBLE) / 2.0
+                  * pow(CAST(n_tokens AS DOUBLE), 0.3) / z) AS BIGINT) AS quota_tokens
+         FROM src, tot),
+       cums AS (
+         SELECT b.source, q.quota_tokens, b.bin,
+                CAST(sum(b.bt) OVER (PARTITION BY b.source ORDER BY b.bin ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+                CAST(sum(b.bd) OVER (PARTITION BY b.source ORDER BY b.bin ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_d
+         FROM bins b JOIN quota q USING (source)),
+       kept AS (
+         SELECT source, quota_tokens, max(bin) AS cut_bin,
+                max(cum_d) AS kept_docs, max(cum_t) AS kept_tokens
+         FROM cums WHERE cum_t <= quota_tokens GROUP BY 1, 2)
+       SELECT q.source, q.quota_tokens,
+              coalesce(k.cut_bin, -1) AS cut_bin,
+              CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+              CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+              round(CAST(coalesce(k.kept_tokens, 0) AS DOUBLE) / q.quota_tokens, 6)
+                AS realized_frac
+       FROM quota q LEFT JOIN kept k USING (source, quota_tokens)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_quota_cut"     -> (tokenQuotaCut _),
     "ngram_novelty_curve" -> (ngramNoveltyCurve _),
     "bpe_merges"        -> (bpeMerges _),
     "bpe_merge_curve"   -> (bpeMergeCurve _),
@@ -538,6 +630,7 @@ object Vocab {
     "charclass_profile" -> (charclassProfile _))
 
   val oracles: Map[String, String] = Map(
+    "token_quota_cut"     -> tokenQuotaCutSql,
     "ngram_novelty_curve" -> ngramNoveltyCurveSql,
     "bpe_merges"        -> bpeMergesSql,
     "bpe_merge_curve"   -> bpeMergeCurveSql,
