@@ -269,6 +269,10 @@ class PlanSpec extends SparkSpecBase {
       // OR-predicate tag join; value_per_bin and start_vs_end attach a
       // 1-row global range
       "pairwise_ks", "pairwise_ks_binned", "value_per_bin", "start_vs_end",
+      // ngram_novelty_curve attaches the 1-row doc_id range (the
+      // value_per_bin precedent); token_quota_cut attaches the 1-row
+      // corpus-total/normalizer agg (the token_budget_alloc precedent)
+      "ngram_novelty_curve", "token_quota_cut",
       // ma_stats crosses the two aggregated DIM sets (samples × genes)
       // to build the dense log-CPM scaffold MA analysis requires
       // (missing entry ≡ count 0) — a bounded scaffold materialization,
