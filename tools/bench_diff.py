@@ -42,8 +42,9 @@ def main():
     t_old, t_new = sum(old[q] for q in common), sum(new[q] for q in common)
     print(f"{old_p}: {len(old)} timed queries, total {t_old_all:.1f} s")
     print(f"{new_p}: {len(new)} timed queries, total {t_new_all:.1f} s")
+    pct = f"{100 * (t_new - t_old) / t_old:+.1f} %" if t_old > 0 else "n/a"
     print(f"common ({len(common)} queries): {t_old:.1f} -> {t_new:.1f} s "
-          f"({t_new - t_old:+.1f} s, {100 * (t_new - t_old) / t_old:+.1f} %)")
+          f"({t_new - t_old:+.1f} s, {pct})")
     deltas = sorted(((new[q] - old[q], q) for q in common), reverse=True)
     print(f"top {top_n} regressions:")
     for d, q in deltas[:top_n]:
