@@ -376,7 +376,10 @@ object SingleCell {
         col("l_orderkey") === col("o_orderkey"))
     graft.api.Analytics.spearmanAssociation(x, col("l_partkey"),
         unix_timestamp(col("o_orderdate")).cast("double"), col("l_quantity"))
-      .select(col("feature"), col("n"), r(col("rho"), 6).as("rho"))
+      // + 0.0 normalizes IEEE signed zero: a rho that rounds to -0.0
+      // formats as "-0" in one engine and "0" in the other (sf0.1
+      // sweep caught exactly this); NULL + 0.0 stays NULL
+      .select(col("feature"), col("n"), (r(col("rho"), 6) + lit(0.0)).as("rho"))
   }
 
   // ---------------------------------------------------------------
@@ -974,7 +977,7 @@ object SingleCell {
                   avg(rx0) OVER (PARTITION BY feature, xv) AS rx,
                   avg(ry0) OVER (PARTITION BY feature, yv) AS ry
            FROM r0)
-         SELECT feature, count(*) AS n, round(corr(rx, ry), 6) AS rho
+         SELECT feature, count(*) AS n, round(corr(rx, ry), 6) + 0 AS rho
          FROM a GROUP BY 1""",
     "entropy_by_group" ->
       """WITH c AS (
@@ -1148,7 +1151,7 @@ object SingleCell {
            SELECT o_custkey, o_orderpriority AS f, sum(o_totalprice) AS v
            FROM orders GROUP BY 1, 2)
          SELECT a.f AS f1, b.f AS f2, count(*) AS n_pairs,
-                round(corr(a.v, b.v), 6) AS pearson
+                round(corr(a.v, b.v), 6) + 0 AS pearson
          FROM perc a JOIN perc b
            ON a.o_custkey = b.o_custkey AND a.f < b.f
          GROUP BY 1, 2""",
@@ -1382,6 +1385,6 @@ object SingleCell {
            SELECT l_partkey AS feature,
                   CAST(epoch(o_orderdate) AS DOUBLE) AS pt, l_quantity AS x
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-         SELECT feature, count(*) AS n, round(corr(x, pt),6) AS assoc
+         SELECT feature, count(*) AS n, round(corr(x, pt),6) + 0 AS assoc
          FROM x GROUP BY feature""")
 }

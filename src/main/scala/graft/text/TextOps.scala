@@ -1367,9 +1367,9 @@ object TextOps {
                      ELSE 1.0 END AS ratio
          FROM documents)
        SELECT source, count(*) AS n_docs,
-              round(corr(len, words), 6) AS corr_len_words,
-              round(corr(len, ratio), 6) AS corr_len_ratio,
-              round(corr(words, ratio), 6) AS corr_words_ratio
+              round(corr(len, words), 6) + 0 AS corr_len_words,
+              round(corr(len, ratio), 6) + 0 AS corr_len_ratio,
+              round(corr(words, ratio), 6) + 0 AS corr_words_ratio
        FROM sig GROUP BY 1"""
 
   // ---------------------------------------------------------------
