@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for LLM-data pipelines (SURVEY.md §2.3): exact hash,
@@ -98,6 +99,47 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jac") >= 0.7)
+      .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------
+  // 307. prefix-filtered exact Jaccard join (All-Pairs, Bayardo et al.
+  // WWW 2007; PPJoin, Xiao et al. WWW 2008) — the EXACT scalable path
+  // for #33's contract. The inverted-index form above pays Σ df² rows
+  // on the shingle join (1.5e9 at sf0.1 — Bench-quarantined); prefix
+  // filtering shrinks the joined index to each doc's (1−t)·|A|+1
+  // RAREST shingles under a global (df, shingle) order: any pair with
+  // J ≥ t must share one token inside both prefixes (prefix-filter
+  // lemma), and rare-first ordering makes prefix df's the corpus's
+  // smallest — candidates collapse from Σ df² to Σ df_prefix² ≈ true
+  // pairs + collisions. The length filter (10·|B| ≥ 7·|A|, exact
+  // integers — a float ⌈0.7·n⌉ could round the prefix UNSAFELY short)
+  // prunes cross-size pairs before verification; verification is one
+  // native set-Jaccard per candidate on the carried shingle arrays —
+  // no second inverted-index pass. Same output, same oracle as #33.
+  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val d = docsNorm(s, dir)
+      .select(col("doc_id"), shinglesExpr("t").as("gs"))
+      .withColumn("n", size(col("gs")).cast("long"))
+    val sh = d.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // prefix length for J >= 0.7: n - ceil(0.7 n) + 1 = n - (7n+9) div 10 + 1
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = sh.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - expr("(n * 7 + 9) div 10") + 1)
+      .select(col("doc_id"), col("n"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 10 >= col("a.n") * 7 && col("a.n") * 10 >= col("b.n") * 7)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("d1"), col("gs").as("g1")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("gs").as("g2")), "d2")
+      .withColumn("jac",
+        graft.functions.VectorFunctions.jaccardSim(col("g1"), col("g2")))
       .filter(col("jac") >= 0.7)
       .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
   }
@@ -554,61 +596,131 @@ object Dedup {
        GROUP BY 1"""
 
   // ---------------------------------------------------------------
-  // Blocked fuzzy match (entity-resolution building block): candidate
-  // pairs come from an EQUI-join on the blocking key (brand, type) —
-  // a plain shuffle join with bounded blocks — and only candidates pay
-  // the edit-distance check. Never an all-pairs theta join; at corpus
-  // scale the blocking key is whatever cheap canopy (prefix, phonetic,
-  // LSH band) keeps blocks bounded.
-  def fuzzyBlockedJoin(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(s, dir)
-      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
-    // shuffle-hash self-join on the blocking key: identical exchanges
-    // → ReuseExchange scans the part table once
-    p.as("a").hint("shuffle_hash").join(p.as("b").hint("shuffle_hash"),
+  // Blocked fuzzy match (entity-resolution building block): the match
+  // predicate depends only on the VALUE triple (brand, type, name), so
+  // all edit-distance work runs on the distinct-value rendezvous frame
+  // and record pairs are a pure expansion join at the end. The r9 sf1
+  // scaling audit motivated this shape: the record-level blocked
+  // self-join paid one banded DP per candidate RECORD pair — Σc² =
+  // 2.69M DPs at sf0.1 → 269M at sf1 (blocks are fixed in number, so
+  // block size ∝ n and candidates ∝ n²) — while the distinct frame is
+  // vocabulary-bounded (64 names × 150 blocks), making DP work O(v²)
+  // per block INDEPENDENT of corpus size. The expansion join's output
+  // is the query's own result set (inherently quadratic in same-name
+  // group sizes — that's what "list every near-dup pair" means); the
+  // scalable consumers (#240 golden_record) never expand at all. At
+  // corpus scale with a high-cardinality vocabulary, the documented
+  // escalation inside the rendezvous is PassJoin segment blocking
+  // (Li et al., PVLDB 2011) — see Similarity.passJoinPairs.
+
+  /** Distinct (brand, type, name) value nodes with record count, min
+    * record id (the stable node id — also the min record id of the
+    * node's clique, which keeps cluster labels oracle-exact), and the
+    * price envelope — everything #89/#240 need, one groupBy over part. */
+  private def nameValueNodes(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"), col("p_type"), col("p_name"))
+      .agg(count(lit(1)).as("nv"), min(col("p_partkey")).as("vid"),
+        min(col("p_retailprice")).as("pmin"), max(col("p_retailprice")).as("pmax"))
+
+  /** Value-level fuzzy edges within a block, name_a <= name_b (equality
+    * = the same-name clique edge, dist 0). Both sides of the self-join
+    * are the same bounded distinct frame → broadcastable; only distinct
+    * VALUE pairs pay the banded DP (exact ≤ 2, early-exit above). */
+  private def nameValueEdges(v: DataFrame): DataFrame =
+    v.as("a").join(broadcast(v.as("b")),
         col("a.p_brand") === col("b.p_brand") &&
           col("a.p_type") === col("b.p_type") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
-        // banded DP capped at the threshold (exact ≤ 2, early-exit
-        // above) — ~10× less work than the full-matrix builtin
+          col("a.p_name") <= col("b.p_name"))
+      .select(col("a.p_brand").as("brand"), col("a.p_type").as("ptype"),
+        col("a.p_name").as("na"), col("b.p_name").as("nb"),
+        col("a.vid").as("vida"), col("b.vid").as("vidb"),
         graft.functions.BoundedLevenshtein.column(
           col("a.p_name"), col("b.p_name"), 2).as("dist"))
       .filter(col("dist") <= 2)
+
+  def fuzzyBlockedJoin(s: SparkSession, dir: String): DataFrame = {
+    val recs = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+    val vp = nameValueEdges(nameValueNodes(s, dir)).localCheckpoint()
+    // expansion: every record of na × every record of nb in the block.
+    // Same-name value pairs would emit each unordered record pair twice,
+    // so those keep only ra < rb; cross-name pairs are already unique
+    // per unordered record pair and just get orientation-normalized.
+    recs.as("ra").join(broadcast(vp),
+        col("ra.p_brand") === col("brand") && col("ra.p_type") === col("ptype") &&
+          col("ra.p_name") === col("na"))
+      .join(recs.as("rb"),
+        col("rb.p_brand") === col("brand") && col("rb.p_type") === col("ptype") &&
+          col("rb.p_name") === col("nb"))
+      .filter(col("na") < col("nb") || col("ra.p_partkey") < col("rb.p_partkey"))
+      .select(least(col("ra.p_partkey"), col("rb.p_partkey")).as("id1"),
+        greatest(col("ra.p_partkey"), col("rb.p_partkey")).as("id2"),
+        col("dist"))
+  }
+
+  // ---------------------------------------------------------------
+  // 306. PassJoin edit-distance near-dup pairs over document title
+  // prefixes (Li et al., PVLDB 2011) — the HIGH-CARDINALITY fuzzy join
+  // #89's rendezvous can't bound: when the matched attribute has ~n
+  // distinct values (here the 32-char document prefix — a title/URL
+  // analog), distinct-value dedup buys nothing and segment blocking is
+  // the exact, linear-candidate scheme: tau+1 segments per string,
+  // pigeonhole guarantees near pairs share one segment content at a
+  // ±tau shift, the equi-join on (block, length, segment, content)
+  // shuffles bounded keys — never block² pairs, never a corpus
+  // broadcast. Verification is the same banded DP as #89.
+  def fuzzyPassjoin(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 32).as("prefix"))
+    graft.api.Similarity.passJoinPairs(
+      d, col("doc_id"), col("prefix"), Seq("lang"), tau = 2)
   }
 
   // ---------------------------------------------------------------
   // 240. golden-record construction — the MDM/entity-resolution
-  // capstone over #89's blocked fuzzy matches: candidate pairs
-  // (edit distance ≤ 2 within (brand, type) blocks) → connected
-  // components (the near-dup cluster machinery) → one canonical record
-  // per merge cluster: mode name with (count desc, name asc) total
-  // order, member count, price envelope. Singleton entities are
-  // suppressed (this is the merge-review table); the cluster label is
-  // the component's min key — stable under re-runs. Scale: pairs are
-  // block-bounded (#89), components are the hybrid union-find/label-
-  // propagation path, the canonical pick is a bounded per-cluster
-  // argmin — no step exceeds the dedup family's contracts.
+  // capstone over #89's blocked fuzzy matches — computed ENTIRELY at
+  // the value level (r9 sf1 audit): records sharing (brand, type, name)
+  // are a clique in the record-level pair graph, so the record graph's
+  // components are the expansion of the VALUE graph's components, and
+  // every output column aggregates from per-value partials (Σ counts,
+  // min/max envelopes, mode name). The fact table is touched by ONE
+  // groupBy; the component machinery runs on the vocabulary-bounded
+  // value graph; the quadratic pair expansion (#89's output) never
+  // happens. Cluster labels stay oracle-exact: a value node's id is its
+  // min record id, and every record of a participating node is a vertex
+  // of the record graph (same-name cliques for nv ≥ 2, cross-name edges
+  // otherwise), so min-vid-over-component = min-record-id-over-component.
+  // Singleton entities are suppressed (this is the merge-review table).
   def goldenRecord(s: SparkSession, dir: String): DataFrame = {
-    val pairs = fuzzyBlockedJoin(s, dir).select(col("id1"), col("id2"))
-    val comp = graft.api.Similarity.connectedComponents(pairs, col("id1"), col("id2"))
-    val p = Tables.part(s, dir)
-      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
-    val withC = p
-      .join(comp.select(col("vertex").as("p_partkey"), col("component")),
-        Seq("p_partkey"), "left")
-      .withColumn("cluster", coalesce(col("component"), col("p_partkey")))
-    val nameCnt = withC.groupBy(col("cluster"), col("p_name"))
-      .agg(count(lit(1)).as("c"))
-    val canon = nameCnt
+    val v = nameValueNodes(s, dir)
+    val ve = nameValueEdges(v).localCheckpoint()
+    val cross = ve.filter(col("na") < col("nb"))
+      .select(col("vida"), col("vidb"))
+    val comp = graft.api.Similarity.connectedComponents(cross, col("vida"), col("vidb"))
+    // participating nodes: internal clique (nv >= 2) or >= 1 cross-name
+    // edge; isolated nv-1 nodes are the oracle's n_members=1 singletons,
+    // filtered there by n_members >= 2 and never materialized here
+    val hasEdge = cross.select(col("vida").as("vid"))
+      .unionAll(cross.select(col("vidb").as("vid"))).distinct()
+    val withC = v.join(comp.select(col("vertex").as("vid"), col("component")),
+        Seq("vid"), "left")
+      .join(hasEdge.withColumn("he", lit(true)), Seq("vid"), "left")
+      .filter(col("nv") >= 2 || col("he"))
+      .withColumn("cluster", coalesce(col("component"), col("vid")))
+    // components never span blocks (edges are within (brand, type)), so
+    // names are unique per cluster and the mode name's count is its
+    // node's nv — the canonical pick is a bounded per-cluster argmin
+    val canon = withC
       .select(col("cluster"),
-        struct((-col("c")).as("nc"), col("p_name").as("nm")).as("sc"))
+        struct((-col("nv")).as("nc"), col("p_name").as("nm")).as("sc"))
       .groupBy(col("cluster")).agg(min(col("sc")).as("m"))
       .select(col("cluster"), col("m.nm").as("canonical_name"))
     withC.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        r(min(col("p_retailprice")), 4).as("min_price"),
-        r(max(col("p_retailprice")), 4).as("max_price"))
+      .agg(sum(col("nv")).as("n_members"),
+        r(min(col("pmin")), 4).as("min_price"),
+        r(max(col("pmax")), 4).as("max_price"))
       .filter(col("n_members") >= 2)
       .join(canon, "cluster")
       .select(col("cluster").as("cluster_id"), col("n_members"),
@@ -746,6 +858,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_overlap"      -> (sourceOverlap _),
     "fuzzy_blocked_join"  -> (fuzzyBlockedJoin _),
+    "fuzzy_passjoin"      -> (fuzzyPassjoin _),
     "golden_record"       -> (goldenRecord _),
     "chao_estimate"       -> (chaoEstimate _),
     "leakage_by_source"   -> (leakageBySource _),
@@ -757,6 +870,7 @@ object Dedup {
     "dedup_containment"   -> (dedupContainment _),
     "dup_pairs_by_source" -> (dupPairsBySource _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -1162,6 +1276,12 @@ object Dedup {
            ON a.p_brand = b.p_brand AND a.p_type = b.p_type
           AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+    "fuzzy_passjoin" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) AS BIGINT) AS dist
+         FROM documents a JOIN documents b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 2""",
     "dedup_components_lsh" -> componentsSql,
     "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_incremental" -> dedupIncrementalSql,
@@ -1205,6 +1325,22 @@ object Dedup {
       s"""SELECT md5($normSql) AS norm_hash, min(doc_id) AS keep_id,
           count(*) AS n_docs, count(*) > 1 AS has_dup
           FROM documents GROUP BY 1""",
+    // #307 is exact by the prefix-filter lemma — same contract, same
+    // oracle as the quadratic #33 it replaces at scale
+    "dedup_jaccard_prefix" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+                 FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT d1, d2,
+                 round(CAST(i AS DOUBLE)/(s1.n + s2.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.7""",
     "dedup_ngram_jaccard" ->
       s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g

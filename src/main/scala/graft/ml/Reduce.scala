@@ -255,6 +255,30 @@ object Reduce {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, Seq[Int]), DataFrame]()
   graft.api.Memo.register(() => lloydCache.clear())
 
+  /** Memoized FULL grid-Lloyd training — (assignment, final centroids),
+    * both localCheckpointed — keyed by (dir, tag, kvals). The IVF/PQ
+    * index families consume this: in production the trained coarse
+    * quantizer is persisted index state, rebuilt only when the corpus
+    * changes, and every index query rides it. Before this, the warm
+    * bench column exposed that ann_ivf_* re-ran the whole training per
+    * query even with a hot memo (r9 finding: ann_ivf_sq_topk warm 5.37
+    * vs suite 5.74 — the "state" the memo held didn't include the
+    * coarse quantizer). All raw-corpus consumers share tag "raw": the
+    * training is deterministic in the input VALUES (the DuckDB-replay
+    * contract), so identical (tag, kvals) content yields identical
+    * state regardless of which query built it first. Cold bench
+    * numbers are unaffected (Memo.reset precedes every timed run). */
+  private val lloydFullCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, (String, Seq[Int])), (DataFrame, DataFrame)]()
+  graft.api.Memo.register(() => lloydFullCache.clear())
+
+  private[graft] def gridLloydMemo(s: SparkSession, dir: String, tag: String,
+      kvals: Seq[Int])(base: => DataFrame): (DataFrame, DataFrame) =
+    graft.api.Memo.stamped(lloydFullCache, s, dir, (tag, kvals)) {
+      val (a, c) = gridLloyd(base, kvals)
+      (a.localCheckpoint(), c.localCheckpoint())
+    }
+
   private def lloydState(s: SparkSession, dir: String, kvals: Seq[Int]): DataFrame =
     graft.api.Memo.stamped(lloydCache, s, dir, kvals) {
       gridLloyd(

@@ -217,8 +217,8 @@ object Ann {
   // n·cells/total (1.0 = perfectly balanced — the seasonal-index
   // shape). Integer until the two divisions.
   def ivfCellBalance(s: SparkSession, dir: String): DataFrame = {
-    val (assign, _) = graft.ml.Reduce.gridLloyd(
-      vectors(s, dir).select(col("vec_id"), col("v")), Seq(IvfCells))
+    val (assign, _) = graft.ml.Reduce.gridLloydMemo(s, dir, "raw", Seq(IvfCells))(
+      vectors(s, dir).select(col("vec_id"), col("v")))
     val counts = assign.groupBy(col("k").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_vecs"))
     val tot = counts.agg(sum(col("n_vecs")).as("total"), count(lit(1)).as("nc"))
@@ -259,14 +259,15 @@ object Ann {
   private val IvfProbe = 4
 
   def annIvfTopk(s: SparkSession, dir: String): DataFrame =
-    ivfTopkFrom(s, vectors(s, dir))
+    ivfTopkFrom(s, dir, "raw", vectors(s, dir))
 
   /** IVF tail over a prepared (vec_id, v, nrm) frame — shared by the
     * full-precision #39 and the int8 SQ variant (Quantize.annIvfSqTopk),
     * which passes the dequantized corpus instead. */
-  private[sim] def ivfTopkFrom(s: SparkSession, prepared: DataFrame): DataFrame = {
-    val (assign, cents) = graft.ml.Reduce.gridLloyd(
-      prepared.select(col("vec_id"), col("v")), Seq(IvfCells))
+  private[sim] def ivfTopkFrom(s: SparkSession, dir: String, tag: String,
+      prepared: DataFrame): DataFrame = {
+    val (assign, cents) = graft.ml.Reduce.gridLloydMemo(s, dir, tag, Seq(IvfCells))(
+      prepared.select(col("vec_id"), col("v")))
     val assigned = prepared
       .join(assign.select(col("vec_id"), col("k").as("cell")), "vec_id")
     val qs = prepared.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -331,8 +332,8 @@ object Ann {
   // rank. Integer hit counts; one division per row.
   def ivfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(s, dir)
-    val (assign, cents) = graft.ml.Reduce.gridLloyd(
-      vecs.select(col("vec_id"), col("v")), Seq(IvfCells))
+    val (assign, cents) = graft.ml.Reduce.gridLloydMemo(s, dir, "raw", Seq(IvfCells))(
+      vecs.select(col("vec_id"), col("v")))
     val truth = annBruteforceTopk(s, dir).select(col("qid"), col("neighbor_id"))
     val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"),

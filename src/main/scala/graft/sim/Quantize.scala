@@ -39,7 +39,20 @@ object Quantize {
     * broadcast) and the dequantized vector `vq` alongside the original
     * `v`. posexplode → 2·d-row aggregate: map-side combine collapses
     * each partition to d rows before the exchange. */
-  private def dequantized(s: SparkSession, dir: String): DataFrame = {
+  private val dqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Unit), DataFrame]()
+  graft.api.Memo.register(() => dqCache.clear())
+
+  /** Memoized per (session, dir): the int8 corpus IS the persisted
+    * storage layer in production (quantize once, serve many) — the
+    * warm path must not re-derive it per query. localCheckpoint is
+    * corpus-bounded (n x d doubles x2). */
+  private def dequantized(s: SparkSession, dir: String): DataFrame =
+    graft.api.Memo.stamped(dqCache, s, dir, ()) {
+      dequantizedBuild(s, dir).localCheckpoint()
+    }
+
+  private def dequantizedBuild(s: SparkSession, dir: String): DataFrame = {
     val vecs = graft.api.Analytics.spread(
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
@@ -94,7 +107,7 @@ object Quantize {
   // 194. IVF over the int8 corpus (symmetric: centroids, corpus AND
   // queries all live in dequantized space — the storage-resident form).
   def annIvfSqTopk(s: SparkSession, dir: String): DataFrame =
-    Ann.ivfTopkFrom(s,
+    Ann.ivfTopkFrom(s, dir, "sq",
       dequantized(s, dir)
         .select(col("vec_id"), col("vq").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
@@ -208,8 +221,8 @@ object Quantize {
     val vecs = graft.api.Analytics.spread(
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-    val (assign, icents) = graft.ml.Reduce.gridLloyd(
-      vecs.select(col("vec_id"), col("v")), Seq(Ann.IvfCells))
+    val (assign, icents) = graft.ml.Reduce.gridLloydMemo(s, dir, "raw",
+      Seq(Ann.IvfCells))(vecs.select(col("vec_id"), col("v")))
     val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"),
         expr("transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))").as("qxq"))
@@ -254,49 +267,68 @@ object Quantize {
   // The query-side ADC table is per (query, probed cell): residual of
   // the query against THAT cell's centroid — |q|·nprobe·m·PqK rows,
   // still broadcast-sized.
-  def annIvfPqResidualTopk(s: SparkSession, dir: String): DataFrame = {
-    val R = graft.ml.Reduce.LloydRounds
-    val vecs = graft.api.Analytics.spread(
-        Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
-      .withColumn("xq", expr("transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
-      .localCheckpoint() // coarse train + residual train + query passes
-    val (assign, icents) = graft.ml.Reduce.gridLloyd(
-      vecs.select(col("vec_id"), col("v")), Seq(Ann.IvfCells))
-    val cells = assign.select(col("vec_id"), col("k").as("cell"))
-      .localCheckpoint()
-    val ccq = icents.select(col("k").as("cell"), col("cq").as("ccq"))
-    // residual sub-vectors on the integer grid: rxq = xq − ccq(cell)
-    val rbase = vecs.select(col("vec_id"), col("xq"))
-      .join(cells, "vec_id")
-      .join(broadcast(ccq), Seq("cell"))
-      .withColumn("rxq", expr("zip_with(xq, ccq, (a, b) -> a - b)"))
-      .withColumn("sub", explode(array((0 until PqSubs).map(lit(_)): _*)))
-      .select(col("vec_id"), col("cell"), col("sub"),
-        expr(s"slice(rxq, sub * $PqSubDim + 1, $PqSubDim)").as("rq"))
-      .localCheckpoint() // every residual-Lloyd round + encode scans it
-    // residual grid-Lloyd: vec_id mod 16 init, integer centroids
-    var g = rbase.select(col("vec_id"), col("sub"),
-      pmod(col("vec_id"), lit(PqK.toLong)).as("k"))
-    var rcents: DataFrame = null
-    for (i <- 1 to R) {
-      rcents = rbase.join(g, Seq("vec_id", "sub"))
-        .select(col("sub"), col("k"), posexplode(col("rq")).as(Seq("dim", "q")))
-        .groupBy(col("sub"), col("k"), col("dim"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        .withColumn("c", round(col("sq") / col("n").cast("double"), 0).cast("long"))
-        .groupBy(col("sub"), col("k"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("rcq"))
-      val assigned = rbase.select(col("vec_id"), col("sub"), col("rq"))
-        .join(broadcast(rcents), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("k"),
-          expr("aggregate(zip_with(rq, rcq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
-            .as("d2"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("d2"), col("k"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.k").as("k"))
-      g = assigned.localCheckpoint()
+  /** Residual-PQ training state, memoized per (session, dir) — the
+    * persisted-index contract (same as pqState): (corpus with grid
+    * codes, cell assignment, coarse centroids, residual codes, residual
+    * codebooks). The r9 warm column showed this query's cost was ~all
+    * training (warm 6.85 ~= suite 6.87): the state memo existed for the
+    * flat-PQ path but the residual training re-ran per run. */
+  private val residualCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Unit),
+    (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]()
+  graft.api.Memo.register(() => residualCache.clear())
+
+  private def residualState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    graft.api.Memo.stamped(residualCache, s, dir, ()) {
+      val R = graft.ml.Reduce.LloydRounds
+      val vecs = graft.api.Analytics.spread(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .withColumn("xq", expr("transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
+        .localCheckpoint() // coarse train + residual train + query passes
+      val (assign, icents) = graft.ml.Reduce.gridLloydMemo(s, dir, "raw",
+        Seq(Ann.IvfCells))(vecs.select(col("vec_id"), col("v")))
+      val cells = assign.select(col("vec_id"), col("k").as("cell"))
+        .localCheckpoint()
+      val ccq = icents.select(col("k").as("cell"), col("cq").as("ccq"))
+      // residual sub-vectors on the integer grid: rxq = xq − ccq(cell)
+      val rbase = vecs.select(col("vec_id"), col("xq"))
+        .join(cells, "vec_id")
+        .join(broadcast(ccq), Seq("cell"))
+        .withColumn("rxq", expr("zip_with(xq, ccq, (a, b) -> a - b)"))
+        .withColumn("sub", explode(array((0 until PqSubs).map(lit(_)): _*)))
+        .select(col("vec_id"), col("cell"), col("sub"),
+          expr(s"slice(rxq, sub * $PqSubDim + 1, $PqSubDim)").as("rq"))
+        .localCheckpoint() // every residual-Lloyd round + encode scans it
+      // residual grid-Lloyd: vec_id mod 16 init, integer centroids
+      var g = rbase.select(col("vec_id"), col("sub"),
+        pmod(col("vec_id"), lit(PqK.toLong)).as("k"))
+      var rcents: DataFrame = null
+      for (i <- 1 to R) {
+        rcents = rbase.join(g, Seq("vec_id", "sub"))
+          .select(col("sub"), col("k"), posexplode(col("rq")).as(Seq("dim", "q")))
+          .groupBy(col("sub"), col("k"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .withColumn("c", round(col("sq") / col("n").cast("double"), 0).cast("long"))
+          .groupBy(col("sub"), col("k"))
+          .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("rcq"))
+        val assigned = rbase.select(col("vec_id"), col("sub"), col("rq"))
+          .join(broadcast(rcents), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("k"),
+            expr("aggregate(zip_with(rq, rcq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
+              .as("d2"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("d2"), col("k"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.k").as("k"))
+        g = assigned.localCheckpoint()
+      }
+      (vecs, cells, icents, g, rcents.localCheckpoint())
     }
+
+  def annIvfPqResidualTopk(s: SparkSession, dir: String): DataFrame = {
+    val (vecs, cells, icents, g, rcents) = residualState(s, dir)
+    val ccq = icents.select(col("k").as("cell"), col("cq").as("ccq"))
     // query side: probe 4 cells on the raw grid, then per probed cell
     // build the residual ADC table against that cell's centroid
     val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)

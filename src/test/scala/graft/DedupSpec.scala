@@ -183,4 +183,54 @@ class DedupSpec extends SparkSpecBase {
         s"cluster $comp kept ${keepers.head._1}, best is ${best._1}")
     }
   }
+
+  test("passJoin is EXACT: equals brute-force levenshtein join on an adversarial set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic adversarial corpus: tiny alphabet (forced segment
+    // collisions), lengths 0..12 (exercises the short bucket and every
+    // segment-layout remainder), planted 1- and 2-edit neighbors
+    val rnd = new scala.util.Random(42)
+    val alpha = "abc"
+    def rs(n: Int): String = (1 to n).map(_ => alpha(rnd.nextInt(3))).mkString
+    val baseStrs = (1 to 120).map(_ => rs(rnd.nextInt(13)))
+    val edited = baseStrs.take(60).map { s0 =>
+      var s = s0
+      (1 to (1 + rnd.nextInt(2))).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val p = if (s.isEmpty) 0 else rnd.nextInt(s.length)
+        s = op match {
+          case 0 if s.nonEmpty => s.updated(p, alpha(rnd.nextInt(3))) // sub
+          case 1 => s.patch(p, Seq(alpha(rnd.nextInt(3))), 0).mkString // ins
+          case _ if s.nonEmpty => s.patch(p, Nil, 1).mkString // del
+          case _ => s
+        }
+      }
+      s
+    }
+    val all = (baseStrs ++ edited).zipWithIndex
+      .map { case (s, i) => (i.toLong, (i % 2).toString, s) }
+    val df = all.toDF("sid", "blk", "s")
+    val got = api.Similarity.passJoinPairs(df, col("sid"), col("s"), Seq("blk"), tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference: full quadratic join + Spark's own (unbounded) levenshtein
+    val ref = df.as("a").join(df.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid"), col("b.sid"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(ref.nonEmpty, "adversarial set produced no reference pairs — test is vacuous")
+    val byId = all.map { case (i, _, s) => i -> s }.toMap
+    assert(ref.keySet.exists { case (a, b) =>
+      byId(a).length < 3 || byId(b).length < 3
+    }, "no short-bucket pair exercised — test lost its edge-case coverage")
+    val missed = ref.keySet -- got.keySet
+    val extra = got.keySet -- ref.keySet
+    assert(missed.isEmpty, s"passJoin MISSED ${missed.size} true pairs: ${missed.take(5)}")
+    assert(extra.isEmpty, s"passJoin emitted ${extra.size} false pairs: ${extra.take(5)}")
+    got.foreach { case (p, d) =>
+      assert(d == ref(p), s"pair $p: passJoin dist $d != reference ${ref(p)}")
+    }
+  }
 }
