@@ -818,7 +818,102 @@ object Scores {
        FROM seg"""
   }
 
+  // ---------------------------------------------------------------
+  // 311. split-conformal prediction intervals (Vovk et al. 2005; Lei
+  // et al. JASA 2018) — the distribution-free coverage guarantee next
+  // to #147's calibration bins and #266's Wilson intervals: a
+  // prediction rule plus a calibration quantile of its absolute
+  // residuals gives P(y ∈ ŷ ± q̂) ≥ 1−α for ANY data distribution.
+  // Protocol: calibration = even o_orderkey, test = odd (the #309
+  // split convention); the predictor is the per-priority calibration
+  // mean (conformal wraps any predictor — the point is the wrapper,
+  // not the model); α = 0.1. The conformal order statistic
+  // k = ⌈(n_cal+1)(1−α)⌉ is realized BINNED (the pairwise_ks_binned
+  // precedent): residuals land in 1024 fixed-width bins over the
+  // broadcast global calibration range, q̂ = the right edge of the
+  // first bin whose cumulative count reaches k — q̂_binned ≥ q̂_exact
+  // by construction, so the ≥ 1−α guarantee is PRESERVED (the bin
+  // discretization only widens, never narrows). Per-priority window
+  // over ≤1024 bins — bounded by construction; everything else is
+  // two scans of orders and 5-row broadcasts. The test-half coverage
+  // column demonstrates the guarantee empirically (≥ 0.9 up to
+  // binomial noise).
+  private val ConformalBins = 1024
+
+  def conformalIntervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("y"))
+    val cal = o.filter(pmod(col("k"), lit(2)) === 0)
+    val yhat = cal.groupBy(col("prio"))
+      .agg(avg(col("y")).as("yhat"), count(lit(1)).as("n_cal"))
+    val calR = cal.join(broadcast(yhat), "prio")
+      .withColumn("res", abs(col("y") - col("yhat")))
+    val range = calR.agg(max(col("res")).as("rmax"))
+    val binned = calR.crossJoin(broadcast(range))
+      .withColumn("bin",
+        least(floor(col("res") / (col("rmax") / ConformalBins)),
+          lit((ConformalBins - 1).toDouble)).cast("long"))
+      .groupBy(col("prio"), col("bin")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("prio")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // k = ceil((n_cal + 1) * 0.9) in exact integers
+    val qhat = binned
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .join(broadcast(yhat.select(col("prio"),
+        expr("(9 * (n_cal + 1) + 9) div 10").as("kth"))), "prio")
+      .filter(col("cum") >= col("kth"))
+      .groupBy(col("prio")).agg(min(col("bin")).as("qbin"))
+      .crossJoin(broadcast(range))
+      .select(col("prio"),
+        ((col("qbin") + 1) * (col("rmax") / ConformalBins)).as("qhat"))
+    o.filter(pmod(col("k"), lit(2)) === 1)
+      .join(broadcast(yhat), "prio")
+      .join(broadcast(qhat), "prio")
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_test"),
+        avg((abs(col("y") - col("yhat")) <= col("qhat")).cast("double")).as("cov"),
+        first(col("n_cal")).as("n_cal"),
+        first(col("yhat")).as("yh"), first(col("qhat")).as("qh"))
+      .select(col("prio").as("o_orderpriority"), col("n_cal"), col("n_test"),
+        round(col("yh"), 4).as("yhat"), round(col("qh"), 4).as("qhat"),
+        round(col("cov"), 6).as("coverage"))
+  }
+
+  private val conformalIntervalsSql =
+    s"""WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS y FROM orders),
+       |cal AS MATERIALIZED (SELECT * FROM o WHERE k % 2 = 0),
+       |yh AS MATERIALIZED (
+       |  SELECT prio, avg(y) AS yhat, count(*)::BIGINT AS n_cal FROM cal GROUP BY 1),
+       |calr AS MATERIALIZED (
+       |  SELECT cal.prio, abs(cal.y - yh.yhat) AS res FROM cal JOIN yh USING (prio)),
+       |rg AS (SELECT max(res) AS rmax FROM calr),
+       |binned AS (
+       |  SELECT prio,
+       |         CAST(least(floor(res / (rg.rmax / $ConformalBins)),
+       |                    ${ConformalBins - 1}.0) AS BIGINT) AS bin,
+       |         count(*)::BIGINT AS c
+       |  FROM calr, rg GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT prio, bin, sum(c) OVER (PARTITION BY prio ORDER BY bin
+       |           ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM binned),
+       |qh AS MATERIALIZED (
+       |  SELECT cum.prio, (min(bin) + 1) * (rg.rmax / $ConformalBins) AS qhat
+       |  FROM cum JOIN yh ON cum.prio = yh.prio, rg
+       |  WHERE cum >= (9 * (yh.n_cal + 1) + 9) // 10
+       |  GROUP BY cum.prio, rg.rmax)
+       |SELECT o.prio AS o_orderpriority, yh.n_cal, count(*)::BIGINT AS n_test,
+       |       round(yh.yhat, 4) AS yhat, round(qh.qhat, 4) AS qhat,
+       |       round(avg(CASE WHEN abs(o.y - yh.yhat) <= qh.qhat
+       |                 THEN 1.0 ELSE 0.0 END), 6) AS coverage
+       |FROM o JOIN yh ON o.prio = yh.prio JOIN qh ON o.prio = qh.prio
+       |WHERE o.k % 2 = 1
+       |GROUP BY 1, 2, yh.yhat, qh.qhat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conformal_intervals" -> (conformalIntervals _),
     "wilson_rates"     -> (wilsonRates _),
     "mann_kendall"     -> (mannKendall _),
     "cohens_kappa"     -> (cohensKappa _),
@@ -835,6 +930,7 @@ object Scores {
     "calibration_bins" -> (calibrationBins _))
 
   val oracles: Map[String, String] = Map(
+    "conformal_intervals" -> conformalIntervalsSql,
     "bootstrap_ci"      -> bootstrapCiSql,
     "benford_screen"    -> benfordScreenSql,
     "hbos_outliers"     -> hbosOutliersSql,

@@ -786,7 +786,126 @@ object Reduce {
               round(max(nrm), 6) AS max_norm
        FROM nrms GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 308. DBSCAN density clustering (Ester et al., KDD 1996) over the
+  // embedding corpus — the density family beside the centroid
+  // (kmeans/bisecting) and graph-modularity (Louvain/Leiden)
+  // clusterings, the one that finds non-convex clusters and names
+  // noise: eps-neighbors = cosine ≥ 0.38 (margin to the nearest
+  // achievable sim ≥ 2.6e-6 at every test SF — threshold-boundary
+  // safe), core = ≥ 2 neighbors (self excluded), clusters = connected
+  // components of the core-core eps-graph (min-id labels — the dedup
+  // family's deterministic component machinery), border points attach
+  // to their MINIMUM adjacent core cluster, everything else is noise
+  // (cluster −1, role 'noise'). The exact form feeds the all-pairs
+  // cosine join (oracle-exact); dbscan_embeddings_lsh swaps in the
+  // hyperplane-bucket pair miner — same DBSCAN tail, bucket fan-out
+  // bounds the join, the 100 TB path (candidate recall follows the
+  // cosinePairsLsh collision bound; components iterate localCheckpoint
+  // rounds past the union-find cutoff).
+  private val DbscanEps = 0.38
+  private val DbscanMinPts = 2
+
+  private def dbscanFrom(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val p0 = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p0.unionByName(p0.select(col("id2").as("id1"), col("id1").as("id2")))
+    val core = edges.groupBy(col("id1").as("v"))
+      .agg(count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= DbscanMinPts).select(col("v"))
+    val coreEdges = edges
+      .join(core.select(col("v").as("id1")), "id1")
+      .join(core.select(col("v").as("id2")), "id2")
+      .filter(col("id1") < col("id2"))
+    val comp = graft.api.Similarity.connectedComponents(
+      coreEdges, col("id1"), col("id2"))
+    // a core with no core neighbor still founds its own (singleton-core)
+    // cluster — the left join + coalesce(v) is DBSCAN's rule, not a tiebreak
+    val coreClusters = core
+      .join(comp.select(col("vertex").as("v"), col("component")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("component"), col("v")).as("cluster"))
+      .localCheckpoint() // referenced twice below (core output + border attach)
+    val borderClusters = edges
+      .join(coreClusters.select(col("v").as("id2"), col("cluster")), "id2")
+      .select(col("id1").as("v"), col("cluster"))
+      .join(core, Seq("v"), "left_anti")
+      .groupBy(col("v")).agg(min(col("cluster")).as("cluster"))
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(coreClusters.select(col("v").as("vec_id"), col("cluster").as("ccl")),
+        Seq("vec_id"), "left")
+      .join(borderClusters.select(col("v").as("vec_id"), col("cluster").as("bcl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("ccl").isNotNull, lit("core"))
+          .when(col("bcl").isNotNull, lit("border")).otherwise(lit("noise")).as("role"),
+        coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster"))
+  }
+
+  def dbscanEmbeddings(s: SparkSession, dir: String): DataFrame =
+    dbscanFrom(s, dir, graft.api.Similarity.bruteForceCosinePairs(
+      Tables.embeddings(s, dir), col("vec_id"), col("embedding"), DbscanEps))
+
+  /** Scale twin of #308: the hyperplane-bucket candidate miner feeds
+    * the identical DBSCAN tail. */
+  def dbscanEmbeddingsLsh(s: SparkSession, dir: String): DataFrame =
+    dbscanFrom(s, dir, graft.api.Similarity.cosinePairsLsh(
+      Tables.embeddings(s, dir), col("vec_id"), col("embedding"), DbscanEps))
+
+  // shared DBSCAN tail over a pair CTE named `p(i, j)` with i < j
+  private def dbscanTailSql(pairCte: String): String =
+    s"""$pairCte,
+       ed AS MATERIALIZED (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+       deg AS (SELECT a AS v, count(*) AS n FROM ed GROUP BY 1),
+       core AS MATERIALIZED (SELECT v FROM deg WHERE n >= $DbscanMinPts),
+       ce AS MATERIALIZED (
+         SELECT e.a, e.b FROM ed e
+         JOIN core c1 ON e.a = c1.v JOIN core c2 ON e.b = c2.v),
+       reach AS (
+         SELECT a, b FROM ce
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a),
+       comp AS (
+         SELECT c.v, least(c.v, coalesce(min(r.b), c.v)) AS cluster
+         FROM core c LEFT JOIN reach r ON c.v = r.a GROUP BY c.v),
+       bord AS (
+         SELECT e.a AS v, min(comp.cluster) AS cluster
+         FROM ed e JOIN comp ON e.b = comp.v
+         WHERE e.a NOT IN (SELECT v FROM core) GROUP BY 1)
+       SELECT em.vec_id,
+              CASE WHEN c.cluster IS NOT NULL THEN 'core'
+                   WHEN bo.cluster IS NOT NULL THEN 'border'
+                   ELSE 'noise' END AS role,
+              coalesce(c.cluster, bo.cluster, -1) AS cluster
+       FROM embeddings em
+       LEFT JOIN comp c ON em.vec_id = c.v
+       LEFT JOIN bord bo ON em.vec_id = bo.v"""
+
+  private val dbscanSql = dbscanTailSql(
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+         SELECT a.vec_id AS i, b.vec_id AS j
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $DbscanEps)""")
+
+  // the dedup_embedding_lsh candidate chain (shared SplitMix64 planes,
+  // own-bucket + 1-bit-flip probes) at the DBSCAN threshold, then the
+  // same tail — the LSH twin is oracle-exact, not rows-only
+  private val dbscanLshSql = dbscanTailSql(
+    s"""WITH RECURSIVE ${graft.sim.Ann.lshSigPrefixSql},
+       probes AS MATERIALIZED (
+         SELECT s.vec_id AS qid,
+                CASE WHEN t.p < 0 THEN s.bucket
+                     ELSE xor(s.bucket, (1::BIGINT << t.p)) END AS bucket
+         FROM lsig s, LATERAL (SELECT unnest(generate_series(-1, 4)) AS p) t),
+       p AS MATERIALIZED (
+         SELECT pr.qid AS i, s2.vec_id AS j
+         FROM probes pr JOIN lsig s2 USING (bucket)
+         JOIN embeddings a ON pr.qid = a.vec_id
+         JOIN embeddings b ON s2.vec_id = b.vec_id
+         WHERE pr.qid < s2.vec_id
+           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $DbscanEps)""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dbscan_embeddings" -> (dbscanEmbeddings _),
+    "dbscan_embeddings_lsh" -> (dbscanEmbeddingsLsh _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_dim_profile" -> (embeddingDimProfile _),
     "mahalanobis_outliers" -> (mahalanobisOutliers _),
@@ -798,6 +917,8 @@ object Reduce {
     "label_silhouette"  -> (labelSilhouette _))
 
   val oracles: Map[String, String] = Map(
+    "dbscan_embeddings" -> dbscanSql,
+    "dbscan_embeddings_lsh" -> dbscanLshSql,
     "embedding_norm_stats" -> embeddingNormStatsSql,
     "embedding_dim_profile" -> embeddingDimProfileSql,
     "mahalanobis_outliers" -> mahalanobisOutliersSql,

@@ -323,7 +323,110 @@ object Classify {
        JOIN cw c USING (w), n
        GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 309. trigram stupid-backoff LM score (Brants et al., EMNLP 2007 —
+  // the web-scale scoring function behind Google's distributed LMs,
+  // and the level where the LM ladder's BACKOFF actually fires:
+  // #124/#232 train on the full corpus, so every scored n-gram has a
+  // nonzero count; here counts come from the even-doc_id HALF — the
+  // CCNet "reference LM scores the crawl" protocol — and odd docs hit
+  // unseen trigrams). S(w3|w1w2) = c123/c12 if seen, else
+  // 0.4·(c23/c2 if seen, else 0.4·max(c3,1)/N) — the unigram floor
+  // max(c3,1) is the OOV convention (stupid backoff leaves OOV
+  // undefined; the floor keeps ln() finite and is documented here).
+  // Per-doc mean log-score over trigram positions, the #124 weighted
+  // Σ dc·ln(s)/Σ dc determinism contract, 6 dp. Scale: trigram/bigram
+  // count tables shuffle once on their n-gram keys (vocab³-bounded in
+  // the worst case, corpus-bounded in practice); unigram tables and N
+  // broadcast; per-doc distinct trigrams join on the same keys — no
+  // row explosion beyond the token stream itself.
+  private val SbAlpha = 0.4
+
+  def trigramSbScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+    val tris = toks.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 3),
+           i -> struct(ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3))""")).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val perDoc = tris.groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("dc"))
+    val c123 = tris.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+    val bigr = toks.filter(pmod(col("doc_id"), lit(2)) === 0 && size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+           i -> struct(ws[i] AS wa, ws[i+1] AS wb))""")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val c12 = bigr.groupBy(col("wa").as("w1"), col("wb").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c23 = bigr.groupBy(col("wa").as("w2"), col("wb").as("w3"))
+      .agg(count(lit(1)).as("c23"))
+    val uni = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(explode(col("ws")).as("w"))
+    val c2 = uni.groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = c2.select(col("w2").as("w3"), col("c2").as("c3"))
+    val n = uni.agg(count(lit(1)).cast("double").as("nn"))
+    perDoc
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(broadcast(c2), Seq("w2"), "left")
+      .join(broadcast(c3), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("sc",
+        when(col("c123").isNotNull, col("c123") / col("c12"))
+          .otherwise(lit(SbAlpha) *
+            when(col("c23").isNotNull, col("c23") / col("c2"))
+              .otherwise(lit(SbAlpha) *
+                greatest(coalesce(col("c3"), lit(0L)), lit(1L)) / col("nn"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).cast("long").as("n_trigrams"),
+        round(sum(col("dc") * log(col("sc"))) / sum(col("dc")), 6).as("sb_score"))
+  }
+
+  private val trigramSbScoreSql =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |tri AS MATERIALIZED (
+       |  SELECT doc_id, ws[CAST(t.i AS INT)] AS w1, ws[CAST(t.i + 1 AS INT)] AS w2,
+       |         ws[CAST(t.i + 2 AS INT)] AS w3
+       |  FROM toks, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
+       |  WHERE len(ws) >= 3),
+       |pd AS MATERIALIZED (
+       |  SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS dc FROM tri GROUP BY 1, 2, 3, 4),
+       |c123 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM tri
+       |         WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+       |bg AS MATERIALIZED (
+       |  SELECT ws[CAST(t.i AS INT)] AS wa, ws[CAST(t.i + 1 AS INT)] AS wb
+       |  FROM toks, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2 AND doc_id % 2 = 0),
+       |c12 AS (SELECT wa AS w1, wb AS w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+       |c23 AS (SELECT wa AS w2, wb AS w3, count(*)::BIGINT AS c23 FROM bg GROUP BY 1, 2),
+       |uni AS MATERIALIZED (
+       |  SELECT t.w FROM toks, LATERAL unnest(ws) AS t(w) WHERE doc_id % 2 = 0),
+       |c2 AS (SELECT w AS w2, count(*)::BIGINT AS c2 FROM uni GROUP BY 1),
+       |c3 AS (SELECT w AS w3, count(*)::BIGINT AS c3 FROM uni GROUP BY 1),
+       |n AS (SELECT count(*)::DOUBLE AS nn FROM uni)
+       |SELECT pd.doc_id, CAST(sum(pd.dc) AS BIGINT) AS n_trigrams,
+       |       round(sum(pd.dc * ln(
+       |         CASE WHEN c123.c123 IS NOT NULL THEN c123.c123 / CAST(c12.c12 AS DOUBLE)
+       |              ELSE $SbAlpha * (
+       |                CASE WHEN c23.c23 IS NOT NULL THEN c23.c23 / CAST(c2.c2 AS DOUBLE)
+       |                     ELSE $SbAlpha * greatest(coalesce(c3.c3, 0), 1) / n.nn END)
+       |         END)) / sum(pd.dc), 6) AS sb_score
+       |FROM pd
+       |LEFT JOIN c123 USING (w1, w2, w3)
+       |LEFT JOIN c12 USING (w1, w2)
+       |LEFT JOIN c23 USING (w2, w3)
+       |LEFT JOIN c2 USING (w2)
+       |LEFT JOIN c3 USING (w3), n
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trigram_sb_score"   -> (trigramSbScore _),
     "source_style_kl"    -> (sourceStyleKl _),
     "langid_confusion"   -> (langidConfusion _),
     "perceptron_quality" -> (perceptronQuality _),
@@ -331,6 +434,7 @@ object Classify {
     "word_lm_score"      -> (wordLmScore _))
 
   val oracles: Map[String, String] = Map(
+    "trigram_sb_score"   -> trigramSbScoreSql,
     "source_style_kl"    -> sourceStyleKlSql,
     "langid_confusion"   -> langidConfusionSql,
     "perceptron_quality" -> perceptronQualitySql,

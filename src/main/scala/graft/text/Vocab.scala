@@ -618,7 +618,112 @@ object Vocab {
        FROM quota q LEFT JOIN kept k USING (source, quota_tokens)"""
   }
 
+  // ---------------------------------------------------------------
+  // 310. Count-Min sketch frequency estimates (Cormode & Muthukrishnan
+  // 2005) — the missing member of the sketch family (#145 Misra-Gries
+  // keeps the TOP-k; #55 HLL counts DISTINCTS; #92 bloom answers
+  // membership; CMS answers "how often does ANY key occur" in
+  // d·w counters): d=4 rows × w=256 buckets, bucket_j(key) = the
+  // first-4-hex-digit integer of md5(key·'|'·j) mod w (the repo's
+  // md5-replay convention, ALL-INTEGER — the whole query is
+  // hash-exact). Keys are word BIGRAMS (the unigram vocabulary of this
+  // synthetic corpus is 31 words — smaller than any useful sketch; the
+  // ~31² bigram universe over w=64 buckets forces the collisions the
+  // sketch trades away, so the error column is live, not zero).
+  // counters = one groupBy over (row, bucket) — map-side
+  // combined, d·w = 256 cells total on the exchange regardless of
+  // corpus size (THE streaming/distributed frequency sketch; the
+  // mergeability this table demonstrates is why CMS ships in every
+  // stream processor). The eval table: top-100 words by true count,
+  // true vs estimate vs overestimate (CMS never underestimates — the
+  // spec-worthy invariant; with ~vocab≫w collisions the error column
+  // is the ε·N bound made visible).
+  private val CmsD = 4
+  private val CmsW = 64
+
+  /** All-integer md5 bucket: first 4 hex digits of md5(key|row) mod w. */
+  private def cmsBucket(key: Column, j: Int): Column = {
+    val hex = md5(concat(key, lit(s"|$j")))
+    val v = (1 to 4).map { i =>
+      (call_function("locate", substring(hex, i, 1), lit("0123456789abcdef"))
+        .cast("long") - 1L) * lit(math.pow(16, 4 - i).toLong)
+    }.reduce(_ + _)
+    pmod(v, lit(CmsW.toLong))
+  }
+
+  private def cmsBucketSql(keyExpr: String, j: Int): String = {
+    val md5k = s"md5($keyExpr || '|$j')"
+    val v = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 4 - i).toLong}"
+    }.mkString("(", " + ", ")")
+    s"($v % $CmsW)"
+  }
+
+  def cmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("w"))
+    val truth = words.groupBy(col("w")).agg(count(lit(1)).as("true_count"))
+    // d (row, bucket) keys per distinct word WITH its count — the
+    // vocab-bounded frame both the counter agg and the probe read
+    // (localCheckpoint: referenced twice, vocab-sized)
+    val wb = truth
+      .select(col("w"), col("true_count"),
+        explode(array((0 until CmsD).map(lit): _*)).as("j"))
+      .withColumn("bucket",
+        (0 until CmsD).foldLeft(lit(-1L)) { (acc, j) =>
+          when(col("j") === j, cmsBucket(col("w"), j)).otherwise(acc)
+        })
+      .localCheckpoint()
+    val counters = wb.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("true_count")).as("cnt"))
+    val est = wb
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col("w"), col("true_count"))
+      .agg(min(col("cnt")).as("cms_est"))
+    // global top-100 via orderBy+limit → TakeOrderedAndProject (the
+    // pmi_bigrams precedent), never an unpartitioned rank window over
+    // the vocabulary; the rk window after limit sees ≤ 100 rows
+    val w = Window.orderBy(col("true_count").desc, col("w").asc)
+    est
+      .orderBy(col("true_count").desc, col("w").asc)
+      .limit(100)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("w").as("word"), col("true_count"), col("cms_est"),
+        (col("cms_est") - col("true_count")).as("overestimate"), col("rk"))
+  }
+
+  private val cmsFrequencySql = {
+    val bs = (0 until CmsD).map(j => s"SELECT $j AS j, ${cmsBucketSql("w", j)} AS bucket")
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i + 1 AS INT)] AS w,
+       |         count(*)::BIGINT AS true_count
+       |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |       LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2
+       |  GROUP BY 1),
+       |wb AS MATERIALIZED (
+       |  SELECT w, true_count, b.j, b.bucket
+       |  FROM truth, LATERAL (
+       |    ${bs.mkString(" UNION ALL\n    ")}) b),
+       |counters AS (SELECT j, bucket, sum(true_count)::BIGINT AS cnt FROM wb GROUP BY 1, 2),
+       |est AS (
+       |  SELECT wb.w, wb.true_count, min(c.cnt) AS cms_est
+       |  FROM wb JOIN counters c USING (j, bucket)
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT w AS word, true_count, cms_est,
+       |         cms_est - true_count AS overestimate,
+       |         row_number() OVER (ORDER BY true_count DESC, w ASC) AS rk
+       |  FROM est)
+       |SELECT word, true_count, cms_est, overestimate, rk::BIGINT AS rk
+       |FROM rk WHERE rk <= 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_frequency"       -> (cmsFrequency _),
     "token_quota_cut"     -> (tokenQuotaCut _),
     "ngram_novelty_curve" -> (ngramNoveltyCurve _),
     "bpe_merges"        -> (bpeMerges _),
@@ -630,6 +735,7 @@ object Vocab {
     "charclass_profile" -> (charclassProfile _))
 
   val oracles: Map[String, String] = Map(
+    "cms_frequency"       -> cmsFrequencySql,
     "token_quota_cut"     -> tokenQuotaCutSql,
     "ngram_novelty_curve" -> ngramNoveltyCurveSql,
     "bpe_merges"        -> bpeMergesSql,

@@ -176,4 +176,38 @@ class AnnotateScoresSpec extends SparkSpecBase {
     assert(out(8) < out(2), "more clusters must not cost more SSE at the endpoints")
     assert(out.values.forall(_ >= 0.0))
   }
+
+  test("split conformal: binned qhat brackets the exact order statistic and covers") {
+    import org.apache.spark.sql.functions._
+    val out = core.Scores.conformalIntervals(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.nonEmpty)
+    // reference: exact conformal quantile from the raw calibration residuals
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val cal = o.filter(_._1 % 2 == 0)
+    val yhat = cal.groupBy(_._2).map { case (p, rs) =>
+      p -> rs.map(_._3).sum / rs.size
+    }
+    val resByP = cal.groupBy(_._2).map { case (p, rs) =>
+      p -> rs.map(r => math.abs(r._3 - yhat(p))).sorted
+    }
+    val rmax = resByP.values.flatten.max
+    val width = rmax / 1024
+    out.foreach { case (p, (nCal, nTest, yh, qh, cov)) =>
+      val res = resByP(p)
+      assert(nCal == res.size)
+      // yhat agrees with the reference mean at the output rounding
+      assert(math.abs(yh - yhat(p)) < 5e-4, s"$p yhat $yh vs ${yhat(p)}")
+      val k = math.ceil((nCal + 1) * 0.9).toInt
+      val exact = res(k - 1)
+      assert(qh >= exact - 1e-9, s"$p binned qhat $qh < exact $exact — guarantee broken")
+      assert(qh - exact <= width + 1e-6, s"$p qhat $qh further than a bin from $exact")
+      // the finite-sample guarantee, with slack for binomial noise
+      assert(cov >= 0.9 - 3 * math.sqrt(0.09 / nTest),
+        s"$p coverage $cov too far below 0.9 (n_test=$nTest)")
+    }
+  }
 }

@@ -112,4 +112,48 @@ class ReduceSpec extends SparkSpecBase {
       assert(nz >= 0.0 && nz <= 1.0)
     }
   }
+
+  test("DBSCAN: roles partition correctly and clusters are component-min labels") {
+    import org.apache.spark.sql.functions._
+    val eps = 0.38 // pin the query's contract
+    val out = ml.Reduce.dbscanEmbeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val pairs = api.Similarity.bruteForceCosinePairs(
+        graft.Tables.embeddings(spark, sf), col("vec_id"), col("embedding"), eps)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "eps-graph empty — spec is vacuous")
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val core = nbrs.filter(_._2.size >= 2).keySet
+    out.foreach { case (v, (role, cl)) =>
+      val deg = nbrs.get(v).map(_.size).getOrElse(0)
+      role match {
+        case "core" => assert(deg >= 2 && cl >= 0)
+        case "border" =>
+          assert(deg < 2, s"border $v has core degree $deg")
+          assert(nbrs(v).exists(core), s"border $v has no core neighbor")
+          assert(cl >= 0)
+        case "noise" =>
+          assert(cl == -1L)
+          assert(!core.contains(v) && !nbrs.getOrElse(v, Set.empty).exists(core))
+      }
+    }
+    // cluster label = min member over each core component (BFS reference)
+    val coreAdj = nbrs.map { case (v, ns) => v -> ns.filter(core) }
+    core.foreach { v =>
+      var seen = Set(v); var frontier = Set(v)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(coreAdj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      assert(out(v)._2 == seen.filter(core).min,
+        s"core $v cluster ${out(v)._2} != component min")
+    }
+    // LSH twin: candidate pairs are a subset, so its core set can only
+    // shrink — every LSH core must be an exact core with the same label
+    val lsh = ml.Reduce.dbscanEmbeddingsLsh(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val lshCore = lsh.collect { case (v, ("core", _)) => v }.toSet
+    assert(lshCore.subsetOf(core), "LSH core set exceeds the exact core set")
+  }
 }

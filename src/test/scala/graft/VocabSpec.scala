@@ -65,4 +65,34 @@ class VocabSpec extends SparkSpecBase {
       assert(math.abs(fr.sum - 1.0) < 1e-4) // rounding at 6dp per class
     }
   }
+
+  test("count-min sketch never underestimates and ranks by true count") {
+    val rows = text.Vocab.cmsFrequency(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, tc, est, over, _) =>
+      assert(est >= tc, s"CMS underestimated '$w': $est < $tc")
+      assert(over == est - tc)
+    }
+    val byRank = rows.sortBy(_._5).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      "rank order does not follow true counts")
+  }
+
+  test("stupid-backoff scores are finite log-probs and the held-out half scores lower") {
+    val rows = text.Classify.trigramSbScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, sc) =>
+      assert(n >= 1, s"doc $id has no trigrams")
+      assert(!sc.isNaN && !sc.isInfinite, s"doc $id score $sc not finite")
+      assert(sc <= 1e-9, s"doc $id log-score $sc > 0")
+    }
+    // the training half (even doc_ids) never backs off, the held-out
+    // half pays the 0.4 penalty on unseen trigrams — means must order
+    val (train, test) = rows.partition(_._1 % 2 == 0)
+    val mt = train.map(_._3).sum / train.size
+    val mh = test.map(_._3).sum / test.size
+    assert(mt > mh, s"train mean $mt !> held-out mean $mh")
+  }
 }
