@@ -851,9 +851,13 @@ object Scores {
     val calR = cal.join(broadcast(yhat), "prio")
       .withColumn("res", abs(col("y") - col("yhat")))
     val range = calR.agg(max(col("res")).as("rmax"))
+    // greatest(rmax, tiny): all-zero calibration residuals (rmax = 0)
+    // would otherwise NULL the bin and silently drop every priority;
+    // with the guard they land in bin 0 and q̂ = (0+1)·(0/B) = 0 — the
+    // honest degenerate answer. Mirrored in the oracle SQL.
     val binned = calR.crossJoin(broadcast(range))
       .withColumn("bin",
-        least(floor(col("res") / (col("rmax") / ConformalBins)),
+        least(floor(col("res") / (greatest(col("rmax"), lit(1e-12)) / ConformalBins)),
           lit((ConformalBins - 1).toDouble)).cast("long"))
       .groupBy(col("prio"), col("bin")).agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy(col("prio")).orderBy(col("bin"))
@@ -891,7 +895,7 @@ object Scores {
        |rg AS (SELECT max(res) AS rmax FROM calr),
        |binned AS (
        |  SELECT prio,
-       |         CAST(least(floor(res / (rg.rmax / $ConformalBins)),
+       |         CAST(least(floor(res / (greatest(rg.rmax, 1e-12) / $ConformalBins)),
        |                    ${ConformalBins - 1}.0) AS BIGINT) AS bin,
        |         count(*)::BIGINT AS c
        |  FROM calr, rg GROUP BY 1, 2),

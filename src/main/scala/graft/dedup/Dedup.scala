@@ -115,31 +115,73 @@ object Dedup {
   // smallest — candidates collapse from Σ df² to Σ df_prefix² ≈ true
   // pairs + collisions. The length filter (10·|B| ≥ 7·|A|, exact
   // integers — a float ⌈0.7·n⌉ could round the prefix UNSAFELY short)
-  // prunes cross-size pairs before verification; verification is one
-  // native set-Jaccard per candidate on the carried shingle arrays —
-  // no second inverted-index pass. Same output, same oracle as #33.
+  // and PPJoin's positional filter prune before verification.
+  //
+  // Plan shape (r10 rewrite — the first cut spent 30 s at sf0.1 on a
+  // per-doc (df,g) rank window over every exploded shingle plus
+  // string-set Jaccard over 4.7M candidates): shingles are DICTIONARY
+  // -ENCODED to dense ints whose ascending order IS the global (df, g)
+  // All-Pairs order, so (a) a doc's prefix is just the HEAD of its
+  // sorted gid array — the fact-sized rank window disappears, (b) the
+  // candidate join carries only ints, (c) PPJoin's positional filter
+  // (overlap ubound 1 + min(remaining suffixes) ≥ ⌈7(n₁+n₂)/17⌉ at the
+  // first shared prefix token — sound because both arrays share one
+  // global order) prunes per-row BEFORE the distinct shuffle, and
+  // (d) verification is one native sorted-int merge per pair
+  // (SortedIntersectCount) against the doc-keyed gid arrays — int
+  // compares, not per-element string hashing. The dictionary rank
+  // window is VOCAB-bounded (distinct 5-grams — corpus-sublinear,
+  // charset⁵-capped; PlanSpec-allowlisted); at dictionary scale swap
+  // in the heapsFit range-bucketed two-pass rank. Verify joins hit a
+  // |docs|-row int-array table (auto-broadcast at test SF; equi-key
+  // shuffle-hash at corpus scale). Same output, same oracle as #33.
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
-    val d = docsNorm(s, dir)
-      .select(col("doc_id"), shinglesExpr("t").as("gs"))
-      .withColumn("n", size(col("gs")).cast("long"))
-    val sh = d.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
+    val sh = docsNorm(s, dir)
+      .select(col("doc_id"), explode(shinglesExpr("t")).as("g"))
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // prefix length for J >= 0.7: n - ceil(0.7 n) + 1 = n - (7n+9) div 10 + 1
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefix = sh.join(dfreq, "g")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n") - expr("(n * 7 + 9) div 10") + 1)
-      .select(col("doc_id"), col("n"), col("g"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") * 10 >= col("a.n") * 7 && col("a.n") * 10 >= col("b.n") * 7)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val dict = dfreq.select(col("g"),
+      row_number().over(Window.orderBy(col("df"), col("g"))).as("gid"))
+    // one gid per distinct shingle per doc; ascending = rare-first.
+    // localCheckpoint: feeds the prefix explode AND both verify joins.
+    val docs = sh.join(dict, "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gid"))).as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).cast("long").as("n"))
+      .localCheckpoint()
+    // probe prefix for J >= 0.7: n - ceil(0.7 n) + 1 = n - (7n+9) div 10 + 1.
+    // The (n, id)-SMALLER side of a pair additionally only needs its
+    // INDEX prefix n - ceil(2t/(1+t) n) + 1 = n - (14n+16) div 17 + 1
+    // (All-Pairs asymmetry: overlap >= 2t/(1+t)·|smaller|, so the first
+    // shared token sits that early in the smaller set). The positional
+    // filter already implies this bound post-join; cutting the index
+    // side pre-join shrinks the streamed match volume ~1.6x (39.5M ->
+    // 25.3M at sf0.1) for free.
+    val prefix = docs.select(col("doc_id"), col("n"),
+      posexplode(slice(col("ids"), lit(1),
+        (col("n") - expr("(n * 7 + 9) div 10") + 1).cast("int"))).as(Seq("pos", "gid")))
+    val idx = prefix.filter(
+      col("pos") + 1 <= col("n") - expr("(n * 14 + 16) div 17") + 1)
+    // shuffle_hash, not broadcast: the dictionary has few DISTINCT
+    // gids, so a broadcast relation over the index rows degenerates to
+    // ~|idx|/|vocab|-long hash chains probed per row (measured 4x
+    // slower than partitioned hash build at sf0.1); equi-partitioning
+    // on gid keeps per-partition builds small and cache-resident.
+    val cand = prefix.as("a").join(idx.hint("shuffle_hash").as("b"),
+        col("a.gid") === col("b.gid") &&
+          (col("b.n") < col("a.n") ||
+            (col("b.n") === col("a.n") && col("b.doc_id") < col("a.doc_id"))) &&
+          col("a.n") * 7 <= col("b.n") * 10 &&
+          (lit(1L) + least(col("a.n") - 1 - col("a.pos"), col("b.n") - 1 - col("b.pos"))) * 17
+            >= (col("a.n") + col("b.n")) * 7)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
     cand
-      .join(d.select(col("doc_id").as("d1"), col("gs").as("g1")), "d1")
-      .join(d.select(col("doc_id").as("d2"), col("gs").as("g2")), "d2")
-      .withColumn("jac",
-        graft.functions.VectorFunctions.jaccardSim(col("g1"), col("g2")))
+      .join(docs.select(col("doc_id").as("d1"), col("ids").as("i1"), col("n").as("n1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("ids").as("i2"), col("n").as("n2")), "d2")
+      .withColumn("i", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("i1"), col("i2")).cast("long"))
+      .withColumn("jac", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
       .filter(col("jac") >= 0.7)
       .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
   }

@@ -239,6 +239,8 @@ object VectorFunctions {
   def charShingles(c: Column, n: Int = 5): Column = GraftGlue.column(CharShingles(toExpr(c), n))
   def charNgrams(c: Column, n: Int): Column = GraftGlue.column(CharNgrams(toExpr(c), n))
   def jaccardSim(a: Column, b: Column): Column = GraftGlue.column(JaccardSim(toExpr(a), toExpr(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftGlue.column(SortedIntersectCount(toExpr(a), toExpr(b)))
   def minhashSigText(c: Column, n: Int = 5, numHashes: Int = 64): Column =
     GraftGlue.column(MinHashSigText(toExpr(c), n, numHashes))
   def longMatchFrac(a: Column, b: Column): Column =
@@ -431,6 +433,59 @@ case class CharNgramCounts(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramCounts =
     copy(child = newChild)
+}
+
+/** Intersection size of two SORTED int arrays (strict set semantics —
+  * inputs must be duplicate-free and ascending, as sort_array over a
+  * distinct-element collect produces): one linear merge, zero
+  * allocation. The verification kernel for prefix-filtered set joins,
+  * where sets are dictionary-encoded to dense ints — an int-compare
+  * merge replaces JaccardSim's per-element string hashing. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<int> args, got ${l.sql} and ${r.sql}")
+    }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    while (i < a.numElements() && j < b.numElements()) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $i = 0; int $j = 0;
+        ${ev.value} = 0;
+        while ($i < $a.numElements() && $j < $b.numElements()) {
+          int $x = $a.getInt($i); int $y = $b.getInt($j);
+          if ($x == $y) { ${ev.value}++; $i++; $j++; }
+          else if ($x < $y) { $i++; } else { $j++; }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Jaccard similarity of two string arrays treated as sets — a single

@@ -267,7 +267,19 @@ object Reduce {
     * training is deterministic in the input VALUES (the DuckDB-replay
     * contract), so identical (tag, kvals) content yields identical
     * state regardless of which query built it first. Cold bench
-    * numbers are unaffected (Memo.reset precedes every timed run). */
+    * numbers are unaffected (Memo.reset precedes every timed run).
+    *
+    * TAG CONTRACT (r9 advice): the `base` frame is IGNORED on a cache
+    * hit, so a tag names ONE canonical corpus frame — passing a
+    * value-different frame under an existing tag would silently
+    * receive the other frame's training state. Registered tags:
+    *   "raw" — the full-precision embeddings corpus, projected
+    *           (vec_id, v) (Ann.annIvfTopk / ivfCellBalance /
+    *           ivfNprobeSweep, Quantize PQ/IVFPQ coarse steps)
+    *   "sq"  — the int8-dequantized corpus (Quantize.annIvfSqTopk
+    *           via Ann.ivfTopkFrom; bit-exact dequantized values)
+    * Introducing a new corpus variant REQUIRES a new tag — never reuse
+    * one for a frame that isn't value-identical to the rows above. */
   private val lloydFullCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long, (String, Seq[Int])), (DataFrame, DataFrame)]()
   graft.api.Memo.register(() => lloydFullCache.clear())

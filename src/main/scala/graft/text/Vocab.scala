@@ -623,7 +623,7 @@ object Vocab {
   // 2005) — the missing member of the sketch family (#145 Misra-Gries
   // keeps the TOP-k; #55 HLL counts DISTINCTS; #92 bloom answers
   // membership; CMS answers "how often does ANY key occur" in
-  // d·w counters): d=4 rows × w=256 buckets, bucket_j(key) = the
+  // d·w counters): d=4 rows × w=64 buckets (256 cells), bucket_j(key) = the
   // first-4-hex-digit integer of md5(key·'|'·j) mod w (the repo's
   // md5-replay convention, ALL-INTEGER — the whole query is
   // hash-exact). Keys are word BIGRAMS (the unigram vocabulary of this

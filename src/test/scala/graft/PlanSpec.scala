@@ -377,7 +377,14 @@ class PlanSpec extends SparkSpecBase {
       // benford_screen crosses the |priorities|×9 digit scaffold
       // (ma_stats precedent)
       "word_lm_score", "k_anonymity", "hbos_outliers",
-      "conversion_ztest", "benford_screen")
+      "conversion_ztest", "benford_screen",
+      // conformal_intervals attaches the 1-row global residual-range
+      // aggregate twice (bin width + q̂ reconstruction — the
+      // hbos_outliers min-max precedent)
+      "conformal_intervals",
+      // trigram_sb_score attaches the 1-row unigram total N (the
+      // char_lm_score scalar-attach precedent)
+      "trigram_sb_score")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
@@ -415,7 +422,9 @@ class PlanSpec extends SparkSpecBase {
       // vocabulary-bounded rank tables (corpus-sublinear; cap at top-N
       // vocab at larger scale — documented in SURVEY §5)
       "zipf_fit" -> "vocab rank (sublinear)", "pmi_bigrams" -> "bigram vocab rank (df-cut)",
+      "dedup_jaccard_prefix" -> "5-gram vocab dictionary rank (charset^5-capped, corpus-sublinear)",
       "top_paths" -> "distinct session-path counts (post-agg top-k)",
+      "cms_frequency" -> "post-limit top-100 rank (TakeOrdered feeds it)",
       "factor_by_size" -> "|levels| frequency rank",
       // |sources|-row allocation tables
       "proportional_allocation" -> "|sources| rows",

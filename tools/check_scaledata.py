@@ -22,7 +22,18 @@ import duckdb
 
 
 def main():
-    base, scaled, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    if len(sys.argv) != 4:
+        print(__doc__)
+        sys.exit(2)
+    base, scaled = sys.argv[1], sys.argv[2]
+    try:
+        factor = int(sys.argv[3])
+    except ValueError:
+        print(f"factor must be an integer, got {sys.argv[3]!r}\n\n{__doc__}")
+        sys.exit(2)
+    if factor < 1:
+        print(f"factor must be >= 1, got {factor}\n\n{__doc__}")
+        sys.exit(2)
     con = duckdb.connect()
     fails = []
 
