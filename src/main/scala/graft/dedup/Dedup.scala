@@ -721,6 +721,37 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // 312. Jaro-Winkler fuzzy name pairs — the TYPO-class matcher next
+  // to the edit-distance family (#89/#306 count operations; JW weights
+  // agreement by position, the record-linkage standard since the
+  // Census Bureau original). Blocked distinct-value rendezvous (the
+  // #89/#240 convention): distinct (brand, type, name) triples (8.4k
+  // at sf0.1 vs 20k part rows), within-block name pairs scored by the
+  // native JaroWinklerSim expression. DuckDB computes
+  // jaro_winkler_similarity NATIVELY, so the oracle independently
+  // reimplements the entire kernel — window, transposition floor,
+  // 0.7 boost threshold, empty-string convention are all pinned
+  // bit-for-bit by the hash compare (constants probed from DuckDB,
+  // documented at the expression). Blocks are catalog-bounded (≤62
+  // names/block at sf0.1); at catalog scale add a length canopy to
+  // the block key — JW ≥ 0.9 needs ~agreeing lengths.
+  def jaroWinklerPairs(s: SparkSession, dir: String): DataFrame = {
+    val nv = Tables.part(s, dir)
+      .select(col("p_brand").as("brand"), col("p_type").as("ptype"),
+        col("p_name").as("name"))
+      .distinct()
+    nv.as("a").join(nv.as("b"),
+        col("a.brand") === col("b.brand") && col("a.ptype") === col("b.ptype") &&
+          col("a.name") < col("b.name"))
+      .withColumn("jw", graft.functions.VectorFunctions
+        .jaroWinklerSim(col("a.name"), col("b.name")))
+      .filter(col("jw") >= 0.9)
+      .select(col("a.brand").as("brand"), col("a.ptype").as("ptype"),
+        col("a.name").as("name1"), col("b.name").as("name2"),
+        r(col("jw"), 6).as("jw_sim"))
+  }
+
+  // ---------------------------------------------------------------
   // 240. golden-record construction — the MDM/entity-resolution
   // capstone over #89's blocked fuzzy matches — computed ENTIRELY at
   // the value level (r9 sf1 audit): records sharing (brand, type, name)
@@ -901,6 +932,7 @@ object Dedup {
     "source_overlap"      -> (sourceOverlap _),
     "fuzzy_blocked_join"  -> (fuzzyBlockedJoin _),
     "fuzzy_passjoin"      -> (fuzzyPassjoin _),
+    "jaro_winkler_pairs"  -> (jaroWinklerPairs _),
     "golden_record"       -> (goldenRecord _),
     "chao_estimate"       -> (chaoEstimate _),
     "leakage_by_source"   -> (leakageBySource _),
@@ -1324,6 +1356,13 @@ object Dedup {
          FROM documents a JOIN documents b
            ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 2""",
+    "jaro_winkler_pairs" ->
+      """WITH nv AS (SELECT DISTINCT p_brand AS brand, p_type AS ptype, p_name AS name FROM part)
+         SELECT a.brand, a.ptype, a.name AS name1, b.name AS name2,
+                round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_sim
+         FROM nv a JOIN nv b
+           ON a.brand = b.brand AND a.ptype = b.ptype AND a.name < b.name
+         WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9""",
     "dedup_components_lsh" -> componentsSql,
     "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -241,6 +241,8 @@ object VectorFunctions {
   def jaccardSim(a: Column, b: Column): Column = GraftGlue.column(JaccardSim(toExpr(a), toExpr(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftGlue.column(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def jaroWinklerSim(a: Column, b: Column): Column =
+    GraftGlue.column(JaroWinklerSim(toExpr(a), toExpr(b)))
   def minhashSigText(c: Column, n: Int = 5, numHashes: Int = 64): Column =
     GraftGlue.column(MinHashSigText(toExpr(c), n, numHashes))
   def longMatchFrac(a: Column, b: Column): Column =
@@ -486,6 +488,87 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Jaro-Winkler similarity, DuckDB-parity semantics (the oracle
+  * computes it natively, so every constant below is pinned against
+  * probed DuckDB outputs, not a paper): window = max(l1,l2)/2 − 1
+  * (integer, floored at 0); transpositions t = ⌊mismatched-matches/2⌋
+  * (probed: jaro('abcxxx','bcaxxx') = 0.9444, the floor, not 0.9167
+  * the half-float); either side empty → 0.0 (probed: both-empty is
+  * 0.0 in DuckDB, NOT the rapidfuzz 1.0); Winkler boost ℓ·0.1·(1−j)
+  * with prefix ℓ ≤ 4 applied only when jaro > 0.7 (probed:
+  * 'abcdefgh'/'abzzzzzz' stays 0.5). Operates on UTF-16 code units —
+  * identical to byte/codepoint variants on ASCII inputs. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string args, got ${l.sql} and ${r.sql}")
+    }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerSim.compute(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = JaroWinklerSim.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $cls.compute($a.toString(), $b.toString());")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerSim {
+  /** Static kernel shared by eval and codegen. */
+  def compute(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var trans = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = (trans / 2).toDouble
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (prefix < maxP && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
 }
 
 /** Jaccard similarity of two string arrays treated as sets — a single

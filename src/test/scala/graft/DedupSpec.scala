@@ -233,4 +233,40 @@ class DedupSpec extends SparkSpecBase {
       assert(d == ref(p), s"pair $p: passJoin dist $d != reference ${ref(p)}")
     }
   }
+
+  test("JaroWinklerSim reproduces DuckDB's kernel on the probed pin set") {
+    // Every expected value below is a PROBED DuckDB
+    // jaro_winkler_similarity output (see the expression scaladoc) —
+    // this is the contract the jaro_winkler_pairs oracle hash-checks:
+    // textbook window, FLOORED transposition halves, 0.7 boost
+    // threshold, 0.0 for any empty side.
+    val pins = Seq(
+      ("martha", "marhta") -> 0.9611111111111111, // classic; prefix 3
+      ("dwayne", "duane") -> 0.8400000000000001,
+      ("abcde", "abced") -> 0.9533333333333333, // adjacent transposition
+      ("abcxxx", "bcaxxx") -> 0.9444444444444445, // trans=3 FLOORS to 1; zero prefix
+      ("abcdefgh", "abzzzzzz") -> 0.5, // jaro .5 <= .7: boost suppressed
+      ("crate", "trace") -> 0.7333333333333334, // > .7 but zero prefix
+      ("aaa", "aa") -> 0.9111111111111111, // window 0: same-index only
+      ("ba", "ab") -> 0.0, // window 0, no aligned match
+      ("same", "same") -> 1.0,
+      ("", "") -> 0.0, // DuckDB convention, NOT rapidfuzz's 1.0
+      ("a", "") -> 0.0)
+    for (((a, b), want) <- pins) {
+      val got = graft.functions.JaroWinklerSim.compute(a, b)
+      assert(got == want, s"compute($a, $b) = $got, want $want")
+      assert(got == graft.functions.JaroWinklerSim.compute(b, a),
+        s"JW must be symmetric on ($a, $b)")
+    }
+    // the Column path (codegen) agrees with the static kernel
+    import spark.implicits._
+    val df = pins.map { case ((a, b), w) => (a, b, w) }.toDF("a", "b", "want")
+      .withColumn("got", graft.functions.VectorFunctions
+        .jaroWinklerSim(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")))
+    df.collect().foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(2),
+        s"codegen path diverges on (${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
 }
