@@ -243,6 +243,8 @@ object VectorFunctions {
     GraftGlue.column(SortedIntersectCount(toExpr(a), toExpr(b)))
   def jaroWinklerSim(a: Column, b: Column): Column =
     GraftGlue.column(JaroWinklerSim(toExpr(a), toExpr(b)))
+  def randomProjection(c: Column, outDims: Int): Column =
+    GraftGlue.column(RandomProjection(toExpr(c), outDims))
   def minhashSigText(c: Column, n: Int = 5, numHashes: Int = 64): Column =
     GraftGlue.column(MinHashSigText(toExpr(c), n, numHashes))
   def longMatchFrac(a: Column, b: Column): Column =
@@ -880,6 +882,73 @@ object HyperplaneBucket {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+}
+
+/** Johnson-Lindenstrauss random projection to `outDims` dims — the
+  * SAME SplitMix64 plane stream as [[HyperplaneBucket]] (plane j dim i
+  * = mix64(j·64+i) folded to [−1,1)), but emitting the accumulated
+  * projections instead of their sign bits: out_j = Σᵢ vᵢ·plane_ji.
+  * A bucket is therefore the sign vector of this expression's first
+  * `planes` outputs — one shared pseudo-random matrix, replayed in
+  * DuckDB by the established splitmixCtes chain. */
+case class RandomProjection(child: Expression, outDims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_projection"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val h = HyperplaneBucket.mix64(j * 64L + i)
+        val m = ((h % 2000003L) + 2000003L) % 2000003L
+        acc += v.getDouble(i) * (m.toDouble / 1000001.0 - 1.0)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      s"""
+        int $n = $c.numElements();
+        double[] $out = new double[$outDims];
+        for (int $j = 0; $j < $outDims; $j++) {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            long $h = graft.functions.HyperplaneBucket.mix64($j * 64L + $i);
+            long $m = (($h % 2000003L) + 2000003L) % 2000003L;
+            $acc += $c.getDouble($i) * (((double) $m) / 1000001.0 - 1.0);
+          }
+          $out[$j] = $acc;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
 }
 
 /** Integer hyperplane component: SplitMix64(x) folded to

@@ -684,6 +684,90 @@ object Quantize {
       |FROM full10 f LEFT JOIN hits h ON f.qid = h.qid
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // 314. Johnson-Lindenstrauss random-projection recall eval — the
+  // dimension-reduction tier BESIDE the matryoshka prefix (#213 keeps
+  // trained prefix dims; JL needs NO training at all: a fixed
+  // pseudo-random ±-ish matrix preserves pairwise geometry to
+  // O(√(ln n / d)) distortion, the other classic answer to "my
+  // embeddings are too wide to scan"). Projection = the native
+  // RandomProjection expression — the SAME SplitMix64 plane stream the
+  // LSH bucket signs (one shared matrix across the whole engine, and
+  // the oracle replays it through the established splitmixCtes HUGEINT
+  // chain). Eval shape = #213's: exact cosine top-10 on the 16-dim
+  // projections vs full-precision truth, ID-set recall@10 per query.
+  // Scale: projection is one narrow codegen'd map (64→16 doubles);
+  // the scorer inherits bruteForceTopK's broadcast-queries shape.
+  def annJlProjEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val embJl = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.randomProjection(
+        col("embedding").cast("array<double>"), 16).as("ejl"))
+    val truth = Ann.annBruteforceTopk(s, dir).select(col("qid"), col("neighbor_id"))
+    val approx = graft.api.Similarity.bruteForceTopK(
+        embJl, col("vec_id"), col("ejl"),
+        embJl.filter(pmod(col("vec_id"), lit(50)) === 0), col("vec_id"), col("ejl"),
+        k = 10)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_true"), 6).as("recall"))
+  }
+
+  private val annJlProjEvalSql =
+    s"""WITH full10 AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |                      c.vec_id ASC) AS rk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id % 50 = 0)
+      |  WHERE rk <= 10),
+      |dimn AS MATERIALIZED (
+      |  SELECT max(len(embedding::DOUBLE[])) AS nd FROM embeddings),
+      |pidx AS MATERIALIZED (
+      |  SELECT t.j, u.i, (t.j*64 + u.i)::HUGEINT AS x
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS j) t,
+      |       dimn, LATERAL (SELECT unnest(generate_series(0, nd - 1)) AS i) u),
+      |${Ann.splitmixCtes("p", "pidx", "j, i")},
+      |planes AS MATERIALIZED (
+      |  SELECT j, i,
+      |         (((hs % 2000003) + 2000003) % 2000003) / 1000001.0 - 1.0 AS comp
+      |  FROM ph),
+      |vx AS MATERIALIZED (
+      |  SELECT vec_id, t.i, t.x
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+      |  LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i) t),
+      |proj AS MATERIALIZED (
+      |  SELECT vec_id, list(p ORDER BY j) AS v FROM (
+      |    SELECT vx.vec_id, pl.j, sum(vx.x * pl.comp) AS p
+      |    FROM vx JOIN planes pl ON vx.i = pl.i
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |jl10 AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+      |                      c.vec_id ASC) AS rk
+      |    FROM proj q JOIN proj c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id % 50 = 0)
+      |  WHERE rk <= 10),
+      |hits AS (
+      |  SELECT f.qid, count(*) AS n_hit
+      |  FROM full10 f JOIN jl10 t ON f.qid = t.qid AND f.nid = t.nid
+      |  GROUP BY 1)
+      |SELECT f.qid, count(*) AS n_true,
+      |       coalesce(any_value(h.n_hit), 0)::BIGINT AS n_hit,
+      |       round(coalesce(any_value(h.n_hit), 0) / count(*), 6) AS recall
+      |FROM full10 f LEFT JOIN hits h ON f.qid = h.qid
+      |GROUP BY 1""".stripMargin
+
   /** Sign-bit signature + all-pairs hamming CTE prefix (1-based list
     * indexing; same disjoint-power sums as the Spark side). */
   private val binaryScoredSql =
@@ -738,7 +822,8 @@ object Quantize {
     "ann_binary_topk"          -> (annBinaryTopk _),
     "ann_binary_rerank_topk"   -> (annBinaryRerankTopk _),
     "ann_rrf_fusion_topk"      -> (annRrfFusionTopk _),
-    "ann_matryoshka_eval"      -> (annMatryoshkaEval _))
+    "ann_matryoshka_eval"      -> (annMatryoshkaEval _),
+    "ann_jl_projection_eval"   -> (annJlProjEval _))
 
   val oracles: Map[String, String] = Map(
     "embedding_quantize_audit" ->
@@ -810,6 +895,7 @@ ${Ann.ivfTailSql}""",
          |       CAST(rk AS BIGINT) AS rk
          |FROM rnk WHERE rk <= 10""".stripMargin,
     "ann_matryoshka_eval" -> annMatryoshkaEvalSql,
+    "ann_jl_projection_eval" -> annJlProjEvalSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_residual_topk" -> annIvfPqResidualTopkSql)

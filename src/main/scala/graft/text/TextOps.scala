@@ -63,6 +63,33 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // 313. per-doc Shannon entropy, character- and word-level — the
+  // gibberish/keyboard-mash/compression-twin quality signal (low char
+  // entropy = repeated-char spam; low word entropy on a long doc =
+  // template boilerplate; both are standard web-corpus filters beside
+  // #41's ratios and #166's compression proxy). Entropy is computed in
+  // COUNT space (the #105 entropy_by_group determinism contract):
+  // −Σ p·ln p = ln n − (Σ c·ln c)/n — ln only ever sees integer-valued
+  // doubles, so Spark and DuckDB agree bit-for-bit and 6 dp rounding
+  // is cosmetic. Two narrow explode→count shuffles keyed (doc, token);
+  // per-doc alphabet ≤ charset / vocab, no wide state anywhere.
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), lower(col("text")).as("t"))
+    def ent(tokens: DataFrame, prefix: String): DataFrame = tokens
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        (-sum(col("c") * log(col("c")))).as("p"))
+      .select(col("doc_id"), col("n").as(s"n_${prefix}s"),
+        col("k").as(s"${prefix}_alphabet"),
+        r(log(col("n")) + col("p") / col("n"), 6).as(s"${prefix}_entropy"))
+    val chars = ent(d.select(col("doc_id"), explode(split(col("t"), "")).as("tok")), "char")
+    val words = ent(d.select(col("doc_id"),
+      explode(expr("regexp_extract_all(t, '[a-z0-9]+', 0)")).as("tok")), "word")
+    chars.join(words, Seq("doc_id"), "left")
+  }
+
+  // ---------------------------------------------------------------
   // 42. language ID: stopword-marker scoring per candidate language +
   // CJK codepoint count, argmax with alphabetical tie-break. The marker
   // counts use the replace-trick so Spark and the oracle agree exactly.
@@ -1491,6 +1518,7 @@ object TextOps {
     "dataset_split"    -> (datasetSplit _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
+    "text_entropy"     -> (textEntropy _),
     "lang_id"          -> (langId _),
     "doc_fingerprint"  -> (docFingerprint _),
     "tfidf_top_terms"  -> (tfidfTopTerms _),
@@ -1738,6 +1766,27 @@ object TextOps {
            CAST(len(regexp_extract_all(lower(text), '$bpePat')) AS BIGINT) AS n_bpe_tokens
            FROM documents""",
     "text_quality" -> qualitySql,
+    "text_entropy" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         ch AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(string_split_regex(t, '')) AS tok FROM d)
+           GROUP BY 1, 2),
+         ce AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, count(*) AS char_alphabet,
+                  round(ln(sum(c)) - sum(c*ln(c))/sum(c), 6) AS char_entropy
+           FROM ch GROUP BY 1),
+         wd AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS tok FROM d)
+           GROUP BY 1, 2),
+         we AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS word_alphabet,
+                  round(ln(sum(c)) - sum(c*ln(c))/sum(c), 6) AS word_entropy
+           FROM wd GROUP BY 1)
+         SELECT ce.doc_id, ce.n_chars, ce.char_alphabet, ce.char_entropy,
+                we.n_words, we.word_alphabet, we.word_entropy
+         FROM ce LEFT JOIN we ON ce.doc_id = we.doc_id""",
     "lang_id" -> langIdSql,
     "text_repetition" ->
       raw"""WITH base AS (

@@ -29,6 +29,47 @@ class QuantizeSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_hit")).sum >= 1, "n_hit must not be uniformly zero")
   }
 
+  test("JL projection eval: sound recall accounting + shared plane stream") {
+    val rows = sim.Quantize.annJlProjEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") == 10L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - r.getAs[Long]("n_hit").toDouble / 10.0) < 1e-9)
+    }
+    // This corpus spreads signal uniformly across all 64 dims (the
+    // matryoshka test's finding), so NO 16-dim view retrieves well —
+    // but JL mixes every input dim into every output dim, so it must
+    // beat the 16-dim PREFIX (which discards 3/4 of the signal) and
+    // clear chance (10/n ≈ 0.005) by an order of magnitude.
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val mat = sim.Quantize.annMatryoshkaEval(spark, sf).collect()
+    val matMean = mat.map(_.getAs[Double]("recall")).sum / mat.length
+    info(s"JL 16-dim recall@10 = $mean (matryoshka 16-prefix $matMean)")
+    assert(mean >= matMean,
+      s"JL $mean under prefix-truncation $matMean — mixing must dominate discarding")
+    assert(mean >= 0.05, s"JL recall $mean within noise of chance — projection broken")
+    // invariant: the LSH bucket IS the sign vector of the first 5
+    // projections (one shared SplitMix64 plane matrix engine-wide)
+    import org.apache.spark.sql.functions._
+    val chk = Tables.embeddings(spark, sf).limit(64)
+      .select(
+        graft.functions.VectorFunctions.hyperplaneBucket(
+          col("embedding").cast("array<double>"), 5).as("bucket"),
+        graft.functions.VectorFunctions.randomProjection(
+          col("embedding").cast("array<double>"), 5).as("proj"))
+      .collect()
+    chk.foreach { r =>
+      val bucket = r.getLong(0)
+      val proj = r.getSeq[Double](1)
+      val signBits = proj.zipWithIndex.map { case (p, j) =>
+        if (p > 0) 1L << j else 0L }.sum
+      assert(signBits == bucket,
+        s"RandomProjection signs $signBits disagree with hyperplaneBucket $bucket")
+    }
+  }
+
   test("quantize audit: error bounded by half a code step, cosine near 1") {
     val audit = sim.Quantize.embeddingQuantizeAudit(spark, sf).collect()
     assert(audit.nonEmpty)
