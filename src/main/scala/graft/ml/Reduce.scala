@@ -685,6 +685,78 @@ object Reduce {
          ON a.vec_id = b.vec_id AND b.kval = a.kval + 1
        GROUP BY 1, 2, 3, 4"""
 
+  // ---------------------------------------------------------------
+  // 315. adjusted Rand index across consecutive Lloyd resolutions —
+  // #163's contingency table collapsed into the PROPER chance-corrected
+  // agreement index (Hubert & Arabie 1985; the number a clustree is
+  // eyeballed for): ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (½[ΣC(aᵢ,2)+ΣC(bⱼ,2)] − E),
+  // E = ΣC(aᵢ,2)·ΣC(bⱼ,2)/C(n,2). Every pair sum is exact integer
+  // combinatorics off the SAME memoized grid-Lloyd state #131/#163
+  // ride (one extra bounded aggregation — no new training); the two
+  // final divisions run in identically-ordered double math in Spark
+  // and the oracle. ARI(k,k+1) near 1 = resolutions nest cleanly;
+  // a dip marks the k where splitting starts shredding real clusters.
+  def lloydAri(s: SparkSession, dir: String): DataFrame = {
+    val g = lloydState(s, dir, 2 to 6)
+    val a = g.select(col("kval").as("k_from"), col("vec_id"), col("k").as("ca"))
+    val b = g.select((col("kval") - 1).as("k_from"), col("kval").as("k_to"),
+      col("vec_id"), col("k").as("cb"))
+    val j = a.join(b, Seq("k_from", "vec_id"))
+      .select(col("k_from").cast("long").as("k_from"),
+        col("k_to").cast("long").as("k_to"), col("ca"), col("cb"))
+      .localCheckpoint() // three bounded aggregations below share it
+    def pairSum(keys: Seq[String], out: String): DataFrame =
+      j.groupBy((Seq("k_from", "k_to") ++ keys).map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("k_from"), col("k_to"))
+        .agg(sum(expr("n * (n - 1) div 2")).as(out), sum(col("n")).as(s"__n_$out"))
+    val nij = pairSum(Seq("ca", "cb"), "s_nij")
+    val ai = pairSum(Seq("ca"), "s_a")
+    val bj = pairSum(Seq("cb"), "s_b")
+    nij.join(ai, Seq("k_from", "k_to")).join(bj, Seq("k_from", "k_to"))
+      .select(col("k_from"), col("k_to"), col("__n_s_a").as("n"),
+        col("s_nij"), col("s_a"), col("s_b"),
+        round(when(
+            (col("s_a") + col("s_b")) / lit(2.0)
+              === col("s_a").cast("double") * col("s_b")
+                / expr("__n_s_a * (__n_s_a - 1) div 2"), lit(1.0))
+          .otherwise(
+            (col("s_nij") - col("s_a").cast("double") * col("s_b")
+              / expr("__n_s_a * (__n_s_a - 1) div 2"))
+            / ((col("s_a") + col("s_b")) / lit(2.0)
+              - col("s_a").cast("double") * col("s_b")
+                / expr("__n_s_a * (__n_s_a - 1) div 2"))), 6).as("ari"))
+  }
+
+  private val lloydAriSql =
+    s"""WITH ${lloydPrefixSql(2 to 6)},
+       j AS MATERIALIZED (
+         SELECT CAST(a.kval AS BIGINT) AS k_from, CAST(b.kval AS BIGINT) AS k_to,
+                a.k AS ca, b.k AS cb
+         FROM lg$LloydRounds a JOIN lg$LloydRounds b
+           ON a.vec_id = b.vec_id AND b.kval = a.kval + 1),
+       nij AS (SELECT k_from, k_to, sum(n*(n-1)//2) AS s_nij FROM (
+                 SELECT k_from, k_to, ca, cb, count(*) AS n FROM j GROUP BY 1,2,3,4)
+               GROUP BY 1, 2),
+       ai AS (SELECT k_from, k_to, sum(n*(n-1)//2) AS s_a, CAST(sum(n) AS BIGINT) AS nt FROM (
+                 SELECT k_from, k_to, ca, count(*) AS n FROM j GROUP BY 1,2,3)
+               GROUP BY 1, 2),
+       bj AS (SELECT k_from, k_to, sum(n*(n-1)//2) AS s_b FROM (
+                 SELECT k_from, k_to, cb, count(*) AS n FROM j GROUP BY 1,2,3)
+               GROUP BY 1, 2)
+       SELECT nij.k_from, nij.k_to, ai.nt AS n,
+              CAST(nij.s_nij AS BIGINT) AS s_nij,
+              CAST(ai.s_a AS BIGINT) AS s_a, CAST(bj.s_b AS BIGINT) AS s_b,
+              round(CASE WHEN (ai.s_a + bj.s_b) / 2.0
+                              = CAST(ai.s_a AS DOUBLE) * bj.s_b / (ai.nt*(ai.nt-1)//2)
+                         THEN 1.0
+                         ELSE (nij.s_nij - CAST(ai.s_a AS DOUBLE) * bj.s_b / (ai.nt*(ai.nt-1)//2))
+                              / ((ai.s_a + bj.s_b) / 2.0
+                                 - CAST(ai.s_a AS DOUBLE) * bj.s_b / (ai.nt*(ai.nt-1)//2))
+                    END, 6) AS ari
+       FROM nij JOIN ai ON nij.k_from = ai.k_from AND nij.k_to = ai.k_to
+                JOIN bj ON nij.k_from = bj.k_from AND nij.k_to = bj.k_to"""
+
   /** 157. embedding norm statistics per label — the cheapest
     * embedding-space health screen (collapsed or exploding embeddings
     * show up as degenerate norm distributions long before a silhouette
@@ -923,6 +995,7 @@ object Reduce {
     "mahalanobis_outliers" -> (mahalanobisOutliers _),
     "kmeans_elbow"      -> (lloydElbow _),
     "cluster_transitions" -> (lloydTransitions _),
+    "cluster_ari" -> (lloydAri _),
     "pca_embeddings"    -> (pcaGridEmbeddings _),
     "kmeans_clusters"   -> (lloydClusters _),
     "bisecting_clusters" -> (bisectingGridClusters _),
@@ -937,6 +1010,7 @@ object Reduce {
     "kmeans_clusters" -> lloydClustersSql,
     "kmeans_elbow" -> lloydElbowSql,
     "cluster_transitions" -> lloydTransitionsSql,
+    "cluster_ari" -> lloydAriSql,
     "bisecting_clusters" -> bisectingGridClustersSql,
     "pca_embeddings" -> pcaGridSql,
     "label_silhouette" -> labelSilhouetteSql)

@@ -156,4 +156,27 @@ class ReduceSpec extends SparkSpecBase {
     val lshCore = lsh.collect { case (v, ("core", _)) => v }.toSet
     assert(lshCore.subsetOf(core), "LSH core set exceeds the exact core set")
   }
+
+  test("cluster ARI: bounded, chance-corrected, and exact on the contingency") {
+    val rows = ml.Reduce.lloydAri(spark, sf).collect()
+    assert(rows.length == 4, "k=2..6 yields 4 consecutive-resolution pairs")
+    val n = rows.head.getAs[Long]("n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n, "same vector universe for every k pair")
+      val ari = r.getAs[Double]("ari")
+      assert(ari >= -1.0 && ari <= 1.0, s"ARI $ari out of range")
+      // recompute from the emitted integer pair sums — the double tail
+      // is pure arithmetic over them, no hidden state
+      val (sNij, sA, sB) = (r.getAs[Long]("s_nij"), r.getAs[Long]("s_a"), r.getAs[Long]("s_b"))
+      val c2n = n * (n - 1) / 2
+      val e = sA.toDouble * sB / c2n
+      val want = if ((sA + sB) / 2.0 == e) 1.0
+        else (sNij - e) / ((sA + sB) / 2.0 - e)
+      assert(math.abs(ari - BigDecimal(want).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"ari $ari != recomputed $want")
+      // pair-sum sanity: intersection pairs can't exceed either side
+      assert(sNij <= sA && sNij <= sB, "C(nij,2) sum exceeds a marginal")
+    }
+  }
 }
