@@ -338,6 +338,10 @@ class PlanSpec extends SparkSpecBase {
       // matryoshka eval rides the documented brute-force scorer on both
       // rank cuts (the ann_recall_eval precedent)
       "ann_matryoshka_eval",
+      // JL projection eval rides the same broadcast-queries exact
+      // scorer twice (projected + full-precision truth) — the
+      // matryoshka precedent
+      "ann_jl_projection_eval",
       // bitext mining scores through the exact cross-batch oracle
       // scorer (mnn_pairs precedent)
       "bitext_margin_mining",
