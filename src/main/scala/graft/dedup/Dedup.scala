@@ -136,8 +136,23 @@ object Dedup {
   // |docs|-row int-array table (auto-broadcast at test SF; equi-key
   // shuffle-hash at corpus scale). Same output, same oracle as #33.
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
-    val sh = docsNorm(s, dir)
-      .select(col("doc_id"), explode(shinglesExpr("t")).as("g"))
+    // Distinct-text rendezvous FIRST (the fuzzy_blocked_join /
+    // golden_record r9 lesson, and the production order of operations:
+    // exact-dedup before near-dup). The r10 sf1 sweep measured the
+    // doc-level prefix join at 611 s / 134x on 10x data — replicated
+    // texts multiply every posting list, so Σ pdf² grows ~(dup rate)²;
+    // running the pair machinery once per DISTINCT normalized text and
+    // expanding group members back at the end restores the sf0.1 cost
+    // (the candidate volume depends on unique content, not corpus
+    // size). Exactness is preserved: identical texts share a shingle
+    // set (J = 1 ≥ t, emitted as in-group pairs), and two DIFFERENT
+    // texts with equal sets still meet in the rep-level join.
+    val nrm = docsNorm(s, dir)
+    val groups = nrm.groupBy(col("t")).agg(min(col("doc_id")).as("rep"))
+    val members = nrm.join(groups, "t")
+      .select(col("rep"), col("doc_id")).localCheckpoint()
+    val sh = groups
+      .select(col("rep").as("doc_id"), explode(shinglesExpr("t")).as("g"))
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val dict = dfreq.select(col("g"),
       row_number().over(Window.orderBy(col("df"), col("g"))).as("gid"))
@@ -176,7 +191,7 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(docs.select(col("doc_id").as("d1"), col("ids").as("i1"), col("n").as("n1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("ids").as("i2"), col("n").as("n2")), "d2")
       .withColumn("i", graft.functions.VectorFunctions
@@ -184,6 +199,21 @@ object Dedup {
       .withColumn("jac", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
       .filter(col("jac") >= 0.7)
       .select(col("d1"), col("d2"), r(col("jac"), 6).as("jaccard"))
+    // expand rep-level matches back to record pairs: identical texts
+    // are J = 1 pairs within their group; qualifying DISTINCT-text rep
+    // pairs fan out over both member lists (disjoint groups, so
+    // least/greatest is a pure orientation fix). Output-bounded —
+    // these ARE the result rows, not intermediate state.
+    val selfPairs = members.as("a").join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    val crossPairs = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("da")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("db")), "d2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+    selfPairs.unionByName(crossPairs)
   }
 
   // ---------------------------------------------------------------
