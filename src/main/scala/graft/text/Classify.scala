@@ -214,7 +214,11 @@ object Classify {
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val n = c12.agg(sum(col("c12")).cast("double").as("nn"))
-    perDoc.join(c12, Seq("w1", "w2"))
+    // shuffle_hash: the fact side is every (doc, bigram) row; sort-merge
+    // would sort it on low-cardinality string keys (measured 22x on the
+    // 10x sf1 sweep) — hash-building the bigram-type side skips the sort
+    // and stays safe at any vocab (no broadcast-size assumption)
+    perDoc.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(broadcast(c1), "w1").join(broadcast(c2), "w2")
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
