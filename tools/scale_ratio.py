@@ -19,23 +19,28 @@ import json
 import sys
 
 
-def load(path):
+def load(path, prefer_isolated=False):
     with open(path) as f:
         doc = json.load(f)
     out = {}
     for k, v in doc.get("queries", doc).items():
         if isinstance(v, dict):
-            v = v.get("suite")
+            # "isolated" (min-of-N on an idle box) is the cleaner scaling
+            # signal when present - suite numbers can carry concurrent-load
+            # drift (pass --isolated to use it)
+            v = v.get("isolated") if prefer_isolated and "isolated" in v else v.get("suite")
         if isinstance(v, (int, float)) and v >= 0:
             out[k] = float(v)
     return out
 
 
 def main():
-    small_p, big_p = sys.argv[1], sys.argv[2]
-    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    args = [a for a in sys.argv[1:] if a != "--isolated"]
+    prefer_iso = "--isolated" in sys.argv[1:]
+    small_p, big_p = args[0], args[1]
+    factor = float(args[2]) if len(args) > 2 else 10.0
     floor = 0.15
-    small, big = load(small_p), load(big_p)
+    small, big = load(small_p, prefer_iso), load(big_p, prefer_iso)
     common = sorted(set(small) & set(big))
     scored = [(big[q] / max(small[q], 1e-9), q) for q in common if small[q] >= floor]
     tiny = [q for q in common if small[q] < floor]
