@@ -25,6 +25,45 @@ object Dedup {
 
   private val normSql = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
+  /** Shared simhash candidate CTE chain (words → signatures → chunk
+    * banding → `cand(d1, d2, hamming)`), composed into the
+    * dedup_simhash and simhash_radius_sweep oracles. */
+  private val simhashCandSql =
+    """words AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+           FROM documents),
+         dwords AS (SELECT DISTINCT w FROM words),
+         wh AS (
+           SELECT w, list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(string_split(w, ''), c -> ascii(c)::HUGEINT)),
+             (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+           FROM dwords),
+         whs AS (
+           SELECT w, CASE WHEN h < 9223372036854775808::HUGEINT THEN h::BIGINT
+                          ELSE (h - 18446744073709551616::HUGEINT)::BIGINT END AS hs
+           FROM wh),
+         votes AS (
+           SELECT doc_id, t.b, sum(CASE WHEN (hs >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM words JOIN whs USING (w),
+           LATERAL (SELECT unnest(generate_series(0, 63)) AS b) t
+           GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id, sum(CASE WHEN v > 0 THEN
+                    CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << CAST(b AS INT)) END
+                  ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY 1),
+         chunks AS MATERIALIZED (
+           SELECT doc_id, simhash, t.c, (simhash >> (t.c*16)) & 65535 AS cv
+           FROM sh, LATERAL (SELECT unnest([0,1,2,3]) AS c) t),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM chunks a JOIN chunks b
+             ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)"""
+
   /** Distinct character 5-gram shingles as an array column — a native
     * codegen'd expression (graft.functions.CharShingles); semantics are
     * byte-for-byte the oracle's substr loop. */
@@ -317,6 +356,31 @@ object Dedup {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.api.Similarity.simhashPairs(Tables.documents(s, dir),
       col("doc_id"), col("text"), maxHamming = 3)
+
+  // ---------------------------------------------------------------
+  // 316. simhash hamming-radius sweep — the tuning table for #35's
+  // maxHamming knob, completing the family with the IVF nprobe (#261),
+  // LSH plane (#289), and MinHash banding (#290) sweeps: per radius
+  // h ∈ 0..3 (the range the 4×16-bit chunk banding is recall-complete
+  // for, by pigeonhole), candidate-pair counts and PRECISION against
+  // the #33 char-5-gram J ≥ 0.7 ground truth — the table that says
+  // where widening the radius stops buying real near-dups. Pair volume
+  // is #35's own output (banding-bounded); verification is one native
+  // set-Jaccard per pair.
+  def simhashRadiusSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.Similarity.simhashPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"), maxHamming = 3)
+    val d = docsNorm(s, dir).select(col("doc_id"), shinglesExpr("t").as("gs"))
+    pairs
+      .join(d.select(col("doc_id").as("d1"), col("gs").as("g1")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("gs").as("g2")), "d2")
+      .withColumn("jac",
+        graft.functions.VectorFunctions.jaccardSim(col("g1"), col("g2")))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_true"),
+        r(avg(when(col("jac") >= 0.7, 1.0).otherwise(0.0)), 6).as("precision"))
+  }
 
   // ---------------------------------------------------------------
   // 36. embedding-cosine near-dup pairs. Brute-force pair join — the
@@ -977,6 +1041,7 @@ object Dedup {
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
+    "simhash_radius_sweep" -> (simhashRadiusSweep _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
@@ -1531,41 +1596,34 @@ object Dedup {
     // banding as the engine. Tokens are runs of [a-z0-9] so lower(text)
     // needs no whitespace normalization first.
     "dedup_simhash" ->
-      """WITH words AS (
-           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-           FROM documents),
-         dwords AS (SELECT DISTINCT w FROM words),
-         wh AS (
-           SELECT w, list_reduce(
-             list_prepend(14695981039346656037::HUGEINT,
-               list_transform(string_split(w, ''), c -> ascii(c)::HUGEINT)),
-             (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
-                          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
-           FROM dwords),
-         whs AS (
-           SELECT w, CASE WHEN h < 9223372036854775808::HUGEINT THEN h::BIGINT
-                          ELSE (h - 18446744073709551616::HUGEINT)::BIGINT END AS hs
-           FROM wh),
-         votes AS (
-           SELECT doc_id, t.b, sum(CASE WHEN (hs >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-           FROM words JOIN whs USING (w),
-           LATERAL (SELECT unnest(generate_series(0, 63)) AS b) t
-           GROUP BY 1, 2),
-         sh AS (
-           SELECT doc_id, sum(CASE WHEN v > 0 THEN
-                    CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
-                         ELSE (1::BIGINT << CAST(b AS INT)) END
-                  ELSE 0 END)::BIGINT AS simhash
-           FROM votes GROUP BY 1),
-         chunks AS (
-           SELECT doc_id, simhash, t.c, (simhash >> (t.c*16)) & 65535 AS cv
-           FROM sh, LATERAL (SELECT unnest([0,1,2,3]) AS c) t),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-           FROM chunks a JOIN chunks b
-             ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      s"""WITH $simhashCandSql
          SELECT d1, d2, hamming FROM cand WHERE hamming <= 3""",
+    // #316: same candidate chain, per-radius precision vs the #33
+    // char-5-gram Jaccard ground truth
+    "simhash_radius_sweep" ->
+      s"""WITH $simhashCandSql,
+         nrm2 AS (SELECT doc_id, $normSql AS t FROM documents),
+         sh5 AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+                 FROM nrm2, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+         inter AS (
+           SELECT c.d1, c.d2, c.hamming, count(*) AS i
+           FROM cand c JOIN sh5 a ON c.d1 = a.doc_id
+                       JOIN sh5 b ON c.d2 = b.doc_id AND a.g = b.g
+           WHERE c.hamming <= 3
+           GROUP BY 1, 2, 3),
+         verified AS (
+           SELECT c.d1, c.d2, c.hamming,
+                  coalesce(CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i), 0.0) AS jac
+           FROM cand c
+           LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+           JOIN sizes s1 ON c.d1 = s1.doc_id
+           JOIN sizes s2 ON c.d2 = s2.doc_id
+           WHERE c.hamming <= 3)
+         SELECT hamming, count(*) AS n_pairs,
+                CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                round(avg(CASE WHEN jac >= 0.7 THEN 1.0 ELSE 0.0 END), 6) AS precision
+         FROM verified GROUP BY 1""",
     // Exact replay of the SemDeDup keeper: the shared SplitMix64 bucket
     // prefix (vx carries per-dim values), then the same exact-integer
     // centroid algebra — floor(x·1000) quantization, integer per-dim
