@@ -554,6 +554,69 @@ object Ann {
         r(coalesce(col("n_hit"), lit(0L)) / col("n_true"), 6).as("recall"))
   }
 
+  // ---------------------------------------------------------------
+  // 317. rank-biased overlap of the LSH ranking vs exact truth
+  // (Webber, Moffat & Zobel 2010, p = 0.9, truncated at depth 10) —
+  // the TOP-WEIGHTED companion to #178's recall@10: recall treats a
+  // rank-1 hit and a rank-10 hit identically; RBO pays p^d/d per
+  // agreeing depth, so losing the FIRST neighbor costs more than the
+  // tenth (the metric retrieval evals actually report). A matched pair
+  // (t, l) first counts at depth max(rk_t, rk_l), so its total
+  // contribution is w(m) = (1−p)/p · Σ_{d=m}^{10} p^d/d — ten fixed
+  // coefficients, embedded as IDENTICAL decimal literals in engine
+  // and oracle (same source strings → same doubles; the per-query sum
+  // is ≤10 terms, 6 dp rounding absorbs association order). Perfect
+  // agreement scores 1 − p¹⁰ ≈ 0.6513 (the truncated mass — documented
+  // ceiling, not normalized away, matching the paper's RBO@k form).
+  private val RboP = 0.9
+  private[graft] val RboCoef: IndexedSeq[Double] =
+    (1 to 10).map(m =>
+      (1 - RboP) / RboP * (m to 10).map(d => math.pow(RboP, d) / d).sum)
+
+  def annRboEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteforceTopk(s, dir)
+      .select(col("qid"), col("neighbor_id"), col("rk").as("rt"))
+    val approx = annLshTopk(s, dir)
+      .select(col("qid"), col("neighbor_id"), col("rk").as("rl"))
+    val w = (1 to 10).foldLeft(lit(0.0)) { (acc, m) =>
+      when(greatest(col("rt"), col("rl")) === m, lit(RboCoef(m - 1))).otherwise(acc)
+    }
+    val agg = truth.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_overlap"), sum(w).as("srbo"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(agg, Seq("qid"), "left")
+      .select(col("qid"), col("n_true"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        r(coalesce(col("srbo"), lit(0.0)), 6).as("rbo"))
+  }
+
+  private val annRboEvalSql = {
+    val cases = (1 to 10).map(m =>
+      s"WHEN ${m} THEN ${RboCoef(m - 1)}").mkString(" ")
+    s"""WITH $lshSigPrefixSql,
+       ${lshKnnSql(10, "WHERE s.vec_id % 50 = 0")},
+       bscored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         WHERE q.vec_id % 50 = 0),
+       btruth AS (SELECT qid, nid, rk FROM bscored WHERE rk <= 10),
+       lr AS (SELECT qid, nid, rk FROM scored WHERE rk <= 10),
+       mtc AS (
+         SELECT t.qid, count(*) AS n_overlap,
+                sum(CASE greatest(t.rk, l.rk) $cases END) AS srbo
+         FROM btruth t JOIN lr l ON t.qid = l.qid AND t.nid = l.nid
+         GROUP BY 1),
+       tr AS (SELECT qid, count(*) AS n_true FROM btruth GROUP BY 1)
+       SELECT tr.qid, tr.n_true,
+              CAST(coalesce(m.n_overlap, 0) AS BIGINT) AS n_overlap,
+              round(coalesce(m.srbo, 0.0), 6) AS rbo
+       FROM tr LEFT JOIN mtc m USING (qid)"""
+  }
+
   /** Vectors with label + norm — the feed for label-aware mining. */
   private def vectorsWithLabel(s: SparkSession, dir: String): DataFrame =
     graft.api.Analytics.spread(
@@ -1077,6 +1140,7 @@ object Ann {
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _),
     "ann_recall_eval"     -> (annRecallEval _),
+    "ann_rbo_eval"        -> (annRboEval _),
     "hard_negatives"      -> (hardNegatives _),
     "hard_negatives_lsh"  -> (hardNegativesLsh _),
     "label_prop_knn"      -> (labelPropKnn _),
@@ -1105,6 +1169,7 @@ object Ann {
     "lsh_planes_sweep" -> lshPlanesSweepSql,
     "ivf_cell_balance" -> ivfCellBalanceSql,
     "ann_recall_eval" -> annRecallEvalSql,
+    "ann_rbo_eval" -> annRboEvalSql,
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_lsh" -> hardNegativesLshSql,
     "label_prop_knn" -> s"WITH ${bruteKnnSql(5)},\n$labelPropTailSql",

@@ -262,4 +262,32 @@ class AnnSpec extends SparkSpecBase {
       assert(p == lab.getOrElse(v, -1), s"vec $v: engine $p != replay ${lab.getOrElse(v, -1)}")
     }
   }
+
+  test("RBO eval: bounded by the truncated mass, consistent with overlap") {
+    val ceiling = 1.0 - math.pow(0.9, 10) // perfect agreement at depth 10
+    // coefficient table sanity: w is decreasing in the match depth and
+    // sums to the ceiling when every depth matches at rank d=m
+    val c = sim.Ann.RboCoef
+    assert(c.length == 10 && c.sliding(2).forall(p => p(0) > p(1)))
+    // identical lists match every depth at rank m -> Σ w(m) telescopes
+    // to exactly the truncated mass 1 - p^10
+    assert(math.abs(c.sum - ceiling) < 1e-12)
+    val rows = sim.Ann.annRboEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, nOv, rbo) = (r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_overlap"), r.getAs[Double]("rbo"))
+      assert(nTrue == 10L)
+      assert(nOv >= 0L && nOv <= 10L)
+      assert(rbo >= 0.0 && rbo <= ceiling + 1e-9,
+        s"rbo $rbo above truncated-mass ceiling $ceiling")
+      // zero overlap must score exactly zero; full overlap at identical
+      // ranks would score the ceiling, so rbo can only reach it with
+      // n_overlap = 10
+      if (nOv == 0) assert(rbo == 0.0)
+      if (rbo > ceiling - 1e-9) assert(nOv == 10L)
+      // each matched pair contributes at most w(1): rbo <= n_overlap·w(1)
+      assert(rbo <= nOv * c(0) + 1e-9)
+    }
+  }
 }
