@@ -617,6 +617,65 @@ object Ann {
        FROM tr LEFT JOIN mtc m USING (qid)"""
   }
 
+  // ---------------------------------------------------------------
+  // 318. nDCG@10 of the LSH ranking vs exact truth — the third leg of
+  // the retrieval-eval family (#178 recall counts hits, #317 RBO
+  // weights agreement depth on BOTH lists, nDCG discounts by the
+  // APPROXIMATE list's position only — the metric offline search evals
+  // report). Binary relevance (in the exact top-10 or not), gain
+  // 1/log₂(d+1) at the LSH rank d, normalized by the ideal
+  // Σ_{d=1..10} 1/log₂(d+1): ten normalized coefficients embedded as
+  // IDENTICAL decimal literals in engine and oracle (the #317
+  // convention). Perfect ranking = 1.0 exactly.
+  private[graft] val NdcgCoef: IndexedSeq[Double] = {
+    val raw = (1 to 10).map(d => 1.0 / (math.log(d + 1.0) / math.log(2.0)))
+    val idcg = raw.sum
+    raw.map(_ / idcg)
+  }
+
+  def annNdcgEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteforceTopk(s, dir).select(col("qid"), col("neighbor_id"))
+    val approx = annLshTopk(s, dir)
+      .select(col("qid"), col("neighbor_id"), col("rk").as("rl"))
+    val w = (1 to 10).foldLeft(lit(0.0)) { (acc, d) =>
+      when(col("rl") === d, lit(NdcgCoef(d - 1))).otherwise(acc)
+    }
+    val agg = truth.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_overlap"), sum(w).as("sdcg"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+      .join(agg, Seq("qid"), "left")
+      .select(col("qid"), col("n_true"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        r(coalesce(col("sdcg"), lit(0.0)), 6).as("ndcg"))
+  }
+
+  private val annNdcgEvalSql = {
+    val cases = (1 to 10).map(d =>
+      s"WHEN ${d} THEN ${NdcgCoef(d - 1)}").mkString(" ")
+    s"""WITH $lshSigPrefixSql,
+       ${lshKnnSql(10, "WHERE s.vec_id % 50 = 0")},
+       bscored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC) AS rk
+         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         WHERE q.vec_id % 50 = 0),
+       btruth AS (SELECT qid, nid FROM bscored WHERE rk <= 10),
+       lr AS (SELECT qid, nid, rk FROM scored WHERE rk <= 10),
+       mtc AS (
+         SELECT t.qid, count(*) AS n_overlap,
+                sum(CASE l.rk $cases END) AS sdcg
+         FROM btruth t JOIN lr l ON t.qid = l.qid AND t.nid = l.nid
+         GROUP BY 1),
+       tr AS (SELECT qid, count(*) AS n_true FROM btruth GROUP BY 1)
+       SELECT tr.qid, tr.n_true,
+              CAST(coalesce(m.n_overlap, 0) AS BIGINT) AS n_overlap,
+              round(coalesce(m.sdcg, 0.0), 6) AS ndcg
+       FROM tr LEFT JOIN mtc m USING (qid)"""
+  }
+
   /** Vectors with label + norm — the feed for label-aware mining. */
   private def vectorsWithLabel(s: SparkSession, dir: String): DataFrame =
     graft.api.Analytics.spread(
@@ -1141,6 +1200,7 @@ object Ann {
     "ann_ivf_topk"        -> (annIvfTopk _),
     "ann_recall_eval"     -> (annRecallEval _),
     "ann_rbo_eval"        -> (annRboEval _),
+    "ann_ndcg_eval"       -> (annNdcgEval _),
     "hard_negatives"      -> (hardNegatives _),
     "hard_negatives_lsh"  -> (hardNegativesLsh _),
     "label_prop_knn"      -> (labelPropKnn _),
@@ -1170,6 +1230,7 @@ object Ann {
     "ivf_cell_balance" -> ivfCellBalanceSql,
     "ann_recall_eval" -> annRecallEvalSql,
     "ann_rbo_eval" -> annRboEvalSql,
+    "ann_ndcg_eval" -> annNdcgEvalSql,
     "hard_negatives" -> hardNegativesSql,
     "hard_negatives_lsh" -> hardNegativesLshSql,
     "label_prop_knn" -> s"WITH ${bruteKnnSql(5)},\n$labelPropTailSql",

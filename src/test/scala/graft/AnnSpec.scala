@@ -290,4 +290,19 @@ class AnnSpec extends SparkSpecBase {
       assert(rbo <= nOv * c(0) + 1e-9)
     }
   }
+
+  test("nDCG eval: normalized coefficients sum to exactly 1, scores bounded") {
+    val c = sim.Ann.NdcgCoef
+    assert(c.length == 10 && c.sliding(2).forall(p => p(0) > p(1)))
+    assert(math.abs(c.sum - 1.0) < 1e-12, "ideal DCG must normalize to 1")
+    val rows = sim.Ann.annNdcgEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nOv, ndcg) = (r.getAs[Long]("n_overlap"), r.getAs[Double]("ndcg"))
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      if (nOv == 0) assert(ndcg == 0.0)
+      if (ndcg > 1.0 - 1e-9) assert(nOv == 10L)
+      assert(ndcg <= nOv * c(0) + 1e-9)
+    }
+  }
 }
