@@ -29,7 +29,8 @@ object SparkEntry {
       (ml.Reduce.queries, ml.Reduce.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (core.Sessions.queries, core.Sessions.oracles),
-      (core.Scores.queries, core.Scores.oracles)
+      (core.Scores.queries, core.Scores.oracles),
+      (streaming.StreamReplay.queries, streaming.StreamReplay.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

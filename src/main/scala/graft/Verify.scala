@@ -5,6 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // "--list": print every registry query name (one per line) and exit —
+    // tools/close_round.sh diffs this against SURVEY §2's backticked
+    // names so an unregistered-in-SURVEY query can't close a round.
+    if (args.headOption.contains("--list")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // local iteration aids (driver always passes exactly 2 args):
     //   "--only a,b,c"  dumps just those queries

@@ -362,11 +362,14 @@ object Dedup {
   // maxHamming knob, completing the family with the IVF nprobe (#261),
   // LSH plane (#289), and MinHash banding (#290) sweeps: per radius
   // h ∈ 0..3 (the range the 4×16-bit chunk banding is recall-complete
-  // for, by pigeonhole), candidate-pair counts and PRECISION against
+  // for, by pigeonhole), CUMULATIVE candidate-pair counts (hamming ≤ h
+  // — each row IS the volume/precision you'd get setting maxHamming=h,
+  // the actual tuning number; r10 ADVICE item 1) and PRECISION against
   // the #33 char-5-gram J ≥ 0.7 ground truth — the table that says
   // where widening the radius stops buying real near-dups. Pair volume
   // is #35's own output (banding-bounded); verification is one native
-  // set-Jaccard per pair.
+  // set-Jaccard per pair, then each pair fans out to the ≤4 radii
+  // that include it (bounded ×4, not a join).
   def simhashRadiusSweep(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.api.Similarity.simhashPairs(Tables.documents(s, dir),
       col("doc_id"), col("text"), maxHamming = 3)
@@ -376,7 +379,8 @@ object Dedup {
       .join(d.select(col("doc_id").as("d2"), col("gs").as("g2")), "d2")
       .withColumn("jac",
         graft.functions.VectorFunctions.jaccardSim(col("g1"), col("g2")))
-      .groupBy(col("hamming"))
+      .withColumn("radius", explode(expr("sequence(hamming, 3L)")))
+      .groupBy(col("radius"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_true"),
         r(avg(when(col("jac") >= 0.7, 1.0).otherwise(0.0)), 6).as("precision"))
@@ -1619,11 +1623,13 @@ object Dedup {
            LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
            JOIN sizes s1 ON c.d1 = s1.doc_id
            JOIN sizes s2 ON c.d2 = s2.doc_id
-           WHERE c.hamming <= 3)
-         SELECT hamming, count(*) AS n_pairs,
+           WHERE c.hamming <= 3),
+         radii AS (SELECT unnest(generate_series(0, 3)) AS radius)
+         SELECT r.radius, count(*) AS n_pairs,
                 CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
                 round(avg(CASE WHEN jac >= 0.7 THEN 1.0 ELSE 0.0 END), 6) AS precision
-         FROM verified GROUP BY 1""",
+         FROM verified v JOIN radii r ON v.hamming <= r.radius
+         GROUP BY 1""",
     // Exact replay of the SemDeDup keeper: the shared SplitMix64 bucket
     // prefix (vx carries per-dim values), then the same exact-integer
     // centroid algebra — floor(x·1000) quantization, integer per-dim

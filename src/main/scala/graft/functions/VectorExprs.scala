@@ -20,8 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen: measured ~50× on the minhash signature stage.
   */
 
-/** 64-element minhash signature: sig[j] = min over shingles of
-  * xxhash64(shingle, seed=j). Deterministic across clusters/partitions.
+/** 64-element minhash signature over a shingle ARRAY: sig[j] = min
+  * over shingles of mix64(fnv1a64(shingle) + j·GAMMA) — the SAME
+  * SplitMix64-per-slot family as [[MinHashSigText]], so
+  * `minhash_sig(char_shingles(t))` is signature-identical to
+  * `minhash_sig_text(t)` (min over the shingle set equals min over
+  * the multiset). Deterministic across clusters/partitions.
+  *
+  * r10 verdict item 3: this expression previously kept the r5
+  * Kirsch–Mitzenmacher family (h_j = h1 + j·h2, NO per-slot
+  * finalizer) that the internal paths had already abandoned — fine
+  * for Bloom filters, wrong for min-hashing: consecutive slots are
+  * correlated, a 4-row band collapses to "shares one popular
+  * shingle" (~451k candidates for 256 true pairs at sf0.1). SQL
+  * users calling `minhash_sig` now get the independent-slot family;
+  * MinHashSpec pins the banding candidate volume so it can't regress.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -39,16 +52,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
     var i = 0
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
-      // Kirsch–Mitzenmacher: two base hashes, h_j = h1 + j·h2 — the
-      // per-shingle cost is 2 byte-passes + numHashes adds, not
-      // numHashes byte-passes; LSH collision behavior is preserved
-      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0)
-      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1)
+      val h1 = MinHashSigText.fnv1a64(s)
       var j = 0
-      var h = h1
+      var seed = h1
       while (j < numHashes) {
+        val h = HyperplaneBucket.mix64(seed)
         if (h < sig(j)) sig(j) = h
-        h += h2
+        seed += MinHashSigText.Gamma
         j += 1
       }
       i += 1
@@ -68,14 +78,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
         java.util.Arrays.fill($sig, Long.MAX_VALUE);
         for (int $i = 0; $i < $c.numElements(); $i++) {
           UTF8String $s = $c.getUTF8String($i);
-          long ${h}1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0);
-          long ${h}2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 1);
-          long $h = ${h}1;
+          long ${h}seed = graft.functions.MinHashSigText$$.MODULE$$.fnv1a64($s);
           for (int $j = 0; $j < $numHashes; $j++) {
+            long $h = graft.functions.HyperplaneBucket.mix64(${h}seed);
             if ($h < $sig[$j]) $sig[$j] = $h;
-            $h += ${h}2;
+            ${h}seed += graft.functions.MinHashSigText$$.MODULE$$.Gamma();
           }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -828,6 +835,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
   protected override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    HyperplaneBucket.checkDims(n)
     var bucket = 0L
     var j = 0
     while (j < planes) {
@@ -856,6 +864,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
       val m = ctx.freshName("m")
       s"""
         int $n = $c.numElements();
+        graft.functions.HyperplaneBucket.checkDims($n);
         long $bucket = 0L;
         for (int $j = 0; $j < $planes; $j++) {
           double $acc = 0.0;
@@ -882,6 +891,15 @@ object HyperplaneBucket {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  /** The shared plane stream strides by 64: input dims beyond 64 would
+    * alias the next plane's entries (silently correlated projections).
+    * Called from generated code, must be public. */
+  def checkDims(n: Int): Unit =
+    if (n > 64) throw new IllegalArgumentException(
+      s"hyperplane/random-projection plane stream supports <= 64 input dims, got $n " +
+        "(stride-64 stream: wider vectors alias across planes; re-stride the " +
+        "expression AND every DuckDB pidx replay together to widen)")
 }
 
 /** Johnson-Lindenstrauss random projection to `outDims` dims — the
@@ -890,7 +908,14 @@ object HyperplaneBucket {
   * projections instead of their sign bits: out_j = Σᵢ vᵢ·plane_ji.
   * A bucket is therefore the sign vector of this expression's first
   * `planes` outputs — one shared pseudo-random matrix, replayed in
-  * DuckDB by the established splitmixCtes chain. */
+  * DuckDB by the established splitmixCtes chain.
+  *
+  * INPUT DIMS ARE CAPPED AT 64 (r10 ADVICE item 2): the plane stream's
+  * stride is 64, so for wider vectors plane j's dim 64 would alias
+  * plane j+1's dim 0 and silently correlate output dimensions. The cap
+  * is enforced at eval (checkInputDataTypes can't see array length);
+  * widening it means re-striding BOTH this stream and every DuckDB
+  * pidx replay (Ann.scala, Quantize.scala) in lockstep. */
 case class RandomProjection(child: Expression, outDims: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -905,6 +930,7 @@ case class RandomProjection(child: Expression, outDims: Int)
   protected override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    HyperplaneBucket.checkDims(n)
     val out = new Array[Double](outDims)
     var j = 0
     while (j < outDims) {
@@ -933,6 +959,7 @@ case class RandomProjection(child: Expression, outDims: Int)
       val m = ctx.freshName("m")
       s"""
         int $n = $c.numElements();
+        graft.functions.HyperplaneBucket.checkDims($n);
         double[] $out = new double[$outDims];
         for (int $j = 0; $j < $outDims; $j++) {
           double $acc = 0.0;

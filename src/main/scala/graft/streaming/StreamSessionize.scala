@@ -46,13 +46,21 @@ object StreamSessionize {
   def activeUsersStream(events: DataFrame, watermark: String = "25 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      // project ts away: the day window inherits event-time, and a
-      // stream may carry at most one event-time column downstream
-      .select(col("user_id"), window(col("ts"), "1 day").as("day"))
+      // the dedup KEY is a plain date_trunc column (NO event-time
+      // metadata) while ts stays the stream's event-time column. The
+      // r10 form keyed on a window() struct with ts projected away —
+      // and dropDuplicatesWithinWatermark's state TTL read through the
+      // struct misfires: state died at every micro-batch boundary, so
+      // same-day duplicates arriving in the NEXT batch survived (the
+      // r11 streaming-replay lane caught it: batch-boundary days
+      // counted ~198 "distinct" users vs 136 truth at sf0.01). With a
+      // real top-level event-time column the TTL is first-seen ts +
+      // horizon, which outlives every same-day duplicate: exact DAU.
+      .select(col("user_id"), col("ts"), date_trunc("day", col("ts")).as("day"))
       .dropDuplicatesWithinWatermark("user_id", "day")
-      .groupBy(col("day"))
+      .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("dau"))
-      .select(col("day.start").as("day_start"), col("dau"))
+      .select(col("window.start").as("day_start"), col("dau"))
 
   /** Streaming trending items: per tumbling 10-minute window, the
     * Misra-Gries heavy hitters of the (event_type, props.k) item

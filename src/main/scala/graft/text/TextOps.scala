@@ -629,10 +629,11 @@ object TextOps {
   // Scale twin of #167: the hashed-feature form the DSIR paper itself
   // uses — words hashed into 2¹⁶ buckets (positional polynomial hash,
   // the #43 fingerprint device, mod M then mod 2¹⁶) so the LM key
-  // domain is FIXED at any corpus size: the LM join key set stops
-  // growing with vocab, and the (bounded) LM could broadcast outright.
-  // Same plan shape as the exact form; the hash is exact-int
-  // arithmetic, so the twin is hash-checked too, not rows-only.
+  // domain is FIXED at any corpus size: the LM side is ≤65,536 rows
+  // and BROADCASTS outright (r10 verdict item 7) — the doc-term fact
+  // side never shuffles for the scoring join, at any corpus size.
+  // The hash is exact-int arithmetic, so the twin is hash-checked
+  // too, not rows-only.
   /** Polynomial word-bucket into 2¹⁶ (the #43 fingerprint device, mod M
     * then mod 2¹⁶) over a column named `w0` — the fixed-domain hashed
     * feature key shared by dsir_weights_hashed and the topic planes. */
@@ -656,7 +657,7 @@ object TextOps {
     val totals = lm.agg(sum(col("ct")).cast("double").as("nt"),
       sum(col("cr")).cast("double").as("nr"),
       count(lit(1)).cast("double").as("v"))
-    dt.join(lm.hint("shuffle_hash"), "w")
+    dt.join(broadcast(lm), "w")
       .crossJoin(broadcast(totals))
       .withColumn("lr", col("n") * (log((col("ct") + 1.0) / (col("nt") + col("v")))
         - log((col("cr") + 1.0) / (col("nr") + col("v")))))

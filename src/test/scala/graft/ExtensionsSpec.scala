@@ -58,4 +58,60 @@ class ExtensionsSpec extends SparkSpecBase {
     val h42 = graft.functions.HyperplaneBucket.mix64(42L)
     assert(smc == ((h42 % 2000003L) + 2000003L) % 2000003L - 1000001L)
   }
+
+  test("minhash_sig serves the independent-slot SplitMix64 family (r10 verdict item 4)") {
+    GraftExtensions.installInto(spark)
+    // 1. Family identity on the real corpus: the SQL-exposed array-input
+    //    minhash_sig over char shingles must be signature-identical to
+    //    the fused minhash_sig_text every internal dedup path uses (min
+    //    over the shingle SET equals min over the positional multiset).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = docs
+      .selectExpr(
+        "minhash_sig(char_shingles(text, 5)) AS a",
+        "minhash_sig_text(text, 5, 64) AS b")
+      .where("a <> b")
+      .count()
+    assert(mismatches == 0L,
+      "minhash_sig(char_shingles(t)) must equal minhash_sig_text(t) on every doc")
+
+    // 2. Banding-volume pin: 16 bands x 4 rows over the sf0.001 corpus.
+    //    The independent-slot family lands in the low-candidate class;
+    //    the r5 Kirsch-Mitzenmacher family (h_j = h1 + j*h2, correlated
+    //    consecutive slots) degenerates banding to "shares one popular
+    //    shingle" and blows the pair volume by >3x. The bound below is
+    //    2x the measured mix64-family volume — the correlated family
+    //    cannot fit under it.
+    val cand = docs.selectExpr("doc_id", "minhash_sig(char_shingles(text, 5)) AS sig")
+      .selectExpr("doc_id", "stack(16, " +
+        (0 until 16).map(b => s"$b, slice(sig, ${b * 4 + 1}, 4)").mkString(", ") +
+        ") AS (band, key)")
+      .groupBy("band", "key")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      .selectExpr("sum(n * (n - 1) / 2) AS pairs")
+      .collect()(0).getDouble(0)
+    info(s"16x4 banding candidate pairs at sf0.001: $cand")
+    assert(cand <= MinHashBandPairBound,
+      s"banding candidate volume $cand exceeds the independent-slot-family bound " +
+        s"$MinHashBandPairBound — the correlated Kirsch-Mitzenmacher family is back?")
+
+    // 3. Interpreted vs codegen parity: eval() without codegen must
+    //    agree with the whole-stage-codegen'd SQL path.
+    import org.apache.spark.sql.types._
+    val expr = graft.functions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("abcde", "bcdef", "cdefg"), ArrayType(StringType)), 64)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('abcde', 'bcdef', 'cdefg')) AS s")
+      .collect()(0).getSeq[Long](0).toArray
+    assert(interp.sameElements(viaSql), "interpreted vs codegen parity")
+  }
+
+  /** Measured mix64-family 16x4 banding pair volume on the sf0.001
+    * corpus (1632 pairs), x2 headroom — the correlated
+    * Kirsch-Mitzenmacher family lands >3x over the measured number
+    * (the r5 regression class), so it cannot fit under this bound. */
+  private val MinHashBandPairBound = 3300.0
 }

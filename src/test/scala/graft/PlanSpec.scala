@@ -342,6 +342,11 @@ class PlanSpec extends SparkSpecBase {
       // scorer twice (projected + full-precision truth) — the
       // matryoshka precedent
       "ann_jl_projection_eval",
+      // RBO + NDCG evals score the LSH feed against the documented
+      // brute-force exact truth (the ann_recall_eval precedent) —
+      // BOTH were added in round 10's last two commits without
+      // allowlist entries, which is what turned the round-10 bar red
+      "ann_rbo_eval", "ann_ndcg_eval",
       // bitext mining scores through the exact cross-batch oracle
       // scorer (mnn_pairs precedent)
       "bitext_margin_mining",

@@ -68,6 +68,19 @@ class QuantizeSpec extends SparkSpecBase {
       assert(signBits == bucket,
         s"RandomProjection signs $signBits disagree with hyperplaneBucket $bucket")
     }
+    // r10 ADVICE item 2: the shared plane stream strides by 64, so a
+    // >64-dim input would alias plane j's dim 64 into plane j+1's dim 0
+    // — the expressions now REFUSE wide inputs instead of silently
+    // correlating output dimensions
+    val wide = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq.fill(65)(0.5), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    intercept[IllegalArgumentException] {
+      graft.functions.RandomProjection(wide, 5).eval(null)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.HyperplaneBucket(wide, 5).eval(null)
+    }
   }
 
   test("quantize audit: error bounded by half a code step, cosine near 1") {

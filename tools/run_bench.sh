@@ -3,11 +3,15 @@
 #
 #   tools/run_bench.sh <sfDir> <fullOutJson> [runs] [protocol]
 #
-# -XX:+ExplicitGCInvokesConcurrent: Bench calls System.gc() between
-# runs (untimed, to release localCheckpoint blocks); at sf1-scale heaps
-# a stop-the-world full GC between every run dominates WALL time and
-# starves the next query's first stage — concurrent GC keeps the
-# between-run pause bounded without giving up the block cleanup.
+# Heap and Spark jar dir are env-overridable (r10 ADVICE: don't tie the
+# runner to one builder box): BENCH_XMX (default 100g) and SPARK_JARS_DIR
+# (default /opt/spark/jars).
+#
+# No GC flags: Bench no longer calls System.gc() between runs — it
+# releases localCheckpoint blocks with a blocking unpersist sweep. The
+# r10 -XX:+ExplicitGCInvokesConcurrent flag made the "untimed" GC run
+# concurrently INSIDE the next timed query (the r10 sf1 regression
+# cluster: dsir_weights_hashed isolated 1.38→3.03 s with no code change).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -16,9 +20,12 @@ FULL_OUT="${2:?fullOutJson}"
 RUNS="${3:-3}"
 PROTOCOL="${4:-}"
 
+BENCH_XMX="${BENCH_XMX:-100g}"
+SPARK_JARS_DIR="${SPARK_JARS_DIR:-/opt/spark/jars}"
+
 sbt -batch compile > /tmp/bench_compile.log 2>&1 || { tail -30 /tmp/bench_compile.log; exit 1; }
 
-CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+CP="target/scala-2.13/classes:$(ls "$SPARK_JARS_DIR"/*.jar | tr '\n' ':')"
 ADD_OPENS=(
   java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
   java.base/java.io java.base/java.net java.base/java.nio java.base/java.util
@@ -26,11 +33,11 @@ ADD_OPENS=(
   java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action
   java.base/sun.util.calendar
 )
-JOPTS=(-XX:+ExplicitGCInvokesConcurrent)
+JOPTS=()
 for p in "${ADD_OPENS[@]}"; do JOPTS+=(--add-opens "$p=ALL-UNNAMED"); done
 
 export SPARK_GRAFT_SF_DIR="$SF_DIR"
 export SPARK_GRAFT_BENCH_RUNS="$RUNS"
 export SPARK_GRAFT_BENCH_FULL_OUT="$FULL_OUT"
 [ -n "$PROTOCOL" ] && export SPARK_GRAFT_BENCH_PROTOCOL="$PROTOCOL"
-java "${JOPTS[@]}" -Xmx100g -cp "$CP" graft.Bench
+java "${JOPTS[@]}" -Xmx"$BENCH_XMX" -cp "$CP" graft.Bench

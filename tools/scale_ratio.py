@@ -37,6 +37,9 @@ def load(path, prefer_isolated=False):
 def main():
     args = [a for a in sys.argv[1:] if a != "--isolated"]
     prefer_iso = "--isolated" in sys.argv[1:]
+    if len(args) < 2:
+        print(__doc__)
+        sys.exit(2)
     small_p, big_p = args[0], args[1]
     factor = float(args[2]) if len(args) > 2 else 10.0
     floor = 0.15
