@@ -115,6 +115,19 @@ object Bench {
             spark.catalog.clearCache()
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(blocking = true))
+            // ... and a SYNCHRONOUS full GC so every timed run starts
+            // from a compact old gen. r11 measured all three protocols
+            // on annotate_corr (solo JVM, sf1, min-of-3): no-GC 154 s,
+            // 16g heap 24.6 s, unpersist+System.gc() at 100g ≈ the r9
+            // 10.6 s class — without between-run GC, G1's old gen fills
+            // with promoted object-agg garbage and every later
+            // allocation-heavy query pays mixed-collection stalls
+            // (the r11 sweep's +13.5% "regression" cluster). The r10
+            // pathology was ONLY the -XX:+ExplicitGCInvokesConcurrent
+            // flag (run_bench.sh) making this call CONCURRENT so its
+            // work bled into the next timed window; the default STW
+            // System.gc() completes before t0.
+            System.gc()
           }
         }
         // a failed query must NOT flatter the total with its fail-fast
@@ -148,6 +161,7 @@ object Bench {
           graft.api.Memo.reset(); spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
+          System.gc() // same compact-old-gen start as the suite loop
           timed(name)
         }
         // r10 verdict item 5: the isolated re-measure set is DATA-DRIVEN,
@@ -176,7 +190,7 @@ object Bench {
           "louvain_knn_lsh", "leiden_refine", "modularity_score",
           "harmony_correct", "harmony_mixing", "ann_pq_topk",
           "ann_ivf_topk", "ann_ivf_sq_topk", "ann_ivfpq_topk",
-          "ann_ivfpq_residual_topk")
+          "ann_ivfpq_residual_topk", "bpe_train_deep", "bpe_vocab_inventory")
         val present = (n: String) =>
           SparkEntry.queries.contains(n) && !skip.contains(n) &&
             only.forall(_.contains(n))

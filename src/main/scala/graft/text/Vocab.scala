@@ -71,19 +71,26 @@ object Vocab {
       .agg(expr("transform(sort_array(collect_list(struct(pos, sym2))), x -> x.sym2)").as("syms"))
   }
 
+  /** The per-round argmax pair (count desc, lhs asc, rhs asc): a bounded
+    * 1-row driver scalar off the vocab-bounded dict (the
+    * bisecting_clusters split-pick precedent), shared by every trainer. */
+  private def topPair(dict: DataFrame): (String, String, Long) = {
+    val top = dict.select(col("wc"), explode(expr(
+      """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+        |         slice(syms, 2, greatest(size(syms) - 1, 0)),
+        |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      .limit(1).collect()(0)
+    (top.getString(0), top.getString(1), top.getLong(2))
+  }
+
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     var dict = wordDict(s, dir).localCheckpoint() // 5 rounds re-scan it; truncate lineage between rounds (the harmony precedent)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     (1 to BpeRounds).foreach { round =>
-      val top = dict.select(col("wc"), explode(expr(
-        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
-          |         slice(syms, 2, greatest(size(syms) - 1, 0)),
-          |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0) // bounded driver scalar: the single argmax pair
-      val (lSym, rSym, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val (lSym, rSym, cnt) = topPair(dict)
       out += ((round.toLong, lSym, rSym, lSym + rSym, cnt))
       if (round < BpeRounds) dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
     }
@@ -94,7 +101,12 @@ object Vocab {
   /** One BPE round as DuckDB CTEs: d${i-1} -> (top$i, d$i), mirroring
     * wordDict/mergeOnce op-for-op (1-based list indexing; pos = i-1
     * matches posexplode's 0-base; ROWS frame pinned explicitly — Spark's
-    * RANGE default is equivalent because pos is unique per word). */
+    * RANGE default is equivalent because pos is unique per word).
+    * top$i is injected as a 1-row CROSS JOIN, not three scalar
+    * subqueries: identical semantics (top$i has exactly one row — the
+    * engine's collect()(0) would already have thrown otherwise), but
+    * DuckDB's planner handles the 32-round #327 chain in 8 s instead
+    * of 99 s with correlated scalar subqueries at every round. */
   private def bpeRoundSql(i: Int): String = {
     val d = s"d${i - 1}"
     s"""pairs$i AS (
@@ -108,11 +120,10 @@ object Vocab {
          SELECT w, wc, t.i - 1 AS pos, syms[t.i] AS sym
          FROM $d, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i) t),
        c$i AS (
-         SELECT w, wc, pos, sym, coalesce(
-             sym = (SELECT l FROM top$i)
-             AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM top$i),
+         SELECT w, wc, pos, sym, tl, tr, coalesce(
+             sym = tl AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = tr,
              FALSE) AS cand
-         FROM e$i),
+         FROM e$i CROSS JOIN (SELECT l AS tl, r AS tr FROM top$i)),
        r$i AS (
          SELECT *, sum(CASE WHEN cand THEN 1 ELSE 0 END)
              OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rn_c
@@ -127,8 +138,7 @@ object Vocab {
          SELECT *, coalesce(lag(kept) OVER (PARTITION BY w ORDER BY pos), FALSE) AS prev_kept
          FROM m$i),
        d$i AS MATERIALIZED (
-         SELECT w, wc, list(CASE WHEN kept
-               THEN (SELECT l FROM top$i) || (SELECT r FROM top$i) ELSE sym END
+         SELECT w, wc, list(CASE WHEN kept THEN tl || tr ELSE sym END
              ORDER BY pos) AS syms
          FROM f$i WHERE NOT prev_kept GROUP BY w, wc)"""
   }
@@ -161,15 +171,8 @@ object Vocab {
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     var dict = wordDict(s, dir).localCheckpoint()
     (1 to BpeRounds).foreach { _ =>
-      val top = dict.select(col("wc"), explode(expr(
-        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
-          |         slice(syms, 2, greatest(size(syms) - 1, 0)),
-          |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      dict = mergeOnce(dict, top.getString(0), top.getString(1)).localCheckpoint()
+      val (lSym, rSym, _) = topPair(dict)
+      dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
     }
     val docw = Tables.documents(s, dir).select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
@@ -218,15 +221,8 @@ object Vocab {
     }
     snap(0)
     (1 to BpeRounds).foreach { round =>
-      val top = dict.select(col("wc"), explode(expr(
-        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
-          |         slice(syms, 2, greatest(size(syms) - 1, 0)),
-          |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      dict = mergeOnce(dict, top.getString(0), top.getString(1)).localCheckpoint()
+      val (lSym, rSym, _) = topPair(dict)
+      dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
       snap(round)
     }
     import s.implicits._
@@ -252,6 +248,101 @@ object Vocab {
          FROM words GROUP BY 1),
        $rounds
        $snaps"""
+  }
+
+  // ---------------------------------------------------------------
+  // 327/328. DEEP BPE trainer — 32 merge rounds (r10 verdict depth
+  // note: "a tokenizer beyond 5 unrolled BPE rounds"). Same Sennrich
+  // 2016 loop as #220, run to the depth where the merge table starts
+  // looking like a real (if small-alphabet) tokenizer: multi-char
+  // units that win late rounds only exist because earlier merges
+  // created them, so hash-matching all 32 rows replays the whole
+  // training trajectory, not just its first page. The dict stays
+  // VOCAB-bounded (31 distinct words on this corpus; ~10M on a real
+  // 100 TB crawl) — the only corpus-wide pass is d0's word count; the
+  // 32 rounds shuffle a dict-sized table and the argmax per round is
+  // a bounded 1-row driver scalar, so depth costs rounds × dict, not
+  // rounds × corpus (the kmeans_elbow driver-round-trip contract).
+  // Trained state is memoized per (session, dir) like lloydState:
+  // #327 (the merge table) and #328 (the final symbol inventory) pay
+  // one training between them.
+  private val DeepBpeRounds = 32
+
+  private val deepBpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Unit),
+    (Seq[(Long, String, String, String, Long)], DataFrame)]()
+  graft.api.Memo.register(() => deepBpeCache.clear())
+
+  private[graft] def deepBpeState(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+    graft.api.Memo.stamped(deepBpeCache, s, dir, ()) {
+      var dict = wordDict(s, dir).localCheckpoint()
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      (1 to DeepBpeRounds).foreach { round =>
+        val (lSym, rSym, cnt) = topPair(dict)
+        out += ((round.toLong, lSym, rSym, lSym + rSym, cnt))
+        dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
+      }
+      (out.result(), dict)
+    }
+
+  /** #327: the 32-round merge table (the tokenizer's merges.txt). */
+  def bpeTrainDeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    deepBpeState(s, dir)._1
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** #328: final symbol inventory after 32 merges (the tokenizer's
+    * vocab.json face): per surviving dict symbol, its length, how many
+    * distinct words carry it, its dict positions, its frequency-weighted
+    * token count, and whether it covers a whole word — the table a
+    * vocab-size / byte-fallback decision reads. */
+  def bpeVocabInventory(s: SparkSession, dir: String): DataFrame =
+    deepBpeState(s, dir)._2
+      .select(col("w"), col("wc"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(
+        countDistinct(col("w")).as("n_words"),
+        count(lit(1)).as("dict_positions"),
+        sum(col("wc")).as("token_count"),
+        max((col("sym") === col("w")).cast("long")).as("whole_word"))
+      .select(col("sym"), length(col("sym")).cast("long").as("sym_len"),
+        col("n_words"), col("dict_positions"), col("token_count"),
+        col("whole_word"))
+
+  private val bpeTrainDeepSql = {
+    val rounds = (1 to DeepBpeRounds).map(bpeRoundSql).mkString(",\n       ")
+    val union = (1 to DeepBpeRounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
+                 l || r AS merged, cnt AS pair_count FROM top$i""")
+      .mkString("\n       UNION ALL\n       ")
+    s"""WITH words AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       d0 AS MATERIALIZED (
+         SELECT w, count(*) AS wc,
+                list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+         FROM words GROUP BY 1),
+       $rounds
+       $union"""
+  }
+
+  private val bpeVocabInventorySql = {
+    val rounds = (1 to DeepBpeRounds).map(bpeRoundSql).mkString(",\n       ")
+    s"""WITH words AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       d0 AS MATERIALIZED (
+         SELECT w, count(*) AS wc,
+                list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+         FROM words GROUP BY 1),
+       $rounds,
+       occ AS (SELECT w, wc, unnest(syms) AS sym FROM d$DeepBpeRounds)
+       SELECT sym, CAST(length(sym) AS BIGINT) AS sym_len,
+              count(DISTINCT w) AS n_words,
+              count(*) AS dict_positions,
+              CAST(sum(wc) AS BIGINT) AS token_count,
+              CAST(max(CASE WHEN sym = w THEN 1 ELSE 0 END) AS BIGINT) AS whole_word
+       FROM occ GROUP BY 1"""
   }
 
   // ---------------------------------------------------------------
@@ -728,6 +819,8 @@ object Vocab {
     "ngram_novelty_curve" -> (ngramNoveltyCurve _),
     "bpe_merges"        -> (bpeMerges _),
     "bpe_merge_curve"   -> (bpeMergeCurve _),
+    "bpe_train_deep"    -> (bpeTrainDeep _),
+    "bpe_vocab_inventory" -> (bpeVocabInventory _),
     "word_burstiness"   -> (wordBurstiness _),
     "hapax_rate"        -> (hapaxRate _),
     "bpe_encode"        -> (bpeEncode _),
@@ -740,6 +833,8 @@ object Vocab {
     "ngram_novelty_curve" -> ngramNoveltyCurveSql,
     "bpe_merges"        -> bpeMergesSql,
     "bpe_merge_curve"   -> bpeMergeCurveSql,
+    "bpe_train_deep"    -> bpeTrainDeepSql,
+    "bpe_vocab_inventory" -> bpeVocabInventorySql,
     "word_burstiness"   -> wordBurstinessSql,
     "hapax_rate"        -> hapaxRateSql,
     "bpe_encode"        -> bpeEncodeSql,

@@ -45,6 +45,44 @@ class VocabSpec extends SparkSpecBase {
     assert((check._1, check._2, check._3) == ((l1, r1, c1)))
   }
 
+  test("deep bpe: 32 rounds extend the 5-round trajectory exactly") {
+    val deep = text.Vocab.bpeTrainDeep(spark, sf).orderBy(col("merge_round"))
+      .as[(Long, String, String, String, Long)].collect()
+    assert(deep.length == 32)
+    assert(deep.map(_._1).toSeq == (1L to 32L))
+    deep.foreach { case (_, l, r, m, c) => assert(m == l + r && c > 0) }
+    // greedy argmax is history-deterministic: the deep run's first five
+    // merges ARE the 5-round trainer's output, not merely similar
+    val five = text.Vocab.bpeMerges(spark, sf).orderBy(col("merge_round"))
+      .as[(Long, String, String, String, Long)].collect()
+    assert(deep.take(5).toSeq == five.toSeq)
+  }
+
+  test("deep bpe vocab inventory: symbols respell every word, counts reconcile") {
+    val inv = text.Vocab.bpeVocabInventory(spark, sf).collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("sym_len"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("dict_positions"),
+        r.getAs[Long]("token_count"), r.getAs[Long]("whole_word"))).toSeq
+    assert(inv.nonEmpty)
+    inv.foreach { case (sym, len, nw, pos, tc, ww) =>
+      assert(len == sym.length.toLong)
+      assert(nw >= 1 && pos >= nw && tc >= pos) // wc >= 1 per position
+      assert(ww == 0L || ww == 1L)
+      if (ww == 1L) assert(nw >= 1L && len >= 1L)
+    }
+    // merging never edits text: the final dict's symbols respell each word
+    val dict = text.Vocab.deepBpeState(spark, sf)._2
+    val spelled = dict
+      .select(col("w"), concat_ws("", col("syms")).as("sp"))
+      .as[(String, String)].collect()
+    assert(spelled.nonEmpty)
+    spelled.foreach { case (w, sp) => assert(w == sp) }
+    // inventory token accounting equals the dict's weighted symbol count
+    val total = dict.agg(sum(col("wc") * size(col("syms")).cast("long")))
+      .as[Long].head()
+    assert(inv.map(_._5).sum == total)
+  }
+
   test("heaps_fit: sub-linear growth with the exact corpus vocab size") {
     val row = text.Vocab.heapsFit(spark, sf).collect()(0)
     val beta = row.getAs[Double]("heaps_beta")

@@ -7,11 +7,16 @@
 # runner to one builder box): BENCH_XMX (default 100g) and SPARK_JARS_DIR
 # (default /opt/spark/jars).
 #
-# No GC flags: Bench no longer calls System.gc() between runs — it
-# releases localCheckpoint blocks with a blocking unpersist sweep. The
-# r10 -XX:+ExplicitGCInvokesConcurrent flag made the "untimed" GC run
-# concurrently INSIDE the next timed query (the r10 sf1 regression
-# cluster: dsir_weights_hashed isolated 1.38→3.03 s with no code change).
+# No GC flags — but Bench DOES call a plain STW System.gc() between
+# runs (after its blocking unpersist sweep). Both halves matter and
+# each was a measured regression when missing:
+#  - the r10 -XX:+ExplicitGCInvokesConcurrent flag made the "untimed"
+#    GC run concurrently INSIDE the next timed query (dsir isolated
+#    1.38→3.03 s with no code change) — never add GC flags here;
+#  - r11's GC-free interlude let G1's old gen fill with promoted
+#    object-agg garbage, inflating allocation-heavy queries 2-10×
+#    (annotate_corr 10→154 s solo at sf1). Default STW System.gc()
+#    completes before the next t0 — clean on both sides.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
