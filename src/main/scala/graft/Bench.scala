@@ -242,9 +242,17 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    sys.env.get("SPARK_GRAFT_BENCH_FULL_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), renderFull(results))
-    }
+    // ALWAYS written (r11 verdict item 5): the driver's stdout tail has
+    // a ~1850-char cap that silently drops the fastest per-query entries
+    // from the committed line (BENCH_r11 lost mnn_correct); the full
+    // untruncated map lands in a file in the repo cwd on EVERY run —
+    // driver rounds included — so the builder can commit it verbatim.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
+      "BENCH_full_latest.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullOut), renderFull(results))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write full map to $fullOut: $e") }
     val maxLen = 1850
     var kept = results
     var line = render(kept)

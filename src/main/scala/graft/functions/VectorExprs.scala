@@ -812,7 +812,9 @@ case class CharShingleFnvHashes(child: Expression, n: Int)
 
 /** Random-hyperplane LSH bucket id: bit j of the result is the sign of
   * v · h_j, where hyperplane component h_j[i] is derived from
-  * SplitMix64(j·64 + i) mapped into [−1, 1). Deterministic on any
+  * SplitMix64([[HyperplaneBucket.planeKey]](j, i)) mapped into [−1, 1)
+  * (= the historical j·64 + i for i < 64; a disjoint negative-key
+  * extension stream past that). Deterministic on any
   * cluster — no driver-side randomness, no plane table to ship.
   * SplitMix64 (public-domain xor-shift/multiply finalizer, Steele et
   * al.) rather than xxhash64 deliberately: its three-round mix is
@@ -842,7 +844,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val h = HyperplaneBucket.mix64(j * 64L + i)
+        val h = HyperplaneBucket.mix64(HyperplaneBucket.planeKey(j, i))
         val m = ((h % 2000003L) + 2000003L) % 2000003L
         acc += v.getDouble(i) * (m.toDouble / 1000001.0 - 1.0)
         i += 1
@@ -869,7 +871,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
         for (int $j = 0; $j < $planes; $j++) {
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            long $h = graft.functions.HyperplaneBucket.mix64($j * 64L + $i);
+            long $h = graft.functions.HyperplaneBucket.mix64(graft.functions.HyperplaneBucket.planeKey($j, $i));
             long $m = (($h % 2000003L) + 2000003L) % 2000003L;
             $acc += $c.getDouble($i) * (((double) $m) / 1000001.0 - 1.0);
           }
@@ -892,30 +894,51 @@ object HyperplaneBucket {
     z ^ (z >>> 31)
   }
 
-  /** The shared plane stream strides by 64: input dims beyond 64 would
-    * alias the next plane's entries (silently correlated projections).
-    * Called from generated code, must be public. */
+  /** Plane-stream key for (plane j, input dim i) — the single place the
+    * stream is laid out (r11 verdict item 7 replaced the old >64-dim
+    * hard throw with a real re-stride):
+    *  - i < 64: j·64 + i, UNCHANGED — every committed ≤64-dim output
+    *    (all testdata embeddings are 64-dim) stays bit-identical;
+    *  - i ≥ 64: 2⁶³ + j·4032 + (i−64), i.e. Long.MinValue offset — the
+    *    extension lives in the NEGATIVE long key space, disjoint from
+    *    the base stream's small non-negative keys for any real plane
+    *    count, so wide dims can never alias another plane's entries.
+    * The DuckDB pidx replay mirrors this with the same one constant
+    * (unsigned form): x = j*64 + i for i < 64,
+    * x = 9223372036854775808 + j*4032 + (i-64) otherwise — see
+    * Ann.lshSigPrefixSql's pidx CTE. Called from generated code, must
+    * be public. */
+  def planeKey(j: Int, i: Int): Long =
+    if (i < 64) j * 64L + i
+    else java.lang.Long.MIN_VALUE + j * 4032L + (i - 64)
+
+  /** The extended stream strides by 4032 past dim 64: inputs beyond
+    * 64 + 4032 would alias the next plane's extension entries. Called
+    * from generated code, must be public. */
   def checkDims(n: Int): Unit =
-    if (n > 64) throw new IllegalArgumentException(
-      s"hyperplane/random-projection plane stream supports <= 64 input dims, got $n " +
-        "(stride-64 stream: wider vectors alias across planes; re-stride the " +
-        "expression AND every DuckDB pidx replay together to widen)")
+    if (n > 4096) throw new IllegalArgumentException(
+      s"hyperplane/random-projection plane stream supports <= 4096 input dims, got $n " +
+        "(extension stride 4032: wider vectors alias across planes; widen " +
+        "planeKey AND every DuckDB pidx replay together)")
 }
 
 /** Johnson-Lindenstrauss random projection to `outDims` dims — the
   * SAME SplitMix64 plane stream as [[HyperplaneBucket]] (plane j dim i
-  * = mix64(j·64+i) folded to [−1,1)), but emitting the accumulated
-  * projections instead of their sign bits: out_j = Σᵢ vᵢ·plane_ji.
-  * A bucket is therefore the sign vector of this expression's first
-  * `planes` outputs — one shared pseudo-random matrix, replayed in
-  * DuckDB by the established splitmixCtes chain.
+  * = mix64(planeKey(j, i)) folded to [−1,1)), but emitting the
+  * accumulated projections instead of their sign bits:
+  * out_j = Σᵢ vᵢ·plane_ji. A bucket is therefore the sign vector of
+  * this expression's first `planes` outputs — one shared pseudo-random
+  * matrix, replayed in DuckDB by the established splitmixCtes chain.
   *
-  * INPUT DIMS ARE CAPPED AT 64 (r10 ADVICE item 2): the plane stream's
-  * stride is 64, so for wider vectors plane j's dim 64 would alias
-  * plane j+1's dim 0 and silently correlate output dimensions. The cap
-  * is enforced at eval (checkInputDataTypes can't see array length);
-  * widening it means re-striding BOTH this stream and every DuckDB
-  * pidx replay (Ann.scala, Quantize.scala) in lockstep. */
+  * Input dims past 64 draw from the DISJOINT extension stream
+  * (r11 verdict item 7 — the old r10 hard throw at 64 dims is now a
+  * real re-stride, see [[HyperplaneBucket.planeKey]]): ≤64-dim outputs
+  * are bit-identical to every committed oracle replay, wider inputs
+  * (to 4096 dims) key into the negative long space where plane j's
+  * dim 64 can never alias plane j+1's dim 0. The cap is enforced at
+  * eval (checkInputDataTypes can't see array length); widening past
+  * 4096 means re-striding planeKey AND every DuckDB pidx replay
+  * (Ann.scala, Quantize.scala) in lockstep. */
 case class RandomProjection(child: Expression, outDims: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -937,7 +960,7 @@ case class RandomProjection(child: Expression, outDims: Int)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val h = HyperplaneBucket.mix64(j * 64L + i)
+        val h = HyperplaneBucket.mix64(HyperplaneBucket.planeKey(j, i))
         val m = ((h % 2000003L) + 2000003L) % 2000003L
         acc += v.getDouble(i) * (m.toDouble / 1000001.0 - 1.0)
         i += 1
@@ -964,7 +987,7 @@ case class RandomProjection(child: Expression, outDims: Int)
         for (int $j = 0; $j < $outDims; $j++) {
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            long $h = graft.functions.HyperplaneBucket.mix64($j * 64L + $i);
+            long $h = graft.functions.HyperplaneBucket.mix64(graft.functions.HyperplaneBucket.planeKey($j, $i));
             long $m = (($h % 2000003L) + 2000003L) % 2000003L;
             $acc += $c.getDouble($i) * (((double) $m) / 1000001.0 - 1.0);
           }

@@ -177,7 +177,8 @@ object Ann {
     s"""WITH dimn6 AS MATERIALIZED (
          SELECT max(len(embedding::DOUBLE[])) AS nd FROM embeddings),
        pidx6 AS MATERIALIZED (
-         SELECT t.j, u.i, (t.j*64 + u.i)::HUGEINT AS x
+         SELECT t.j, u.i, (CASE WHEN u.i < 64 THEN t.j*64 + u.i
+                         ELSE 9223372036854775808::HUGEINT + t.j*4032 + (u.i - 64) END)::HUGEINT AS x
          FROM (SELECT unnest(generate_series(0, 5)) AS j) t,
               dimn6, LATERAL (SELECT unnest(generate_series(0, nd - 1)) AS i) u),
        ${splitmixCtes("p6", "pidx6", "j, i")},
@@ -906,7 +907,8 @@ object Ann {
     s"""dimn AS MATERIALIZED (
          SELECT max(len(embedding::DOUBLE[])) AS nd FROM embeddings),
        pidx AS MATERIALIZED (
-         SELECT t.j, u.i, (t.j*64 + u.i)::HUGEINT AS x
+         SELECT t.j, u.i, (CASE WHEN u.i < 64 THEN t.j*64 + u.i
+                         ELSE 9223372036854775808::HUGEINT + t.j*4032 + (u.i - 64) END)::HUGEINT AS x
          FROM (SELECT unnest(generate_series(0, 4)) AS j) t,
               dimn, LATERAL (SELECT unnest(generate_series(0, nd - 1)) AS i) u),
        ${splitmixCtes("p", "pidx", "j, i")},

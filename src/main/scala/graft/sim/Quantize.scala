@@ -731,7 +731,8 @@ object Quantize {
       |dimn AS MATERIALIZED (
       |  SELECT max(len(embedding::DOUBLE[])) AS nd FROM embeddings),
       |pidx AS MATERIALIZED (
-      |  SELECT t.j, u.i, (t.j*64 + u.i)::HUGEINT AS x
+      |  SELECT t.j, u.i, (CASE WHEN u.i < 64 THEN t.j*64 + u.i
+      |                  ELSE 9223372036854775808::HUGEINT + t.j*4032 + (u.i - 64) END)::HUGEINT AS x
       |  FROM (SELECT unnest(generate_series(0, 15)) AS j) t,
       |       dimn, LATERAL (SELECT unnest(generate_series(0, nd - 1)) AS i) u),
       |${Ann.splitmixCtes("p", "pidx", "j, i")},

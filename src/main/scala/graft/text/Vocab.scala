@@ -73,16 +73,30 @@ object Vocab {
 
   /** The per-round argmax pair (count desc, lhs asc, rhs asc): a bounded
     * 1-row driver scalar off the vocab-bounded dict (the
-    * bisecting_clusters split-pick precedent), shared by every trainer. */
-  private def topPair(dict: DataFrame): (String, String, Long) = {
-    val top = dict.select(col("wc"), explode(expr(
+    * bisecting_clusters split-pick precedent), shared by every trainer.
+    *
+    * CONTRACT (r11 ADVICE): the pair supply must outlast the trainer's
+    * round count — a corpus whose every word collapses to one symbol
+    * before round N would otherwise throw an opaque
+    * ArrayIndexOutOfBoundsException here, while the oracle's CROSS JOIN
+    * against an EMPTY top$i would silently delete every word from d$i
+    * on (the two engines fail DIFFERENTLY on exhaustion). Fail loudly
+    * with the round so the divergence is impossible to hit silently;
+    * the SQL chain can't desync from the Scala loop because both render
+    * from the same BpeRounds/DeepBpeRounds constants. */
+  private def topPair(dict: DataFrame, round: Int): (String, String, Long) = {
+    val rows = dict.select(col("wc"), explode(expr(
       """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
         |         slice(syms, 2, greatest(size(syms) - 1, 0)),
         |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-      .limit(1).collect()(0)
+      .limit(1).collect()
+    require(rows.nonEmpty,
+      s"BPE pair supply exhausted before merge round $round: every word " +
+        "is a single symbol — lower the trainer's round count for this corpus")
+    val top = rows(0)
     (top.getString(0), top.getString(1), top.getLong(2))
   }
 
@@ -90,7 +104,7 @@ object Vocab {
     var dict = wordDict(s, dir).localCheckpoint() // 5 rounds re-scan it; truncate lineage between rounds (the harmony precedent)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     (1 to BpeRounds).foreach { round =>
-      val (lSym, rSym, cnt) = topPair(dict)
+      val (lSym, rSym, cnt) = topPair(dict, round)
       out += ((round.toLong, lSym, rSym, lSym + rSym, cnt))
       if (round < BpeRounds) dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
     }
@@ -170,8 +184,8 @@ object Vocab {
   // the one word count (training) and the one word→dict join (apply).
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     var dict = wordDict(s, dir).localCheckpoint()
-    (1 to BpeRounds).foreach { _ =>
-      val (lSym, rSym, _) = topPair(dict)
+    (1 to BpeRounds).foreach { round =>
+      val (lSym, rSym, _) = topPair(dict, round)
       dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
     }
     val docw = Tables.documents(s, dir).select(col("doc_id"),
@@ -221,7 +235,7 @@ object Vocab {
     }
     snap(0)
     (1 to BpeRounds).foreach { round =>
-      val (lSym, rSym, _) = topPair(dict)
+      val (lSym, rSym, _) = topPair(dict, round)
       dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
       snap(round)
     }
@@ -279,7 +293,7 @@ object Vocab {
       var dict = wordDict(s, dir).localCheckpoint()
       val out = Seq.newBuilder[(Long, String, String, String, Long)]
       (1 to DeepBpeRounds).foreach { round =>
-        val (lSym, rSym, cnt) = topPair(dict)
+        val (lSym, rSym, cnt) = topPair(dict, round)
         out += ((round.toLong, lSym, rSym, lSym + rSym, cnt))
         dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
       }

@@ -68,18 +68,46 @@ class QuantizeSpec extends SparkSpecBase {
       assert(signBits == bucket,
         s"RandomProjection signs $signBits disagree with hyperplaneBucket $bucket")
     }
-    // r10 ADVICE item 2: the shared plane stream strides by 64, so a
-    // >64-dim input would alias plane j's dim 64 into plane j+1's dim 0
-    // — the expressions now REFUSE wide inputs instead of silently
-    // correlating output dimensions
-    val wide = org.apache.spark.sql.catalyst.expressions.Literal.create(
-      Seq.fill(65)(0.5), org.apache.spark.sql.types.ArrayType(
+    // r11 verdict item 7: >64-dim inputs now draw from the DISJOINT
+    // negative-key extension stream instead of throwing (the r10 guard).
+    // Invariants pinned here:
+    //  (a) ≤64-dim outputs are bit-identical to the historical j*64+i
+    //      stream (planeKey(j, i) == j*64+i for i < 64);
+    //  (b) a 128-dim input evaluates through a REAL plan (codegen path)
+    //      and matches the interpreted reference built on planeKey;
+    //  (c) the old aliasing cannot recur: the extension key for
+    //      (j, dim 64) differs from the base key for (j+1, dim 0) —
+    //      exactly the collision the r10 throw existed to prevent;
+    //  (d) the stream is finite: 4097 dims still throws.
+    import graft.functions.HyperplaneBucket.{mix64, planeKey}
+    for (j <- 0 until 8; i <- 0 until 64)
+      assert(planeKey(j, i) == j * 64L + i, s"base stream moved at ($j,$i)")
+    for (j <- 0 until 8)
+      assert(planeKey(j, 64) != planeKey(j + 1, 0) &&
+        mix64(planeKey(j, 64)) != mix64(planeKey(j + 1, 0)),
+        s"extension aliases plane ${j + 1}'s dim 0")
+    def refProj(v: Seq[Double], outDims: Int): Seq[Double] =
+      (0 until outDims).map { j =>
+        v.indices.map { i =>
+          val m = ((mix64(planeKey(j, i)) % 2000003L) + 2000003L) % 2000003L
+          v(i) * (m.toDouble / 1000001.0 - 1.0)
+        }.sum
+      }
+    val v128 = (0 until 128).map(i => math.sin(i * 0.7) * 3.0)
+    val wideRow = spark.createDataFrame(Seq(Tuple1(v128))).toDF("v")
+      .select(graft.functions.VectorFunctions.randomProjection(col("v"), 6).as("p"))
+      .head.getSeq[Double](0)
+    val expect128 = refProj(v128, 6)
+    wideRow.zip(expect128).zipWithIndex.foreach { case ((g, e), j) =>
+      assert(math.abs(g - e) < 1e-9, s"128-dim JL out dim $j: $g vs $e") }
+    val tooWide = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq.fill(4097)(0.5), org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))
     intercept[IllegalArgumentException] {
-      graft.functions.RandomProjection(wide, 5).eval(null)
+      graft.functions.RandomProjection(tooWide, 5).eval(null)
     }
     intercept[IllegalArgumentException] {
-      graft.functions.HyperplaneBucket(wide, 5).eval(null)
+      graft.functions.HyperplaneBucket(tooWide, 5).eval(null)
     }
   }
 

@@ -137,6 +137,34 @@ class VectorExprsPropSpec extends SparkSpecBase {
     assert(interp == rows(2L), "interpreted vs codegen parity")
   }
 
+  test("text_compression golden fixture: full sf0.01 output hash is frozen") {
+    // r11 verdict item 6: text_compression is the last non-streaming
+    // rows-only gate entry (DuckDB has no zlib), so its byte-level
+    // contract is pinned HERE instead — a SHA-256 over the full 500-row
+    // sf0.01 output in a canonical text form (rows sorted by doc_id,
+    // ratio at the query's own 6-dp rounding). The committed constant
+    // freezes JDK-zlib deflate output at level 6 (nowrap): if a JDK
+    // upgrade ships a zlib whose compressed sizes differ, or the query's
+    // projection drifts, this fails loudly with both hashes. The
+    // fixture was produced by this very canonicalization on
+    // OpenJDK 17 — regenerate deliberately (update the constant) only
+    // after diffing per-row ratios, never to silence a surprise.
+    val golden = "474e31dd9e8b4cc19921791483ada64d100e22b35de0681c0dc6c861765d40f4"
+    val rows = SparkEntry.queries("text_compression")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 500, s"sf0.01 documents cardinality moved: ${rows.length}")
+    val canon = rows.map { r =>
+      val ratio = "%.6f".format(r.getAs[Double]("deflate_ratio"))
+      s"${r.getAs[Long]("doc_id")}|${r.getAs[String]("source")}|" +
+        s"${r.getAs[Long]("n_chars")}|$ratio"
+    }.sorted.mkString("\n")
+    val got = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == golden,
+      s"text_compression output drifted from the frozen fixture: got $got " +
+        s"(first rows: ${canon.linesIterator.take(3).mkString("; ")})")
+  }
+
   test("heavy_hitters oracle precondition: <= k distinct langs per source") {
     // the heavy_hitters DuckDB oracle emits ALL (source, lang) rows and
     // only matches the k=8 Misra-Gries summary while every source stays

@@ -26,8 +26,31 @@ grep -q "All tests passed" /tmp/close_round_test.log || {
 echo "== [2/3] SURVEY §2 vs registry diff =="
 CP="target/scala-2.13/classes:$(ls "${SPARK_JARS_DIR:-/opt/spark/jars}"/*.jar | tr '\n' ':')"
 java -cp "$CP" graft.Verify --list | sort -u > /tmp/close_registry.txt
-awk '/^## §2/,/^## §3/' SURVEY.md | grep "^| [0-9]" | awk -F'|' '{print $4}' \
-  | grep -o '`[a-z0-9_]*`' | tr -d '`' | grep -v '^_lsh$' | sort -u > /tmp/close_survey.txt
+# Parse the QUERY column as the second-to-last |-cell (r11 verdict item
+# 1a: `awk -F'|' $4` loses every row whose DESCRIPTION contains a `|`,
+# e.g. #148's "|∩|/min" — 23 of 327 names failed to extract). Also
+# expand the `+ _lsh` twin shorthand (`` `q` + `_lsh` `` means q AND
+# q_lsh) instead of discarding the `_lsh` token.
+python3 - <<'PYEOF' > /tmp/close_survey.txt
+import re
+rows, in_s2 = [], False
+for line in open("SURVEY.md"):
+    if line.startswith("## §2"): in_s2 = True; continue
+    if in_s2 and line.startswith("## §3"): break
+    if in_s2 and re.match(r"^\| [0-9]", line):
+        rows.append(line.rstrip().rstrip("|"))
+names = set()
+for row in rows:
+    qcol = row.rsplit("|", 2)[-2]   # second-to-last cell = query column
+    toks = re.findall(r"`([a-z0-9_]+)`", qcol)
+    prev = None
+    for t in toks:
+        if t == "_lsh":
+            if prev: names.add(prev + "_lsh")
+        else:
+            names.add(t); prev = t
+print("\n".join(sorted(names)))
+PYEOF
 MISSING_SURVEY=$(comm -23 /tmp/close_registry.txt /tmp/close_survey.txt)
 MISSING_REG=$(comm -13 /tmp/close_registry.txt /tmp/close_survey.txt)
 if [ -n "$MISSING_SURVEY" ]; then
@@ -40,16 +63,20 @@ echo "OK: $(wc -l < /tmp/close_registry.txt) registry queries all have SURVEY §
 
 echo "== [3/3] correctness gate at $SF_DIR =="
 tools/run_gate.sh "$SF_DIR" /tmp/verify_close 4 "$JSON_OUT"
+# run_gate.sh emits {"pass": n, "fail": n, "rows_only": n,
+# "queries": {name: {"status": "pass"|"rows-only"|"fail", ...}}} —
+# read THAT schema (r11 verdict item 1b: the old checker iterated the
+# top-level int counters and crashed, and its per-query keys matched
+# the driver's rows_match shape, not run_gate's).
 python3 - "$JSON_OUT" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
-bad = [q for q, v in d.items()
-       if not (v.get("hash_match") or (v.get("rows_match") and v.get("err") is None
-               and v.get("hash_match") is None))]
-fails = [q for q, v in d.items() if not v.get("rows_match")]
-print(f"gate: {len(d)} queries, {len(fails)} row-mismatches, "
-      f"{sum(1 for v in d.values() if v.get('hash_match'))} hash-pass")
-if fails:
+qs = d["queries"]
+fails = sorted(q for q, v in qs.items()
+               if v.get("status") not in ("pass", "rows-only"))
+print(f"gate: {len(qs)} queries, {d['pass']} hash-pass, "
+      f"{d['rows_only']} rows-only, {d['fail']} fail")
+if fails or d["fail"]:
     print("FAIL:", fails); sys.exit(1)
 EOF
 echo "== round is closeable =="
