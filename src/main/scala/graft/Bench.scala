@@ -172,11 +172,20 @@ object Bench {
         // r9 hand list so the field never silently disappears.
         val prevMap: Map[String, Double] =
           sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
+            // accept BOTH artifact shapes: the builder's raw full map AND
+            // the driver's wrapper, whose JSON line sits ESCAPED inside a
+            // "tail" string (\"name\":2.72) — unescape before regexing or
+            // a driver-map PREV silently yields an empty map and the
+            // driftSet degrades to the hand list (r12: the exact failure
+            // this machinery was built to avoid)
             val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+              .replace("\\\"", "\"")
             val qs = txt.substring(txt.indexOf("\"queries\":") + 10)
             val re = """"([a-z0-9_]+)":\{?(?:"suite":)?(-?[0-9.]+)""".r
             re.findAllMatchIn(qs).map(m => m.group(1) -> m.group(2).toDouble).toMap
           }.getOrElse(Map.empty)
+        if (sys.env.contains("SPARK_GRAFT_BENCH_PREV"))
+          System.err.println(s"[bench] PREV map parsed: ${prevMap.size} queries")
         val driftSet: Seq[String] =
           if (prevMap.nonEmpty)
             results.collect { case (n, t)
