@@ -405,6 +405,114 @@ object Relational {
        FROM cls, tot"""
 
   // ---------------------------------------------------------------
+  // 329. l-diversity audit (Machanavalja et al. 2007) — k-anonymity's
+  // known hole: a k=50 class where every member shares ONE sensitive
+  // value re-identifies the attribute with certainty. Per
+  // quasi-identifier class (nation, balance band), over the SENSITIVE
+  // column (market segment): distinct-l (how many sensitive values
+  // appear) and entropy-l (exp of the Shannon entropy of the class's
+  // sensitive mix — the paper's stricter variant, penalizing a
+  // 99%/1% split that distinct-l calls diverse). Classes with
+  // distinct-l < 3 are flagged. Two stacked aggregations on the same
+  // bounded QI key (class×sensitive → class) — one shuffle, no
+  // windows, no fact-row fan-out; entropy is grouped identically in
+  // both engines (the #105 entropy_by_group contract, 6 dp).
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val cls = sv.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("n")).as("class_size"))
+    sv.join(cls, Seq("c_nationkey", "bal_band"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(first(col("class_size")).as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        round(exp(-sum((col("n") / col("class_size").cast("double"))
+          * log(col("n") / col("class_size").cast("double")))), 6)
+          .as("entropy_l"))
+      .withColumn("at_risk", col("l_distinct") < 3)
+  }
+
+  private val lDiversitySql =
+    """WITH sv AS (
+         SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                c_mktsegment, count(*)::BIGINT AS n
+         FROM customer GROUP BY 1, 2, 3),
+       cls AS (SELECT c_nationkey, bal_band, CAST(sum(n) AS BIGINT) AS class_size
+               FROM sv GROUP BY 1, 2)
+       SELECT sv.c_nationkey, sv.bal_band,
+              any_value(cls.class_size) AS class_size,
+              count(*)::BIGINT AS l_distinct,
+              round(exp(-sum((sv.n / CAST(cls.class_size AS DOUBLE))
+                    * ln(sv.n / CAST(cls.class_size AS DOUBLE)))), 6) AS entropy_l,
+              count(*) < 3 AS at_risk
+       FROM sv JOIN cls USING (c_nationkey, bal_band)
+       GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // 330. t-closeness audit (Li, Li & Venkatasubramanian 2007) —
+  // l-diversity's own hole: a class can be "diverse" yet still leak
+  // by SKEW (90% AUTOMOBILE in a 20%-global-share town). Per QI class,
+  // the total-variation distance between the class's sensitive
+  // distribution and the corpus-global one:
+  //   t = ½ Σ_s |p_class(s) − p_global(s)|,  flag t > 0.4.
+  // The |segments| scaffold (≤5 rows) crosses the class table so
+  // segments ABSENT from a class contribute their full global mass —
+  // the distance is over the complete support, not the observed one.
+  // One QI-key shuffle for class×segment counts; the scaffold cross
+  // and the global mix are bounded broadcasts (the ma_stats
+  // bounded-scaffold precedent, PlanSpec-allowlisted).
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+    val segTot = c.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("gn"))
+    val tot = c.agg(count(lit(1)).as("n_total"))
+    val glob = segTot.crossJoin(broadcast(tot))
+      .select(col("c_mktsegment"), (col("gn") / col("n_total").cast("double")).as("pg"))
+    val sv = c.groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val cls = sv.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("n")).as("class_size"))
+    cls.crossJoin(broadcast(glob)) // |classes| x |segments| scaffold
+      .join(sv, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(first(col("class_size")).as("class_size"),
+        round(sum(abs(coalesce(col("n"), lit(0L)) / col("class_size").cast("double")
+          - col("pg"))) / 2, 6).as("t_distance"))
+      .withColumn("at_risk", col("t_distance") > 0.4)
+  }
+
+  private val tClosenessSql =
+    """WITH base AS (
+         SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                c_mktsegment
+         FROM customer),
+       gm AS (
+         SELECT c_mktsegment,
+                count(*) / CAST((SELECT count(*) FROM base) AS DOUBLE) AS pg
+         FROM base GROUP BY 1),
+       sv AS (SELECT c_nationkey, bal_band, c_mktsegment, count(*)::BIGINT AS n
+              FROM base GROUP BY 1, 2, 3),
+       cls AS (SELECT c_nationkey, bal_band, CAST(sum(n) AS BIGINT) AS class_size
+               FROM sv GROUP BY 1, 2)
+       SELECT cls.c_nationkey, cls.bal_band,
+              any_value(cls.class_size) AS class_size,
+              round(sum(abs(coalesce(sv.n, 0) / CAST(cls.class_size AS DOUBLE)
+                    - gm.pg)) / 2, 6) AS t_distance,
+              round(sum(abs(coalesce(sv.n, 0) / CAST(cls.class_size AS DOUBLE)
+                    - gm.pg)) / 2, 6) > 0.4 AS at_risk
+       FROM cls CROSS JOIN gm
+       LEFT JOIN sv ON sv.c_nationkey = cls.c_nationkey
+                   AND sv.bal_band = cls.bal_band
+                   AND sv.c_mktsegment = gm.c_mktsegment
+       GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
   // 237. market-basket association mining (support/confidence/lift —
   // the Agrawal association-rule core, and the co-occurrence
   // recommendation primitive): part pairs co-ordered in the same
@@ -980,6 +1088,8 @@ object Relational {
     "rollup_pricing"         -> (rollupPricing _),
     "cube_pricing"           -> (cubePricing _),
     "k_anonymity"            -> (kAnonymity _),
+    "l_diversity"            -> (lDiversity _),
+    "t_closeness"            -> (tCloseness _),
     "basket_lift"            -> (basketLift _),
     "key_sequence_gaps"      -> (keySequenceGaps _),
     "window_rank_suite"      -> (windowRankSuite _),
@@ -1023,6 +1133,8 @@ object Relational {
            FROM part)""",
     "cube_pricing" -> cubePricingSql,
     "k_anonymity" -> kAnonymitySql,
+    "l_diversity" -> lDiversitySql,
+    "t_closeness" -> tClosenessSql,
     "basket_lift" -> basketLiftSql,
     "key_sequence_gaps" -> keySequenceGapsSql,
     "window_rank_suite" -> windowRankSuiteSql,

@@ -221,6 +221,67 @@ object Sessions {
                    element_at(vs, 1), (acc, x) -> acc * 0.7 + x * 0.3)"""), 6).as("ewma"))
 
   // ---------------------------------------------------------------
+  // 332. Holt linear-trend smoothing (Holt 1957) per event type over
+  // the daily count series — the EWMA's (#93) two-state sibling: a
+  // level AND a trend recursion (double exponential smoothing), the
+  // classical next-day traffic forecaster and the first thing a
+  // capacity planner fits before reaching for ARIMA:
+  //   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+  //   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+  // α=0.5, β=0.3, initialized l_1 = y_1, b_1 = y_2 − y_1 (Hyndman's
+  // convention), iterated t = 2..n; output = final level/trend and the
+  // one-step forecast l_n + b_n. The series is |types|×|days| rows
+  // (bounded post-aggregation), so the per-type ordered-array fold is
+  // the EWMA device with a two-field struct accumulator; the oracle
+  // replays the identical recursion as a WITH RECURSIVE chain — both
+  // engines run the same IEEE ops in the same order (round 6 at the
+  // end only). Scale: one shuffle for daily counts, then |types| rows.
+  def holtTrend(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, x))), e -> CAST(e.x AS DOUBLE))").as("ys"))
+      .filter(size(col("ys")) >= 2)
+      .select(col("event_type"),
+        size(col("ys")).cast("long").as("n_days"),
+        expr("""aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)),
+                 struct(element_at(ys, 1) AS l,
+                        element_at(ys, 2) - element_at(ys, 1) AS b),
+                 (acc, y) -> struct(
+                   0.5D * y + 0.5D * (acc.l + acc.b) AS l,
+                   0.3D * ((0.5D * y + 0.5D * (acc.l + acc.b)) - acc.l)
+                     + 0.7D * acc.b AS b))""").as("st"))
+      .select(col("event_type"), col("n_days"),
+        r(col("st.l"), 6).as("level"),
+        r(col("st.b"), 6).as("trend"),
+        r(col("st.l") + col("st.b"), 6).as("forecast_next"))
+
+  private val holtTrendSql =
+    """WITH RECURSIVE d AS (
+         SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                count(*)::DOUBLE AS y
+         FROM events GROUP BY 1, 2),
+       o AS (SELECT event_type, y,
+                    row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS rn
+             FROM d),
+       mx AS (SELECT event_type, max(rn) AS n FROM o GROUP BY 1),
+       rec AS (
+         SELECT a.event_type, 1 AS t, a.y AS l, b.y - a.y AS b
+         FROM o a JOIN o b USING (event_type)
+         WHERE a.rn = 1 AND b.rn = 2
+         UNION ALL
+         SELECT r.event_type, r.t + 1,
+                0.5 * o.y + 0.5 * (r.l + r.b) AS l,
+                0.3 * ((0.5 * o.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b AS b
+         FROM rec r JOIN o ON o.event_type = r.event_type AND o.rn = r.t + 1)
+       SELECT rec.event_type, CAST(mx.n AS BIGINT) AS n_days,
+              round(rec.l, 6) AS level, round(rec.b, 6) AS trend,
+              round(rec.l + rec.b, 6) AS forecast_next
+       FROM rec JOIN mx USING (event_type)
+       WHERE rec.t = mx.n AND mx.n >= 2"""
+
+  // ---------------------------------------------------------------
   // Value-per-bin along a continuous axis (tradeseq.R:131
   // get_value_per_bin: pseudotime → equal-width bins → mean per bin,
   // here over event time per type; the reference's fun_per_bin =
@@ -1610,6 +1671,7 @@ object Sessions {
     "audience_overlap"       -> (audienceOverlap _),
     "period_over_period"     -> (periodOverPeriod _),
     "acf_daily"              -> (acfDaily _),
+    "holt_trend"             -> (holtTrend _),
     "dow_seasonality"        -> (dowSeasonality _),
     "time_grid_interp"       -> (timeGridInterp _),
     "theil_sen"              -> (theilSen _),
@@ -1653,6 +1715,7 @@ object Sessions {
     "audience_overlap"       -> audienceOverlapSql,
     "period_over_period"     -> periodOverPeriodSql,
     "acf_daily"              -> acfDailySql,
+    "holt_trend"             -> holtTrendSql,
     "dow_seasonality"        -> dowSeasonalitySql,
     "time_grid_interp"       -> timeGridInterpSql,
     "theil_sen"              -> theilSenSql,

@@ -636,6 +636,55 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // 337. one-permutation MinHash calibration (Li, Owen & Zhang 2012;
+  // Shrivastava & Li 2014 densification) — the #190 audit re-run over
+  // the OPH signature, which is the 100 TB cost lever on the classic
+  // one: #190's signature pays 64 SplitMix64 calls per shingle, OPH
+  // pays ONE (hash once, route by the top 6 bits into one of 64
+  // buckets, keep per-bucket minima, densify empty buckets by cyclic
+  // rightward borrowing with a +t offset). Densified match fraction is
+  // an unbiased Jaccard estimator (Shrivastava & Li) — this table
+  // measures its error against exact shingle Jaccard on the SAME
+  // banding-candidate protocol as #190, so the two calibrations read
+  // side by side: same schema, same sample cap, ~64× less signature
+  // compute. The oracle replays fnv1a64 → ONE mix64 → top-6-bit
+  // bucketing → minima → the rotation densification (wrap-safe mod
+  // 2⁶⁴) through the shared HUGEINT CTE chain — hash-checked.
+  def minhashOphCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{ophMinhashSig, longMatchFrac, charShingles, jaccardSim}
+    val d = docsNorm(s, dir)
+    val sigs = d.withColumn("sig", ophMinhashSig(charShingles(col("t"), 5), 64))
+      .select(col("doc_id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sigs.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 15), b -> " +
+        "struct(b AS band, concat_ws(',', transform(slice(sig, b*4+1, 4), " +
+        "x -> CAST(x AS STRING))) AS bh))")).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val candAll = bandsDf.as("a").hint("shuffle_hash")
+      .join(bandsDf.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val cand = candAll
+      .withColumn("__u", graft.api.Analytics.hashUniform(
+        concat_ws("_", col("d1"), col("d2"))))
+      .orderBy(col("__u"), col("d1"), col("d2")).limit(20000).drop("__u")
+    val sh = d.select(col("doc_id"), charShingles(col("t"), 5).as("sh"))
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("est", longMatchFrac(col("sig1"), col("sig2")))
+      .withColumn("tj", jaccardSim(col("sh1"), col("sh2")))
+      .select(col("d1"), col("d2"), r(col("est"), 6).as("est_jaccard"),
+        r(col("tj"), 6).as("true_jaccard"),
+        r(abs(col("est") - col("tj")), 6).as("abs_err"))
+  }
+
+  // ---------------------------------------------------------------
   // 165. dedup cluster-size distribution — the audit table every dedup
   // run reports (how much of the corpus is duplicated, and in what
   // cluster sizes): docs in no near-dup pair count as size-1 clusters.
@@ -1052,6 +1101,7 @@ object Dedup {
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_incremental"   -> (dedupIncremental _),
     "minhash_calibration" -> (minhashCalibration _),
+    "minhash_oph_calibration" -> (minhashOphCalibration _),
     "minhash_bands_sweep" -> ((a: SparkSession, b: String) => minhashBandsSweep(a, b)),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "winnow_dup_pairs"    -> (winnowDupPairs _),
@@ -1409,7 +1459,92 @@ object Dedup {
        FROM scored"""
   }
 
+  /** Shared oracle prefix for the OPH signature (#337): same nrm/sh/gh
+    * chain as [[msigPrefixSql]], then ONE SplitMix64 per distinct
+    * shingle, unsigned-top-6-bit bucketing, signed per-bucket minima,
+    * and the rotation densification as an arg_min over the cyclic
+    * distance (wrap-safe +t in mod-2⁶⁴ HUGEINT space, matching Java's
+    * wrapping long add). */
+  private lazy val ophSigPrefixSql: String =
+    s"""nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+       sh AS MATERIALIZED (
+         SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+         FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+       gh AS MATERIALIZED (
+         SELECT g, list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             $utf8BytesSql),
+           (acc, b) -> (((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                        * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS x
+         FROM (SELECT DISTINCT g FROM sh)),
+       ${graft.sim.Ann.splitmixCtes("og", "gh", "g")},
+       obh AS MATERIALIZED (
+         SELECT g, hs,
+                (CASE WHEN hs < 0 THEN hs::HUGEINT + 18446744073709551616::HUGEINT
+                      ELSE hs::HUGEINT END) // 288230376151711744::HUGEINT AS b
+         FROM ogh),
+       omin AS MATERIALIZED (
+         SELECT s.doc_id, o.b, min(o.hs) AS v
+         FROM sh s JOIN obh o USING (g) GROUP BY 1, 2),
+       ocell AS (
+         SELECT d.doc_id, t.j
+         FROM (SELECT DISTINCT doc_id FROM sh) d,
+              LATERAL (SELECT unnest(generate_series(0, 63)) AS j) t),
+       oden AS MATERIALIZED (
+         SELECT c.doc_id, c.j,
+                CAST((((arg_min(m.v, (m.b - c.j + 64) % 64)::HUGEINT
+                        + min((m.b - c.j + 64) % 64)::HUGEINT
+                        + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT)
+                      - 9223372036854775808::HUGEINT) AS BIGINT) AS v
+         FROM ocell c JOIN omin m USING (doc_id)
+         GROUP BY 1, 2),
+       osig AS MATERIALIZED (
+         SELECT doc_id, list(v ORDER BY j) AS sig FROM oden GROUP BY 1)"""
+
+  private lazy val minhashOphCalibrationSql: String = {
+    val uPair = {
+      val md5k = "md5(CAST(d1 AS VARCHAR) || '_' || CAST(d2 AS VARCHAR))"
+      (1 to 6).map { i =>
+        s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i)}"
+      }.mkString("((", "\n                 + ", " + 1.0) / 16777217.0)")
+    }
+    s"""WITH $ophSigPrefixSql,
+       bandsx AS (
+         SELECT doc_id, t.b,
+                array_to_string(list_transform(generate_series(t.b*4+1, t.b*4+4),
+                  i -> sig[i]::VARCHAR), ',') AS bh
+         FROM osig, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) t),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bandsx a JOIN bandsx b
+           ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       csamp AS MATERIALIZED (
+         SELECT d1, d2 FROM (SELECT d1, d2, $uPair AS u FROM cand)
+         ORDER BY u, d1, d2 LIMIT 20000),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT c.d1, c.d2, count(*) AS i
+         FROM csamp c JOIN sh a ON a.doc_id = c.d1
+         JOIN sh b ON b.doc_id = c.d2 AND b.g = a.g
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT c.d1, c.d2,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0 AS est,
+                coalesce(i.i, 0) / (s1.n + s2.n - coalesce(i.i, 0)) AS tj
+         FROM csamp c
+         JOIN osig sa ON c.d1 = sa.doc_id
+         JOIN osig sb ON c.d2 = sb.doc_id
+         LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         JOIN sizes s1 ON c.d1 = s1.doc_id
+         JOIN sizes s2 ON c.d2 = s2.doc_id)
+       SELECT d1, d2, round(est, 6) AS est_jaccard, round(tj, 6) AS true_jaccard,
+              round(abs(est - tj), 6) AS abs_err
+       FROM scored"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "minhash_oph_calibration" -> minhashOphCalibrationSql,
     "minhash_calibration" -> minhashCalibrationSql,
     "minhash_bands_sweep" -> minhashBandsSweepSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,

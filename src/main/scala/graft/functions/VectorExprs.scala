@@ -36,6 +36,99 @@ import org.apache.spark.unsafe.types.UTF8String
   * users calling `minhash_sig` now get the independent-slot family;
   * MinHashSpec pins the banding candidate volume so it can't regress.
   */
+/** One-permutation MinHash with rotation densification (Li, Owen &
+  * Zhang 2012; Shrivastava & Li 2014 "densified OPH") — the 100 TB
+  * cost lever on the classic signature: [[MinHashSig]] pays 64 mix64
+  * calls per shingle, OPH pays ONE (hash once, route by the hash's top
+  * 6 bits into one of 64 buckets, keep the per-bucket minimum), then
+  * fills empty buckets by borrowing cyclically from the next non-empty
+  * bucket to the right with a +t offset (t = rotation distance) so two
+  * documents that borrow the same source slot at the same distance
+  * still match and everything else doesn't. The match-fraction
+  * estimator over the densified signature is unbiased for Jaccard
+  * (Shrivastava & Li's result), which `minhash_oph_calibration`
+  * verifies against exact shingle Jaccard.
+  *
+  * The per-shingle hash is mix64(fnv1a64(bytes)) — the exact SplitMix64
+  * finalizer the oracle replays through the shared HUGEINT CTE chain,
+  * so signatures hash-check in DuckDB. Buckets compare SIGNED longs
+  * (the MinHashSig convention); the bucket index uses the UNSIGNED top
+  * bits (h >>> 58). Fixed at 64 slots — the banding stack's width.
+  */
+case class OnePermMinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes == 64, "one_perm_minhash_sig is fixed at 64 slots (the banding width)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "one_perm_minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(64)(Long.MaxValue)
+    val present = new Array[Boolean](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = HyperplaneBucket.mix64(MinHashSigText.fnv1a64(arr.getUTF8String(i)))
+      val b = (h >>> 58).toInt
+      if (!present(b) || h < sig(b)) { sig(b) = h; present(b) = true }
+      i += 1
+    }
+    var j = 0
+    while (j < 64) {
+      if (!present(j)) {
+        var t = 1
+        var done = false
+        while (t < 64 && !done) {
+          val src = (j + t) & 63
+          if (present(src)) { sig(j) = sig(src) + t; done = true }
+          t += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val present = ctx.freshName("present")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val src = ctx.freshName("src")
+      s"""
+        long[] $sig = new long[64];
+        boolean[] $present = new boolean[64];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          long $h = graft.functions.HyperplaneBucket.mix64(
+            graft.functions.MinHashSigText$$.MODULE$$.fnv1a64($c.getUTF8String($i)));
+          int $b = (int) ($h >>> 58);
+          if (!$present[$b] || $h < $sig[$b]) { $sig[$b] = $h; $present[$b] = true; }
+        }
+        for (int $j = 0; $j < 64; $j++) {
+          if (!$present[$j]) {
+            for (int $t = 1; $t < 64; $t++) {
+              int $src = ($j + $t) & 63;
+              if ($present[$src]) { $sig[$j] = $sig[$src] + $t; break; }
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OnePermMinHashSig =
+    copy(child = newChild)
+}
+
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -241,6 +334,8 @@ object VectorFunctions {
   private def toExpr(c: Column): Expression = GraftGlue.expression(c)
   def minhashSig(c: Column, numHashes: Int = 64): Column =
     GraftGlue.column(MinHashSig(toExpr(c), numHashes))
+  def ophMinhashSig(c: Column, numHashes: Int = 64): Column =
+    GraftGlue.column(OnePermMinHashSig(toExpr(c), numHashes))
   def simhash64(c: Column): Column = GraftGlue.column(SimHash64(toExpr(c)))
   def dot(a: Column, b: Column): Column = GraftGlue.column(DotProduct(toExpr(a), toExpr(b)))
   def charShingles(c: Column, n: Int = 5): Column = GraftGlue.column(CharShingles(toExpr(c), n))

@@ -403,7 +403,7 @@ object Ann {
   // scale. `exact = false` is the SCALE feed: Similarity.lshTopK's
   // hyperplane-bucket self-join (candidates bounded per bucket, no
   // broadcast of the corpus) — approximate, recall-spec'd in AnnSpec.
-  private[sim] def knnEdges(s: SparkSession, dir: String, k: Int,
+  private[graft] def knnEdges(s: SparkSession, dir: String, k: Int,
       exact: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     if (exact)
@@ -418,7 +418,7 @@ object Ann {
   }
 
   /** MUTUAL kNN edges (both endpoints list each other), a < b. */
-  private[sim] def mutualEdges(knn: DataFrame): DataFrame =
+  private[graft] def mutualEdges(knn: DataFrame): DataFrame =
     knn.as("x")
       .join(knn.as("y"),
         col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))

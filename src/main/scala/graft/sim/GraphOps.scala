@@ -883,7 +883,81 @@ object GraphOps {
         AND a.half = 0 AND b.half = 1
        GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 336. link prediction over the mutual-kNN graph (Liben-Nowell &
+  // Kleinberg 2003; Adamic & Adar 2003) — the "which near-duplicates /
+  // related documents did the kNN build MISS" screen, and the
+  // recommender primitive every graph stack ships: for each
+  // NON-adjacent pair at distance 2, common-neighbor count, the
+  // Adamic-Adar score Σ_{w∈Γ(a)∩Γ(b)} 1/ln(deg w) (rare shared
+  // neighbors weigh more), and neighborhood Jaccard
+  // CN/(deg a + deg b − CN). Global top-50 ordered by the INTEGER key
+  // (common desc, a, b) — fully deterministic across engines; the fp
+  // AA/Jaccard columns are 6-dp payload, never the sort key. Wedge
+  // generation is keyed on the shared CENTER vertex (the snn_graph
+  // inverted-list device): fan-out per vertex is degree² — bounded by
+  // (2k)² in a mutual-kNN graph; a wedge center always has degree ≥ 2,
+  // so ln(deg w) never divides by zero. One wedge shuffle + bounded
+  // joins; top-50 via TakeOrdered, no global window.
+  def linkPredictKnn(s: SparkSession, dir: String): DataFrame =
+    linkPredictFrom(Ann.knnEdges(s, dir, k = SnnK, exact = true))
+
+  /** Scale twin: identical scoring over the LSH kNN feed. */
+  def linkPredictKnnLsh(s: SparkSession, dir: String): DataFrame =
+    linkPredictFrom(Ann.knnEdges(s, dir, k = SnnK, exact = false))
+
+  private def linkPredictFrom(knn: DataFrame): DataFrame = {
+    val mut = Ann.mutualEdges(knn).localCheckpoint() // feeds und + the non-edge filter
+    val und = mut.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(mut.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint() // feeds degrees + both wedge sides
+    val deg = und.groupBy(col("s").as("v")).agg(count(lit(1)).as("degree"))
+    val wedges = und.as("x")
+      .join(und.as("y"), col("x.t") === col("y.s") && col("x.s") < col("y.t"))
+      .select(col("x.s").as("a"), col("y.t").as("b"), col("x.t").as("w"))
+    val scored = wedges
+      .join(deg.select(col("v").as("w"), col("degree").as("dw")), "w")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("dw").cast("double"))).as("aa"))
+    scored
+      .join(mut.select(col("a"), col("b"), lit(1).as("ex")), Seq("a", "b"), "left")
+      .filter(col("ex").isNull)
+      .join(deg.select(col("v").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("degree").as("db")), "b")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        round(col("aa"), 6).as("aa_score"),
+        round(col("common_neighbors")
+          / (col("da") + col("db") - col("common_neighbors")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("common_neighbors").desc, col("a").asc, col("b").asc)
+      .limit(50)
+  }
+
+  private val linkPredictTailSql =
+    """und AS MATERIALIZED (SELECT a AS s, b AS t FROM mutual
+               UNION ALL SELECT b, a FROM mutual),
+       deg AS (SELECT s AS v, count(*)::BIGINT AS degree FROM und GROUP BY 1),
+       wed AS (SELECT x.s AS a, y.t AS b, x.t AS w
+               FROM und x JOIN und y ON x.t = y.s AND x.s < y.t),
+       sc AS (SELECT wed.a, wed.b, count(*)::BIGINT AS common_neighbors,
+                     sum(1.0 / ln(CAST(d.degree AS DOUBLE))) AS aa
+              FROM wed JOIN deg d ON d.v = wed.w GROUP BY 1, 2),
+       lpcand AS (SELECT sc.* FROM sc
+                LEFT JOIN mutual m ON m.a = sc.a AND m.b = sc.b
+                WHERE m.a IS NULL)
+       SELECT c.a, c.b, c.common_neighbors, round(c.aa, 6) AS aa_score,
+              round(c.common_neighbors
+                    / CAST(da.degree + db.degree - c.common_neighbors AS DOUBLE), 6)
+                AS jaccard
+       FROM lpcand c
+       JOIN deg da ON da.v = c.a
+       JOIN deg db ON db.v = c.b
+       ORDER BY c.common_neighbors DESC, c.a ASC, c.b ASC LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_predict_knn"     -> (linkPredictKnn _),
+    "link_predict_knn_lsh" -> (linkPredictKnnLsh _),
     "centroid_stability"  -> (centroidStability _),
     "label_centroid_sims" -> (labelCentroidSims _),
     "ppr_knn"             -> (pprKnn _),
@@ -916,6 +990,10 @@ object GraphOps {
          WHERE x.qid < x.nid)"""
 
   val oracles: Map[String, String] = Map(
+    "link_predict_knn" ->
+      s"WITH ${Ann.bruteKnnSql(SnnK)},\n$mutualPrefixSql,\n$linkPredictTailSql",
+    "link_predict_knn_lsh" ->
+      s"WITH ${Ann.lshSigPrefixSql},\n${Ann.lshKnnSql(SnnK)},\n$mutualPrefixSql,\n$linkPredictTailSql",
     "label_centroid_sims" -> labelCentroidSimsSql,
     "centroid_stability" -> centroidStabilitySql,
     "ppr_knn" -> s"WITH ${Ann.bruteKnnSql(SnnK)},\n$pprTailSql",

@@ -429,7 +429,87 @@ object Classify {
        |LEFT JOIN c3 USING (w3), n
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // 331. interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995;
+  // Chen & Goodman 1998's benchmark winner) — the smoothing the LM
+  // ladder was missing: #232 Jelinek-Mercer interpolates with the
+  // RAW unigram mix, KN replaces it with the CONTINUATION
+  // distribution (how many distinct contexts a word follows — "san
+  // francisco" makes "francisco" frequent but a terrible novel-context
+  // guess), which is why every serious n-gram stack (KenLM's default,
+  // SRILM's -kndiscount) scores with it:
+  //   P_KN(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/NB
+  // with D = 0.75, N1+(w1·)/N1+(·w2) the distinct-successor/
+  // -predecessor counts and NB the distinct-bigram total. Corpus-
+  // trained, every scored bigram is seen, and both interpolation terms
+  // are strictly positive — ln() stays finite with no OOV convention
+  // needed. Per-doc mean log-prob rides the #124 weighted
+  // Σ dc·ln(p)/Σ dc determinism contract (identical grouping both
+  // engines, 6 dp). Scale: the c12 table is the one vocab²-bounded
+  // shuffle (shuffle_hash against the per-doc fact rows — the #232
+  // measured 22× sort-skip); the per-w1 (c1, N1+) and per-w2 N1+
+  // tables are vocab-bounded broadcasts; NB is a 1-row attach (the
+  // char_lm_score scalar-attach precedent, PlanSpec-allowlisted).
+  private val KnD = 0.75
+
+  def kneserNeyScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("dc"))
+    val c12 = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("dc")).as("c12"))
+      .localCheckpoint() // feeds left stats, right stats, NB, the score join
+    // per-w1: total count c1 AND distinct-successor count N1+(w1·) in
+    // one pass over the bigram-type table
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nl"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("nr"))
+    val nb = c12.agg(count(lit(1)).cast("double").as("nb"))
+    perDoc.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(broadcast(left), "w1").join(broadcast(right), "w2")
+      .crossJoin(broadcast(nb))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).cast("long").as("n_bigrams"),
+        round(sum(col("dc") * log(
+          greatest(col("c12") - lit(KnD), lit(0.0)) / col("c1")
+            + lit(KnD) * col("nl") / col("c1") * (col("nr") / col("nb"))))
+          / sum(col("dc")), 6).as("kn_score"))
+  }
+
+  private val kneserNeyScoreSql =
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT doc_id, ws[CAST(t.i AS INT)] AS w1, ws[CAST(t.i + 1 AS INT)] AS w2
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents),
+       |       LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2),
+       |pd AS MATERIALIZED (
+       |  SELECT doc_id, w1, w2, count(*)::BIGINT AS dc FROM pr GROUP BY 1, 2, 3),
+       |c12 AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(sum(dc) AS BIGINT) AS c12 FROM pd GROUP BY 1, 2),
+       |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*)::BIGINT AS nl
+       |        FROM c12 GROUP BY 1),
+       |rgt AS (SELECT w2, count(*)::BIGINT AS nr FROM c12 GROUP BY 1),
+       |nb AS (SELECT count(*)::DOUBLE AS nb FROM c12)
+       |SELECT pd.doc_id, CAST(sum(pd.dc) AS BIGINT) AS n_bigrams,
+       |       round(sum(pd.dc * ln(
+       |         greatest(c12.c12 - $KnD, 0.0) / lft.c1
+       |           + $KnD * lft.nl / lft.c1 * (rgt.nr / nb.nb)))
+       |         / sum(pd.dc), 6) AS kn_score
+       |FROM pd
+       |JOIN c12 USING (w1, w2)
+       |JOIN lft USING (w1)
+       |JOIN rgt USING (w2), nb
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kneser_ney_score"   -> (kneserNeyScore _),
     "trigram_sb_score"   -> (trigramSbScore _),
     "source_style_kl"    -> (sourceStyleKl _),
     "langid_confusion"   -> (langidConfusion _),
@@ -438,6 +518,7 @@ object Classify {
     "word_lm_score"      -> (wordLmScore _))
 
   val oracles: Map[String, String] = Map(
+    "kneser_ney_score"   -> kneserNeyScoreSql,
     "trigram_sb_score"   -> trigramSbScoreSql,
     "source_style_kl"    -> sourceStyleKlSql,
     "langid_confusion"   -> langidConfusionSql,

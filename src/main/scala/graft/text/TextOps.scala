@@ -90,6 +90,151 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // 333. readability scores, ARI + Coleman-Liau (Senter & Smith 1967;
+  // Coleman & Liau 1975) — the two classical grade-level formulas that
+  // need NO syllable dictionary (pure character/word/sentence counts,
+  // so they run deterministic and codegen'd where Flesch-Kincaid's
+  // syllable heuristic would drift between engines). Training-data
+  // pipelines bucket corpora by grade level for curriculum mixes and
+  // filter the <1st-grade tail (boilerplate/listicles) — this is that
+  // signal. Sentence count floors at 1 (headline-only docs). Narrow
+  // per-row compute, zero shuffles, the #41 contract.
+  // The grade formulas are computed as ONE division of two exact
+  // BIGINT products — 4.71·c/w + 0.5·w/s − 21.43 =
+  // (4710·c·s + 500·w² − 21430·w·s)/(1000·w·s) — so both engines
+  // divide the same two exactly-representable integers and the double
+  // is bit-identical with NO rounding step (the first 6-dp-rounded
+  // form hit a round-half boundary: Spark HALF_UP vs DuckDB half-even
+  // disagreed on an exact …5·10⁻⁷). Exactness envelope: products stay
+  // under 2⁵³ for chars·sentences < 1.9e9 — any real document.
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val chars = reCount(col("text"), "[A-Za-z0-9]")
+    val words = greatest(reCount(col("text"), "\\S+"), lit(1L))
+    val sents = greatest(reCount(col("text"), "[.!?]+"), lit(1L))
+    val ari = (lit(4710L) * chars * sents + lit(500L) * words * words
+      - lit(21430L) * words * sents).cast("double") /
+      (lit(1000L) * words * sents).cast("double")
+    val cli = (lit(5880L) * chars - lit(29600L) * sents
+      - lit(15800L) * words).cast("double") / (lit(1000L) * words).cast("double")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      chars.as("n_an_chars"),
+      words.as("n_words"),
+      sents.as("n_sentences"),
+      ari.as("ari"),
+      cli.as("coleman_liau"))
+  }
+
+  private val readabilitySql = {
+    val chars = "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT)"
+    val words = raw"CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT)"
+    val sents = "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)"
+    s"""SELECT doc_id,
+        $chars AS n_an_chars,
+        $words AS n_words,
+        $sents AS n_sentences,
+        CAST(4710 * $chars * $sents + 500 * $words * $words
+             - 21430 * $words * $sents AS DOUBLE)
+          / CAST(1000 * $words * $sents AS DOUBLE) AS ari,
+        CAST(5880 * $chars - 29600 * $sents - 15800 * $words AS DOUBLE)
+          / CAST(1000 * $words AS DOUBLE) AS coleman_liau
+        FROM documents"""
+  }
+
+  // ---------------------------------------------------------------
+  // 334. blocklist phrase filter — the UT1/URL-blocklist front door
+  // every web-corpus pipeline runs before any model-based signal
+  // (C4 dropped pages on the "List of Dirty, Naughty …" wordlist;
+  // RefinedWeb/Dolma keep curated term blocklists): word-level exact
+  // match of a broadcast-small term list against the token stream,
+  // emitting total hits, distinct terms hit, and the block decision
+  // (≥3 hits — an integer threshold, no fp edge). The list rides the
+  // lambda literal (array_contains over a 4-term array) so the match
+  // stays inside whole-stage codegen — no join, no shuffle, linear
+  // scan; a 100k-term production list swaps in as a broadcast join or
+  // an Aho-Corasick native expression without changing the contract.
+  private val blockTerms = Seq("slow", "big", "merge", "spam")
+
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val arr = blockTerms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr(s"CAST(size(filter(ws, t -> array_contains($arr, t))) AS BIGINT)")
+          .as("n_hits"),
+        expr(s"CAST(size(filter(array_distinct(ws), t -> array_contains($arr, t))) AS BIGINT)")
+          .as("n_terms_hit"))
+      .withColumn("blocked", col("n_hits") >= 3)
+  }
+
+  private val blocklistFilterSql = {
+    val arr = blockTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(ws, t -> list_contains($arr, t))) AS BIGINT) AS n_hits,
+        CAST(len(list_filter(list_distinct(ws), t -> list_contains($arr, t))) AS BIGINT) AS n_terms_hit,
+        len(list_filter(ws, t -> list_contains($arr, t))) >= 3 AS blocked
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents)"""
+  }
+
+  // ---------------------------------------------------------------
+  // 335. OOV rate against the corpus top-V vocabulary — the tokenizer-
+  // coverage eval run before freezing a vocab (the apply-side sibling
+  // of #183's fertility: fertility prices IN-vocab words, this counts
+  // what falls OUT): vocab = top V tokens by (count desc, token asc),
+  // per doc the token- and type-level OOV fractions. V=20 here so the
+  // low-vocab test corpus exercises both branches (production V is
+  // 100k-ish — still a broadcast). The vocab rank is a TakeOrdered
+  // over the vocab-bounded count table (the cms_frequency device — no
+  // global window); per-doc joins are (doc, word)-keyed with the
+  // ≤V-row vocab broadcast on the build side.
+  private val OovVocabSize = 20
+
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val dw = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the vocab rank AND the per-doc join
+    val vocab = dw.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+      .orderBy(col("cc").desc, col("w").asc).limit(OovVocabSize)
+      .select(col("w"), lit(1).as("iv"))
+    dw.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("iv").isNull, col("c")).otherwise(lit(0L))).cast("long")
+          .as("oov_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(lit(0L))).cast("long")
+          .as("oov_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("oov_tokens"), col("oov_types"),
+        r(col("oov_tokens") / col("n_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
+  private val oovRateSql =
+    s"""WITH dw AS MATERIALIZED (
+       |  SELECT doc_id, t.w, count(*)::BIGINT AS c
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |        FROM documents), LATERAL unnest(ws) AS t(w)
+       |  GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT w FROM (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM dw GROUP BY 1)
+       |  ORDER BY cc DESC, w ASC LIMIT $OovVocabSize)
+       |SELECT dw.doc_id,
+       |       CAST(sum(dw.c) AS BIGINT) AS n_tokens,
+       |       count(*)::BIGINT AS n_types,
+       |       CAST(sum(CASE WHEN vocab.w IS NULL THEN dw.c ELSE 0 END) AS BIGINT) AS oov_tokens,
+       |       CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+       |       round(sum(CASE WHEN vocab.w IS NULL THEN dw.c ELSE 0 END)
+       |             / CAST(sum(dw.c) AS DOUBLE), 6) AS oov_rate
+       |FROM dw LEFT JOIN vocab USING (w)
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // 42. language ID: stopword-marker scoring per candidate language +
   // CJK codepoint count, argmax with alphabetical tie-break. The marker
   // counts use the replace-trick so Spark and the oracle agree exactly.
@@ -1520,6 +1665,9 @@ object TextOps {
     "text_token_stats" -> (textTokenStats _),
     "text_quality"     -> (textQuality _),
     "text_entropy"     -> (textEntropy _),
+    "readability"      -> (readability _),
+    "blocklist_filter" -> (blocklistFilter _),
+    "oov_rate"         -> (oovRate _),
     "lang_id"          -> (langId _),
     "doc_fingerprint"  -> (docFingerprint _),
     "tfidf_top_terms"  -> (tfidfTopTerms _),
@@ -1767,6 +1915,9 @@ object TextOps {
            CAST(len(regexp_extract_all(lower(text), '$bpePat')) AS BIGINT) AS n_bpe_tokens
            FROM documents""",
     "text_quality" -> qualitySql,
+    "readability" -> readabilitySql,
+    "blocklist_filter" -> blocklistFilterSql,
+    "oov_rate" -> oovRateSql,
     "text_entropy" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
          ch AS (

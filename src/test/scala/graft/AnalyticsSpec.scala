@@ -748,4 +748,137 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(geneMeds.max <= cntMeds.max / 10.0,
       "row medians of residuals not reduced by the polish")
   }
+
+  test("lDiversity and tCloseness: privacy-audit invariants vs a direct recompute") {
+    val cust = Tables.customer(spark, sf)
+      .select(org.apache.spark.sql.functions.col("c_nationkey"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        org.apache.spark.sql.functions.col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getAs[Long]("bal_band"), r.getAs[String]("c_mktsegment")))
+    val byClass = cust.groupBy(t => (t._1, t._2))
+    val ld = core.Relational.lDiversity(spark, sf).collect()
+    assert(ld.length == byClass.size, "one row per QI class")
+    ld.foreach { r =>
+      val key = (r.getInt(0).toLong, r.getAs[Long]("bal_band"))
+      val members = byClass(key)
+      val distinct = members.map(_._3).distinct.length.toLong
+      assert(r.getAs[Long]("class_size") == members.length.toLong)
+      assert(r.getAs[Long]("l_distinct") == distinct)
+      assert(r.getAs[Boolean]("at_risk") == (distinct < 3))
+      val el = r.getAs[Double]("entropy_l")
+      // entropy-l is bounded by distinct-l (uniform mix) and >= 1
+      assert(el >= 1.0 - 1e-9 && el <= distinct + 1e-6, s"entropy_l $el out of [1, $distinct]")
+    }
+    val n = cust.length.toDouble
+    val pg = cust.groupBy(_._3).map { case (s, xs) => s -> xs.length / n }
+    val tc = core.Relational.tCloseness(spark, sf).collect()
+    assert(tc.length == byClass.size)
+    tc.foreach { r =>
+      val key = (r.getInt(0).toLong, r.getAs[Long]("bal_band"))
+      val members = byClass(key)
+      val cs = members.length.toDouble
+      val pc = members.groupBy(_._3).map { case (s, xs) => s -> xs.length / cs }
+      val t = pg.map { case (s, p) => math.abs(pc.getOrElse(s, 0.0) - p) }.sum / 2
+      assert(math.abs(r.getAs[Double]("t_distance") - t) < 1e-5,
+        s"t-distance mismatch at $key: got ${r.getAs[Double]("t_distance")}, want $t")
+      assert(r.getAs[Double]("t_distance") >= -1e-9 && r.getAs[Double]("t_distance") <= 1.0 + 1e-9)
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Double]("t_distance") > 0.4))
+    }
+  }
+
+  test("holtTrend replays the level/trend recursion exactly") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"), r.getAs[Long]("x")))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.sortBy(_._2).map(_._3.toDouble) }
+    val ht = core.Sessions.holtTrend(spark, sf).collect()
+    assert(ht.length == daily.size)
+    ht.foreach { r =>
+      val ys = daily(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") == ys.length.toLong)
+      var l = ys(0); var b = ys(1) - ys(0)
+      ys.drop(1).foreach { y =>
+        val l2 = 0.5 * y + 0.5 * (l + b)
+        b = 0.3 * (l2 - l) + 0.7 * b; l = l2
+      }
+      assert(math.abs(r.getAs[Double]("level") - l) < 1e-5, s"level ${r.getAs[Double]("level")} vs $l")
+      assert(math.abs(r.getAs[Double]("trend") - b) < 1e-5)
+      assert(math.abs(r.getAs[Double]("forecast_next") - (l + b)) < 1e-5)
+    }
+  }
+
+  test("kneserNeyScore: valid log-probs and the per-context distribution sums to 1") {
+    import org.apache.spark.sql.functions._
+    val kn = text.Classify.kneserNeyScore(spark, sf).collect()
+    assert(kn.nonEmpty)
+    kn.foreach { r =>
+      assert(r.getAs[Double]("kn_score") < 0.0, "mean log-prob of a <1 probability must be negative")
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+    // the smoothing identity: for every context w1, Σ_w2 P_KN(w2|w1) = 1
+    val pairs = Tables.documents(spark, sf)
+      .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .collect().map(_.getSeq[String](0)).filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.tail))
+    val c12 = pairs.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nl = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size }
+    val nr = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size }
+    val nb = c12.size.toDouble
+    val d = 0.75
+    c1.keys.take(20).foreach { w1 =>
+      val cont = c12.collect { case ((a, b), c) if a == w1 => (b, c) }
+      val pSeen = cont.map { case (w2, c) =>
+        math.max(c - d, 0.0) / c1(w1) + d * nl(w1) / c1(w1) * (nr(w2) / nb) }.sum
+      val pUnseen = nr.keys.toSeq.filterNot(w2 => c12.contains((w1, w2)))
+        .map(w2 => d * nl(w1) / c1(w1) * (nr(w2) / nb)).sum
+      assert(math.abs(pSeen + pUnseen - 1.0) < 1e-9,
+        s"P(.|$w1) sums to ${pSeen + pUnseen}, not 1")
+    }
+  }
+
+  test("readability and blocklistFilter and oovRate: formula and count recomputes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rd = text.TextOps.readability(spark, sf).collect()
+    assert(rd.length == docs.size)
+    rd.take(50).foreach { r =>
+      val t = docs(r.getLong(0))
+      val chars = t.count(_.isLetterOrDigit).toDouble
+      val words = math.max(t.split("\\s+").count(_.nonEmpty), 1).toDouble
+      val sents = math.max("[.!?]+".r.findAllIn(t).length, 1).toDouble
+      assert(r.getAs[Long]("n_sentences") >= 1L)
+      val ari = 4.71 * (chars / words) + 0.5 * (words / sents) - 21.43
+      assert(math.abs(r.getAs[Double]("ari") - ari) < 1e-5, s"ari at doc ${r.getLong(0)}")
+    }
+    val bl = text.TextOps.blocklistFilter(spark, sf).collect()
+    val terms = Set("slow", "big", "merge", "spam")
+    bl.take(50).foreach { r =>
+      val ws = "[a-z0-9]+".r.findAllIn(docs(r.getLong(0)).toLowerCase).toSeq
+      val hits = ws.count(terms)
+      assert(r.getAs[Long]("n_hits") == hits.toLong)
+      assert(r.getAs[Long]("n_terms_hit") == ws.distinct.count(terms).toLong)
+      assert(r.getAs[Boolean]("blocked") == (hits >= 3))
+    }
+    assert(bl.exists(_.getAs[Boolean]("blocked")) && bl.exists(!_.getAs[Boolean]("blocked")),
+      "test corpus must exercise both block branches")
+    val ov = text.TextOps.oovRate(spark, sf).collect()
+    val corpus = docs.values.flatMap(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase)).toSeq
+    val vocab = corpus.groupBy(identity).map { case (w, xs) => (w, xs.length) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    ov.take(50).foreach { r =>
+      val ws = "[a-z0-9]+".r.findAllIn(docs(r.getLong(0)).toLowerCase).toSeq
+      assert(r.getAs[Long]("n_tokens") == ws.length.toLong)
+      assert(r.getAs[Long]("oov_tokens") == ws.count(w => !vocab(w)).toLong)
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(ov.exists(_.getAs[Double]("oov_rate") > 0.0), "top-20 vocab must leave some OOV mass")
+  }
 }

@@ -269,4 +269,55 @@ class DedupSpec extends SparkSpecBase {
         s"codegen path diverges on (${r.getString(0)}, ${r.getString(1)})")
     }
   }
+
+  test("one-perm minhash signature matches a driver replay of bucketing + densification") {
+    import org.apache.spark.sql.functions.{col, lower}
+    import org.apache.spark.unsafe.types.UTF8String
+    val df = Tables.documents(spark, sf).limit(25)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.charShingles(lower(col("text")), 5).as("sh"),
+        graft.functions.VectorFunctions.ophMinhashSig(
+          graft.functions.VectorFunctions.charShingles(lower(col("text")), 5), 64).as("sig"))
+    df.collect().foreach { r =>
+      val sh = r.getSeq[String](1)
+      val sig = Array.fill(64)(Long.MaxValue)
+      val present = new Array[Boolean](64)
+      sh.foreach { g =>
+        val h = graft.functions.HyperplaneBucket.mix64(
+          graft.functions.MinHashSigText.fnv1a64(UTF8String.fromString(g)))
+        val b = (h >>> 58).toInt
+        if (!present(b) || h < sig(b)) { sig(b) = h; present(b) = true }
+      }
+      (0 until 64).foreach { j =>
+        if (!present(j)) {
+          var t = 1
+          var done = false
+          while (t < 64 && !done) {
+            val src = (j + t) & 63
+            if (present(src)) { sig(j) = sig(src) + t; done = true }
+            t += 1
+          }
+        }
+      }
+      assert(r.getSeq[Long](2) == sig.toSeq,
+        s"OPH signature diverges from the replay at doc ${r.getLong(0)}")
+      assert(present.exists(identity), "a nonempty doc must fill at least one bucket")
+    }
+  }
+
+  test("OPH minhash calibration: estimator valid, exact duplicates estimate 1") {
+    val rows = dedup.Dedup.minhashOphCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val tj = r.getAs[Double]("true_jaccard")
+      assert(est >= 0.0 && est <= 1.0 && tj >= 0.0 && tj <= 1.0)
+      assert(math.abs(r.getAs[Double]("abs_err") - math.abs(est - tj)) < 2e-6)
+      assert(math.abs(est * 64 - math.round(est * 64)) < 1e-4, s"est $est must be k/64")
+      if (tj >= 0.999) assert(est >= 0.999,
+        s"identical shingle sets must produce identical signatures (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    val mae = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(mae < 0.15, f"mean abs err $mae%.4f too high for a 64-slot OPH estimator")
+  }
 }

@@ -181,4 +181,26 @@ class GraphOpsSpec extends SparkSpecBase {
       assert(r.getAs[Double]("lift") > 0.0)
     }
   }
+
+  test("link prediction scores non-edges and matches a driver AA recompute") {
+    val edges = sim.Ann.mutualEdges(sim.Ann.knnEdges(spark, sf, k = 5, exact = true))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val lp = sim.GraphOps.linkPredictKnn(spark, sf).collect()
+    assert(lp.nonEmpty && lp.length <= 50)
+    val cns = lp.map(_.getAs[Long]("common_neighbors"))
+    assert(cns.zip(cns.tail).forall { case (x, y) => x >= y }, "not sorted by CN desc")
+    lp.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(a < b && !edges((a, b)), s"predicted pair ($a,$b) is an existing edge")
+      val common = adj(a).intersect(adj(b))
+      assert(r.getAs[Long]("common_neighbors") == common.size.toLong)
+      val aa = common.toSeq.map(w => 1.0 / math.log(adj(w).size.toDouble)).sum
+      assert(math.abs(r.getAs[Double]("aa_score") - aa) < 1e-5,
+        s"AA mismatch at ($a,$b): got ${r.getAs[Double]("aa_score")}, want $aa")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }

@@ -393,7 +393,14 @@ class PlanSpec extends SparkSpecBase {
       "conformal_intervals",
       // trigram_sb_score attaches the 1-row unigram total N (the
       // char_lm_score scalar-attach precedent)
-      "trigram_sb_score")
+      "trigram_sb_score",
+      // kneser_ney_score attaches the 1-row distinct-bigram total NB
+      // (the word_lm_score scalar-attach precedent)
+      "kneser_ney_score",
+      // t_closeness crosses the |classes| table with the ≤|segments|
+      // global-mix scaffold so absent segments contribute their full
+      // global mass (the ma_stats bounded-scaffold precedent)
+      "t_closeness")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
