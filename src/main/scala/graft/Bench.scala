@@ -181,7 +181,13 @@ object Bench {
             val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
               .replace("\\\"", "\"")
             val qs = txt.substring(txt.indexOf("\"queries\":") + 10)
-            val re = """"([a-z0-9_]+)":\{?(?:"suite":)?(-?[0-9.]+)""".r
+            // \s* after every colon: builder maps are written compact,
+            // but older artifacts (r10's sf1 map) came through a
+            // pretty-printing serializer with ": " — the r12 sf1 sweep
+            // parsed 0 PREV queries off exactly that and silently fell
+            // back to the hand list (found post-sweep; the movers got
+            // their isolated fields from a targeted second pass)
+            val re = """"([a-z0-9_]+)":\s*\{?\s*(?:"suite":\s*)?(-?[0-9.]+)""".r
             re.findAllMatchIn(qs).map(m => m.group(1) -> m.group(2).toDouble).toMap
           }.getOrElse(Map.empty)
         if (sys.env.contains("SPARK_GRAFT_BENCH_PREV"))
