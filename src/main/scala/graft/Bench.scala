@@ -43,6 +43,20 @@ object Bench {
     // Their `_lsh` production twins (2.3×/5.4×/2.8× on the same table)
     // ARE benchmarked — the dedup_ngram_jaccard convention.
     "dbscan_embeddings", "local_lisi", "dedup_embedding",
+    // the 15 exact kNN-graph feed queries (r12 verdict item 2): every
+    // one sits on Ann.knnEdges(exact=true), which scores ALL pairs —
+    // O(n²) by design (the DuckDB-checkable oracle feed). The r12 sf3
+    // octave measured the asymptote on 3× data: snn_graph 22.4×,
+    // knn_da_screen 8.7×, knn_components 8.4×, knn_assortativity 8.1×,
+    // knn_label_noise 6.6× (n² on 3× = 9×). Their `_lsh` twins — same
+    // graph logic over hyperplane-bucketed candidate edges, sub-n² at
+    // sf3 (knn_label_noise_lsh 4.8×) — ARE benchmarked: the
+    // dbscan/local_lisi/dedup_embedding convention.
+    "kcore_knn", "knn_assortativity", "knn_bfs_dists",
+    "knn_clustering_coeff", "knn_components", "knn_da_screen",
+    "knn_label_noise", "label_prop_knn", "leiden_refine", "louvain_knn",
+    "louvain_snn", "modularity_score", "pagerank_knn", "ppr_knn",
+    "snn_graph",
     // the streaming replay lane (r10 verdict item 8): correctness-gate
     // entries that collect the fact table to a driver-side MemoryStream
     // — by construction not a scale path; the batch twins
@@ -190,8 +204,18 @@ object Bench {
             val re = """"([a-z0-9_]+)":\s*\{?\s*(?:"suite":\s*)?(-?[0-9.]+)""".r
             re.findAllMatchIn(qs).map(m => m.group(1) -> m.group(2).toDouble).toMap
           }.getOrElse(Map.empty)
-        if (sys.env.contains("SPARK_GRAFT_BENCH_PREV"))
+        if (sys.env.contains("SPARK_GRAFT_BENCH_PREV")) {
           System.err.println(s"[bench] PREV map parsed: ${prevMap.size} queries")
+          // r12 ADVICE: an explicitly-set PREV that parses to zero
+          // queries means a format the widened regex still misses —
+          // the silent hand-list fallback is the exact failure this
+          // machinery exists to prevent (it burned the r12 sf1 sweep).
+          // Fail hard so the sweep is rerun with a fixed parser instead
+          // of committing a map with a degraded drift set.
+          require(prevMap.nonEmpty,
+            s"SPARK_GRAFT_BENCH_PREV set (${sys.env("SPARK_GRAFT_BENCH_PREV")}) " +
+              "but zero queries parsed — fix the PREV parser or unset PREV")
+        }
         val driftSet: Seq[String] =
           if (prevMap.nonEmpty)
             results.collect { case (n, t)

@@ -107,18 +107,24 @@ object TextOps {
   // form hit a round-half boundary: Spark HALF_UP vs DuckDB half-even
   // disagreed on an exact …5·10⁻⁷). Exactness envelope: products stay
   // under 2⁵³ for chars·sentences < 1.9e9 — any real document.
+  // ARI counts alphanumerics (digits canonical there); Coleman-Liau's
+  // L is defined over LETTERS only — counting digits inflated the
+  // grade for digit-heavy docs (r12 ADVICE; both engines now use
+  // [A-Za-z] for the CLI count, alphanumerics for ARI).
   def readability(s: SparkSession, dir: String): DataFrame = {
     val chars = reCount(col("text"), "[A-Za-z0-9]")
+    val letters = reCount(col("text"), "[A-Za-z]")
     val words = greatest(reCount(col("text"), "\\S+"), lit(1L))
     val sents = greatest(reCount(col("text"), "[.!?]+"), lit(1L))
     val ari = (lit(4710L) * chars * sents + lit(500L) * words * words
       - lit(21430L) * words * sents).cast("double") /
       (lit(1000L) * words * sents).cast("double")
-    val cli = (lit(5880L) * chars - lit(29600L) * sents
+    val cli = (lit(5880L) * letters - lit(29600L) * sents
       - lit(15800L) * words).cast("double") / (lit(1000L) * words).cast("double")
     Tables.documents(s, dir).select(
       col("doc_id"),
       chars.as("n_an_chars"),
+      letters.as("n_letters"),
       words.as("n_words"),
       sents.as("n_sentences"),
       ari.as("ari"),
@@ -127,16 +133,18 @@ object TextOps {
 
   private val readabilitySql = {
     val chars = "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT)"
+    val letters = "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)"
     val words = raw"CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT)"
     val sents = "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)"
     s"""SELECT doc_id,
         $chars AS n_an_chars,
+        $letters AS n_letters,
         $words AS n_words,
         $sents AS n_sentences,
         CAST(4710 * $chars * $sents + 500 * $words * $words
              - 21430 * $words * $sents AS DOUBLE)
           / CAST(1000 * $words * $sents AS DOUBLE) AS ari,
-        CAST(5880 * $chars - 29600 * $sents - 15800 * $words AS DOUBLE)
+        CAST(5880 * $letters - 29600 * $sents - 15800 * $words AS DOUBLE)
           / CAST(1000 * $words AS DOUBLE) AS coleman_liau
         FROM documents"""
   }

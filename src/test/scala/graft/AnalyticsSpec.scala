@@ -856,6 +856,12 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_sentences") >= 1L)
       val ari = 4.71 * (chars / words) + 0.5 * (words / sents) - 21.43
       assert(math.abs(r.getAs[Double]("ari") - ari) < 1e-5, s"ari at doc ${r.getLong(0)}")
+      // CLI is letters-only (r12 ADVICE): digits count for ARI, not L
+      val letters = t.count(_.isLetter).toDouble
+      val cli = 5.88 * (letters / words) - 29.6 * (sents / words) - 15.8
+      assert(r.getAs[Long]("n_letters") == letters.toLong)
+      assert(math.abs(r.getAs[Double]("coleman_liau") - cli) < 1e-5,
+        s"cli at doc ${r.getLong(0)}")
     }
     val bl = text.TextOps.blocklistFilter(spark, sf).collect()
     val terms = Set("slow", "big", "merge", "spam")

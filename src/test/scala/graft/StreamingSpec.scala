@@ -517,4 +517,31 @@ class StreamingSpec extends SparkSpecBase {
       assert(rows.contains((hourStart, "view", 1L, 3.0)), s"first-hour view window wrong: $rows")
     } finally q.stop()
   }
+
+  test("stream_funnel_replay golden fixture: full sf0.01 output hash is frozen") {
+    // r12 verdict item 6 (the text_compression precedent): the replay
+    // lane's event-time-ordered micro-batches + far-future sentinel
+    // batches make the flatMapGroupsWithState funnel tracker's output
+    // DETERMINISTIC — every completion emits inline in event order and
+    // every partial times out exactly once — even though the per-user
+    // automaton has no SQL twin (why the gate entry is declared
+    // rows-only). Pin the full sf0.01 completion/timeout table with a
+    // SHA-256 over a canonical sorted text form so semantic drift fails
+    // a spec instead of nothing. Regenerate the constant deliberately
+    // (diff per-row output first), never to silence a surprise.
+    val golden = "103c8eb67fd77e775fa2871f66d2f2b3963cdf564d7362bd6070d58fd9c26273"
+    val rows = graft.streaming.StreamReplay.queries("stream_funnel_replay")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "funnel replay emitted nothing at sf0.01")
+    val canon = rows.map { r =>
+      s"${r.getAs[Long]("user_id")}|${r.getAs[Boolean]("viewed")}|" +
+        s"${r.getAs[Boolean]("clicked")}|${r.getAs[Boolean]("purchased")}|" +
+        s"${r.getAs[Long]("ms_to_complete")}"
+    }.sorted.mkString("\n")
+    val got = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == golden,
+      s"stream_funnel_replay output drifted from the frozen fixture: got $got " +
+        s"over ${rows.length} rows (first: ${canon.linesIterator.take(3).mkString("; ")})")
+  }
 }

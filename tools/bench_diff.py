@@ -23,6 +23,17 @@ import sys
 def load(path):
     with open(path) as f:
         doc = json.load(f)
+    # r12 verdict item 5: a driver BENCH_rN.json is the ~1850-char
+    # stdout TAIL — its parsed map held 77 of 318 timed queries in r12,
+    # so diffs computed from it silently see an 80%-smaller common
+    # subset. The driver wrapper carries the raw tail under "tail";
+    # treat its presence (or a suspiciously small map next to a known
+    # full map) as truncation and say so loudly.
+    if isinstance(doc, dict) and "tail" in doc:
+        print(f"WARNING: {path} is a driver stdout-tail artifact "
+              f"(truncated per-query map) — prefer the committed "
+              f"BENCH_full_latest.json / BENCH_builder_*_full.json "
+              f"for round-over-round diffs", file=sys.stderr)
     qs = doc.get("queries", doc)
     out = {}
     for k, v in qs.items():

@@ -18,12 +18,12 @@ cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
 JSON_OUT="${2:-/tmp/correctness_close.json}"
 
-echo "== [1/3] sbt test =="
+echo "== [1/4] sbt test =="
 sbt -batch test 2>&1 | tail -5 | tee /tmp/close_round_test.log
 grep -q "All tests passed" /tmp/close_round_test.log || {
   echo "FAIL: sbt test is not green — fix before closing the round"; exit 1; }
 
-echo "== [2/3] SURVEY §2 vs registry diff =="
+echo "== [2/4] SURVEY §2 vs registry diff =="
 CP="target/scala-2.13/classes:$(ls "${SPARK_JARS_DIR:-/opt/spark/jars}"/*.jar | tr '\n' ':')"
 java -cp "$CP" graft.Verify --list | sort -u > /tmp/close_registry.txt
 # Parse the QUERY column as the second-to-last |-cell (r11 verdict item
@@ -61,7 +61,7 @@ if [ -n "$MISSING_REG" ]; then
 fi
 echo "OK: $(wc -l < /tmp/close_registry.txt) registry queries all have SURVEY §2 rows"
 
-echo "== [3/3] correctness gate at $SF_DIR =="
+echo "== [3/4] correctness gate at $SF_DIR =="
 tools/run_gate.sh "$SF_DIR" /tmp/verify_close 4 "$JSON_OUT"
 # run_gate.sh emits {"pass": n, "fail": n, "rows_only": n,
 # "queries": {name: {"status": "pass"|"rows-only"|"fail", ...}}} —
@@ -79,4 +79,34 @@ print(f"gate: {len(qs)} queries, {d['pass']} hash-pass, "
 if fails or d["fail"]:
     print("FAIL:", fails); sys.exit(1)
 EOF
+echo "== [4/4] bench full-map coverage =="
+# r12 verdict item 5: the driver's BENCH_r{N}.json is a stdout tail
+# that holds ~25% of the per-query map; round-over-round diffs must
+# come from the full-map FILE Bench always writes. Assert the latest
+# full map exists and covers every timed query (registry minus the
+# Bench skip set) so a truncated artifact can never be the round's
+# only bench record. Non-fatal when no bench ran this round yet —
+# fatal when the file exists but is visibly truncated.
+python3 - <<'PYEOF'
+import json, os, re, sys
+reg = set(open("/tmp/close_registry.txt").read().split())
+src = open("src/main/scala/graft/Bench.scala").read()
+m = re.search(r"private val skip = Set\((.*?)\)\n", src, re.S)
+skip = set(re.findall(r'"([a-z0-9_]+)"', m.group(1))) if m else set()
+timed = reg - skip
+path = "BENCH_full_latest.json"
+if not os.path.exists(path):
+    print(f"note: {path} absent (no bench run in this cwd) — "
+          f"expected {len(timed)} timed queries when one runs")
+    sys.exit(0)
+qs = json.load(open(path)).get("queries", {})
+missing = sorted(timed - set(qs))
+if len(missing) > max(3, len(timed) // 20):
+    print(f"FAIL: {path} covers {len(qs)} queries but the registry "
+          f"times {len(timed)}; missing e.g. {missing[:10]}")
+    sys.exit(1)
+print(f"OK: {path} covers {len(qs)}/{len(timed)} timed queries"
+      + (f" (missing: {missing})" if missing else ""))
+PYEOF
+
 echo "== round is closeable =="
