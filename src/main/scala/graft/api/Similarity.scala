@@ -28,7 +28,20 @@ object Similarity {
   /** MinHash + banded LSH near-duplicate pairs at a Jaccard threshold:
     * fused text→signature, band-bucket candidates, signature-fraction
     * screen, exact shingle verification. P(miss | J ≥ 0.7) < 2% with
-    * the default 16×4 banding; raise bands for lower thresholds. */
+    * the default 16×4 banding; raise bands for lower thresholds.
+    *
+    * Signature family: at the default 64-slot width the signature is
+    * one-permutation MinHash with rotation densification
+    * ([[graft.functions.OnePermMinHashSig]]) — ONE SplitMix64 call per
+    * shingle instead of the classic 64 (the r12 #337 calibration
+    * measured MAE ≈ 0.03 vs exact Jaccard on the same banding-candidate
+    * protocol, indistinguishable from classic MinHash's binomial noise;
+    * the emitted pairs are identical on corpora whose near-dups sit
+    * above the banding S-curve knee because every candidate still
+    * verifies EXACT shingle Jaccard before emission — the signature
+    * only gates candidate RECALL, never precision). Non-64 widths keep
+    * the classic per-slot stream (OPH's 6-bit bucket route is the
+    * 64-slot banding contract). */
   def nearDupPairsLsh(docs: DataFrame, id: Column, text: Column,
       threshold: Double = 0.7, shingle: Int = 5, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
@@ -37,8 +50,10 @@ object Similarity {
     // persisted: the signature table feeds banding AND both sides of
     // the screen join — at corpus scale this is the checkpointed
     // signature table of a dedup pipeline, not a recompute
-    val sigs = d.withColumn("sig",
-      minhashSigText(col("t"), shingle, bands * rowsPerBand))
+    val sigExpr =
+      if (bands * rowsPerBand == 64) ophMinhashSig(charShingles(col("t"), shingle))
+      else minhashSigText(col("t"), shingle, bands * rowsPerBand)
+    val sigs = d.withColumn("sig", sigExpr)
       .select(col("doc_id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs.select(col("doc_id"),
@@ -52,6 +67,76 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val screened = cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .filter(longMatchFrac(col("sig1"), col("sig2")) >= threshold - 0.2)
+      .select(col("d1"), col("d2"))
+    val sh = d.select(col("doc_id"), charShingles(col("t"), shingle).as("sh"))
+    screened
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jaccard", jaccardSim(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Bucket-STAR verified near-dup candidate edges — the linear-output
+    * feed for consumers that only need connected COMPONENTS (keeper
+    * selection, cluster sizes, savings accounting), built because the
+    * r12 sf3 octave measured the PAIR-list contract at Θ(Σ cluster²)
+    * output (21.7× on 3× data): a verbatim-dup cluster of c docs emits
+    * c·(c−1)/2 pairs but only needs c−1 edges to carry its component.
+    *
+    * Shape: same OPH signature + 16×4 banding as [[nearDupPairsLsh]],
+    * but instead of the within-bucket PAIR self-join each bucket member
+    * emits ONE candidate edge to the bucket's min-id member (the hub) —
+    * candidate volume drops Θ(Σc²) → Θ(Σc) and the heavy bucket that
+    * breaks the pair join (a 10⁶-doc template cluster → 10¹² pairs)
+    * costs exactly 10⁶ edges. Every edge still verifies EXACT shingle
+    * Jaccard ≥ threshold before emission, so edges ⊆ the true pair set
+    * always. On clusters whose members are pairwise ≥ threshold (the
+    * verbatim/template case that dominates real dup mass — every hub
+    * edge verifies), components over these edges EQUAL components over
+    * the full pair list; for borderline chains (a—b—c where J(a,c) <
+    * t but both adjacent pairs pass) a hub edge can fail verification
+    * that some non-hub pair would have passed — one more recall/cost
+    * rung on the already-probabilistic LSH ladder (banding itself
+    * already misses pairs with probability 1−(1−s⁴)¹⁶). DedupSpec
+    * asserts star-fed components ≡ exact-pair-fed components on the
+    * test corpus, deterministically (fixed hash seeds).
+    *
+    * Output: (d1, d2, jaccard) with d1 = hub < d2 — the edge contract
+    * [[connectedComponents]] consumes. */
+  def nearDupStarEdgesLsh(docs: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.7, shingle: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val d = Analytics.spread(docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), normalizeText(col("__t")).as("t"))
+    val sigExpr =
+      if (bands * rowsPerBand == 64) ophMinhashSig(charShingles(col("t"), shingle))
+      else minhashSigText(col("t"), shingle, bands * rowsPerBand)
+    // caching contract: lazy result ⇒ caller clears (see nearDupPairsLsh)
+    val sigs = d.withColumn("sig", sigExpr)
+      .select(col("doc_id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sigs.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"struct(b AS band, xxhash64(slice(sig, b*$rowsPerBand+1, $rowsPerBand)) AS bh))")).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    // hub = per-bucket min id: ONE partial-aggregating groupBy over the
+    // band table (map-side combine collapses each bucket to one row per
+    // partition before the shuffle), then each member joins back to its
+    // bucket's hub — no self-join, no Σc² blowup. Buckets of size 1
+    // produce no edge (count filter) and a hub never edges to itself.
+    val hubs = bandsDf.groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("hub"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("band"), col("bh"), col("hub"))
+    val cand = bandsDf.join(hubs.hint("shuffle_hash"), Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("d1"), col("doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
     val screened = cand
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")

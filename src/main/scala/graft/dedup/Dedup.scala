@@ -256,12 +256,15 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
-  // 34. MinHash + banded LSH: 64 hashes = min over shingles of
-  // xxhash64(shingle, seed j), banded 16×4; docs sharing a band bucket
+  // 34. MinHash + banded LSH, banded 16×4; docs sharing a band bucket
   // are candidates; candidates verified with exact Jaccard on the
-  // shingle arrays. Signature is one codegen'd fold per doc; the only
-  // shuffle is the (band, band_hash) groupBy — bounded buckets, the
-  // 100 TB-safe shape.
+  // shingle arrays. r13: the 64-slot signature is one-permutation
+  // MinHash + rotation densification (the #337 lever — ONE SplitMix64
+  // per shingle instead of 64; calibration table minhash_oph_calibration
+  // measured MAE ≈ 0.03 vs exact, and every emitted pair still verifies
+  // exact Jaccard, so the signature gates recall only). Signature is one
+  // codegen'd fold per doc; the only shuffle is the (band, band_hash)
+  // groupBy — bounded buckets, the 100 TB-safe shape.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.api.Similarity.nearDupPairsLsh(Tables.documents(s, dir),
         col("doc_id"), col("text"), threshold = 0.7)
@@ -461,12 +464,19 @@ object Dedup {
   }
 
   /** Scale twin of dedup_components: identical component/keeper logic
-    * fed by the LSH-banded pair finder instead of the exact inverted
-    * index — the shape that runs at 100 TB (Bench times this one;
-    * dedup_components stays the DuckDB-checkable oracle path). */
+    * fed by the BUCKET-STAR verified edge finder — the shape that runs
+    * at 100 TB (Bench times this one; dedup_components stays the
+    * DuckDB-checkable oracle path). r13: the feed moved from the
+    * dedupMinhashLsh PAIR list (Θ(Σ cluster²) output — the r12 sf3
+    * octave measured it at 21.7× on 3× data) to
+    * [[graft.api.Similarity.nearDupStarEdgesLsh]]'s Θ(Σc) hub edges;
+    * components are identical on pairwise-≥t clusters (DedupSpec pins
+    * star ≡ pair ≡ exact on the corpus) and the consumer chain is now
+    * linear in dup mass. */
   def dedupComponentsLsh(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, dir)
-    graft.api.Similarity.connectedComponents(pairs, col("d1"), col("d2"))
+    val edges = graft.api.Similarity.nearDupStarEdgesLsh(
+      Tables.documents(s, dir), col("doc_id"), col("text"), threshold = 0.7)
+    graft.api.Similarity.connectedComponents(edges, col("d1"), col("d2"))
       .withColumn("keep", col("vertex") === col("component"))
   }
 
@@ -603,6 +613,14 @@ object Dedup {
       sampleCap: Option[Int]): DataFrame = {
     import graft.functions.VectorFunctions.{minhashSigText, longMatchFrac, charShingles, jaccardSim}
     val d = docsNorm(s, dir)
+    // CACHING CONTRACT (shared with #337 below and the production
+    // banding path): the signature table feeds banding AND both screen
+    // joins, so it persists for the query's lifetime; the cache is NOT
+    // unpersisted here because the returned DataFrame is lazy — callers
+    // that materialize and move on should clear it
+    // (spark.catalog.clearCache() or an unpersist sweep, as Bench's
+    // cold() does). At cluster scale this is the checkpointed signature
+    // table of a dedup pipeline, deliberately long-lived.
     val sigs = d.withColumn("sig", minhashSigText(col("t"), 5, 64))
       .select(col("doc_id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -653,8 +671,9 @@ object Dedup {
   def minhashOphCalibration(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{ophMinhashSig, longMatchFrac, charShingles, jaccardSim}
     val d = docsNorm(s, dir)
-    val sigs = d.withColumn("sig", ophMinhashSig(charShingles(col("t"), 5), 64))
+    val sigs = d.withColumn("sig", ophMinhashSig(charShingles(col("t"), 5)))
       .select(col("doc_id"), col("sig"))
+      // caching contract: see #190 above (lazy result ⇒ caller clears)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs.select(col("doc_id"),
       explode(expr("transform(sequence(0, 15), b -> " +
@@ -1606,7 +1625,13 @@ object Dedup {
     // exact always, and the planted near-dups sit at J ≥ 0.9 where the
     // 16×4 banding's miss probability is ~2e-8 — and the hash seeds are
     // fixed, so the equality DedupSpec asserts is deterministic, not
-    // probabilistic, on this corpus.
+    // probabilistic, on this corpus. r13: this now covers the OPH
+    // signature (same S-curve class at 16×4 — identical-signature
+    // verbatim dups always collide; the J≥0.9 knee is unchanged) and
+    // the bucket-STAR component feed (star edges ⊆ pairs; components
+    // equal when clusters are pairwise ≥ t, which DedupSpec pins —
+    // a star miss on a borderline CHAIN would fail these oracles
+    // loudly rather than silently).
     "dedup_minhash_lsh" ->
       s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g

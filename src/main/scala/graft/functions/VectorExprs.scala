@@ -55,9 +55,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the MinHashSig convention); the bucket index uses the UNSIGNED top
   * bits (h >>> 58). Fixed at 64 slots — the banding stack's width.
   */
-case class OnePermMinHashSig(child: Expression, numHashes: Int)
+case class OnePermMinHashSig(child: Expression)
     extends UnaryExpression {
-  require(numHashes == 64, "one_perm_minhash_sig is fixed at 64 slots (the banding width)")
+  // 64 slots, fixed: the banding stack's width (16 bands × 4 rows) and
+  // the >>> 58 bucket route are one contract — r12 ADVICE dropped the
+  // dead numHashes parameter that invited a confusing runtime failure.
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "one_perm_minhash_sig"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -334,8 +336,8 @@ object VectorFunctions {
   private def toExpr(c: Column): Expression = GraftGlue.expression(c)
   def minhashSig(c: Column, numHashes: Int = 64): Column =
     GraftGlue.column(MinHashSig(toExpr(c), numHashes))
-  def ophMinhashSig(c: Column, numHashes: Int = 64): Column =
-    GraftGlue.column(OnePermMinHashSig(toExpr(c), numHashes))
+  def ophMinhashSig(c: Column): Column =
+    GraftGlue.column(OnePermMinHashSig(toExpr(c)))
   def simhash64(c: Column): Column = GraftGlue.column(SimHash64(toExpr(c)))
   def dot(a: Column, b: Column): Column = GraftGlue.column(DotProduct(toExpr(a), toExpr(b)))
   def charShingles(c: Column, n: Int = 5): Column = GraftGlue.column(CharShingles(toExpr(c), n))

@@ -232,8 +232,16 @@ object StreamSessionize {
     * (fresh_bands = 0). */
   def nearDupStream(docs: DataFrame, watermark: String = "1 hour",
       numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sig = graft.functions.VectorFunctions.minhashSigText(
-      col("text"), 5, numBands * rowsPerBand)
+    // 64-slot width rides the OPH signature (one SplitMix64 per shingle
+    // instead of 64 — the r12 #337 lever, same swap as nearDupPairsLsh);
+    // other widths keep the classic per-slot stream
+    val sig =
+      if (numBands * rowsPerBand == 64)
+        graft.functions.VectorFunctions.ophMinhashSig(
+          graft.functions.VectorFunctions.charShingles(
+            graft.api.Similarity.normalizeText(col("text")), 5))
+      else graft.functions.VectorFunctions.minhashSigText(
+        col("text"), 5, numBands * rowsPerBand)
     val bands = docs
       .withColumn("__sig", sig)
       .select(col("doc_id"), col("ts"),

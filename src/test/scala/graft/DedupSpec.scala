@@ -51,12 +51,38 @@ class DedupSpec extends SparkSpecBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("LSH-fed components (the benched scale twin) match the exact-pair components") {
+  test("star-fed components (the benched scale twin) match the exact-pair components") {
+    // r13: dedupComponentsLsh feeds on bucket-STAR edges (Θ(Σc) output)
+    // instead of the pair list (Θ(Σc²)); components must still equal the
+    // exact inverted-index path's — deterministic on this corpus (fixed
+    // hash seeds, clusters pairwise ≥ t so every hub edge verifies).
     def comps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.select("vertex", "component").collect()
         .map { case Row(v: Long, c: Long) => v -> c }.toMap
     assert(comps(dedup.Dedup.dedupComponentsLsh(spark, sf)) ==
       comps(dedup.Dedup.dedupComponents(spark, sf)))
+  }
+
+  test("star edges: subset of verified pairs, hub-oriented, and linear in cluster mass") {
+    import org.apache.spark.sql.functions.col
+    val star = api.Similarity.nearDupStarEdgesLsh(
+        Tables.documents(spark, sf), col("doc_id"), col("text"), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every star edge is a true verified near-dup pair (edges ⊆ exact)
+    assert(star.subsetOf(exact), s"unverified star edges: ${star -- exact}")
+    assert(star.forall { case (a, b) => a < b }, "hub orientation d1 < d2 violated")
+    // Θ(Σc) not Θ(Σc²): per component of size c the star feed carries at
+    // most (c−1)·bands edges pre-dedup but ≤ c·(c−1)/2 post-verification;
+    // on this corpus's verbatim clusters it must be ≤ the pair count and
+    // ≥ the spanning minimum (c−1 per cluster — connectivity)
+    val comp = dedup.Dedup.dedupComponents(spark, sf)
+      .select("vertex", "component").collect()
+      .map { case Row(v: Long, c: Long) => v -> c }.toMap
+    val bySize = comp.groupBy(_._2).map(_._2.size)
+    val spanMin = bySize.map(_ - 1).sum
+    val pairMax = bySize.map(c => c.toLong * (c - 1) / 2).sum
+    assert(star.size >= spanMin && star.size <= pairMax,
+      s"star edge count ${star.size} outside [$spanMin, $pairMax]")
   }
 
   test("exact dedup groups every doc exactly once") {
@@ -277,7 +303,7 @@ class DedupSpec extends SparkSpecBase {
       .select(col("doc_id"),
         graft.functions.VectorFunctions.charShingles(lower(col("text")), 5).as("sh"),
         graft.functions.VectorFunctions.ophMinhashSig(
-          graft.functions.VectorFunctions.charShingles(lower(col("text")), 5), 64).as("sig"))
+          graft.functions.VectorFunctions.charShingles(lower(col("text")), 5)).as("sig"))
     df.collect().foreach { r =>
       val sh = r.getSeq[String](1)
       val sig = Array.fill(64)(Long.MaxValue)
