@@ -227,6 +227,62 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // 339. nearest as-of join (pandas merge_asof direction='nearest') —
+  // completes the direction trio with #13 (backward) and #284
+  // (forward): each purchase picks the click minimizing |Δt|, ties to
+  // the PRIOR click (pandas' own rule). Runs BOTH carries over the
+  // one unioned per-user frame — the shuffle happens once; the two
+  // ordered windows ride the same partitioning (two sorts, zero extra
+  // exchanges) — then a row-local arbiter picks the closer side.
+  // Tie conventions inherited verbatim: backward equal-ts → larger
+  // click id (#13), forward equal-ts → smaller click id (#284), so
+  // the oracle replays both with the same row_number orders.
+  def asofNearestClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("click_value"),
+        lit(null).cast("long").as("ct"),
+        lit(1).as("side"))
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"),
+        col("ts_ns").as("ct"),
+        lit(0).as("side"))
+    val wb = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").asc, col("click_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("side").asc, col("click_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = left.unionByName(right)
+      .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_val", last(col("click_value"), ignoreNulls = true).over(wb))
+      .withColumn("b_t", last(col("ct"), ignoreNulls = true).over(wb))
+      .withColumn("f_id", last(col("click_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_val", last(col("click_value"), ignoreNulls = true).over(wf))
+      .withColumn("f_t", last(col("ct"), ignoreNulls = true).over(wf))
+      .filter(col("side") === 1 &&
+        (col("b_id").isNotNull || col("f_id").isNotNull))
+    // µs per side FIRST, then subtract — the arbiter AND gap_us both
+    // match the oracle's epoch_us(a) − epoch_us(b) exactly even if ts
+    // carries sub-µs ns
+    val takeBack = col("b_id").isNotNull &&
+      (col("f_id").isNull ||
+        (expr("t div 1000") - expr("b_t div 1000")) <=
+          (expr("f_t div 1000") - expr("t div 1000")))
+    both.select(col("event_id"), col("k").as("user_id"),
+      expr("t div 1000").as("ts_us"),
+      when(takeBack, col("b_id")).otherwise(col("f_id")).as("nearest_click_id"),
+      when(takeBack, col("b_val")).otherwise(col("f_val")).as("nearest_click_value"),
+      when(takeBack, lit("backward")).otherwise(lit("forward")).as("direction"),
+      when(takeBack, expr("t div 1000") - expr("b_t div 1000"))
+        .otherwise(expr("f_t div 1000") - expr("t div 1000")).as("gap_us"))
+  }
+
+  // ---------------------------------------------------------------
   // 298. order-fulfillment latency per priority — the ops cycle-time
   // table (#268 timed the event funnel; this times the WAREHOUSE
   // flow): per line, ship delay = epoch-day(l_shipdate) −
@@ -1112,6 +1168,7 @@ object Relational {
     "upset_membership"       -> (upsetMembership _),
     "asof_purchase_click"    -> (asofPurchaseClick _),
     "asof_forward_click"     -> (asofForwardClick _),
+    "asof_nearest_click"     -> (asofNearestClick _),
     "order_fulfillment_latency" -> (fulfillmentLatency _),
     "discount_band_effect"   -> (discountBandEffect _),
     "supplier_concentration" -> (supplierConcentration _))
@@ -1320,5 +1377,40 @@ object Relational {
            FROM events p JOIN events c
              ON c.user_id = p.user_id AND c.ts >= p.ts AND c.event_type = 'click'
            WHERE p.event_type = 'purchase')
-         WHERE rn = 1""")
+         WHERE rn = 1""",
+    "asof_nearest_click" ->
+      """WITH back AS (
+           SELECT event_id, b_id, b_val, b_ts FROM (
+             SELECT p.event_id,
+                    c.event_id AS b_id, c.value AS b_val, epoch_us(c.ts) AS b_ts,
+                    row_number() OVER (PARTITION BY p.event_id
+                      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             FROM events p JOIN events c
+               ON c.user_id = p.user_id AND c.ts <= p.ts AND c.event_type = 'click'
+             WHERE p.event_type = 'purchase')
+           WHERE rn = 1),
+         fwd AS (
+           SELECT event_id, f_id, f_val, f_ts FROM (
+             SELECT p.event_id,
+                    c.event_id AS f_id, c.value AS f_val, epoch_us(c.ts) AS f_ts,
+                    row_number() OVER (PARTITION BY p.event_id
+                      ORDER BY c.ts ASC, c.event_id ASC) AS rn
+             FROM events p JOIN events c
+               ON c.user_id = p.user_id AND c.ts >= p.ts AND c.event_type = 'click'
+             WHERE p.event_type = 'purchase')
+           WHERE rn = 1),
+         pur AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                 FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts_us,
+                CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR p.ts_us - b_ts <= f_ts - p.ts_us)
+                     THEN b_id ELSE f_id END AS nearest_click_id,
+                CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR p.ts_us - b_ts <= f_ts - p.ts_us)
+                     THEN b_val ELSE f_val END AS nearest_click_value,
+                CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR p.ts_us - b_ts <= f_ts - p.ts_us)
+                     THEN 'backward' ELSE 'forward' END AS direction,
+                CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR p.ts_us - b_ts <= f_ts - p.ts_us)
+                     THEN p.ts_us - b_ts ELSE f_ts - p.ts_us END AS gap_us
+         FROM pur p LEFT JOIN back b ON p.event_id = b.event_id
+                    LEFT JOIN fwd f ON p.event_id = f.event_id
+         WHERE coalesce(b_id, f_id) IS NOT NULL""")
 }

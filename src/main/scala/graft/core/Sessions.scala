@@ -568,6 +568,273 @@ object Sessions {
        FROM r"""
 
   // ---------------------------------------------------------------
+  // 340. Markov removal-effect attribution (Anderl et al. 2014) — the
+  // DATA-DRIVEN multi-touch model beside #251's position-agnostic
+  // linear split: build the first-order journey chain over 30-min-gap
+  // session paths (START → channels → CONV at the first purchase /
+  // NULL at path end), then credit each channel by how much the
+  // chain's START→CONV absorption probability DROPS when that channel
+  // is removed (transitions into it redirected to NULL — the standard
+  // removal semantics). Scale shape: the fact-sized work is exactly
+  // the #149 session-path aggregation + one (a,b) transition rollup;
+  // everything after lives on the ≤(channels+3)² transition matrix.
+  // The absorption solve runs as ONE array fold per removal variant
+  // (the #93 EWMA device): 100 synchronous power iterations of
+  // p ← M·p over the flattened matrix with a FIXED summation order,
+  // on transition probs pre-rounded to 6 dp — both engines walk
+  // bit-identical doubles, so every output column hash-checks. 100
+  // iterations ≈ spectral-gap convergence well past 6 dp for session
+  // paths (transient mass decays geometrically); the oracle replays
+  // the identical iteration count either way.
+  def markovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sess = graft.api.Analytics.sessionize(
+      ev.withColumn("ts_us", expr("ts_ns div 1000")),
+      col("user_id"), col("ts_us"), col("event_id"), GapUs)
+    val paths = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(expr("transform(sort_array(collect_list(struct(ts_us, event_id, " +
+        "event_type))), x -> x.event_type)").as("p"))
+      .localCheckpoint() // feeds transitions AND the conversion count
+    val spaths = paths.select(expr(
+      "CASE WHEN array_position(p, 'purchase') > 0 " +
+        "THEN concat(array('START'), slice(p, 1, int(array_position(p, 'purchase')) - 1), array('CONV')) " +
+        "ELSE concat(array('START'), p, array('NULL')) END").as("sp"))
+    val pairs = spaths.select(explode(expr(
+      "transform(sequence(1, size(sp) - 1), i -> " +
+        "struct(element_at(sp, int(i)) AS a, element_at(sp, int(i) + 1) AS b))")).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wa = Window.partitionBy(col("a"))
+    val probs = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .select(col("a"), col("b"),
+        r(col("n").cast("double") / sum(col("n")).over(wa), 6).as("pr"))
+      .localCheckpoint() // bounded (≤ states²); joined twice into cells
+    val nConv = paths.agg(sum(when(expr("array_position(p, 'purchase') > 0"),
+      1L).otherwise(0L)).as("n_conv"))
+    val chans = ev.select(col("event_type").as("c"))
+      .filter(col("c") =!= "purchase").distinct()
+    val nch = chans.agg(count(lit(1)).cast("int").as("nc"))
+    val chIdx = chans.select(col("c").as("st"),
+      row_number().over(Window.orderBy(col("c"))).cast("int").as("sid"))
+    val states = nch.select(lit("START").as("st"), lit(0).as("sid"))
+      .unionByName(chIdx)
+      .unionByName(nch.select(lit("CONV").as("st"), (col("nc") + 1).as("sid")))
+      .unionByName(nch.select(lit("NULL").as("st"), (col("nc") + 2).as("sid")))
+    val variants = nch.select(lit("FULL").as("rm"))
+      .unionByName(chans.select(col("c").as("rm")))
+    val s1 = states.select(col("st").as("a_st"), col("sid").as("sa"))
+    val s2 = states.select(col("st").as("b_st"), col("sid").as("sb"))
+    val cells = variants.crossJoin(s1).crossJoin(s2)
+      .join(probs.select(col("a").as("a_st"), col("b").as("b_st"),
+        col("pr").as("p0")), Seq("a_st", "b_st"), "left")
+      .join(probs.select(col("a").as("__ra"), col("b").as("__rb"),
+        col("pr").as("prm")),
+        col("__ra") === col("a_st") && col("__rb") === col("rm") &&
+          col("rm") =!= "FULL", "left")
+      .select(col("rm"), col("sa"), col("sb"),
+        when(col("a_st") === "CONV",
+            when(col("b_st") === "CONV", 1.0).otherwise(0.0))
+          .when(col("a_st") === "NULL",
+            when(col("b_st") === "NULL", 1.0).otherwise(0.0))
+          .when(col("a_st") === col("rm"),
+            when(col("b_st") === "NULL", 1.0).otherwise(0.0))
+          .when(col("b_st") === col("rm"), lit(0.0))
+          .when(col("b_st") === "NULL",
+            coalesce(col("p0"), lit(0.0)) + coalesce(col("prm"), lit(0.0)))
+          .otherwise(coalesce(col("p0"), lit(0.0))).as("pr"))
+    val mats = cells.groupBy(col("rm"))
+      .agg(expr("transform(sort_array(collect_list(struct(sa * 1000 + sb AS k, " +
+        "pr))), x -> x.pr)").as("mt"))
+      .crossJoin(broadcast(nch))
+    val pfin = mats.select(col("rm"), element_at(expr(
+      "aggregate(sequence(1, 100), " +
+        "transform(sequence(1, nc + 3), i -> IF(i = nc + 2, 1.0D, 0.0D)), " +
+        "(acc, x) -> transform(sequence(1, nc + 3), s -> " +
+        "aggregate(sequence(1, nc + 3), 0.0D, (aa, t) -> " +
+        "aa + element_at(mt, int((s - 1) * (nc + 3) + t)) * element_at(acc, int(t)))))"),
+      1).as("pconv"))
+      .localCheckpoint() // ≤ channels+1 rows; consumed twice below
+    val full = pfin.filter(col("rm") === "FULL")
+      .select(col("pconv").as("__pf"))
+    val res = pfin.filter(col("rm") =!= "FULL")
+      .crossJoin(broadcast(full))
+      .select(col("rm").as("channel"),
+        r(lit(1.0) - col("pconv") / col("__pf"), 6).as("removal_effect"),
+        col("__pf").as("__pc"))
+    val tot = res.agg(expr("aggregate(transform(sort_array(collect_list(" +
+      "struct(channel, removal_effect))), x -> x.removal_effect), 0.0D, " +
+      "(a, b) -> a + b)").as("__sre"))
+    res.crossJoin(broadcast(tot)).crossJoin(broadcast(nConv))
+      .select(col("channel"), col("removal_effect"),
+        r(col("removal_effect") / col("__sre"), 6).as("attribution_share"),
+        r(col("removal_effect") / col("__sre") * col("n_conv"), 4)
+          .as("attributed_conversions"),
+        r(col("__pc"), 6).as("p_conv_full"))
+  }
+
+  // ---------------------------------------------------------------
+  // 338. Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) —
+  // the estimator dual of #137's Kaplan–Meier: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+  // with variance Σ dᵢ/nᵢ² and the Fleming–Harrington survival
+  // exp(−H) (the small-sample-safer curve — never hits an exact 0 the
+  // way KM's product does when dᵢ = nᵢ). Same per-user duration
+  // scaffold and distinct-duration bounded window as #137; both
+  // engines accumulate in ascending-duration order so the fp sums are
+  // IEEE-identical and every column hash-checks at 6 dp.
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("tp"),
+        max(col("ts_ns")).as("tl"))
+      .select(
+        when(col("tp").isNotNull,
+          expr("(tp - t0) div 86400000000000"))
+          .otherwise(expr("(tl - t0) div 86400000000000")).as("duration_days"),
+        col("tp").isNotNull.as("event"))
+    val counts = perUser.groupBy(col("duration_days"))
+      .agg(count(when(col("event"), lit(1))).as("d"),
+        count(when(!col("event"), lit(1))).as("c"))
+    val total = counts.agg(sum(col("d") + col("c")).as("__n_total"))
+    val wOrd = Window.orderBy(col("duration_days").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n_total") - coalesce(sum(col("d") + col("c"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__h", sum(col("d").cast("double") / col("n_risk")).over(wCum))
+      .select(col("duration_days"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("n_risk"),
+        r(col("__h"), 6).as("cum_hazard"),
+        r(exp(-col("__h")), 6).as("na_survival"),
+        r(sum(col("d").cast("double") / (col("n_risk").cast("double") * col("n_risk")))
+          .over(wCum), 6).as("hazard_var"))
+  }
+
+  /** Exact replay of markov_attribution: the same session paths,
+    * truncated state chains, 6-dp-pre-rounded transition matrix, and
+    * the SAME 100-iteration fixed-order power fold (list_reduce with a
+    * prepended init — DuckDB's list_reduce types the accumulator as
+    * the element type, hence the dummy p0 list to fold over). */
+  private val markovAttributionSql =
+    """WITH l AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+         FROM events),
+       flagged AS (
+         SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                   THEN 1 ELSE 0 END AS new_s FROM l),
+       sess AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id
+           ORDER BY ts_us ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged),
+       paths AS (
+         SELECT user_id, sid, list(event_type ORDER BY ts_us ASC, event_id ASC) AS p
+         FROM sess GROUP BY 1, 2),
+       spaths AS (
+         SELECT CASE WHEN list_position(p, 'purchase') > 0
+                THEN list_concat(list_prepend('START', p[1:list_position(p, 'purchase') - 1]), ['CONV'])
+                ELSE list_concat(list_prepend('START', p), ['NULL']) END AS sp
+         FROM paths),
+       nconv AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_conv FROM paths
+         WHERE list_position(p, 'purchase') > 0),
+       pairs AS (
+         SELECT sp[CAST(i AS INT)] AS a, sp[CAST(i AS INT) + 1] AS b
+         FROM spaths, LATERAL unnest(generate_series(1, len(sp) - 1)) AS u(i)),
+       tc AS (SELECT a, b, count(*) AS n FROM pairs GROUP BY 1, 2),
+       probs AS (
+         SELECT a, b, round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a), 6) AS pr
+         FROM tc),
+       chans AS (SELECT DISTINCT event_type AS c FROM events WHERE event_type != 'purchase'),
+       nch AS (SELECT CAST(count(*) AS INT) AS nc FROM chans),
+       states AS (
+         SELECT 'START' AS st, 0 AS sid
+         UNION ALL SELECT c, CAST(row_number() OVER (ORDER BY c) AS INT) FROM chans
+         UNION ALL SELECT 'CONV', nc + 1 FROM nch
+         UNION ALL SELECT 'NULL', nc + 2 FROM nch),
+       variants AS (SELECT 'FULL' AS rm UNION ALL SELECT c FROM chans),
+       cells AS (
+         SELECT v.rm, s1.sid AS sa, s2.sid AS sb,
+           CASE
+             WHEN s1.st = 'CONV' THEN CASE WHEN s2.st = 'CONV' THEN 1.0 ELSE 0.0 END
+             WHEN s1.st = 'NULL' THEN CASE WHEN s2.st = 'NULL' THEN 1.0 ELSE 0.0 END
+             WHEN s1.st = v.rm THEN CASE WHEN s2.st = 'NULL' THEN 1.0 ELSE 0.0 END
+             WHEN s2.st = v.rm THEN 0.0
+             WHEN s2.st = 'NULL' THEN coalesce(p0.pr, 0.0) + coalesce(prm.pr, 0.0)
+             ELSE coalesce(p0.pr, 0.0)
+           END AS pr
+         FROM variants v
+         CROSS JOIN states s1 CROSS JOIN states s2
+         LEFT JOIN probs p0 ON p0.a = s1.st AND p0.b = s2.st
+         LEFT JOIN probs prm ON prm.a = s1.st AND prm.b = v.rm AND v.rm != 'FULL'),
+       mats AS (
+         SELECT rm, list(CAST(pr AS DOUBLE) ORDER BY sa * 1000 + sb) AS mt
+         FROM cells GROUP BY 1),
+       pfin AS (
+         SELECT rm,
+           list_reduce(
+             list_prepend(
+               list_transform(generate_series(1, nc + 3), i ->
+                 CASE WHEN i = nc + 2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
+               list_transform(generate_series(1, 100), x ->
+                 list_transform(generate_series(1, nc + 3), i -> CAST(0.0 AS DOUBLE)))),
+             (acc, x) -> list_transform(generate_series(1, nc + 3), s ->
+               list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, nc + 3), t ->
+                     mt[CAST((s - 1) * (nc + 3) + t AS INT)] * acc[CAST(t AS INT)])),
+                 (aa, bb) -> aa + bb)))[1] AS pconv
+         FROM mats, nch),
+       res AS (
+         SELECT p.rm AS channel,
+                round(1.0 - p.pconv / f.pconv, 6) AS removal_effect,
+                f.pconv AS pc
+         FROM pfin p, (SELECT pconv FROM pfin WHERE rm = 'FULL') f
+         WHERE p.rm != 'FULL'),
+       tot AS (
+         SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(CAST(removal_effect AS DOUBLE) ORDER BY channel)),
+                  (a, b) -> a + b) AS sre
+         FROM res)
+       SELECT channel, removal_effect,
+              round(removal_effect / sre, 6) AS attribution_share,
+              round(removal_effect / sre * n_conv, 4) AS attributed_conversions,
+              round(pc, 6) AS p_conv_full
+       FROM res, tot, nconv"""
+
+  private val nelsonAalenSql =
+    """WITH per_user AS (
+         SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+                ELSE (tl - t0) // 86400000000000 END AS duration_days,
+                tp IS NOT NULL AS event
+         FROM (
+           SELECT user_id, min(epoch_ns(ts)) AS t0,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS tp,
+                  max(epoch_ns(ts)) AS tl
+           FROM events GROUP BY 1)),
+       c AS (
+         SELECT duration_days,
+                count(CASE WHEN event THEN 1 END) AS d,
+                count(CASE WHEN NOT event THEN 1 END) AS c
+         FROM per_user GROUP BY 1),
+       t AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM c),
+       r AS (
+         SELECT duration_days, d, c,
+                n_total - coalesce(sum(d + c) OVER (ORDER BY duration_days ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+         FROM c, t)
+       SELECT duration_days, d AS n_events, c AS n_censored,
+              CAST(n_risk AS BIGINT) AS n_risk,
+              round(sum(CAST(d AS DOUBLE) / n_risk) OVER w, 6) AS cum_hazard,
+              round(exp(-sum(CAST(d AS DOUBLE) / n_risk) OVER w), 6) AS na_survival,
+              round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk)) OVER w, 6)
+                AS hazard_var
+       FROM r
+       WINDOW w AS (ORDER BY duration_days ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  // ---------------------------------------------------------------
   // 187. complete-grid + LOCF fill (tidyr::complete + fill, the
   // dense-time-series materialization): per user, the full hour grid
   // over the user's active span; hours with no event are FILLED with
@@ -1432,6 +1699,136 @@ object Sessions {
           .as("jaccard"))
   }
 
+  // ---------------------------------------------------------------
+  // 341. KMV-sketch audience overlap (Bar-Yossef et al. 2002; Beyer et
+  // al. 2007 distinct/Jaccard estimation) — the SKETCH twin of #256:
+  // at 100 TB the pairwise distinct-user join is only viable because
+  // types-per-user is tiny; the K-minimum-values route needs ONE pass
+  // producing k=64 (hash, id) minima per type (the native bounded-heap
+  // topk_by aggregate — exchanges carry ≤ k entries per type per
+  // partition), after which every estimate lives on bounded arrays.
+  // Estimators: distinct ≈ (k−1)/h_k (h_k = k-th smallest md5-uniform
+  // hash; exact count when |type| < k — both engines branch
+  // identically); union sketch = k smallest of the merged minima;
+  // Jaccard ≈ (union-sketch members sketched by BOTH types)/k (the
+  // classic sketch-membership numerator); intersection ≈ Ĵ·Û. The
+  // exact #256 Jaccard rides along as the calibration column (the
+  // ann_recall_eval convention). Hash ties at the k-boundary resolve
+  // by (u asc, user_id asc) in BOTH engines — deterministic even on
+  // md5's 24-bit grid.
+  def audienceOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val tu = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+      .localCheckpoint() // sketches + exact sizes + exact pair join
+    val hu = tu.withColumn("u", graft.api.Analytics.hashUniform(col("user_id")))
+    val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+    val sk = hu.groupBy(col("t"))
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(-col("u"), col("user_id"), k).as("__sk"))
+      .select(col("t"), explode(col("__sk")).as("e"))
+      .select(col("t"), col("e.id").as("user_id"), (-col("e.score")).as("u"))
+      .localCheckpoint() // ≤ k·|types| rows; fans into merged twice
+    val sunm = sk.groupBy(col("t")).agg(max(col("u")).as("hk"))
+    val est = sizes.join(sunm, "t")
+      .select(col("t"),
+        when(col("n_exact") < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("hk")).as("est_d"))
+    val tp = sizes.select(col("t").as("type_a"))
+      .crossJoin(sizes.select(col("t").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val merged = tp.join(sk,
+        col("t") === col("type_a") || col("t") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("user_id"), col("u"))
+      .agg(count(lit(1)).as("n_sides"))
+    val wu = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("u").asc, col("user_id").asc)
+    val ustat = merged.withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= k)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("nu"), max(col("u")).as("hku"),
+        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("n_shared"))
+    val ex = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val estU = when(col("nu") < k, col("nu").cast("double"))
+      .otherwise(lit((k - 1).toDouble) / col("hku"))
+    val estJ = col("n_shared").cast("double") / least(col("nu"), lit(k.toLong))
+    val exactJ = col("n_both").cast("double") /
+      (col("n_a") + col("n_b") - col("n_both"))
+    ustat
+      .join(est.select(col("t").as("type_a"), col("est_d").as("__ea")), "type_a")
+      .join(est.select(col("t").as("type_b"), col("est_d").as("__eb")), "type_b")
+      .join(ex, Seq("type_a", "type_b"))
+      .join(sizes.select(col("t").as("type_a"), col("n_exact").as("n_a")), "type_a")
+      .join(sizes.select(col("t").as("type_b"), col("n_exact").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), lit(k.toLong).as("k"),
+        r(col("__ea"), 4).as("est_a"), r(col("__eb"), 4).as("est_b"),
+        r(estU, 4).as("est_union"),
+        r(estJ, 6).as("est_jaccard"),
+        r(estJ * estU, 4).as("est_intersection"),
+        r(exactJ, 6).as("exact_jaccard"),
+        r(abs(estJ - exactJ), 6).as("jaccard_err"))
+  }
+
+  private val audienceOverlapKmvSql = {
+    val u6 = (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)),$i,1))-1)*${math.pow(16, 6 - i).toLong}"
+    }.mkString(" + ")
+    s"""WITH tu AS MATERIALIZED (SELECT DISTINCT event_type AS t, user_id FROM events),
+       hu AS (SELECT t, user_id, ($u6 + 1.0) / 16777217.0 AS u FROM tu),
+       sizes AS (SELECT t, count(*) AS n_exact FROM tu GROUP BY 1),
+       sk AS MATERIALIZED (
+         SELECT t, user_id, u FROM (
+           SELECT t, user_id, u, row_number() OVER (PARTITION BY t
+             ORDER BY u ASC, user_id ASC) AS rn FROM hu)
+         WHERE rn <= 64),
+       sunm AS (SELECT t, max(u) AS hk FROM sk GROUP BY 1),
+       est AS (
+         SELECT s.t, CASE WHEN s.n_exact < 64 THEN CAST(s.n_exact AS DOUBLE)
+                     ELSE 63.0 / m.hk END AS est_d
+         FROM sizes s JOIN sunm m USING (t)),
+       tp AS (SELECT a.t AS type_a, b.t AS type_b FROM sizes a, sizes b WHERE a.t < b.t),
+       merged AS (
+         SELECT tp.type_a, tp.type_b, k.user_id, k.u, count(*) AS n_sides
+         FROM tp JOIN sk k ON k.t = tp.type_a OR k.t = tp.type_b
+         GROUP BY 1, 2, 3, 4),
+       usk AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+             ORDER BY u ASC, user_id ASC) AS rn
+           FROM merged)
+         WHERE rn <= 64),
+       ustat AS (
+         SELECT type_a, type_b, count(*) AS nu, max(u) AS hku,
+                CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         FROM usk GROUP BY 1, 2),
+       ex AS (
+         SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+         FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
+         GROUP BY 1, 2)
+       SELECT u.type_a, u.type_b, CAST(64 AS BIGINT) AS k,
+              round(ea.est_d, 4) AS est_a, round(eb.est_d, 4) AS est_b,
+              round(CASE WHEN u.nu < 64 THEN CAST(u.nu AS DOUBLE) ELSE 63.0 / u.hku END, 4)
+                AS est_union,
+              round(CAST(u.n_shared AS DOUBLE) / least(u.nu, 64), 6) AS est_jaccard,
+              round(CAST(u.n_shared AS DOUBLE) / least(u.nu, 64)
+                    * CASE WHEN u.nu < 64 THEN CAST(u.nu AS DOUBLE) ELSE 63.0 / u.hku END, 4)
+                AS est_intersection,
+              round(CAST(e.n_both AS DOUBLE) / (sa.n_exact + sb.n_exact - e.n_both), 6)
+                AS exact_jaccard,
+              round(abs(CAST(u.n_shared AS DOUBLE) / least(u.nu, 64)
+                    - CAST(e.n_both AS DOUBLE) / (sa.n_exact + sb.n_exact - e.n_both)), 6)
+                AS jaccard_err
+       FROM ustat u
+       JOIN est ea ON u.type_a = ea.t
+       JOIN est eb ON u.type_b = eb.t
+       JOIN ex e ON u.type_a = e.type_a AND u.type_b = e.type_b
+       JOIN sizes sa ON u.type_a = sa.t
+       JOIN sizes sb ON u.type_b = sb.t"""
+  }
+
   private val audienceOverlapSql =
     """WITH tu AS MATERIALIZED (
          SELECT DISTINCT event_type AS t, user_id FROM events),
@@ -1689,6 +2086,9 @@ object Sessions {
     "event_transitions"      -> (eventTransitions _),
     "top_paths"              -> (topPaths _),
     "survival_km"            -> (survivalKm _),
+    "nelson_aalen"           -> (nelsonAalen _),
+    "markov_attribution"     -> (markovAttribution _),
+    "audience_overlap_kmv"   -> (audienceOverlapKmv _),
     "rolling_anomaly"        -> (rollingAnomaly _),
     "interevent_stats"       -> (intereventStats _),
     "funnel_conversion"      -> (funnelConversion _),
@@ -1733,6 +2133,9 @@ object Sessions {
     "event_transitions" -> eventTransitionsSql,
     "top_paths"         -> topPathsSql,
     "survival_km"       -> survivalKmSql,
+    "nelson_aalen"      -> nelsonAalenSql,
+    "markov_attribution" -> markovAttributionSql,
+    "audience_overlap_kmv" -> audienceOverlapKmvSql,
     "rolling_anomaly" ->
       """SELECT event_id, user_id, ts_us, n_window,
                 round(mu, 4) AS mu, round(sd, 4) AS sd, z,

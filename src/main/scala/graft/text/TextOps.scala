@@ -1270,6 +1270,92 @@ object TextOps {
         col("w0").as("term"), col("n_docs"))
   }
 
+  // 342. per-topic NPMI coherence (Bouma 2009; Röder et al. 2015's
+  // C_v family reduced to its deterministic document-cooccurrence
+  // core) — the EVAL table for the #176/#177 topic ladder: a topic
+  // whose top terms never co-occur is a hash artifact, one whose
+  // terms always co-occur is a boilerplate cluster. Per within-topic
+  // top-term pair: NPMI = ln(p(ab)/(p(a)p(b))) / −ln p(ab) with p =
+  // document frequency / N, df_ab = 0 pinned to the −1 convention.
+  // All probabilities enter as EXACT integer ratios (df_ab·N and
+  // df_a·df_b stay under 2⁵³ to corpus scale), so both engines take
+  // ln of identical doubles. Plan: pair list is ≤ topics·C(5,2) rows;
+  // the incidence stream is restricted to the ≤ topics·5 top terms
+  // (broadcast semi-join) before the df_ab pair join — never a full
+  // vocabulary co-occurrence matrix.
+  def topicCoherenceNpmi(s: SparkSession, dir: String): DataFrame = {
+    val tt = topicTopTerms(s, dir).select(col("topic"), col("term"))
+      .localCheckpoint() // feeds the pair list AND the term filter
+    val tp = tt.as("a").join(tt.as("b"),
+        col("a.topic") === col("b.topic") && col("a.term") < col("b.term"))
+      .select(col("a.topic").as("topic"), col("a.term").as("term_a"),
+        col("b.term").as("term_b"))
+    val terms = tt.select(col("term")).distinct()
+    val docw = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")).as("w0"))
+      .join(broadcast(terms), col("w0") === col("term")).drop("term")
+      .localCheckpoint() // term dfs + both sides of the pair join
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("__nd"))
+    val dfw = docw.groupBy(col("w0")).agg(count(lit(1)).as("df"))
+    val dfab = tp
+      .join(docw.select(col("doc_id"), col("w0").as("term_a")), Seq("term_a"))
+      .join(docw.select(col("doc_id"), col("w0").as("term_b")), Seq("term_b", "doc_id"))
+      .groupBy(col("topic"), col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("df_ab"))
+    tp.join(dfab, Seq("topic", "term_a", "term_b"), "left")
+      .withColumn("df_ab", coalesce(col("df_ab"), lit(0L)))
+      .join(broadcast(dfw.select(col("w0").as("term_a"), col("df").as("df_a"))), "term_a")
+      .join(broadcast(dfw.select(col("w0").as("term_b"), col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(nd))
+      .select(col("topic"), col("term_a"), col("term_b"),
+        col("df_a"), col("df_b"), col("df_ab"),
+        r(when(col("df_ab") === 0, lit(-1.0)).otherwise(
+          log((col("df_ab") * col("__nd")).cast("double") /
+            (col("df_a") * col("df_b")).cast("double")) /
+            -log(col("df_ab").cast("double") / col("__nd").cast("double"))), 6)
+          .as("npmi"))
+  }
+
+  private def topicCoherenceNpmiSql: String =
+    s"""WITH $topicPrefixSql,
+       docw AS (SELECT DISTINCT w.doc_id, w.w0
+                FROM words0 w JOIN kept k USING (w0)),
+       tw AS (SELECT a.topic, d.w0, count(*) AS n_docs
+              FROM docw d JOIN assigned a USING (doc_id) GROUP BY 1, 2),
+       rk AS (SELECT topic, w0 AS term, n_docs,
+                     row_number() OVER (PARTITION BY topic
+                       ORDER BY n_docs DESC, w0) AS rk
+              FROM tw),
+       tt AS MATERIALIZED (SELECT topic, term FROM rk WHERE rk <= 5),
+       tp AS (SELECT a.topic, a.term AS term_a, b.term AS term_b
+              FROM tt a JOIN tt b ON a.topic = b.topic AND a.term < b.term),
+       terms AS (SELECT DISTINCT term FROM tt),
+       dwt AS MATERIALIZED (
+         SELECT d.doc_id, d.w0 FROM docw d JOIN terms t ON d.w0 = t.term),
+       dfw2 AS (SELECT w0, count(*) AS df FROM dwt GROUP BY 1),
+       dfab AS (
+         SELECT p.topic, p.term_a, p.term_b, count(*) AS df_ab
+         FROM tp p
+         JOIN dwt a ON a.w0 = p.term_a
+         JOIN dwt b ON b.w0 = p.term_b AND b.doc_id = a.doc_id
+         GROUP BY 1, 2, 3),
+       ndd AS (SELECT CAST(count(*) AS BIGINT) AS nd2 FROM documents)
+       SELECT p.topic, p.term_a, p.term_b,
+              fa.df AS df_a, fb.df AS df_b,
+              coalesce(ab.df_ab, 0) AS df_ab,
+              round(CASE WHEN coalesce(ab.df_ab, 0) = 0 THEN -1.0
+                    ELSE ln(CAST(coalesce(ab.df_ab, 0) * nd2 AS DOUBLE)
+                            / CAST(fa.df * fb.df AS DOUBLE))
+                         / -ln(CAST(coalesce(ab.df_ab, 0) AS DOUBLE) / nd2)
+                    END, 6) AS npmi
+       FROM tp p
+       LEFT JOIN dfab ab ON p.topic = ab.topic AND p.term_a = ab.term_a
+                        AND p.term_b = ab.term_b
+       JOIN dfw2 fa ON p.term_a = fa.w0
+       JOIN dfw2 fb ON p.term_b = fb.w0
+       CROSS JOIN ndd"""
+
   // 190b/191. per-source topic mix: the corpus-balance planning table —
   // topic composition within each source (counts + fractions) and the
   // source's topic diversity (Shannon entropy over its topic mix, nats).
@@ -1663,6 +1749,7 @@ object TextOps {
     "token_budget_alloc" -> (tokenBudgetAlloc _),
     "topic_assign"     -> (topicAssign _),
     "topic_top_terms"  -> (topicTopTerms _),
+    "topic_coherence_npmi" -> (topicCoherenceNpmi _),
     "topic_mix_by_source" -> (topicMixBySource _),
     "gopher_rules"     -> (gopherRules _),
     "token_fertility"  -> (tokenFertility _),
@@ -1759,6 +1846,7 @@ object TextOps {
     "dup_ngram_fraction" -> dupNgramFractionSql,
     "topic_assign" -> topicAssignSql,
     "topic_top_terms" -> topicTopTermsSql,
+    "topic_coherence_npmi" -> topicCoherenceNpmiSql,
     "topic_mix_by_source" -> topicMixBySourceSql,
     "gopher_rules" -> gopherRulesSql,
     "token_fertility" -> tokenFertilitySql,
