@@ -426,6 +426,34 @@ object Relational {
        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
 
   // ---------------------------------------------------------------
+  // 343. ε-DP noisy counts (Dwork et al. 2006, the Laplace mechanism)
+  // — the RELEASE side of the #235/#329/#330 privacy-audit ladder:
+  // per (nation, segment) customer counts with Laplace(1/ε) noise at
+  // ε = 1 (sensitivity 1 for a count). The noise draw is the inverse
+  // CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|) over the md5-uniform content
+  // hash of the GROUP KEY — deterministic by design, so the mechanism
+  // SHAPE (calibration, post-processing, utility auditing) is testable
+  // and the oracle replays it bit-exactly; a production release would
+  // swap hashUniform for a sealed RNG draw, changing nothing else.
+  // true counts ride along as the utility-audit columns (this is the
+  // engineering eval table, not a privacy-safe release). One bounded
+  // QI-key aggregation; noise is a per-row expression.
+  def dpNoisyCounts(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = graft.api.Analytics.hashUniform(
+      concat(col("nation").cast("string"), lit("|"), col("segment")))
+    val noise = lit(-1.0) *
+      when(u < 0.5, lit(-1.0)).otherwise(lit(1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    g.select(col("nation"), col("segment"), col("n_true"),
+      round(noise, 6).as("noise"),
+      round(col("n_true") + noise, 6).as("n_noisy"),
+      lit(1.0).as("epsilon"))
+  }
+
+  // ---------------------------------------------------------------
   // 235. k-anonymity audit (Sweeney 2002) — the governance screen a
   // training-data release runs over its metadata: group by the
   // quasi-identifier tuple (nation, market segment, account-balance
@@ -446,6 +474,28 @@ object Relational {
         col("class_size"),
         (col("class_size") < 5).as("at_risk"),
         round(col("class_size") / col("n_total").cast("double"), 6).as("row_share"))
+  }
+
+  private val dpNoisyCountsSql = {
+    val md5k = "md5(CAST(nation AS VARCHAR) || '|' || segment)"
+    val u6 = (1 to 6).map { i =>
+      s"(strpos('0123456789abcdef', substr($md5k,$i,1))-1)*${math.pow(16, 6 - i).toLong}"
+    }.mkString(" + ")
+    s"""WITH g AS (
+         SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                count(*) AS n_true
+         FROM customer GROUP BY 1, 2),
+       h AS (
+         SELECT nation, segment, n_true,
+                (($u6) + 1.0) / 16777217.0 AS u
+         FROM g)
+       SELECT nation, segment, n_true,
+              round(-1.0 * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+                    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+              round(n_true + -1.0 * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+                    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS n_noisy,
+              1.0 AS epsilon
+       FROM h"""
   }
 
   private val kAnonymitySql =
@@ -1144,6 +1194,7 @@ object Relational {
     "rollup_pricing"         -> (rollupPricing _),
     "cube_pricing"           -> (cubePricing _),
     "k_anonymity"            -> (kAnonymity _),
+    "dp_noisy_counts"        -> (dpNoisyCounts _),
     "l_diversity"            -> (lDiversity _),
     "t_closeness"            -> (tCloseness _),
     "basket_lift"            -> (basketLift _),
@@ -1190,6 +1241,7 @@ object Relational {
            FROM part)""",
     "cube_pricing" -> cubePricingSql,
     "k_anonymity" -> kAnonymitySql,
+    "dp_noisy_counts" -> dpNoisyCountsSql,
     "l_diversity" -> lDiversitySql,
     "t_closeness" -> tClosenessSql,
     "basket_lift" -> basketLiftSql,

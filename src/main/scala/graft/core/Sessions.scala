@@ -257,6 +257,124 @@ object Sessions {
         r(col("st.b"), 6).as("trend"),
         r(col("st.l") + col("st.b"), 6).as("forecast_next"))
 
+  // ---------------------------------------------------------------
+  // 345. Holt–Winters triple exponential smoothing (Winters 1960,
+  // additive, weekly m=7) — adds the SEASONAL component #332's Holt
+  // recursion lacks: per event type over the DENSE daily-count grid
+  // (missing days enter as 0 — the grid keeps the 7-day phase
+  // aligned), classic init on the first two weeks (l₇ = mean wk1,
+  // b₇ = (mean wk2 − mean wk1)/7, sᵢ = yᵢ − mean wk1), then
+  // l←α(y−s₋₇)+(1−α)(l+b), b←β Δl+(1−β)b, s←γ(y−l)+(1−γ)s₋₇ with
+  // α=0.2 β=0.1 γ=0.3, emitting the one-step-ahead fitted value and
+  // residual per day — the seasonality-aware anomaly/forecast table
+  // (#285 subtracts a static weekday mean; this adapts it). The whole
+  // recursion is ONE array fold per type (the #93/#332 device); the
+  // oracle replays it as a WITH RECURSIVE walk over identical doubles
+  // (the repeated l′ subexpression is inlined IDENTICALLY in both
+  // engines, so every intermediate is bit-equal).
+  def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    val wk1 = "aggregate(slice(ys, 1, 7), 0.0D, (a, y2) -> a + y2) / 7.0D"
+    val wk2 = "aggregate(slice(ys, 8, 7), 0.0D, (a, y2) -> a + y2) / 7.0D"
+    val Y = "element_at(ys, CAST(t AS INT))"
+    val IDX = "CAST(((t - 1) % 7) + 1 AS INT)"
+    val S = s"element_at(acc.s, $IDX)"
+    val LP = s"(0.2D * ($Y - $S) + 0.8D * (acc.l + acc.b))"
+    val fold =
+      s"""aggregate(
+           sequence(8L, CAST(size(ys) AS LONG)),
+           named_struct(
+             'l', $wk1,
+             'b', ($wk2 - $wk1) / 7.0D,
+             's', transform(sequence(1, 7), i ->
+               element_at(ys, CAST(i AS INT)) - $wk1),
+             'out', CAST(array() AS
+               array<struct<t: int, y: double, fitted: double,
+                            level: double, trend: double, seasonal: double>>)),
+           (acc, t) -> named_struct(
+             'l', $LP,
+             'b', 0.1D * ($LP - acc.l) + 0.9D * acc.b,
+             's', transform(sequence(1, 7), i ->
+               IF(CAST(i AS INT) = $IDX,
+                  0.3D * ($Y - $LP) + 0.7D * element_at(acc.s, CAST(i AS INT)),
+                  element_at(acc.s, CAST(i AS INT)))),
+             'out', concat(acc.out, array(named_struct(
+               't', CAST(t AS INT), 'y', $Y,
+               'fitted', acc.l + acc.b + $S,
+               'level', $LP,
+               'trend', 0.1D * ($LP - acc.l) + 0.9D * acc.b,
+               'seasonal', 0.3D * ($Y - $LP) + 0.7D * $S)))))"""
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"),
+        map_from_entries(collect_list(struct(col("day"), col("x")))).as("m"))
+      .withColumn("ys", expr(
+        "transform(sequence(mn, mx), d -> CAST(coalesce(element_at(m, d), 0L) AS DOUBLE))"))
+      .filter(size(col("ys")) >= 15)
+      .select(col("event_type"), col("mn"), explode(expr(s"($fold).out")).as("e"))
+      .select(col("event_type"),
+        col("e.t").cast("long").as("t"),
+        (col("mn") + col("e.t") - 1).as("day"),
+        col("e.y").as("y"),
+        r(col("e.fitted"), 6).as("fitted"),
+        r(col("e.level"), 6).as("level"),
+        r(col("e.trend"), 6).as("trend"),
+        r(col("e.seasonal"), 6).as("seasonal"),
+        r(col("e.y") - col("e.fitted"), 6).as("resid"))
+  }
+
+  private val holtWintersSql =
+    """WITH RECURSIVE d AS (
+         SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                count(*)::DOUBLE AS y
+         FROM events GROUP BY 1, 2),
+       g AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+       grid AS (
+         SELECT g.event_type, g.mn, CAST(t.dd AS BIGINT) AS day
+         FROM g, LATERAL unnest(generate_series(g.mn, g.mx)) AS t(dd)),
+       o AS (
+         SELECT grid.event_type, grid.mn,
+                row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.day) AS rn,
+                coalesce(d.y, 0.0)::DOUBLE AS y
+         FROM grid LEFT JOIN d ON d.event_type = grid.event_type AND d.day = grid.day),
+       arr AS (
+         SELECT event_type, any_value(mn) AS mn, list(y ORDER BY rn) AS ys,
+                CAST(count(*) AS INT) AS n
+         FROM o GROUP BY 1),
+       init AS (
+         SELECT event_type, mn, ys, n,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]), (a, b2) -> a + b2) / 7.0 AS l0,
+                (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[8:14]), (a, b2) -> a + b2) / 7.0
+                 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]), (a, b2) -> a + b2) / 7.0) / 7.0 AS b0,
+                list_transform(generate_series(1, 7), i ->
+                  ys[CAST(i AS INT)] - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:7]), (a, b2) -> a + b2) / 7.0) AS s0
+         FROM arr WHERE n >= 15),
+       rec AS (
+         SELECT event_type, mn, ys, n, 7 AS t, l0 AS l, b0 AS b, s0 AS s,
+                CAST(NULL AS DOUBLE) AS fitted, CAST(NULL AS DOUBLE) AS y_t,
+                CAST(NULL AS DOUBLE) AS s_t
+         FROM init
+         UNION ALL
+         SELECT event_type, mn, ys, n, t + 1,
+                0.2 * (ys[t + 1] - s[(t % 7) + 1]) + 0.8 * (l + b),
+                0.1 * ((0.2 * (ys[t + 1] - s[(t % 7) + 1]) + 0.8 * (l + b)) - l) + 0.9 * b,
+                list_transform(generate_series(1, 7), i ->
+                  CASE WHEN i = (t % 7) + 1
+                       THEN 0.3 * (ys[t + 1] - (0.2 * (ys[t + 1] - s[(t % 7) + 1]) + 0.8 * (l + b)))
+                            + 0.7 * s[(t % 7) + 1]
+                       ELSE s[CAST(i AS INT)] END),
+                l + b + s[(t % 7) + 1],
+                ys[t + 1],
+                0.3 * (ys[t + 1] - (0.2 * (ys[t + 1] - s[(t % 7) + 1]) + 0.8 * (l + b)))
+                  + 0.7 * s[(t % 7) + 1]
+         FROM rec WHERE t < n)
+       SELECT event_type, CAST(t AS BIGINT) AS t, mn + t - 1 AS day,
+              y_t AS y, round(fitted, 6) AS fitted,
+              round(l, 6) AS level, round(b, 6) AS trend,
+              round(s_t, 6) AS seasonal, round(y_t - fitted, 6) AS resid
+       FROM rec WHERE t >= 8"""
+
   private val holtTrendSql =
     """WITH RECURSIVE d AS (
          SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
@@ -2089,6 +2207,7 @@ object Sessions {
     "nelson_aalen"           -> (nelsonAalen _),
     "markov_attribution"     -> (markovAttribution _),
     "audience_overlap_kmv"   -> (audienceOverlapKmv _),
+    "holt_winters"           -> (holtWinters _),
     "rolling_anomaly"        -> (rollingAnomaly _),
     "interevent_stats"       -> (intereventStats _),
     "funnel_conversion"      -> (funnelConversion _),
@@ -2136,6 +2255,7 @@ object Sessions {
     "nelson_aalen"      -> nelsonAalenSql,
     "markov_attribution" -> markovAttributionSql,
     "audience_overlap_kmv" -> audienceOverlapKmvSql,
+    "holt_winters"      -> holtWintersSql,
     "rolling_anomaly" ->
       """SELECT event_id, user_id, ts_us, n_window,
                 round(mu, 4) AS mu, round(sd, 4) AS sd, z,

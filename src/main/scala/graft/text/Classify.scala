@@ -307,6 +307,87 @@ object Classify {
             / (col("cc") / col("nn").cast("double")))), 6).as("kl_vs_corpus"))
   }
 
+  // ---------------------------------------------------------------
+  // 344. DoReMi-style domain reweighting (Xie et al. 2023) — ONE
+  // Group-DRO multiplicative-weights step, the inner update DoReMi
+  // iterates: per source the excess loss under the SHARED model
+  // (here the corpus unigram LM — the deterministic stand-in for the
+  // proxy-model loss; the operator is the reweighting arithmetic, not
+  // the model), clipped at 0, exponentiated against the token-share
+  // baseline: w_s ∝ q_s·exp(η·excess_s), η = 1, normalized. Excess is
+  // pre-rounded to 6 dp before exp so both engines exponentiate
+  // identical doubles (the #124 contract); the normalizer is an
+  // ordered source fold. Vocabulary-bounded everywhere (#269's plan).
+  def doremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val sw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // source totals + corpus LM + the xent pass
+    val cw = sw.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val n = sw.agg(sum(col("c")).as("nn"))
+    val xents = sw.join(cw, "w").crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        (-sum(col("c") * log(col("cc") / col("nn").cast("double")))).as("__sx"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") / col("nn").cast("double")).as("__q"),
+        (col("__sx") / col("n_tokens").cast("double")).as("__xent"),
+        col("nn"))
+    // corpus loss = token-share-weighted mean of the source losses,
+    // computed directly from the corpus counts (identical both engines)
+    val corpus = sw.join(cw, "w").crossJoin(broadcast(n))
+      .select(col("w"), col("cc"), col("nn")).distinct()
+      .agg((-sum(col("cc") * log(col("cc") / col("nn").cast("double")))).as("__sl"),
+        first(col("nn")).as("__nn2"))
+      .select((col("__sl") / col("__nn2").cast("double")).as("__lc"))
+    val scored = xents.crossJoin(broadcast(corpus))
+      .withColumn("xent", round(col("__xent"), 6))
+      .withColumn("excess", round(greatest(col("__xent") - col("__lc"), lit(0.0)), 6))
+      .withColumn("__raw", col("__q") * exp(col("excess")))
+      .localCheckpoint() // consumed by the normalizer fold AND the output
+    val tot = scored.agg(expr("aggregate(transform(sort_array(collect_list(" +
+      "struct(source, __raw))), x -> x.__raw), 0.0D, (a, b) -> a + b)").as("__tot"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("__q"), 6).as("token_share"),
+        col("xent"), col("excess"),
+        round(col("__raw") / col("__tot"), 6).as("weight"))
+  }
+
+  private val doremiWeightsSql =
+    """WITH sw AS MATERIALIZED (
+         SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         FROM documents),
+       swc AS MATERIALIZED (
+         SELECT source, w, count(*)::BIGINT AS c FROM sw GROUP BY 1, 2),
+       cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM swc GROUP BY 1),
+       n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM swc),
+       xents AS (
+         SELECT s.source,
+                CAST(sum(s.c) AS BIGINT) AS n_tokens,
+                sum(s.c) / CAST(any_value(n.nn) AS DOUBLE) AS q,
+                -sum(s.c * ln(c.cc / CAST(n.nn AS DOUBLE))) / sum(s.c) AS xent0
+         FROM swc s JOIN cw c USING (w), n
+         GROUP BY 1),
+       corpus AS (
+         SELECT -sum(cc * ln(cc / CAST(nn AS DOUBLE))) / CAST(any_value(nn) AS DOUBLE) AS lc
+         FROM cw, n),
+       scored AS (
+         SELECT source, n_tokens, q,
+                round(xent0, 6) AS xent,
+                round(greatest(xent0 - lc, 0.0), 6) AS excess,
+                q * exp(round(greatest(xent0 - lc, 0.0), 6)) AS raw
+         FROM xents, corpus),
+       tot AS (
+         SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(CAST(raw AS DOUBLE) ORDER BY source)), (a, b) -> a + b) AS t
+         FROM scored)
+       SELECT source, n_tokens, round(q, 6) AS token_share, xent, excess,
+              round(raw / t, 6) AS weight
+       FROM scored, tot"""
+
   private val sourceStyleKlSql =
     """WITH sw AS MATERIALIZED (
          SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -512,6 +593,7 @@ object Classify {
     "kneser_ney_score"   -> (kneserNeyScore _),
     "trigram_sb_score"   -> (trigramSbScore _),
     "source_style_kl"    -> (sourceStyleKl _),
+    "doremi_weights"     -> (doremiWeights _),
     "langid_confusion"   -> (langidConfusion _),
     "perceptron_quality" -> (perceptronQuality _),
     "classifier_eval"    -> (classifierEval _),
@@ -521,6 +603,7 @@ object Classify {
     "kneser_ney_score"   -> kneserNeyScoreSql,
     "trigram_sb_score"   -> trigramSbScoreSql,
     "source_style_kl"    -> sourceStyleKlSql,
+    "doremi_weights"     -> doremiWeightsSql,
     "langid_confusion"   -> langidConfusionSql,
     "perceptron_quality" -> perceptronQualitySql,
     "classifier_eval"    -> classifierEvalSql,

@@ -308,6 +308,24 @@ class PlanSpec extends SparkSpecBase {
       "early_de", "condition_test", "diff_end",
       // rfm_segments attaches the 1-row day-max and quintile-bounds aggs
       "rfm_segments",
+      // nelson_aalen attaches the 1-row total-at-risk scalar (the
+      // survival_km shape it duals)
+      "nelson_aalen",
+      // markov_attribution's grid/matrix algebra lives entirely on
+      // bounded frames: (channels+1)·(channels+3)² cells, 1-row
+      // conversion-count / normalizer / full-chain attaches — scalar
+      // and bounded-scaffold attaches, never a fact pair join
+      "markov_attribution",
+      // audience_overlap_kmv probes k·|types| sketch rows against the
+      // |types|²-row pair table (OR-key tag join, the pairwise_ks
+      // precedent) and attaches bounded per-type estimate scalars
+      "audience_overlap_kmv",
+      // topic_coherence_npmi attaches the 1-row doc-count scalar (the
+      // topic_assign precedent); its pair join is term-equi-keyed
+      "topic_coherence_npmi",
+      // doremi_weights attaches the 1-row corpus-total / corpus-loss /
+      // normalizer scalars (the source_mix_weights precedent)
+      "doremi_weights",
       // dsir_weights (+ hashed twin) / source_mix_weights / mix_resample
       // attach 1-row LM-total / normalizer / max-factor scalars —
       // scalar attaches, not pair joins
@@ -432,6 +450,8 @@ class PlanSpec extends SparkSpecBase {
       "start_vs_end" -> "|features| contrast stats",
       // post-aggregation curves over bounded grids
       "survival_km" -> "day grid (retention-window rows)",
+      "nelson_aalen" -> "day grid (retention-window rows — the survival_km dual)",
+      "markov_attribution" -> "|channels| state-index rank (bounded chain states)",
       "barcode_ranks" -> "distinct (total,count) curve points",
       "abc_analysis" -> "per-part revenue aggregate (catalog-bounded)",
       "key_sequence_gaps" -> "bucketed gap summary (|buckets| rows)",
