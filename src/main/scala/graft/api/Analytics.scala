@@ -841,7 +841,18 @@ object Analytics {
     val raw = m.select(entity.as("entity"), feature.as("fb"), value.as("x"))
       .join(lab, col("entity") === col("__le")).drop("__le")
       .repartition(col("entity"))
+    // localCheckpoint: FOUR consumers read the labeled rollup (entity
+    // counts, centroids, per-entity moments, the sparse dot). Without
+    // it ReuseExchange shares only the shuffle FILES — each consumer
+    // re-runs the fact-sized HashAggregate over them, and that repeated
+    // re-aggregation was the r13 sf9 finding (the 54M-row rollup
+    // re-built 4× dominated the 218 s profile; the per-entity fold was
+    // NOT the cliff — replacing it with a codegen fan-out join moved
+    // nothing at sf9 and regressed 3× at sf3). Checkpointing pins the
+    // rollup once; at cluster scale this is the persisted panel matrix
+    // of an annotation pipeline.
     val m2 = raw.groupBy(col("entity"), col("fb"), col("__own")).agg(sum(col("x")).as("x"))
+      .localCheckpoint()
     val nEnt = m2.groupBy(col("__own")).agg(countDistinct(col("entity")).as("__n_ent"))
     val cent = m2.groupBy(col("__own"), col("fb")).agg(sum(col("x")).as("__csx"))
       .join(broadcast(nEnt), "__own")
@@ -855,7 +866,12 @@ object Analytics {
         .as("__cmp"))
       .join(broadcast(labelStats), "label")
     // per-entity sparse vector (sorted for deterministic summation
-    // order) + its moments, in one pipelined agg
+    // order) + its moments, in one pipelined agg. Shape note (r13): a
+    // codegen'd fan-out-join alternative (m2 ⋈ broadcast cent on fb →
+    // groupBy (entity, label) sum) was measured — neutral at sf9
+    // (175 vs 170 s) and 3× SLOWER at sf3 (100 vs 31 s): the ×|labels|
+    // row fan-out costs more than this bounded object agg saves. The
+    // fold stays; the real sf9 lever was checkpointing m2 above.
     val ent = m2.groupBy(col("entity"))
       .agg(sort_array(collect_list(struct(col("fb"), col("x")))).as("__lst"),
         sum(col("x")).as("__sx"), sum(col("x") * col("x")).as("__sxx"))

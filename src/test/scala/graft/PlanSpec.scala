@@ -118,9 +118,15 @@ class PlanSpec extends SparkSpecBase {
     val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    // 1 repartition(entity) + the bounded centroid-side aggs (tiny keys)
-    assert(exchanges.nonEmpty && exchanges.length <= 5,
+    // 1 repartition(entity) + the bounded centroid-side aggs (tiny
+    // keys). r13: the codegen'd sparse-dot fan-out join added a sixth
+    // consumer of the SAME canonical repartition(entity) exchange —
+    // all fact-side exchanges below must still be that one partitioning
+    // (ReuseExchange collapses them to one shuffle write at runtime)
+    assert(exchanges.nonEmpty && exchanges.length <= 6,
       s"annotate_corr should shuffle the fact side once (+tiny agg exchanges), got ${exchanges.length}")
+    assert(exchanges.forall(_.outputPartitioning.toString.contains("entity")),
+      "every fact exchange must be the shared entity partitioning")
     assert(!plan.toString.contains("WindowExec"),
       "argmax must be the sorted collect_list agg, not a rank window")
   }
