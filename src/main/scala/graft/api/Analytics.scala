@@ -811,91 +811,104 @@ object Analytics {
     * = 0), assign the best-correlated label, report the score and the
     * SingleR "delta" (top − runner-up).
     *
-    * Never materializes the dense entity×panel grid: Pearson over n
-    * fixed dims needs only Σx, Σx², Σxc from an entity's PRESENT rows
-    * (absent dims contribute 0) plus the per-label panel constants
-    * Σc, Σc² — so the plan is one groupBy on (entity, label) after a
-    * broadcast join to the (label × panel) centroid table (|labels| ×
-    * panelSize rows, tiny by construction). Scales linearly in matrix
-    * rows with a bounded ×|labels| fan-out; the per-entity argmax
-    * window partition is |labels| rows.
+    * Plan shape (the r14 rewrite; the r13 sf9 octave measured every
+    * array-materializing variant super-linear): the centroid panel is
+    * DRIVER-BOUNDED BY CONTRACT — |labels| × panelSize cells (SingleR
+    * atlases carry a few dozen labels over a fixed gene panel) — so it
+    * is collected like the repo's other documented driver-bounded
+    * geometry (Prim over |clusters|², the BPE argmax row) and baked
+    * into the scoring pass as LITERAL per-label arrays. Scoring is then
+    * ONE codegen HashAggregate over the raw long matrix: map-side
+    * partials compute Σx, Σx², and one Σx·c_l per label (O(1) literal
+    * array index per row), the only fact-sized shuffle ships the
+    * |entities| partial-sum rows, and the argmax is an in-row
+    * array_sort over |labels| literal-built structs — no object agg,
+    * no per-entity array, no checkpoint, no fact-level atlas join.
+    * The centroid job itself is the only other fact pass: one join to
+    * the atlas (entity-keyed shuffle) feeding a ≤|labels|·panel-key
+    * partial agg that ships ~250 rows.
     *
     * `m` is the long matrix (entity, feature ∈ [0, panelSize), value);
     * `entityLabels` maps entity → training label (the reference atlas,
     * reference.R:75-165). Scores are rounded to 6dp BEFORE the argmax
-    * so rank order is engine-stable. */
+    * so rank order is engine-stable; Σc/Σc² fold on the driver in
+    * sorted-feature order (cross-engine fp agreement at 6dp is the
+    * same standing contract every fp-sum oracle query relies on). */
   def annotateByCorrelation(m: DataFrame, entity: Column, feature: Column,
       value: Column, entityLabels: DataFrame, labelEntity: Column,
       label: Column, panelSize: Int): DataFrame = {
-    val n = lit(panelSize.toDouble)
-    val lab = entityLabels.select(labelEntity.as("__le"), label.as("__own"))
-    // ONE fact shuffle, everything else pipelined on it: the labeled
-    // matrix is repartitioned by entity (this IS the partitioning every
-    // downstream step needs — not an extra exchange), so the (entity,
-    // fb) rollup, the per-entity sparse vector, the entity counts, and
-    // the final argmax all plan WITHOUT further fact-sized exchanges;
-    // only the bounded centroid aggregates (≤ |labels|·panel keys after
-    // map-side partials) shuffle again. The naive branch-per-concept
-    // form re-scanned and re-shuffled the fact table four times and
-    // paid a ×|labels| fan-out hash-agg (6.6s → 1.x s at sf0.1).
-    val raw = m.select(entity.as("entity"), feature.as("fb"), value.as("x"))
-      .join(lab, col("entity") === col("__le")).drop("__le")
-      .repartition(col("entity"))
-    // localCheckpoint: FOUR consumers read the labeled rollup (entity
-    // counts, centroids, per-entity moments, the sparse dot). Without
-    // it ReuseExchange shares only the shuffle FILES — each consumer
-    // re-runs the fact-sized HashAggregate over them, and that repeated
-    // re-aggregation was the r13 sf9 finding (the 54M-row rollup
-    // re-built 4× dominated the 218 s profile; the per-entity fold was
-    // NOT the cliff — replacing it with a codegen fan-out join moved
-    // nothing at sf9 and regressed 3× at sf3). Checkpointing pins the
-    // rollup once; at cluster scale this is the persisted panel matrix
-    // of an annotation pipeline.
-    val m2 = raw.groupBy(col("entity"), col("fb"), col("__own")).agg(sum(col("x")).as("x"))
-      .localCheckpoint()
-    val nEnt = m2.groupBy(col("__own")).agg(countDistinct(col("entity")).as("__n_ent"))
-    val cent = m2.groupBy(col("__own"), col("fb")).agg(sum(col("x")).as("__csx"))
-      .join(broadcast(nEnt), "__own")
-      .select(col("__own").as("label"), col("fb"), (col("__csx") / col("__n_ent")).as("c"))
-    // panel constants: absent (label, fb) cells are exact zeros and
-    // contribute nothing to Σc / Σc², so summing present cells is exact
-    val labelStats = cent.groupBy(col("label"))
-      .agg(sum(col("c")).as("__sc"), sum(col("c") * col("c")).as("__scc"))
-    val centMap = cent.groupBy(col("label"))
-      .agg(map_from_entries(sort_array(collect_list(struct(col("fb"), col("c")))))
-        .as("__cmp"))
-      .join(broadcast(labelStats), "label")
-    // per-entity sparse vector (sorted for deterministic summation
-    // order) + its moments, in one pipelined agg. Shape note (r13): a
-    // codegen'd fan-out-join alternative (m2 ⋈ broadcast cent on fb →
-    // groupBy (entity, label) sum) was measured — neutral at sf9
-    // (175 vs 170 s) and 3× SLOWER at sf3 (100 vs 31 s): the ×|labels|
-    // row fan-out costs more than this bounded object agg saves. The
-    // fold stays; the real sf9 lever was checkpointing m2 above.
-    val ent = m2.groupBy(col("entity"))
-      .agg(sort_array(collect_list(struct(col("fb"), col("x")))).as("__lst"),
-        sum(col("x")).as("__sx"), sum(col("x") * col("x")).as("__sxx"))
-    // Σ x·c as a sparse dot against the broadcast centroid map —
-    // entities are ~panel-sparse, so this walks only present features
-    val scored = ent.crossJoin(broadcast(centMap))
-      .withColumn("__sxc", aggregate(col("__lst"), lit(0.0), (acc, s) =>
-        acc + s.getField("x") *
-          coalesce(element_at(col("__cmp"), s.getField("fb")), lit(0.0))))
+    val n = panelSize.toDouble
+    val mm = m.select(entity.as("entity"), feature.cast("long").as("fb"),
+      value.cast("double").as("x"))
+    val lab = entityLabels.select(labelEntity.as("__le"),
+      label.cast("string").as("__own"))
+    // centroid numerators (Σx per (label, fb)) and per-label entity
+    // counts (the oracle's nent CTE) in ONE action: both subtrees read
+    // the same atlas join, so ReuseExchange computes the two fact-sized
+    // shuffles once and only the join probe + bounded aggs run twice.
+    // shuffle_hash beats SMJ here — neither side needs the sort, and
+    // the build side is |atlas|/parts entries per task. countDistinct's
+    // (label, entity) dedup rides the join's entity partitioning.
+    val labeled = mm.join(lab.hint("shuffle_hash"), col("entity") === col("__le"))
+    val centDf = labeled.groupBy(col("__own"), col("fb"))
+      .agg(sum(col("x")).as("__csx"))
+      .select(col("__own"), col("fb"), col("__csx"),
+        lit(null).cast("long").as("__n"))
+    val nEntDf = labeled.groupBy(col("__own"))
+      .agg(countDistinct(col("entity")).as("__n"))
+      .select(col("__own"), lit(-1L).as("fb"),
+        lit(null).cast("double").as("__csx"), col("__n"))
+    val prep = centDf.unionAll(nEntDf).collect()
+    val centRows = prep.filter(!_.isNullAt(2))
+    val nEnt: Map[String, Long] = prep.filter(!_.isNullAt(3))
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // driver-side panel fold, sorted (label, fb) order throughout
+    case class Panel(lab: String, c: IndexedSeq[Double], sc: Double,
+      scc: Double, varC: Double)
+    val panels: Seq[Panel] = centRows.groupBy(_.getString(0)).toSeq
+      .sortBy(_._1).map { case (l, rows) =>
+        val ne = nEnt(l).toDouble
+        val arr = Array.fill(panelSize)(0.0)
+        rows.sortBy(_.getLong(1)).foreach { r =>
+          val fb = r.getLong(1)
+          if (fb >= 0 && fb < panelSize) arr(fb.toInt) = r.getDouble(2) / ne
+        }
+        val sc = arr.sum
+        val scc = arr.map(v => v * v).sum
+        Panel(l, arr.toIndexedSeq, sc, scc, scc - sc * sc / n)
+      }
+    // ONE fact shuffle, TWO pipelined codegen aggs riding it: the
+    // (entity, fb) rollup must happen before the moments (Σx² is over
+    // the AGGREGATED matrix cells — raw-row squares diverge whenever
+    // two raw rows share a cell), and HashPartitioning(entity)
+    // satisfies both groupings, so the rollup and the per-entity
+    // Σx/Σx²/Σx·c_l sums run in one post-shuffle stage
+    val inPanel = col("fb") >= 0 && col("fb") < panelSize
+    val pm = mm.repartition(col("entity"))
+      .groupBy(col("entity"), col("fb")).agg(sum(col("x")).as("x"))
+    val sxcAggs = panels.zipWithIndex.map { case (p, i) =>
+      sum(col("x") * when(inPanel,
+        element_at(typedLit(p.c), col("fb").cast("int") + 1))
+        .otherwise(lit(0.0))).as(s"__sxc_$i")
+    }
+    val aggs = Seq(sum(col("x") * col("x")).as("__sxx")) ++ sxcAggs
+    val sums = pm.groupBy(col("entity"))
+      .agg(sum(col("x")).as("__sx"), aggs: _*)
+    // score every label in-row; argmax = array_sort of |labels| structs.
+    // Sort key (−score, label) ≡ the oracle's (score DESC, label ASC);
+    // a null score (degenerate variance) sorts last via +MaxValue.
     val varX = col("__sxx") - col("__sx") * col("__sx") / n
-    val varC = col("__scc") - col("__sc") * col("__sc") / n
-    val withScore = scored.withColumn("score", round(
-      when(varX > 0 && varC > 0,
-        (col("__sxc") - col("__sx") * col("__sc") / n) / sqrt(varX * varC)), 6))
-    // argmax + runner-up WITHOUT a rank window: each entity carries
-    // exactly |labels| scored rows, so a sorted collect_list is a
-    // bounded-size object agg riding the same entity partitioning (no
-    // exchange, no per-entity sort shuffle). Sort key (−score, label)
-    // ≡ the oracle's (score DESC, label ASC); a null score (degenerate
-    // variance) sorts last via the +MaxValue key.
-    val ns = when(col("score").isNull, lit(Double.MaxValue)).otherwise(-col("score"))
-    withScore.groupBy(col("entity"))
-      .agg(sort_array(collect_list(struct(ns.as("ns"), col("label").as("l"),
-        col("score").as("sc"))), asc = true).as("__a"))
+    val scoreStructs = panels.zipWithIndex.map { case (p, i) =>
+      val score = if (p.varC > 0)
+        round(when(varX > 0,
+          (col(s"__sxc_$i") - col("__sx") * p.sc / n) /
+            sqrt(varX * p.varC)), 6)
+      else lit(null).cast("double")
+      struct(
+        when(score.isNull, lit(Double.MaxValue)).otherwise(-score).as("ns"),
+        lit(p.lab).as("l"), score.as("sc"))
+    }
+    sums.withColumn("__a", array_sort(array(scoreStructs: _*)))
       .select(col("entity"),
         element_at(col("__a"), 1).getField("l").as("top_label"),
         element_at(col("__a"), 1).getField("sc").as("score"),

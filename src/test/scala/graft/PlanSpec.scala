@@ -114,21 +114,22 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("annotate_corr plans one fact shuffle and no rank-window sort") {
-    val plan = sc.Annotate.annotateCorr(spark, sf).queryExecution.sparkPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    // 1 repartition(entity) + the bounded centroid-side aggs (tiny
-    // keys). r13: the codegen'd sparse-dot fan-out join added a sixth
-    // consumer of the SAME canonical repartition(entity) exchange —
-    // all fact-side exchanges below must still be that one partitioning
-    // (ReuseExchange collapses them to one shuffle write at runtime)
-    assert(exchanges.nonEmpty && exchanges.length <= 6,
-      s"annotate_corr should shuffle the fact side once (+tiny agg exchanges), got ${exchanges.length}")
-    assert(exchanges.forall(_.outputPartitioning.toString.contains("entity")),
-      "every fact exchange must be the shared entity partitioning")
-    assert(!plan.toString.contains("WindowExec"),
-      "argmax must be the sorted collect_list agg, not a rank window")
+    // r14 shape: the centroid panel is collected at build time
+    // (driver-bounded, |labels|×panel rows), so the RETURNED plan is a
+    // single codegen HashAggregate pass over the fact table — exactly
+    // one entity-keyed exchange (the partial-sum shuffle), no object
+    // agg, no window, and the per-entity partial rows are the only
+    // thing on the wire.
+    val df = sc.Annotate.annotateCorr(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([^)#]+)#".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toList
+    assert(exchanges == List("entity"),
+      s"scoring must be one partial-agg entity shuffle, got keys: $exchanges")
+    assert(!plan.contains("Window"),
+      "argmax must be the in-row array_sort, not a rank window")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"scoring must stay in codegen HashAggregate:\n${plan.take(1500)}")
   }
 
   test("downsample_counts rides one entity shuffle for all three windows") {
