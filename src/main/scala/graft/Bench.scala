@@ -67,7 +67,37 @@ object Bench {
     "stream_click_attribution_replay", "stream_funnel_replay",
     "stream_neardup_replay")
 
+  /** Parse a previous round's bench artifact into name → seconds.
+    * Accepts BOTH artifact shapes: the builder's raw full map AND the
+    * driver's wrapper, whose JSON line sits ESCAPED inside a "tail"
+    * string (\"name\":2.72) — unescape before regexing or a driver-map
+    * PREV silently yields an empty map and the driftSet degrades to
+    * the hand list (r12: the exact failure this machinery was built
+    * to avoid). \s* after every colon: builder maps are written
+    * compact, but older artifacts (r10's sf1 map) came through a
+    * pretty-printing serializer with ": " — the r12 sf1 sweep parsed
+    * 0 PREV queries off exactly that. Spec-pinned in BenchPrevSpec. */
+  private[graft] def parsePrev(raw: String): Map[String, Double] = {
+    val txt = raw.replace("\\\"", "\"")
+    val at = txt.indexOf("\"queries\":")
+    if (at < 0) Map.empty
+    else {
+      val qs = txt.substring(at + 10)
+      val re = """"([a-z0-9_]+)":\s*\{?\s*(?:"suite":\s*)?(-?[0-9.]+)""".r
+      re.findAllMatchIn(qs).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    // "--list-skip": print the skip set (one name per line) and exit —
+    // tools/close_round.sh derives the timed-query set from THIS, not
+    // from regex-scraping the Set literal above (r13 ADVICE: the
+    // scrape stopped at the first comment line ending in ')', seeing
+    // 8 of the 34 names and failing the coverage gate spuriously).
+    if (args.headOption.contains("--list-skip")) {
+      skip.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -186,23 +216,7 @@ object Bench {
         // r9 hand list so the field never silently disappears.
         val prevMap: Map[String, Double] =
           sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
-            // accept BOTH artifact shapes: the builder's raw full map AND
-            // the driver's wrapper, whose JSON line sits ESCAPED inside a
-            // "tail" string (\"name\":2.72) — unescape before regexing or
-            // a driver-map PREV silently yields an empty map and the
-            // driftSet degrades to the hand list (r12: the exact failure
-            // this machinery was built to avoid)
-            val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
-              .replace("\\\"", "\"")
-            val qs = txt.substring(txt.indexOf("\"queries\":") + 10)
-            // \s* after every colon: builder maps are written compact,
-            // but older artifacts (r10's sf1 map) came through a
-            // pretty-printing serializer with ": " — the r12 sf1 sweep
-            // parsed 0 PREV queries off exactly that and silently fell
-            // back to the hand list (found post-sweep; the movers got
-            // their isolated fields from a targeted second pass)
-            val re = """"([a-z0-9_]+)":\s*\{?\s*(?:"suite":\s*)?(-?[0-9.]+)""".r
-            re.findAllMatchIn(qs).map(m => m.group(1) -> m.group(2).toDouble).toMap
+            parsePrev(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
           }.getOrElse(Map.empty)
         if (sys.env.contains("SPARK_GRAFT_BENCH_PREV")) {
           System.err.println(s"[bench] PREV map parsed: ${prevMap.size} queries")

@@ -241,7 +241,11 @@ object StreamSessionize {
           graft.functions.VectorFunctions.charShingles(
             graft.api.Similarity.normalizeText(col("text")), 5))
       else graft.functions.VectorFunctions.minhashSigText(
-        col("text"), 5, numBands * rowsPerBand)
+        // normalize on BOTH branches (r13 ADVICE: minhashSigText does
+        // not normalize internally, so the classic widths silently
+        // shingled raw text while the 64-slot OPH path normalized —
+        // matching the batch twin nearDupPairsLsh requires it here too)
+        graft.api.Similarity.normalizeText(col("text")), 5, numBands * rowsPerBand)
     val bands = docs
       .withColumn("__sig", sig)
       .select(col("doc_id"), col("ts"),

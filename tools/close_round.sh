@@ -87,12 +87,14 @@ echo "== [4/4] bench full-map coverage =="
 # Bench skip set) so a truncated artifact can never be the round's
 # only bench record. Non-fatal when no bench ran this round yet —
 # fatal when the file exists but is visibly truncated.
+# The skip set comes from Bench itself (--list-skip), not a source
+# scrape (r13 ADVICE: the regex stopped at the first comment line
+# ending in ')' and saw 8 of 34 names, failing the gate spuriously).
+java -cp "$CP" graft.Bench --list-skip | sort -u > /tmp/close_bench_skip.txt
 python3 - <<'PYEOF'
-import json, os, re, sys
+import json, os, sys
 reg = set(open("/tmp/close_registry.txt").read().split())
-src = open("src/main/scala/graft/Bench.scala").read()
-m = re.search(r"private val skip = Set\((.*?)\)\n", src, re.S)
-skip = set(re.findall(r'"([a-z0-9_]+)"', m.group(1))) if m else set()
+skip = set(open("/tmp/close_bench_skip.txt").read().split())
 timed = reg - skip
 path = "BENCH_full_latest.json"
 if not os.path.exists(path):
