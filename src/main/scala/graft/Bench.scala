@@ -271,10 +271,16 @@ object Bench {
     // window, drop the FASTEST queries from the map (never from the
     // total) until it fits — a complete-but-parseable line beats a
     // complete-but-truncated one. Failed queries (-1) always stay.
-    def render(rs: Seq[(String, Double)]): String = {
+    def render(rs: Seq[(String, Double)], dropped: Int = 0): String = {
       val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // when the stdout cap forced per-query drops, the line itself says
+      // where the full map lives (r13 verdict item 10: BENCH_r13's tail
+      // silently lost dedup_minhash_lsh; a reader of the driver artifact
+      // alone had no pointer to the untruncated file)
+      val note = if (dropped > 0)
+        s""","dropped":$dropped,"full_map":"BENCH_full_latest.json"""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$note,"sf":"$sfDir"}"""
     }
     // full, untruncated per-query map to a file: the driver's 1850-char
     // stdout tail drops the fastest queries (r5 lost ~118 of 194), which
@@ -315,7 +321,7 @@ object Bench {
         case Some(name) =>
           System.err.println(s"[bench] line over $maxLen chars: dropping $name from per-query map (still in total)")
           kept = kept.filterNot(_._1 == name)
-          line = render(kept)
+          line = render(kept, dropped = results.size - kept.size)
         case None =>
           // only failed (-1) entries remain — they must stay visible, so
           // accept the long line rather than emptying the map

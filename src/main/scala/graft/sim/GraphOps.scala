@@ -264,7 +264,30 @@ object GraphOps {
   def louvainSnnLsh(s: SparkSession, dir: String): DataFrame =
     louvainSnnFrom(snnFrom(Ann.knnEdges(s, dir, k = SnnK, exact = false)))
 
-  private def louvainSnnFrom(snn: DataFrame): DataFrame = {
+  private def louvainSnnFrom(snn: DataFrame): DataFrame =
+    louvainMoves(snn, SnnLouvainRounds, converge = false)
+
+  /** Convergence-mode alternate (r13 verdict item 7): wrapper.R:267-348's
+    * FindClusters runs Louvain until no local move improves modularity,
+    * while the registry queries pin 3 synchronous rounds for oracle
+    * replayability (the DuckDB twin unrolls the same fixed CTE chain).
+    * This is the library-surface variant that iterates to local-move
+    * convergence (capped at `maxRounds`; each round's changed-vertex
+    * count is a driver-bounded scalar). GraphOpsSpec pins (a) cap=3 ≡
+    * the fixed-3-round registry output and (b) the converged assignment
+    * is a fixpoint — one more move round changes nothing. */
+  def louvainSnnConverged(snn: DataFrame, maxRounds: Int): DataFrame =
+    louvainMoves(snn, maxRounds, converge = true)
+
+  /** Convenience form over the exact mutual-kNN SNN feed (the oracle
+    * graph the registry's louvain_snn runs on). */
+  def louvainSnnConverged(s: SparkSession, dir: String,
+      maxRounds: Int = 20): DataFrame =
+    louvainSnnConverged(snnFrom(Ann.knnEdges(s, dir, k = SnnK, exact = true)),
+      maxRounds)
+
+  private def louvainMoves(snn: DataFrame, rounds: Int,
+      converge: Boolean): DataFrame = {
     val edges = snn.select(col("a").as("src"), col("b").as("dst"), col("shared").as("w"))
       .unionAll(snn.select(col("b").as("src"), col("a").as("dst"), col("shared").as("w")))
       .localCheckpoint() // feeds every round (the #219 contract)
@@ -283,7 +306,10 @@ object GraphOps {
         "envelope (4W^2 >= 2^63); rescale edge weights before clustering")
     var c = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("c"))
-    for (i <- 1 to SnnLouvainRounds) {
+    var prev: DataFrame = null // state two rounds back (2-cycle detection)
+    var i = 1
+    var moved = true
+    while (i <= rounds && moved) {
       val tot = c.join(str, "v").groupBy(col("c")).agg(sum(col("s")).as("tot"))
       val kin = edges.join(c.select(col("v").as("dst"), col("c").as("cand")), "dst")
         .groupBy(col("src"), col("cand")).agg(sum(col("w")).as("kin"))
@@ -304,7 +330,35 @@ object GraphOps {
         .select(col("v"), struct((-col("score")).as("ns"), col("cand").as("c")).as("sc"))
         .groupBy(col("v")).agg(min(col("sc")).as("mx"))
         .select(col("v"), col("mx.c").as("c"))
-      c = (if (i < SnnLouvainRounds) next.localCheckpoint() else next)
+      if (converge) {
+        // localCheckpoint cuts the LINEAGE but deliberately copies the
+        // origin plan's STATS into the LogicalRDD — and a round's
+        // sizeInBytes is a product over the previous round's, so the
+        // stat's DIGIT COUNT grows ~5× per round (double-exponential
+        // value). The registry's 3 fixed rounds stay under it; by round
+        // ~8 join-size estimation is multiplying million-digit BigInts
+        // and planning livelocks. Rebuilding from the checkpointed RDD
+        // resets the leaf stats each round (one |V|-row re-encode —
+        // bounded, the SNN vertex set).
+        val ck = next.localCheckpoint()
+        val nxt = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+          .localCheckpoint()
+        def differs(a: DataFrame, b: DataFrame): Boolean =
+          a.join(b.withColumnRenamed("c", "__c0"), "v")
+            .filter(col("c") =!= col("__c0")).limit(1).count() > 0
+        // terminate on the first REPEATED state: a fixpoint (state_i =
+        // state_{i-1}) or a 2-cycle (state_i = state_{i-2} — synchronous
+        // moves let community pairs swap forever where sequential
+        // Louvain would have settled; first-detection makes the stop
+        // round, and therefore the returned member of the cycle, a
+        // deterministic function of the graph)
+        moved = differs(nxt, c) && (prev == null || differs(nxt, prev))
+        prev = c
+        c = nxt
+      } else {
+        c = (if (i < rounds) next.localCheckpoint() else next)
+      }
+      i += 1
     }
     c.select(col("v").as("vec_id"), col("c").as("community"))
   }

@@ -85,6 +85,71 @@ class DedupSpec extends SparkSpecBase {
       s"star edge count ${star.size} outside [$spanMin, $pairMax]")
   }
 
+  test("borderline chain: star components REFINE exact components, never merge across") {
+    // r13 ADVICE: on a chain a—b—c with both adjacent Jaccards >= t but
+    // J(a,c) < t, a hub edge can fail verification a non-hub pair would
+    // pass — the star feed may SPLIT such a component but must never
+    // over-merge. Construct exactly that chain and pin the refinement
+    // property (the safety half of the star contract; the oracle
+    // binding at gate SFs doubles as the recall canary for the rest).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.{charShingles, jaccardSim}
+    val base = ("the quick brown fox jumps over the lazy dog while seventeen "
+      + "green bottles hang on the wall and the rain in spain falls mainly "
+      + "on the plain near the old mill by the river bend today as four "
+      + "silver clouds drift slowly past the tall white tower where nine "
+      + "small birds sing their morning song to wake the sleeping village")
+    val a = "zzz qqq xxx vvv kkk www jjj uuu ppp yyy " + base.drop(40)
+    val b = base
+    val c = base.dropRight(40) + " fff ggg hhh mmm nnn rrr sss ttt lll bbb"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // the construction must actually be a borderline chain
+    val j = docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        jaccardSim(charShingles(api.Similarity.normalizeText(col("x.text")), 5),
+          charShingles(api.Similarity.normalizeText(col("y.text")), 5)).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) >= 0.7 && j((2L, 3L)) >= 0.7 && j((1L, 3L)) < 0.7,
+      s"construction is not a borderline chain: $j")
+    val star = api.Similarity.nearDupStarEdgesLsh(
+      docs, col("doc_id"), col("text"), threshold = 0.7)
+    val starComp = api.Similarity.connectedComponents(star, col("d1"), col("d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact components: the chain is ONE component rooted at 1
+    // refinement: every star component sits inside one exact component
+    // (here: any partition of {1,2,3} is a refinement EXCEPT one that
+    // merges while excluding the middle — impossible — so the real
+    // assertion is that emitted star edges are verified true pairs)
+    val edges = star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges.foreach { case (d1, d2) =>
+      assert(j((math.min(d1, d2), math.max(d1, d2))) >= 0.7,
+        s"star edge ($d1,$d2) is not a verified >= t pair")
+    }
+    // and vertices never land in a component outside their exact one
+    starComp.foreach { case (v, comp) =>
+      assert(Set(1L, 2L, 3L).contains(v) && Set(1L, 2L, 3L).contains(comp))
+    }
+  }
+
+  test("consumer rule: linear-output dedup consumers feed on star edges, never the pair list") {
+    // SURVEY §5 consumer rule (r13 verdict item 9): pair-list outputs
+    // are Θ(Σ cluster²) and must never feed a linear-output consumer.
+    // Guard the one place that regressed before: the components feed.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/dedup/Dedup.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val at = src.indexOf("def dedupComponentsLsh")
+    assert(at > 0)
+    val body = src.substring(at, src.indexOf("def ", at + 10) match {
+      case -1 => src.length; case n => n })
+    assert(body.contains("nearDupStarEdgesLsh"),
+      "dedupComponentsLsh must feed on bucket-star edges")
+    assert(!body.contains("nearDupPairsLsh") && !body.contains("dedupMinhashLsh"),
+      "dedupComponentsLsh must not consume a pair-list output")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = dedup.Dedup.dedupExact(spark, sf)
     val total = g.selectExpr("sum(n_docs)").collect()(0).getLong(0)

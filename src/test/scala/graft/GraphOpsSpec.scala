@@ -43,6 +43,28 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("convergence-mode louvain: cap=3 matches the fixed-3-round registry output and the converged partition is a fixpoint") {
+    // (a) capped at the registry's round count, the alternate IS the
+    // registry query (same moves, same argmax order)
+    val fixed3 = sim.GraphOps.louvainSnn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = sim.GraphOps.louvainSnnConverged(spark, sf, maxRounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == fixed3,
+      "cap=3 convergence-mode must equal the fixed-3-round unroll")
+    // (b) run to convergence: the loop stops at the first REPEATED
+    // state (fixpoint, or the 2-cycle synchronous moves produce where
+    // sequential Louvain would have settled), so a larger round budget
+    // changes nothing (wrapper.R's FindClusters termination analog)
+    val conv = sim.GraphOps.louvainSnnConverged(spark, sf, maxRounds = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val convPlus = sim.GraphOps.louvainSnnConverged(spark, sf, maxRounds = 31)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(conv == convPlus, "converged partition must be budget-invariant")
+    // converged partition still covers every vertex exactly once
+    assert(conv.map(_._1).size == fixed3.map(_._1).size)
+  }
+
   test("leiden refinement is a strict refinement of the louvain partition") {
     val ref = sim.GraphOps.leidenRefine(spark, sf)
     // each refined community maps into exactly one coarse community

@@ -82,6 +82,45 @@ class OpsR13Spec extends SparkSpecBase {
     }
   }
 
+  test("audience_overlap_kmv: estimator branch stays within KMV error bounds above k") {
+    // r13 ADVICE: the sf0.001 corpus (15 users/type) only exercises the
+    // exact n<k branch. Synthesize two 500-user audiences sharing 200
+    // users (true J = 200/800 = 0.25) so the (k-1)/h_k distinct
+    // estimate, the union-sketch truncation at k, and the shared-member
+    // numerator all run, and pin them to generous multiples of the
+    // published KMV errors (RSE(distinct) ~ 1/sqrt(k-2) ~ 13%,
+    // se(J) ~ sqrt(J(1-J)/k) ~ 5.4% at k=64).
+    import spark.implicits._
+    val rows = (0 until 500).flatMap { i =>
+      // type A: users 0..499; type B: users 300..799 (200 shared)
+      Seq(("A", i.toLong), ("B", (i + 300).toLong))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("kmv_events").toString
+    rows.toDF("event_type", "user_id")
+      .select(monotonically_increasing_id().as("event_id"),
+        lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = core.Sessions.audienceOverlapKmv(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("exact_jaccard") == 0.25)
+    // estimator branch engaged: n=500 >= k=64, so est_a is an estimate
+    assert(math.abs(r.getAs[Double]("est_a") - 500.0) < 250.0,
+      s"distinct estimate ${r.getAs[Double]("est_a")} outside 50% of 500")
+    assert(math.abs(r.getAs[Double]("est_b") - 500.0) < 250.0)
+    assert(math.abs(r.getAs[Double]("est_union") - 800.0) < 400.0)
+    // 4-sigma-ish Jaccard band; the branch must NOT degenerate to exact
+    assert(r.getAs[Double]("jaccard_err") < 0.25,
+      s"estimator error ${r.getAs[Double]("jaccard_err")} implausibly large")
+    assert(r.getAs[Double]("est_union") >=
+      math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")) - 1e-9)
+    // intersection consistency: est_intersection = est_j * est_union
+    assert(math.abs(r.getAs[Double]("est_intersection") -
+      r.getAs[Double]("est_jaccard") * r.getAs[Double]("est_union")) < 0.5)
+  }
+
   test("topic_coherence_npmi: bounded scores over consistent dfs") {
     val rows = text.TextOps.topicCoherenceNpmi(spark, sf).collect()
     assert(rows.nonEmpty)
