@@ -916,7 +916,159 @@ object Scores {
        |WHERE o.k % 2 = 1
        |GROUP BY 1, 2, yh.yhat, qh.qhat""".stripMargin
 
+  // ---------------------------------------------------------------
+  // 349. Isotonic (PAV) calibration of a quality score (Zadrozny &
+  // Elkan 2002; the standard post-hoc calibrator for classifier-scored
+  // curation): bin n_chars into 40 fixed-width buckets, fit the
+  // monotone-nondecreasing rate curve by pool-adjacent-violators in
+  // its minimax closed form — fit(k) = max_{i<=k} min_{j>=k}
+  // wavg(i..j) — over the BOUNDED bin table (everything after the one
+  // fact agg is a <=40-row frame, so the O(B^3) pair enumeration is
+  // ~64k tuples regardless of corpus size). All ratios are
+  // integer/integer, so min/max see bit-identical doubles in both
+  // engines — fp-safe argmins without rounding tricks.
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val B = 40
+    val mx = Tables.documents(s, dir).agg(max(col("n_chars")).as("mc"))
+    val binned = Tables.documents(s, dir).crossJoin(broadcast(mx))
+      .select(least(floor(col("n_chars") * B / (col("mc") + 1)), lit(B - 1))
+        .cast("long").as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val bins = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("w"), sum(col("y")).as("yy"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    // <=40 rows from here on: the global-order window is bounded
+    val c = bins.select(col("bin"), col("w"), col("yy"),
+      sum(col("w")).over(wOrd).as("cw"), sum(col("yy")).over(wOrd).as("cy"),
+      coalesce(sum(col("w")).over(wOrd.rowsBetween(Long.MinValue, -1)), lit(0L)).as("pcw"),
+      coalesce(sum(col("yy")).over(wOrd.rowsBetween(Long.MinValue, -1)), lit(0L)).as("pcy"))
+    val k = c.select(col("bin").as("kb"))
+    val pairs = k
+      .join(broadcast(c.select(col("bin").as("ib"), col("pcy"), col("pcw"))),
+        col("ib") <= col("kb"))
+      .join(broadcast(c.select(col("bin").as("jb"), col("cy"), col("cw"))),
+        col("jb") >= col("kb"))
+      .select(col("kb"), col("ib"), col("pcy"), col("pcw"),
+        ((col("cy") - col("pcy")) / (col("cw") - col("pcw")).cast("double")).as("m"))
+    val fit = pairs.groupBy(col("kb"), col("ib")).agg(min(col("m")).as("mn"))
+      .groupBy(col("kb")).agg(max(col("mn")).as("iso"))
+    bins.join(fit, col("bin") === col("kb"))
+      .select(col("bin"), col("w").as("n"),
+        round(col("yy") / col("w").cast("double"), 6).as("rate"),
+        round(col("iso"), 6).as("iso_rate"),
+        round(abs(col("yy") / col("w").cast("double") - col("iso")), 6).as("gap"))
+  }
+
+  private val isotonicCalibrationSql =
+    """WITH mx AS (SELECT max(n_chars) AS mc FROM documents),
+       b AS (
+         SELECT least(CAST(n_chars * 40 // (mc + 1) AS BIGINT), 39) AS bin,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents, mx),
+       bins AS (SELECT bin, count(*) AS w, sum(y) AS yy FROM b GROUP BY 1),
+       c AS (
+         SELECT bin, w, yy,
+           sum(w) OVER (ORDER BY bin) AS cw,
+           sum(yy) OVER (ORDER BY bin) AS cy,
+           coalesce(sum(w) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcw,
+           coalesce(sum(yy) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcy
+         FROM bins),
+       pairs AS (
+         SELECT k.bin AS kb, i.bin AS ib, i.pcy, i.pcw,
+                (j.cy - i.pcy) / CAST(j.cw - i.pcw AS DOUBLE) AS m
+         FROM c k JOIN c i ON i.bin <= k.bin JOIN c j ON j.bin >= k.bin),
+       inner_min AS (
+         SELECT kb, ib, min(m) AS mn FROM pairs GROUP BY 1, 2),
+       fit AS (SELECT kb, max(mn) AS iso FROM inner_min GROUP BY 1)
+       SELECT b.bin, b.w AS n,
+              round(b.yy / CAST(b.w AS DOUBLE), 6) AS rate,
+              round(f.iso, 6) AS iso_rate,
+              round(abs(b.yy / CAST(b.w AS DOUBLE) - f.iso), 6) AS gap
+       FROM bins b JOIN fit f ON b.bin = f.kb"""
+
+  // ---------------------------------------------------------------
+  // 350. Propensity-score nearest match (Rosenbaum & Rubin 1983;
+  // with-replacement 1-NN): treated units (BUILDING-segment customers)
+  // each match the nearest control by account balance WITHIN their
+  // nation stratum — the standard exact-match-on-covariate +
+  // nearest-on-score design, and the stratification is also the scale
+  // story: the sort window partitions by nation, never globally (at
+  // 100 TB stratify finer — score-bucket pre-binning — the same
+  // contract). Nearest = min |score diff| between the previous and
+  // next control in the (score, id) order; equal diffs break to the
+  // smaller control id. Deterministic: parquet doubles are identical
+  // bytes in both engines.
+  def propensityMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      col("c_acctbal").as("score"), col("c_nationkey").as("nation"),
+      (col("c_mktsegment") === "BUILDING").as("treated"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("score").asc, col("id").asc)
+    val ctlId = when(!col("treated"), col("id"))
+    val ctlS = when(!col("treated"), col("score"))
+    val marked = u
+      .withColumn("prev_id", last(ctlId, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("prev_s", last(ctlS, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_id", first(ctlId, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("next_s", first(ctlS, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("treated"))
+    val dPrev = abs(col("score") - col("prev_s"))
+    val dNext = abs(col("next_s") - col("score"))
+    marked.select(col("id").as("treated_id"), col("nation"), col("score"),
+      when(col("prev_id").isNull, col("next_id"))
+        .when(col("next_id").isNull, col("prev_id"))
+        .when(dPrev < dNext, col("prev_id"))
+        .when(dNext < dPrev, col("next_id"))
+        .otherwise(least(col("prev_id"), col("next_id"))).as("control_id"),
+      round(when(col("prev_id").isNull, dNext)
+        .when(col("next_id").isNull, dPrev)
+        .otherwise(least(dPrev, dNext)), 6).as("score_diff"))
+      .filter(col("control_id").isNotNull)
+  }
+
+  private val propensityMatchSql =
+    """WITH u AS (
+         SELECT c_custkey AS id, c_acctbal AS score, c_nationkey AS nation,
+                (c_mktsegment = 'BUILDING') AS treated
+         FROM customer),
+       w AS (
+         SELECT id, nation, score, treated,
+           last_value(CASE WHEN NOT treated THEN id END IGNORE NULLS)
+             OVER (PARTITION BY nation ORDER BY score ASC, id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+           last_value(CASE WHEN NOT treated THEN score END IGNORE NULLS)
+             OVER (PARTITION BY nation ORDER BY score ASC, id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s,
+           first_value(CASE WHEN NOT treated THEN id END IGNORE NULLS)
+             OVER (PARTITION BY nation ORDER BY score ASC, id ASC
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id,
+           first_value(CASE WHEN NOT treated THEN score END IGNORE NULLS)
+             OVER (PARTITION BY nation ORDER BY score ASC, id ASC
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_s
+         FROM u)
+       SELECT id AS treated_id, nation, score,
+         CASE
+           WHEN prev_id IS NULL THEN next_id
+           WHEN next_id IS NULL THEN prev_id
+           WHEN abs(score - prev_s) < abs(next_s - score) THEN prev_id
+           WHEN abs(next_s - score) < abs(score - prev_s) THEN next_id
+           ELSE least(prev_id, next_id) END AS control_id,
+         round(CASE
+           WHEN prev_id IS NULL THEN abs(next_s - score)
+           WHEN next_id IS NULL THEN abs(score - prev_s)
+           ELSE least(abs(score - prev_s), abs(next_s - score)) END, 6) AS score_diff
+       FROM w
+       WHERE treated AND (prev_id IS NOT NULL OR next_id IS NOT NULL)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "isotonic_calibration" -> (isotonicCalibration _),
+    "propensity_match" -> (propensityMatch _),
     "conformal_intervals" -> (conformalIntervals _),
     "wilson_rates"     -> (wilsonRates _),
     "mann_kendall"     -> (mannKendall _),
@@ -934,6 +1086,8 @@ object Scores {
     "calibration_bins" -> (calibrationBins _))
 
   val oracles: Map[String, String] = Map(
+    "isotonic_calibration" -> isotonicCalibrationSql,
+    "propensity_match"  -> propensityMatchSql,
     "conformal_intervals" -> conformalIntervalsSql,
     "bootstrap_ci"      -> bootstrapCiSql,
     "benford_screen"    -> benfordScreenSql,

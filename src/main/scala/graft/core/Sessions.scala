@@ -2178,7 +2178,147 @@ object Sessions {
               round(b.n * 7 / CAST(t.total AS DOUBLE), 6) AS seasonal_index
        FROM byd b JOIN tot t USING (event_type)"""
 
+  // ---------------------------------------------------------------
+  // 346. HyperLogLog distinct users per event type (Flajolet et al.
+  // 2007) — the register-sketch sibling of #341's KMV: ONE pass builds
+  // m=256 max-rho registers per type (a 256-key groupBy with map-side
+  // partials — at 100 TB the registers merge associatively across any
+  // partitioning, which is the whole point of HLL over exact distinct),
+  // then the harmonic-mean estimate with the standard small-range
+  // (linear-counting) correction. The md5-derived bit stream replays
+  // exactly in DuckDB (the #341 hash convention): bucket = first 8
+  // hash bits, rho = leading-zero count of the next 56 + 1. The exact
+  // distinct count rides along as the calibration column.
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val tu = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+    val hx = tu.withColumn("hex", md5(col("user_id").cast("string")))
+      .withColumn("bucket", conv(substring(col("hex"), 1, 2), 16, 10).cast("long"))
+      .withColumn("stream", substring(col("hex"), 3, 14))
+    val z = length(regexp_extract(col("stream"), "^0*", 0))
+    val nib = (call_function("locate",
+      substring(col("stream"), z + 1, lit(1)), lit("0123456789abcdef")) - 1).cast("int")
+    val nibBits = when(nib >= 8, 4).when(nib >= 4, 3).when(nib >= 2, 2).otherwise(1)
+    val rho = when(z >= 14, lit(57)).otherwise(z * 4 + (lit(4) - nibBits) + 1)
+    val regs = hx.withColumn("rho", rho)
+      .groupBy(col("t"), col("bucket")).agg(max(col("rho")).as("mj"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val agg = regs.groupBy(col("t"))
+      .agg(count(lit(1)).as("v"), sum(pow(lit(2.0), -col("mj"))).as("sp"))
+      .withColumn("raw", lit(alpha * m * m) / (col("sp") + (lit(m) - col("v"))))
+    val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+    val estC = when(col("raw") <= 2.5 * m && col("v") < m,
+      lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("v"))))
+      .otherwise(col("raw"))
+    agg.join(sizes, "t")
+      .select(col("t").as("event_type"), lit(m.toLong).as("m"),
+        col("v").as("registers_used"), r(col("raw"), 4).as("raw_est"),
+        r(estC, 4).as("est_distinct"), col("n_exact"),
+        r(abs(estC - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+  }
+
+  private val hllDistinctSql =
+    """WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+       hx AS (SELECT t, user_id, md5(CAST(user_id AS VARCHAR)) AS hex FROM tu),
+       parts AS (
+         SELECT t,
+           (strpos('0123456789abcdef', substr(hex,1,1))-1)*16
+             + (strpos('0123456789abcdef', substr(hex,2,1))-1) AS bucket,
+           substr(hex, 3, 14) AS stream
+         FROM hx),
+       rho AS (
+         SELECT t, bucket,
+           CASE WHEN length(regexp_extract(stream, '^0*')) >= 14 THEN 57
+             ELSE length(regexp_extract(stream, '^0*'))*4
+               + (4 - CASE
+                   WHEN (strpos('0123456789abcdef', substr(stream, length(regexp_extract(stream, '^0*'))+1, 1))-1) >= 8 THEN 4
+                   WHEN (strpos('0123456789abcdef', substr(stream, length(regexp_extract(stream, '^0*'))+1, 1))-1) >= 4 THEN 3
+                   WHEN (strpos('0123456789abcdef', substr(stream, length(regexp_extract(stream, '^0*'))+1, 1))-1) >= 2 THEN 2
+                   ELSE 1 END) + 1
+             END AS rho
+         FROM parts),
+       regs AS (SELECT t, bucket, max(rho) AS mj FROM rho GROUP BY 1, 2),
+       agg AS (
+         SELECT t, count(*) AS v, sum(power(2.0, -mj)) AS sp FROM regs GROUP BY 1),
+       sizes AS (SELECT t, count(*) AS n_exact FROM tu GROUP BY 1),
+       est AS (
+         SELECT a.t, a.v,
+           (0.7213/(1.0 + 1.079/256.0)) * 256.0 * 256.0
+             / (a.sp + (256 - a.v) * 1.0) AS raw,
+           s.n_exact
+         FROM agg a JOIN sizes s USING (t))
+       SELECT t AS event_type, CAST(256 AS BIGINT) AS m, v AS registers_used,
+         round(raw, 4) AS raw_est,
+         round(CASE WHEN raw <= 640.0 AND v < 256
+           THEN 256.0 * ln(256.0 / (256 - v)) ELSE raw END, 4) AS est_distinct,
+         n_exact,
+         round(abs(CASE WHEN raw <= 640.0 AND v < 256
+           THEN 256.0 * ln(256.0 / (256 - v)) ELSE raw END - n_exact)
+           / n_exact, 4) AS rel_err
+       FROM est"""
+
+  // ---------------------------------------------------------------
+  // 347. CUPED variance reduction (Deng et al. 2013) — the experiment-
+  // analysis op every metrics pipeline runs before reading an A/B test:
+  // per (event type, user) split the value stream at the corpus time
+  // midpoint into a pre-period covariate x and the experiment metric y,
+  // then theta = cov(x,y)/var(x) and var(y_cuped) = var(y) - cov^2/var(x).
+  // ONE fact pass: the (type, user) rollup computes both period sums,
+  // the per-type moments are a bounded second agg riding it. The time
+  // midpoint is a 1-row aggregate attached via crossJoin(broadcast) —
+  // the PlanSpec bounded-scaffold contract.
+  def cupedAdjustment(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bnd = ev.agg(((min(col("ts_ns")) + max(col("ts_ns"))) / 2)
+      .cast("long").as("mid"))
+    val ux = ev.crossJoin(broadcast(bnd))
+      .groupBy(col("event_type").as("t"), col("user_id"))
+      .agg(sum(when(col("ts_ns") < col("mid"), col("value")).otherwise(0.0)).as("x"),
+        sum(when(col("ts_ns") >= col("mid"), col("value")).otherwise(0.0)).as("y"))
+    val mom = ux.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_users"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("vx"),
+        (avg(col("y") * col("y")) - avg(col("y")) * avg(col("y"))).as("vy"),
+        (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))).as("cxy"))
+    mom.select(col("t").as("event_type"), col("n_users"),
+      r(when(col("vx") > 0, col("cxy") / col("vx")), 6).as("theta"),
+      r(col("vy"), 6).as("var_y"),
+      r(when(col("vx") > 0, col("vy") - col("cxy") * col("cxy") / col("vx"))
+        .otherwise(col("vy")), 6).as("var_y_cuped"),
+      r(when(col("vx") > 0 && col("vy") > 0,
+        (col("cxy") * col("cxy") / col("vx")) / col("vy")).otherwise(0.0), 4)
+        .as("var_reduction"))
+  }
+
+  private val cupedAdjustmentSql =
+    """WITH bnd AS (
+         SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid FROM events),
+       ux AS (
+         SELECT event_type AS t, user_id,
+           sum(CASE WHEN epoch_ns(ts) < (SELECT mid FROM bnd)
+               THEN value ELSE 0.0 END) AS x,
+           sum(CASE WHEN epoch_ns(ts) >= (SELECT mid FROM bnd)
+               THEN value ELSE 0.0 END) AS y
+         FROM events GROUP BY 1, 2),
+       mom AS (
+         SELECT t, count(*) AS n_users,
+           avg(x*x) - avg(x)*avg(x) AS vx,
+           avg(y*y) - avg(y)*avg(y) AS vy,
+           avg(x*y) - avg(x)*avg(y) AS cxy
+         FROM ux GROUP BY 1)
+       SELECT t AS event_type, n_users,
+         round(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS theta,
+         round(vy, 6) AS var_y,
+         round(CASE WHEN vx > 0 THEN vy - cxy*cxy/vx ELSE vy END, 6) AS var_y_cuped,
+         round(CASE WHEN vx > 0 AND vy > 0 THEN (cxy*cxy/vx) / vy
+               ELSE 0.0 END, 4) AS var_reduction
+       FROM mom"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_distinct"           -> (hllDistinct _),
+    "cuped_adjustment"       -> (cupedAdjustment _),
     "funnel_latency"         -> (funnelLatency _),
     "session_bounce"         -> (sessionBounce _),
     "capped_running_sum"     -> (cappedRunningSum _),
@@ -2227,6 +2367,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "hll_distinct"           -> hllDistinctSql,
+    "cuped_adjustment"       -> cupedAdjustmentSql,
     "funnel_latency"         -> funnelLatencySql,
     "session_bounce"         -> sessionBounceSql,
     "capped_running_sum"     -> cappedRunningSumSql,

@@ -1185,6 +1185,109 @@ object Ann {
               round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / tr.n_true, 6) AS recall
        FROM tr LEFT JOIN hits h USING (qid)"""
 
+  // ---------------------------------------------------------------
+  // 352. MMR-diversified top-k (Carbonell & Goldstein 1998 maximal
+  // marginal relevance) — the re-rank stage a retrieval pipeline runs
+  // AFTER candidate generation so the returned set is relevant AND
+  // non-redundant: pick argmax rel, then 4× argmax of
+  // λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ=0.7. Candidates come from
+  // the multiprobe LSH feed (#38's bucket contract — the scale path;
+  // MMR itself only ever touches the ≤25-candidate-per-query frames,
+  // so the 25² pair-sim table and the 5 unrolled selection rounds are
+  // bounded work regardless of corpus size). Rel and pair sims round
+  // to 6dp BEFORE every argmax so both engines rank identical doubles;
+  // ties break by vec_id ascending.
+  def mmrDiversifiedTopk(s: SparkSession, dir: String): DataFrame = {
+    val lam = 0.7
+    val vecs = vectors(s, dir).withColumn("bucket",
+      graft.functions.VectorFunctions.hyperplaneBucket(col("v"), LshPlanes))
+    val qs = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr(s"""transform(sequence(0, $LshPlanes),
+          p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
+    val scored = vecs.join(broadcast(qs), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cs", cosCol)
+    // the candidate and pair-sim frames are bounded (|queries|·25 and
+    // |queries|·25² rows) and feed all five selection rounds — pin them
+    // once, or the unrolled DAG re-executes the LSH scoring 2^4 times
+    // (each round references the previous twice: union + penalty join)
+    val cand = topk(scored, 25)
+      .select(col("qid"), col("neighbor_id").as("id"), col("cos_sim").as("rel"))
+      .localCheckpoint()
+    val cv = cand.join(vecs.select(col("vec_id").as("id"), col("v"), col("nrm")), "id")
+    val pairs = cv.select(col("qid"), col("id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(cv.select(col("qid"), col("id").as("d2"), col("v").as("v2"), col("nrm").as("n2")),
+        Seq("qid"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("qid"), col("d1"), col("d2"),
+        r(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
+      .localCheckpoint()
+    def argmax(df: DataFrame, key: Column, pos: Int): DataFrame =
+      df.groupBy(col("qid"))
+        .agg(min(struct((-key).as("nk"), col("id").as("id"), col("rel").as("rel"),
+          key.as("k"))).as("p"))
+        .select(col("qid"), col("p.id").as("id"), col("p.rel").as("rel"),
+          col("p.k").as("mmr"), lit(pos.toLong).as("pos"))
+    var selected = argmax(cand, col("rel"), 1)
+    for (t <- 2 to 5) {
+      val ms = pairs.join(selected.select(col("qid"), col("id").as("d2")), Seq("qid", "d2"))
+        .groupBy(col("qid"), col("d1")).agg(max(col("sim")).as("ms"))
+      val remaining = cand.join(selected.select(col("qid"), col("id")),
+        Seq("qid", "id"), "left_anti")
+      val scoredT = remaining
+        .join(ms.select(col("qid"), col("d1").as("id"), col("ms")), Seq("qid", "id"), "left")
+        .withColumn("mmr", round(lit(lam) * col("rel")
+          - lit(1 - lam) * coalesce(col("ms"), lit(0.0)), 6))
+      selected = selected.unionByName(argmax(scoredT, col("mmr"), t))
+        .localCheckpoint() // |queries|·t rows; keeps round DAGs flat
+    }
+    selected.select(col("qid"), col("pos"), col("id").as("vec_id"),
+      col("rel").as("relevance"), col("mmr").as("mmr_score"))
+  }
+
+  private val mmrDiversifiedTopkSql = {
+    val step = (t: Int) =>
+      s"""ms$t AS (
+           SELECT p.qid, p.d1 AS id, max(p.sim) AS ms
+           FROM prs p JOIN selall${t - 1} s ON p.qid = s.qid AND p.d2 = s.id
+           GROUP BY 1, 2),
+         sc$t AS (
+           SELECT c.qid, c.id, c.rel,
+                  round(0.7 * c.rel - 0.3 * coalesce(m.ms, 0.0), 6) AS mmr
+           FROM cnd c LEFT JOIN ms$t m ON c.qid = m.qid AND c.id = m.id
+           WHERE NOT EXISTS (SELECT 1 FROM selall${t - 1} s
+                             WHERE s.qid = c.qid AND s.id = c.id)),
+         sel$t AS (
+           SELECT qid, id, rel, mmr, $t AS pos FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY mmr DESC, id ASC) AS rn FROM sc$t)
+           WHERE rn = 1),
+         selall$t AS (
+           SELECT * FROM selall${t - 1} UNION ALL SELECT * FROM sel$t)"""
+    s"""WITH $lshSigPrefixSql,
+       ${lshKnnSql(25, "WHERE s.vec_id % 50 = 0")},
+       cnd AS MATERIALIZED (
+         SELECT qid, nid AS id, round(cs, 6) AS rel
+         FROM scored WHERE rk <= 25),
+       prs AS MATERIALIZED (
+         SELECT a.qid, a.id AS d1, b.id AS d2,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+         FROM cnd a JOIN cnd b ON a.qid = b.qid AND a.id != b.id
+         JOIN embeddings ea ON a.id = ea.vec_id
+         JOIN embeddings eb ON b.id = eb.vec_id),
+       sel1 AS (
+         SELECT qid, id, rel, rel AS mmr, 1 AS pos FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY rel DESC, id ASC) AS rn FROM cnd)
+         WHERE rn = 1),
+       selall1 AS (SELECT * FROM sel1),
+       ${(2 to 5).map(step).mkString(",\n")}
+       SELECT qid, CAST(pos AS BIGINT) AS pos, id AS vec_id,
+              rel AS relevance, mmr AS mmr_score
+       FROM selall5"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_knn"        -> (pagerankKnn _),
     "pagerank_knn_lsh"    -> (pagerankKnnLsh _),
@@ -1198,6 +1301,7 @@ object Ann {
     "ivf_nprobe_sweep"    -> (ivfNprobeSweep _),
     "lsh_planes_sweep"    -> (lshPlanesSweep _),
     "ivf_cell_balance"    -> (ivfCellBalance _),
+    "mmr_diversified_topk" -> (mmrDiversifiedTopk _),
     "ann_lsh_topk"        -> (annLshTopk _),
     "ann_ivf_topk"        -> (annIvfTopk _),
     "ann_recall_eval"     -> (annRecallEval _),
@@ -1241,6 +1345,7 @@ object Ann {
     "louvain_knn" -> s"WITH ${bruteKnnSql(5)},\n$louvainTailSql",
     "louvain_knn_lsh" ->
       s"WITH $lshSigPrefixSql,\n${lshKnnSql(5)},\n$louvainTailSql",
+    "mmr_diversified_topk" -> mmrDiversifiedTopkSql,
     "ann_lsh_topk" ->
       s"""WITH $lshSigPrefixSql,
          ${lshKnnSql(10, "WHERE s.vec_id % 50 = 0")}

@@ -1725,6 +1725,89 @@ object TextOps {
               round(quantile_cont(n_chars, 0.9), 6) AS p90
        FROM documents GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 351. Corpus-level BLEU proxy (Papineni et al. 2002) between the
+  // odd-id and even-id halves of the corpus — the distribution-match
+  // score an LLM-data pipeline uses to compare a synthetic/rewritten
+  // corpus against its source (corpus-level modified n-gram precision,
+  // NOT per-sentence): clipped counts min(cnt_cand(g), cnt_ref(g)) per
+  // n-gram order 1..4, brevity penalty from corpus token lengths,
+  // geometric mean. Scale shape: four gram rollups (vocab^n-bounded
+  // keys, map-side partials) — the gram tables never join each other;
+  // everything after is a 4-row frame.
+  def corpusBleuProxy(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select((pmod(col("doc_id"), lit(2)) === 1).as("cand"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+    def gramsN(n: Int) = words.select(col("cand"), explode(expr(
+        s"transform(sequence(1, greatest(size(ws) - ${n - 1}, 0)), " +
+          s"i -> array_join(slice(ws, i, $n), ' '))")).as("g"))
+      .withColumn("n", lit(n.toLong))
+    val grams = (1 to 4).map(gramsN).reduce(_ unionByName _)
+    val gc = grams.groupBy(col("n"), col("g"))
+      .agg(sum(when(col("cand"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("cand"), 1L).otherwise(0L)).as("cb"))
+    val pn = gc.groupBy(col("n"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clipped"), sum(col("ca")).as("total"))
+      .withColumn("p", col("clipped") / col("total").cast("double"))
+    val lens = words.select(col("cand"), size(col("ws")).cast("long").as("l"))
+      .groupBy().agg(sum(when(col("cand"), col("l")).otherwise(0L)).as("la"),
+        sum(when(!col("cand"), col("l")).otherwise(0L)).as("lb"))
+    val glob = pn.groupBy().agg(min(col("p")).as("minp"), sum(log(col("p"))).as("sumln"))
+    val bp = when(col("la") >= col("lb"), 1.0)
+      .otherwise(exp(lit(1.0) - col("lb") / col("la").cast("double")))
+    pn.crossJoin(broadcast(lens)).crossJoin(broadcast(glob))
+      .select(col("n"), col("clipped"), col("total"),
+        round(col("p"), 6).as("p_n"),
+        round(bp, 6).as("bp"),
+        round(when(col("minp") === 0, 0.0)
+          .otherwise(bp * exp(col("sumln") / 4.0)), 6).as("bleu"))
+  }
+
+  private val corpusBleuProxySql =
+    """WITH dw AS (
+         SELECT doc_id, doc_id % 2 = 1 AS cand,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+                generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS idx
+         FROM documents),
+       grams AS (
+         SELECT n.n, a.cand,
+           CASE n.n WHEN 1 THEN a.w
+             WHEN 2 THEN a.w || ' ' || b.w
+             WHEN 3 THEN a.w || ' ' || b.w || ' ' || c.w
+             ELSE a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w END AS g
+         FROM (SELECT unnest(generate_series(1, 4)) AS n) n
+         JOIN dw a ON true
+         LEFT JOIN dw b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+         LEFT JOIN dw c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+         LEFT JOIN dw d ON d.doc_id = a.doc_id AND d.idx = a.idx + 3
+         WHERE (n.n <= 1 OR b.w IS NOT NULL) AND (n.n <= 2 OR c.w IS NOT NULL)
+           AND (n.n <= 3 OR d.w IS NOT NULL)),
+       gc AS (
+         SELECT n, g,
+           sum(CASE WHEN cand THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN NOT cand THEN 1 ELSE 0 END) AS cb
+         FROM grams GROUP BY 1, 2),
+       pn AS (
+         SELECT n, sum(least(ca, cb)) AS clipped, sum(ca) AS total,
+           sum(least(ca, cb)) / CAST(sum(ca) AS DOUBLE) AS p
+         FROM gc GROUP BY 1),
+       lens AS (
+         SELECT sum(CASE WHEN cand THEN l ELSE 0 END) AS la,
+                sum(CASE WHEN NOT cand THEN l ELSE 0 END) AS lb
+         FROM (SELECT doc_id, any_value(cand) AS cand, count(*) AS l
+               FROM dw GROUP BY doc_id)),
+       gstats AS (SELECT min(p) AS minp, sum(ln(p)) AS sumln FROM pn)
+       SELECT pn.n, CAST(pn.clipped AS BIGINT) AS clipped,
+         CAST(pn.total AS BIGINT) AS total, round(pn.p, 6) AS p_n,
+         round(CASE WHEN la >= lb THEN 1.0
+           ELSE exp(1.0 - lb / CAST(la AS DOUBLE)) END, 6) AS bp,
+         round(CASE WHEN minp = 0 THEN 0.0
+           ELSE (CASE WHEN la >= lb THEN 1.0
+                 ELSE exp(1.0 - lb / CAST(la AS DOUBLE)) END)
+             * exp(sumln / 4.0) END, 6) AS bleu
+       FROM pn CROSS JOIN lens CROSS JOIN gstats"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "length_profile"   -> (lengthProfile _),
     "heavy_hitters"    -> (heavyHitters _),
@@ -1740,6 +1823,7 @@ object TextOps {
     "zipf_fit"         -> (zipfFit _),
     "zipf_by_source"   -> (zipfBySource _),
     "bm25_top_terms"   -> (bm25TopTerms _),
+    "corpus_bleu_proxy" -> (corpusBleuProxy _),
     "pmi_bigrams"      -> (pmiBigrams _),
     "dsir_weights"     -> (dsirWeights _),
     "dsir_weights_hashed" -> (dsirWeightsHashed _),
@@ -1880,6 +1964,7 @@ object TextOps {
          SELECT doc_id, term, tf, df, round(bm25_raw, 6) AS bm25,
                 row_number() OVER (PARTITION BY doc_id ORDER BY bm25_raw DESC, term ASC) AS rk
          FROM scored QUALIFY rk <= 3""",
+    "corpus_bleu_proxy" -> corpusBleuProxySql,
     "pmi_bigrams" ->
       """WITH ws AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -827,7 +827,66 @@ object Vocab {
        |FROM rk WHERE rk <= 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // 348. Good-Turing frequency smoothing over word bigrams (Good 1953;
+  // the Katz-backoff numerator and the classic unseen-mass estimate) —
+  // the count-of-counts table N_r, the smoothed count r* =
+  // (r+1)·N_{r+1}/N_r, the GT probability r*/N vs the MLE r/N, and the
+  // leave-one-out unseen mass N_1/N that tells a curation pipeline how
+  // much bigram probability its corpus has never seen. Bigrams (not
+  // unigrams) because this corpus's unigram tail is degenerate — every
+  // word repeats hundreds of times, N_1 = 0. Scale shape: one bigram
+  // rollup (vocab²-bounded keys, map-side partials), then N_r is a
+  // |distinct r|-row table — everything after the first agg is bounded.
+  def goodTuringMass(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+    val bg = words.select(explode(expr(
+        """zip_with(slice(ws, 1, greatest(size(ws)-1, 0)),
+           slice(ws, 2, greatest(size(ws)-1, 0)),
+           (a, b) -> concat(a, ' ', b))""")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("r"))
+    val nr = bg.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = nr.agg(sum(col("r") * col("n_r")).cast("double").as("n_tokens"))
+    val n1 = nr.filter(col("r") === 1)
+      .agg(sum(col("n_r")).as("n1"))
+    val nx = nr.select((col("r") - lit(1L)).as("r"), col("n_r").as("n_next"))
+    val gt = (col("r") + 1).cast("double") * col("n_next") / col("n_r")
+    nr.join(nx, Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select(col("r"), col("n_r"),
+        round(when(col("n_next").isNotNull, gt), 6).as("r_star"),
+        round(when(col("n_next").isNotNull, gt / col("n_tokens")), 9).as("p_gt"),
+        round(col("r") / col("n_tokens"), 9).as("p_mle"),
+        round(coalesce(col("n1"), lit(0L)) / col("n_tokens"), 6).as("unseen_mass"))
+  }
+
+  private val goodTuringMassSql =
+    """WITH dw AS (
+         SELECT doc_id, w, idx FROM (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+                  generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS idx
+           FROM documents)),
+       bg AS (
+         SELECT a.w || ' ' || b.w AS g
+         FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+       wc AS (SELECT g, count(*) AS r FROM bg GROUP BY 1),
+       nr AS (SELECT r, count(*) AS n_r FROM wc GROUP BY 1),
+       tot AS (SELECT CAST(sum(r * n_r) AS DOUBLE) AS n_tokens FROM nr),
+       n1 AS (SELECT coalesce(sum(n_r), 0) AS n1 FROM nr WHERE r = 1)
+       SELECT nr.r, nr.n_r,
+         round(CASE WHEN nx.n_r IS NOT NULL
+           THEN (nr.r + 1) * nx.n_r / CAST(nr.n_r AS DOUBLE) END, 6) AS r_star,
+         round(CASE WHEN nx.n_r IS NOT NULL
+           THEN ((nr.r + 1) * nx.n_r / CAST(nr.n_r AS DOUBLE)) / t.n_tokens END, 9) AS p_gt,
+         round(nr.r / t.n_tokens, 9) AS p_mle,
+         round(n1.n1 / t.n_tokens, 6) AS unseen_mass
+       FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
+       CROSS JOIN tot t CROSS JOIN n1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "good_turing_mass"    -> (goodTuringMass _),
     "cms_frequency"       -> (cmsFrequency _),
     "token_quota_cut"     -> (tokenQuotaCut _),
     "ngram_novelty_curve" -> (ngramNoveltyCurve _),
@@ -842,6 +901,7 @@ object Vocab {
     "charclass_profile" -> (charclassProfile _))
 
   val oracles: Map[String, String] = Map(
+    "good_turing_mass"    -> goodTuringMassSql,
     "cms_frequency"       -> cmsFrequencySql,
     "token_quota_cut"     -> tokenQuotaCutSql,
     "ngram_novelty_curve" -> ngramNoveltyCurveSql,

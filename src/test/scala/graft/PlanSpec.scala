@@ -363,6 +363,15 @@ class PlanSpec extends SparkSpecBase {
       // matryoshka eval rides the documented brute-force scorer on both
       // rank cuts (the ann_recall_eval precedent)
       "ann_matryoshka_eval",
+      // r14 scalar/bounded scaffolds: cuped_adjustment attaches the
+      // 1-row time-midpoint agg; isotonic_calibration attaches the
+      // 1-row max-score agg and enumerates bin pairs on the <=40-row
+      // cum table; good_turing_mass attaches the 1-row total/N1 aggs
+      // over the |distinct r|-row table; corpus_bleu_proxy attaches the
+      // 1-row corpus-length and min/sum-ln aggs to the 4-row precision
+      // frame
+      "cuped_adjustment", "isotonic_calibration", "good_turing_mass",
+      "corpus_bleu_proxy",
       // JL projection eval rides the same broadcast-queries exact
       // scorer twice (projected + full-precision truth) — the
       // matryoshka precedent
@@ -471,7 +480,9 @@ class PlanSpec extends SparkSpecBase {
       "factor_by_size" -> "|levels| frequency rank",
       // |sources|-row allocation tables
       "proportional_allocation" -> "|sources| rows",
-      "token_budget_alloc" -> "|sources| rows")
+      "token_budget_alloc" -> "|sources| rows",
+      // the PAV cum table is <=40 rows by construction (fixed bin count)
+      "isotonic_calibration" -> "<=40-row bin cum table")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowedGlobalWindow.contains(name)) Nil
       else {
