@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Per-round benchmark main: times the headline queries at
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
@@ -77,6 +78,25 @@ object Bench {
     * compact, but older artifacts (r10's sf1 map) came through a
     * pretty-printing serializer with ": " — the r12 sf1 sweep parsed
     * 0 PREV queries off exactly that. Spec-pinned in BenchPrevSpec. */
+  /** Newest committed builder full map in cwd (highest round number;
+    * `_final` variants of the same round sort after the base name), or
+    * None when the repo has no full maps yet. Spec-pinned in
+    * BenchPrevSpec. */
+  private[graft] def discoverPrev(
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Option[String] = {
+    val re = """BENCH_builder_r(\d+)_full\w*\.json""".r
+    val listed =
+      try {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString).toVector
+        finally s.close()
+      } catch { case _: java.io.IOException => Vector.empty }
+    listed.flatMap { f =>
+      re.findFirstMatchIn(f).filter(_.matched == f)
+        .map(m => (m.group(1).toInt, f))
+    }.sorted.lastOption.map { case (_, f) => dir.resolve(f).toString }
+  }
+
   private[graft] def parsePrev(raw: String): Map[String, Double] = {
     val txt = raw.replace("\\\"", "\"")
     val at = txt.indexOf("\"queries\":")
@@ -214,10 +234,21 @@ object Bench {
         // >50% in either direction gets an isolated min-of-5 re-measure.
         // Without PREV (first round / local iteration) fall back to the
         // r9 hand list so the field never silently disappears.
+        // r14 verdict item 4: drift auto-isolation must be STANDING, not
+        // env-wired — r14's four no-iso offenders happened because PREV
+        // pointed at the driver wrapper (different suite environment) for
+        // one run. When PREV is unset, a full-protocol run auto-discovers
+        // the newest committed builder full map in cwd; the explicit env
+        // var still wins (sf1/sf3 sweeps compare against their own band).
+        val prevPath: Option[String] =
+          sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse(discoverPrev())
         val prevMap: Map[String, Double] =
-          sys.env.get("SPARK_GRAFT_BENCH_PREV").map { p =>
+          prevPath.map { p =>
             parsePrev(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
           }.getOrElse(Map.empty)
+        prevPath.filterNot(_ => sys.env.contains("SPARK_GRAFT_BENCH_PREV"))
+          .foreach(p => System.err.println(
+            s"[bench] PREV auto-discovered: $p (${prevMap.size} queries)"))
         if (sys.env.contains("SPARK_GRAFT_BENCH_PREV")) {
           System.err.println(s"[bench] PREV map parsed: ${prevMap.size} queries")
           // r12 ADVICE: an explicitly-set PREV that parses to zero

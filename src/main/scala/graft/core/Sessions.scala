@@ -2270,8 +2270,10 @@ object Sessions {
   // the PlanSpec bounded-scaffold contract.
   def cupedAdjustment(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val bnd = ev.agg(((min(col("ts_ns")) + max(col("ts_ns"))) / 2)
-      .cast("long").as("mid"))
+    // Integer `div`, not fp `/`: min+max of epoch-ns (~3.4e18) exceeds 2^53,
+    // so double division loses the low bits and can land 76 ns below DuckDB's
+    // exact (min+max)//2, silently flipping pre/post for an event in the gap.
+    val bnd = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
     val ux = ev.crossJoin(broadcast(bnd))
       .groupBy(col("event_type").as("t"), col("user_id"))
       .agg(sum(when(col("ts_ns") < col("mid"), col("value")).otherwise(0.0)).as("x"),

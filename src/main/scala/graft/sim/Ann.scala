@@ -97,6 +97,9 @@ object Ann {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(expr(s"""transform(sequence(0, $LshPlanes),
           p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
+    // QUERY-SIDE BROADCAST CONTRACT: queries = corpus/50 × (planes+1) probes
+    // grows with the corpus; when queries ~ corpus, use Similarity.lshTopK's
+    // bucket-keyed shuffle self-join instead of broadcast(qs) (SURVEY §5).
     val scored = vecs.join(broadcast(qs), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cs", cosCol)
@@ -1205,6 +1208,11 @@ object Ann {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(expr(s"""transform(sequence(0, $LshPlanes),
           p -> IF(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
+    // QUERY-SIDE BROADCAST CONTRACT: broadcast(qs) assumes queries ≪ corpus.
+    // This registry binds queries = corpus/50 × (planes+1) probes, which GROWS
+    // with the corpus — at 100× the broadcast is the bottleneck. When queries
+    // approach corpus size, swap to Similarity.lshTopK's bucket-keyed
+    // shuffle self-join (same candidate semantics, no broadcast).
     val scored = vecs.join(broadcast(qs), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cs", cosCol)

@@ -1739,9 +1739,14 @@ object TextOps {
     val words = Tables.documents(s, dir)
       .select((pmod(col("doc_id"), lit(2)) === 1).as("cand"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+    // Guarded: for docs shorter than n words, sequence(1, 0) would yield the
+    // DESCENDING array [1, 0] and slice(ws, 0, n) throws at runtime — emit an
+    // empty gram array instead (explode drops the row, matching the oracle).
     def gramsN(n: Int) = words.select(col("cand"), explode(expr(
-        s"transform(sequence(1, greatest(size(ws) - ${n - 1}, 0)), " +
-          s"i -> array_join(slice(ws, i, $n), ' '))")).as("g"))
+        s"CASE WHEN size(ws) >= $n THEN " +
+          s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), ' ')) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
       .withColumn("n", lit(n.toLong))
     val grams = (1 to 4).map(gramsN).reduce(_ unionByName _)
     val gc = grams.groupBy(col("n"), col("g"))
@@ -1797,7 +1802,8 @@ object TextOps {
                 sum(CASE WHEN NOT cand THEN l ELSE 0 END) AS lb
          FROM (SELECT doc_id, any_value(cand) AS cand, count(*) AS l
                FROM dw GROUP BY doc_id)),
-       gstats AS (SELECT min(p) AS minp, sum(ln(p)) AS sumln FROM pn)
+       gstats AS (SELECT min(p) AS minp,
+                         sum(CASE WHEN p > 0 THEN ln(p) END) AS sumln FROM pn)
        SELECT pn.n, CAST(pn.clipped AS BIGINT) AS clipped,
          CAST(pn.total AS BIGINT) AS total, round(pn.p, 6) AS p_n,
          round(CASE WHEN la >= lb THEN 1.0

@@ -40,4 +40,26 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(Bench.parsePrev("""{"metric":"total","value":1.0}""").isEmpty)
     assert(Bench.parsePrev("").isEmpty)
   }
+
+  // r14 verdict item 4: drift auto-isolation is STANDING — when PREV is
+  // unset, a full-protocol run discovers the newest builder full map
+  // itself instead of degrading to the hand list.
+  test("discoverPrev picks the highest-round builder full map, _final wins within a round") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_prev")
+    def touch(n: String) = java.nio.file.Files.writeString(dir.resolve(n), "{}")
+    touch("BENCH_builder_r9_full.json")
+    touch("BENCH_builder_r12_full.json")
+    touch("BENCH_builder_r12_full_final.json")
+    touch("BENCH_builder_r12_sf1.json")     // not a full map — ignored
+    touch("BENCH_r13.json")                 // driver wrapper — ignored
+    touch("CORRECTNESS_builder_r14.json")   // not a bench map — ignored
+    assert(Bench.discoverPrev(dir).map(p => dir.relativize(
+      java.nio.file.Paths.get(p)).toString)
+      .contains("BENCH_builder_r12_full_final.json"))
+  }
+
+  test("discoverPrev returns None when no builder full map exists") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_prev_empty")
+    assert(Bench.discoverPrev(dir).isEmpty)
+  }
 }
