@@ -2318,7 +2318,93 @@ object Sessions {
                ELSE 0.0 END, 4) AS var_reduction
        FROM mom"""
 
+  // ---------------------------------------------------------------
+  // 356. Sample-ratio-mismatch check (the FIRST read of every A/B
+  // analysis — Fabijan et al. 2019 report ~6% of experiments at scale
+  // fail it, invalidating everything downstream): per experiment
+  // (event type as the experiment key), distinct users per arm under
+  // the deterministic id-parity assignment, the 1-dof chi-square
+  // statistic against the designed 50/50 split — which reduces to
+  // (n0−n1)²/n, kept in integer arithmetic until one final division —
+  // and the flag at the 95% critical value 3.841. Production swaps the
+  // parity assignment for a salted hash; the chi-square read is
+  // unchanged. ONE distinct-users shuffle, |event_type|-bounded output.
+  def srmCheck(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        pmod(col("user_id"), lit(2)).as("arm"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .select(col("event_type"), col("n_users"), col("n_arm0"), col("n_arm1"),
+        r(((col("n_arm0") - col("n_arm1")) * (col("n_arm0") - col("n_arm1")))
+          .cast("double") / col("n_users"), 6).as("chi2"),
+        (((col("n_arm0") - col("n_arm1")) * (col("n_arm0") - col("n_arm1")))
+          .cast("double") / col("n_users") > 3.841).as("srm_flag"))
+
+  private val srmCheckSql =
+    """WITH arms AS (
+         SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events),
+       cnt AS (
+         SELECT event_type, count(*) AS n_users,
+                sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_arm0,
+                sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_arm1
+         FROM arms GROUP BY 1)
+       SELECT event_type, n_users,
+              CAST(n_arm0 AS BIGINT) AS n_arm0, CAST(n_arm1 AS BIGINT) AS n_arm1,
+              round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) / n_users, 6) AS chi2,
+              CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) / n_users > 3.841 AS srm_flag
+       FROM cnt"""
+
+  // ---------------------------------------------------------------
+  // 357. Difference-in-differences (Card & Krueger 1994; with #347
+  // CUPED, #350 propensity matching and #356 SRM this completes the
+  // experiment-metrics reads): per event type, the 2×2 cell means of
+  // value over (treatment = id parity) × (period = before/after the
+  // corpus time midpoint, the #347 integer-div midpoint), and the DiD
+  // estimator (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) — the
+  // causal read when assignment isn't random but trends are parallel.
+  // ONE fact pass: a single groupBy computes all four conditional
+  // means; the midpoint is the 1-row broadcast scaffold.
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bnd = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
+    val treat = pmod(col("user_id"), lit(2)) === 1
+    val post = col("ts_ns") >= col("mid")
+    ev.crossJoin(broadcast(bnd))
+      .groupBy(col("event_type"))
+      .agg(
+        avg(when(treat && !post, col("value"))).as("tp"),
+        avg(when(treat && post, col("value"))).as("tq"),
+        avg(when(!treat && !post, col("value"))).as("cp"),
+        avg(when(!treat && post, col("value"))).as("cq"))
+      .select(col("event_type"),
+        r(col("tp"), 6).as("m_treat_pre"), r(col("tq"), 6).as("m_treat_post"),
+        r(col("cp"), 6).as("m_ctrl_pre"), r(col("cq"), 6).as("m_ctrl_post"),
+        r((col("tq") - col("tp")) - (col("cq") - col("cp")), 6).as("did"))
+  }
+
+  private val diffInDiffSql =
+    """WITH bnd AS (
+         SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid FROM events),
+       cells AS (
+         SELECT event_type,
+           avg(CASE WHEN user_id % 2 = 1 AND epoch_ns(ts) < mid THEN value END) AS tp,
+           avg(CASE WHEN user_id % 2 = 1 AND epoch_ns(ts) >= mid THEN value END) AS tq,
+           avg(CASE WHEN user_id % 2 = 0 AND epoch_ns(ts) < mid THEN value END) AS cp,
+           avg(CASE WHEN user_id % 2 = 0 AND epoch_ns(ts) >= mid THEN value END) AS cq
+         FROM events, bnd GROUP BY 1)
+       SELECT event_type,
+              round(tp, 6) AS m_treat_pre, round(tq, 6) AS m_treat_post,
+              round(cp, 6) AS m_ctrl_pre, round(cq, 6) AS m_ctrl_post,
+              round((tq - tp) - (cq - cp), 6) AS did
+       FROM cells"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "srm_check"              -> (srmCheck _),
+    "diff_in_diff"           -> (diffInDiff _),
     "hll_distinct"           -> (hllDistinct _),
     "cuped_adjustment"       -> (cupedAdjustment _),
     "funnel_latency"         -> (funnelLatency _),
@@ -2369,6 +2455,8 @@ object Sessions {
     "sliding_windows_events" -> (slidingWindowsEvents _))
 
   val oracles: Map[String, String] = Map(
+    "srm_check"              -> srmCheckSql,
+    "diff_in_diff"           -> diffInDiffSql,
     "hll_distinct"           -> hllDistinctSql,
     "cuped_adjustment"       -> cupedAdjustmentSql,
     "funnel_latency"         -> funnelLatencySql,

@@ -1125,7 +1125,75 @@ object Dedup {
     "winnow_fingerprints" -> (winnowFingerprints _),
     "winnow_dup_pairs"    -> (winnowDupPairs _),
     "dedup_keeper_quality" -> (dedupKeeperQuality _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "semantic_dedup"      -> (semanticDedup _))
+
+  // ---------------------------------------------------------------
+  // 355. Dedup-threshold sensitivity sweep (r14 verdict item 7): the
+  // table a production dedup run reads BEFORE fixing its Jaccard
+  // threshold — off ONE banding build (the #34 production path at its
+  // widest gate, t = 0.5), re-read at J ∈ {0.5 … 0.9}: surviving pair
+  // count, distinct docs flagged, mean verified Jaccard, and the
+  // analytic 16×4 banding capture probability 1−(1−t⁴)¹⁶ at each t
+  // (the #290 S-curve protocol — the capture column says how much of
+  // the marginal J-band the ONE build can even see; precomputed in
+  // Scala and emitted as the same literal to both engines, so no
+  // cross-engine pow()). Scale shape: one signature build + one
+  // banding shuffle total; the five thresholds are re-aggregations of
+  // the checkpointed verified pair list (output-bounded by the #34
+  // pair-list contract — sweep consumers read COUNTS, never the list).
+  // Oracle = the exact inverted-index pair set (the dedup_minhash_lsh
+  // precedent: on this corpus every J ≥ 0.5 pair sits above the
+  // banding knee, so LSH capture is exact — the gate would fail
+  // loudly, not silently, on a corpus where banding recall bites).
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.Similarity.nearDupPairsLsh(Tables.documents(s, dir),
+        col("doc_id"), col("text"), threshold = 0.5)
+      .localCheckpoint()
+    SweepThresholds.map { t =>
+      val p = pairs.filter(col("jaccard") >= t)
+      val np = p.agg(count(lit(1)).as("n_pairs"),
+        r(avg(col("jaccard")), 6).as("mj"))
+      val nd = p.select(explode(array(col("d1"), col("d2"))).as("d"))
+        .agg(countDistinct(col("d")).as("n_dup_docs"))
+      np.crossJoin(nd).select(
+        lit(t).as("threshold"), lit(capture16x4(t)).as("p_capture"),
+        col("n_pairs"), col("n_dup_docs"),
+        coalesce(col("mj"), lit(0.0)).as("mean_jaccard"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** P(≥1 of 16 bands collides | J = t) with 4 rows/band — the S-curve
+    * the one banding build was sized by. */
+  private[graft] def capture16x4(t: Double): Double =
+    BigDecimal(1.0 - math.pow(1.0 - math.pow(t, 4), 16))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val dedupThresholdSweepSql: String = {
+    val rows = SweepThresholds.map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+                 CAST(${capture16x4(t)} AS DOUBLE) AS p_capture,
+                 (SELECT count(*) FROM jp WHERE jac >= $t) AS n_pairs,
+                 (SELECT count(DISTINCT d) FROM
+                    (SELECT unnest([d1, d2]) AS d FROM jp WHERE jac >= $t)) AS n_dup_docs,
+                 coalesce((SELECT round(avg(jac), 6) FROM jp WHERE jac >= $t), 0.0) AS mean_jaccard"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+              FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       jp AS MATERIALIZED (
+         SELECT d1, d2, CAST(i AS DOUBLE)/(s1.n + s2.n - i) AS jac
+         FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+         JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE CAST(i AS DOUBLE)/(s1.n + s2.n - i) >= 0.5)
+       $rows"""
+  }
 
   private val componentsPrefixSql =
     s"""WITH RECURSIVE nrm AS (SELECT doc_id, $normSql AS t FROM documents),
@@ -1563,6 +1631,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "minhash_oph_calibration" -> minhashOphCalibrationSql,
     "minhash_calibration" -> minhashCalibrationSql,
     "minhash_bands_sweep" -> minhashBandsSweepSql,

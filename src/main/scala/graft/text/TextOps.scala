@@ -1814,7 +1814,77 @@ object TextOps {
              * exp(sumln / 4.0) END, 6) AS bleu
        FROM pn CROSS JOIN lens CROSS JOIN gstats"""
 
+  // ---------------------------------------------------------------
+  // 358. Corpus-level chrF proxy (Popović 2015 — the tokenization-free
+  // companion of #351's BLEU: character n-grams are robust to
+  // morphology/whitespace and chrF correlates better with human
+  // judgment on noisy text, so a rewrite/synthesis pipeline reads
+  // BOTH): char 1..6-grams over whitespace-stripped lowered text
+  // between the odd-id (candidate) and even-id (reference) halves;
+  // per order, clipped-count precision AND recall, F_{β=2}; the chrF
+  // scalar is the macro-average over orders. Same scale shape as
+  // #351: six gram rollups (char-vocab^n-bounded keys, map-side
+  // partials), everything after is a 6-row frame.
+  def chrfProxy(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select((pmod(col("doc_id"), lit(2)) === 1).as("cand"),
+        regexp_replace(lower(col("text")), "\\s+", "").as("t"))
+    def gramsN(n: Int) = t.select(col("cand"), explode(expr(
+        s"CASE WHEN length(t) >= $n THEN " +
+          s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
+      .withColumn("n", lit(n.toLong))
+    val grams = (1 to 6).map(gramsN).reduce(_ unionByName _)
+    val gc = grams.groupBy(col("n"), col("g"))
+      .agg(sum(when(col("cand"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("cand"), 1L).otherwise(0L)).as("cb"))
+    val pn = gc.groupBy(col("n"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clipped"),
+        sum(col("ca")).as("total_cand"), sum(col("cb")).as("total_ref"))
+      .withColumn("p", col("clipped") / col("total_cand").cast("double"))
+      .withColumn("rr", col("clipped") / col("total_ref").cast("double"))
+      .withColumn("f", when(lit(4.0) * col("p") + col("rr") > 0,
+        lit(5.0) * col("p") * col("rr") / (lit(4.0) * col("p") + col("rr")))
+        .otherwise(lit(0.0)))
+    val glob = pn.agg(round(avg(col("f")), 6).as("chrf"))
+    pn.crossJoin(broadcast(glob))
+      .select(col("n"), col("clipped"), col("total_cand"), col("total_ref"),
+        round(col("p"), 6).as("p_n"), round(col("rr"), 6).as("r_n"),
+        round(col("f"), 6).as("f_n"), col("chrf"))
+  }
+
+  private val chrfProxySql = {
+    val grams = (1 to 6).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n, cand, substr(t, CAST(i AS INT), $n) AS g
+          FROM nt, LATERAL unnest(generate_series(1, greatest(length(t) - ${n - 1}, 0))) AS u(i)"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH nt AS (
+         SELECT doc_id % 2 = 1 AS cand, regexp_replace(lower(text), '\\s+', '', 'g') AS t
+         FROM documents),
+       grams AS ($grams),
+       gc AS (
+         SELECT n, g,
+           sum(CASE WHEN cand THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN NOT cand THEN 1 ELSE 0 END) AS cb
+         FROM grams GROUP BY 1, 2),
+       pn AS (
+         SELECT n, CAST(sum(least(ca, cb)) AS BIGINT) AS clipped,
+           CAST(sum(ca) AS BIGINT) AS total_cand, CAST(sum(cb) AS BIGINT) AS total_ref,
+           sum(least(ca, cb)) / CAST(sum(ca) AS DOUBLE) AS p,
+           sum(least(ca, cb)) / CAST(sum(cb) AS DOUBLE) AS rr
+         FROM gc GROUP BY 1),
+       pf AS (
+         SELECT *, CASE WHEN 4.0 * p + rr > 0
+           THEN 5.0 * p * rr / (4.0 * p + rr) ELSE 0.0 END AS f
+         FROM pn),
+       gstat AS (SELECT round(avg(f), 6) AS chrf FROM pf)
+       SELECT n, clipped, total_cand, total_ref,
+              round(p, 6) AS p_n, round(rr, 6) AS r_n, round(f, 6) AS f_n, chrf
+       FROM pf CROSS JOIN gstat"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chrf_proxy"       -> (chrfProxy _),
     "length_profile"   -> (lengthProfile _),
     "heavy_hitters"    -> (heavyHitters _),
     "text_compression" -> (textCompression _),
@@ -1971,6 +2041,7 @@ object TextOps {
                 row_number() OVER (PARTITION BY doc_id ORDER BY bm25_raw DESC, term ASC) AS rk
          FROM scored QUALIFY rk <= 3""",
     "corpus_bleu_proxy" -> corpusBleuProxySql,
+    "chrf_proxy" -> chrfProxySql,
     "pmi_bigrams" ->
       """WITH ws AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -885,7 +885,224 @@ object Vocab {
        FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
        CROSS JOIN tot t CROSS JOIN n1"""
 
+  // ---------------------------------------------------------------
+  // 353/354. Unigram-LM tokenizer trainer + encode (Kudo 2018 —
+  // SentencePiece's default algorithm; the other side of the BPE-vs-
+  // unigram decision every modern tokenizer build compares, r14
+  // verdict item 6). Hard-EM (Viterbi) variant so the whole training
+  // trajectory is oracle-replayable:
+  //
+  //   seed   = every substring (len ≤ 4) of the word-frequency dict,
+  //            count-weighted (the SentencePiece seed lattice);
+  //   E-step = per dict word, the max-likelihood segmentation under
+  //            the current piece scores (Viterbi DP);
+  //   M-step = piece usage (frequency-weighted) renormalized;
+  //            zero-usage single chars survive with a byte-fallback
+  //            penalty (coverage guarantee), zero-usage multi-char
+  //            pieces are pruned. 3 unrolled EM rounds.
+  //
+  // Determinism contract: piece log-probs are quantized to BIGINT
+  // micro-nats (round(ln(p)·1e6)) so every DP comparison is integer-
+  // exact in both engines; score ties break by (fewer pieces, then
+  // lexicographically smaller segmentation path) — a total order, so
+  // the argmax is iteration-order-independent. The DP itself is a
+  // codegen'd aggregate() fold over a per-word match list on the Spark
+  // side and a 4-slot-frontier recursive CTE on the DuckDB side
+  // (MaxLen = 4 bounds the lookback window).
+  //
+  // Scale shape (the #220 BPE contract): the only corpus-wide passes
+  // are the word count (training) and the word→dict join (encode);
+  // the 3 EM rounds shuffle dict-bounded tables (substring lattice ≤
+  // |vocab|·len·4 rows) and the DP is a per-dict-row codegen'd fold.
+  // Trained state is memoized per (session, dir) like deepBpeState:
+  // #353 and #354 pay one training between them.
+  private val UniRounds = 3
+  private val UniMaxLen = 4
+  private val UniPenaltyMicroNats = -1000000000L
+
+  private def uniSubs(dict: DataFrame): DataFrame =
+    dict.select(col("w"), col("wc"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), ss ->
+              transform(sequence(1, least($UniMaxLen, length(w) - ss + 1)),
+                ll -> named_struct('s', ss, 'l', ll,
+                  'piece', substring(w, ss, ll)))))""")).as("m"))
+      .select(col("w"), col("wc"), col("m.s").as("s"), col("m.l").as("l"),
+        col("m.piece").as("piece"))
+
+  /** usage (piece, cnt) → scored vocab (piece, cnt, lp) with lp in
+    * integer micro-nats. The 1-row total rides a broadcast scaffold
+    * (PlanSpec bounded-scaffold contract). */
+  private def uniVocabFrom(usage: DataFrame): DataFrame = {
+    val tot = usage.agg(sum(col("cnt")).cast("double").as("total"))
+    usage.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        expr("CAST(round(ln(cnt / total) * 1e6) AS BIGINT)").as("lp"))
+  }
+
+  private def uniMatches(subs: DataFrame, vocab: DataFrame): DataFrame =
+    subs.join(vocab.select(col("piece"), col("lp")), "piece")
+      .groupBy(col("w"), col("wc"))
+      .agg(sort_array(collect_list(
+        struct(col("s"), col("l"), col("lp"), col("piece")))).as("ms"))
+
+  /** Viterbi over one word: fold positions 1..len(w) carrying the best
+    * state for the last 4 prefix lengths (b0 = prefix j-1 … b3 = j-4);
+    * a piece of length l ending at j reads slot l-1. The inner argmax
+    * is an explicit total-order comparator, so ties are deterministic. */
+  private val uniDpExpr = expr(s"""
+    aggregate(
+      sequence(1, length(w)),
+      named_struct(
+        'b0', named_struct('sc', CAST(0 AS BIGINT), 'np', 0, 'path', ''),
+        'b1', named_struct('sc', CAST(0 AS BIGINT), 'np', 0, 'path', ''),
+        'b2', named_struct('sc', CAST(0 AS BIGINT), 'np', 0, 'path', ''),
+        'b3', named_struct('sc', CAST(0 AS BIGINT), 'np', 0, 'path', '')),
+      (st, j) -> named_struct(
+        'b0', aggregate(
+          transform(
+            transform(
+              filter(ms, m -> m.s + m.l = j + 1),
+              m -> named_struct('m', m, 'pv',
+                CASE m.l WHEN 1 THEN st.b0 WHEN 2 THEN st.b1
+                         WHEN 3 THEN st.b2 ELSE st.b3 END)),
+            t -> named_struct('sc', t.pv.sc + t.m.lp, 'np', t.pv.np + 1,
+              'path', concat(t.pv.path, ' ', t.m.piece))),
+          named_struct('sc', CAST(-1000000000000000 AS BIGINT), 'np', 0, 'path', ''),
+          (a, c) -> CASE WHEN c.sc > a.sc OR (c.sc = a.sc AND (c.np < a.np OR
+            (c.np = a.np AND c.path < a.path))) THEN c ELSE a END),
+        'b1', st.b0, 'b2', st.b1, 'b3', st.b2),
+      st -> st.b0)""")
+
+  private val uniCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Unit), (DataFrame, DataFrame)]()
+  graft.api.Memo.register(() => uniCache.clear())
+
+  /** (final scored vocab (piece, cnt, lp), final per-word segmentation
+    * (w, wc, np, path)) after [[UniRounds]] hard-EM rounds. */
+  private[graft] def uniState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.api.Memo.stamped(uniCache, s, dir, ()) {
+      val dict = Tables.documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val subs = uniSubs(dict).localCheckpoint()
+      val chars = subs.filter(col("l") === 1).select(col("piece")).distinct()
+      var vocab = uniVocabFrom(
+        subs.groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))).localCheckpoint()
+      var dp: DataFrame = null
+      (1 to UniRounds).foreach { _ =>
+        dp = uniMatches(subs, vocab).withColumn("b", uniDpExpr)
+          .select(col("w"), col("wc"), col("b.np").as("np"), col("b.path").as("path"))
+          .localCheckpoint()
+        val usage = dp
+          .select(col("wc"), explode(expr("filter(split(path, ' '), x -> x != '')")).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+        vocab = uniVocabFrom(usage).unionByName(
+            chars.join(usage, Seq("piece"), "left_anti")
+              .select(col("piece"), lit(0L).as("cnt"),
+                lit(UniPenaltyMicroNats).as("lp")))
+          .localCheckpoint()
+      }
+      (vocab, dp)
+    }
+
+  /** #353: the trained piece inventory (SentencePiece's vocab face):
+    * piece, length, frequency-weighted usage, renormalized probability. */
+  def unigramLmTrain(s: SparkSession, dir: String): DataFrame = {
+    val v = uniState(s, dir)._1
+    val tot = v.agg(sum(col("cnt")).cast("double").as("total"))
+    v.crossJoin(broadcast(tot)).select(
+      col("piece"), length(col("piece")).cast("long").as("piece_len"),
+      col("cnt").as("usage"),
+      r(col("cnt") / col("total"), 6).as("prob"))
+  }
+
+  /** #354: the apply side — per-doc token accounting under the trained
+    * vocab (the corpus-side fertility audit; mirrors #246 bpe_encode so
+    * the BPE-vs-unigram comparison reads off the same columns). */
+  def unigramLmEncode(s: SparkSession, dir: String): DataFrame = {
+    val dp = uniState(s, dir)._2
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .join(dp.select(col("w"), col("np").cast("long").as("nt")), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        r(sum(col("nt")) / count(lit(1)).cast("double"), 6).as("tokens_per_word"))
+  }
+
+  private def uniRoundSql(r: Int): String = {
+    val v = s"v${r - 1}"
+    s"""m$r AS MATERIALIZED (
+    SELECT s.w, any_value(s.wc) AS wc,
+           list({'s': s.s, 'l': s.l, 'lp': v.lp, 'p': s.piece} ORDER BY s.s, s.l) AS ms
+    FROM usubs s JOIN $v v ON v.piece = s.piece GROUP BY s.w),
+  step$r AS (
+    SELECT w, wc, ms, length(w) AS len, 0 AS j,
+           {'sc': 0::BIGINT, 'np': 0, 'path': ''} AS b0,
+           {'sc': 0::BIGINT, 'np': 0, 'path': ''} AS b1,
+           {'sc': 0::BIGINT, 'np': 0, 'path': ''} AS b2,
+           {'sc': 0::BIGINT, 'np': 0, 'path': ''} AS b3
+    FROM m$r
+    UNION ALL
+    SELECT w, wc, ms, len, j + 1,
+      list_reduce(
+        list_transform(
+          list_transform(list_filter(ms, m -> m.s + m.l = j + 2),
+            m -> {'m': m, 'pv': CASE m.l WHEN 1 THEN b0 WHEN 2 THEN b1 WHEN 3 THEN b2 ELSE b3 END}),
+          t -> {'sc': t.pv.sc + t.m.lp, 'np': t.pv.np + 1, 'path': t.pv.path || ' ' || t.m.p}),
+        (a, c) -> CASE WHEN c.sc > a.sc OR (c.sc = a.sc AND (c.np < a.np OR (c.np = a.np AND c.path < a.path))) THEN c ELSE a END),
+      b0, b1, b2
+    FROM step$r WHERE j < len),
+  dpf$r AS MATERIALIZED (SELECT w, wc, b0.path AS path, b0.np AS np FROM step$r WHERE j = len),
+  u$r AS MATERIALIZED (
+    SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+    FROM (SELECT wc, unnest(string_split(substr(path, 2), ' ')) AS piece FROM dpf$r)
+    GROUP BY 1),
+  v$r AS MATERIALIZED (
+    SELECT piece, cnt, CAST(round(ln(cnt / t.total) * 1e6) AS BIGINT) AS lp
+    FROM u$r, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM u$r) t
+    UNION ALL
+    SELECT c.piece, 0::BIGINT, $UniPenaltyMicroNats::BIGINT
+    FROM uchars c WHERE c.piece NOT IN (SELECT piece FROM u$r))"""
+  }
+
+  private lazy val uniPrefixSql: String = {
+    val rounds = (1 to UniRounds).map(uniRoundSql).mkString(",\n  ")
+    s"""WITH RECURSIVE uwords AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+  ud0 AS MATERIALIZED (SELECT w, count(*) AS wc FROM uwords GROUP BY 1),
+  usubs AS MATERIALIZED (
+    SELECT w, wc, m.s AS s, m.l AS l, substr(w, m.s, m.l) AS piece
+    FROM (SELECT w, wc,
+            unnest(flatten(list_transform(range(1, length(w)+1),
+              ss -> list_transform(range(1, least($UniMaxLen, length(w)-ss+1)+1),
+                     ll -> {'s': ss, 'l': ll})))) AS m
+          FROM ud0)),
+  uchars AS MATERIALIZED (SELECT DISTINCT piece FROM usubs WHERE l = 1),
+  useed AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM usubs GROUP BY 1),
+  v0 AS MATERIALIZED (
+    SELECT piece, cnt, CAST(round(ln(cnt / t.total) * 1e6) AS BIGINT) AS lp
+    FROM useed, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM useed) t),
+  $rounds"""
+  }
+
+  private lazy val unigramLmTrainSql: String = uniPrefixSql + s"""
+  SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt AS usage,
+         round(cnt / (SELECT CAST(sum(cnt) AS DOUBLE) FROM v$UniRounds), 6) AS prob
+  FROM v$UniRounds"""
+
+  private lazy val unigramLmEncodeSql: String = uniPrefixSql + s""",
+  udocw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  SELECT dw.doc_id, count(*) AS n_words,
+         CAST(sum(d.np) AS BIGINT) AS n_tokens,
+         round(sum(d.np) / CAST(count(*) AS DOUBLE), 6) AS tokens_per_word
+  FROM udocw dw JOIN dpf$UniRounds d USING (w)
+  GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unigram_lm_train"    -> (unigramLmTrain _),
+    "unigram_lm_encode"   -> (unigramLmEncode _),
     "good_turing_mass"    -> (goodTuringMass _),
     "cms_frequency"       -> (cmsFrequency _),
     "token_quota_cut"     -> (tokenQuotaCut _),
@@ -901,6 +1118,8 @@ object Vocab {
     "charclass_profile" -> (charclassProfile _))
 
   val oracles: Map[String, String] = Map(
+    "unigram_lm_train"    -> unigramLmTrainSql,
+    "unigram_lm_encode"   -> unigramLmEncodeSql,
     "good_turing_mass"    -> goodTuringMassSql,
     "cms_frequency"       -> cmsFrequencySql,
     "token_quota_cut"     -> tokenQuotaCutSql,

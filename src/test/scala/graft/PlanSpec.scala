@@ -434,7 +434,15 @@ class PlanSpec extends SparkSpecBase {
       // t_closeness crosses the |classes| table with the ≤|segments|
       // global-mix scaffold so absent segments contribute their full
       // global mass (the ma_stats bounded-scaffold precedent)
-      "t_closeness")
+      "t_closeness",
+      // r15: unigram train/encode attach the 1-row usage total per EM
+      // round (cuped scalar-attach precedent, dict-bounded inputs);
+      // diff_in_diff attaches the 1-row midpoint (the cuped shape);
+      // chrf_proxy attaches the 1-row macro-average to the 6-row order
+      // frame (corpus_bleu_proxy precedent); the threshold sweep
+      // crosses five 1-row aggregates of the checkpointed pair list
+      "unigram_lm_train", "unigram_lm_encode", "diff_in_diff",
+      "chrf_proxy", "dedup_threshold_sweep")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
