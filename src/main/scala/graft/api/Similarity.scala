@@ -47,13 +47,43 @@ object Similarity {
       rowsPerBand: Int = 4): DataFrame = {
     val d = Analytics.spread(docs.select(id.as("doc_id"), text.as("__t")))
       .select(col("doc_id"), normalizeText(col("__t")).as("t"))
+    // Distinct-text rendezvous FIRST (r15 — the dedupJaccardPrefix r10
+    // lesson applied to the banding path, and the production order of
+    // operations: exact-dedup before near-dup). Verbatim-dup clusters
+    // put c identical signatures in every band bucket, so within-bucket
+    // candidates grow Θ(bands·Σc²) — the r15 sf9 band measured the old
+    // path at 17.1× on 3× data off exactly this (clusters grow with SF,
+    // candidates grow with its square: 650M candidate rows at sf9).
+    // Running signature + banding once per DISTINCT normalized text and
+    // expanding group members at the END moves the Σc² term out of the
+    // shuffle and into the output writer — the pair LIST stays Θ(Σc²)
+    // rows BY CONTRACT, but they are result rows now, not intermediate
+    // state. Exactness is preserved: identical texts share a shingle
+    // set (J = 1 ≥ t, emitted as in-group pairs with jaccard exactly
+    // 1.0, the same value verification produced), identical texts carry
+    // identical signatures (deterministic exprs) so rep-level banding
+    // capture equals member-level capture, and two DIFFERENT texts with
+    // equal shingle sets still meet in the rep-level join.
+    // md5-keyed rendezvous (the exactDupGroups precedent): grouping and
+    // the member join shuffle 16-byte digests, not full texts — the
+    // map-side partial of max(t) ships ~one text per (digest, partition)
+    // so rep texts ride the combine, and the measured small-SF overhead
+    // of the text-keyed variant (two full-text shuffles) disappears.
+    val keyed = d.withColumn("h", md5(col("t")))
+    val groups = keyed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep"), max(col("t")).as("t"))
+    val members = keyed.select(col("h"), col("doc_id"))
+      .join(groups.select(col("h"), col("rep")), "h")
+      .select(col("rep"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = groups.select(col("rep").as("doc_id"), col("t"))
     // persisted: the signature table feeds banding AND both sides of
     // the screen join — at corpus scale this is the checkpointed
     // signature table of a dedup pipeline, not a recompute
     val sigExpr =
       if (bands * rowsPerBand == 64) ophMinhashSig(charShingles(col("t"), shingle))
       else minhashSigText(col("t"), shingle, bands * rowsPerBand)
-    val sigs = d.withColumn("sig", sigExpr)
+    val sigs = reps.withColumn("sig", sigExpr)
       .select(col("doc_id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs.select(col("doc_id"),
@@ -73,13 +103,29 @@ object Similarity {
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .filter(longMatchFrac(col("sig1"), col("sig2")) >= threshold - 0.2)
       .select(col("d1"), col("d2"))
-    val sh = d.select(col("doc_id"), charShingles(col("t"), shingle).as("sh"))
-    screened
+    val sh = reps.select(col("doc_id"), charShingles(col("t"), shingle).as("sh"))
+    val repPairs = screened
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jaccard", jaccardSim(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+    // expand rep-level matches back to record pairs (the
+    // dedupJaccardPrefix expansion): identical texts are J = 1 pairs
+    // within their group; qualifying DISTINCT-text rep pairs fan out
+    // over both member lists (disjoint groups ⇒ least/greatest is a
+    // pure orientation fix). Output-bounded — these ARE the result
+    // rows, not intermediate state.
+    val selfPairs = members.as("a").join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    val crossPairs = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("da")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("db")), "d2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+    selfPairs.unionByName(crossPairs)
   }
 
   /** Bucket-STAR verified near-dup candidate edges — the linear-output

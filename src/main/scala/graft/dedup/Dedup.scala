@@ -668,9 +668,20 @@ object Dedup {
   // compute. The oracle replays fnv1a64 → ONE mix64 → top-6-bit
   // bucketing → minima → the rotation densification (wrap-safe mod
   // 2⁶⁴) through the shared HUGEINT CTE chain — hash-checked.
+  //
+  // r15: the audit runs on the DISTINCT-TEXT rep table (the
+  // nearDupPairsLsh rendezvous). Verbatim clones carry identical
+  // signatures, so every clone pair estimates 1.0 against true 1.0 —
+  // zero information about the estimator — while multiplying the
+  // candidate stage Θ(bands·Σc²) (the r15 sf9 band measured the
+  // member-level audit at 898 s / 18.4× on 3× data; Σc² dominated the
+  // 20 000-pair sample with trivial rows). Rep-level candidates are
+  // the informative set, and the audit cost follows distinct content,
+  // not corpus size.
   def minhashOphCalibration(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{ophMinhashSig, longMatchFrac, charShingles, jaccardSim}
-    val d = docsNorm(s, dir)
+    val d = docsNorm(s, dir).groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("t"))
     val sigs = d.withColumn("sig", ophMinhashSig(charShingles(col("t"), 5)))
       .select(col("doc_id"), col("sig"))
       // caching contract: see #190 above (lazy result ⇒ caller clears)
@@ -1553,7 +1564,8 @@ object Dedup {
     * distance (wrap-safe +t in mod-2⁶⁴ HUGEINT space, matching Java's
     * wrapping long add). */
   private lazy val ophSigPrefixSql: String =
-    s"""nrm AS (SELECT doc_id, $normSql AS t FROM documents),
+    s"""nrm AS (SELECT min(doc_id) AS doc_id, t
+           FROM (SELECT doc_id, $normSql AS t FROM documents) GROUP BY t),
        sh AS MATERIALIZED (
          SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
          FROM nrm, LATERAL unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),

@@ -1033,7 +1033,7 @@ object Vocab {
 
   private def uniRoundSql(r: Int): String = {
     val v = s"v${r - 1}"
-    s"""m$r AS MATERIALIZED (
+    s"""um$r AS MATERIALIZED (
     SELECT s.w, any_value(s.wc) AS wc,
            list({'s': s.s, 'l': s.l, 'lp': v.lp, 'p': s.piece} ORDER BY s.s, s.l) AS ms
     FROM usubs s JOIN $v v ON v.piece = s.piece GROUP BY s.w),
@@ -1043,7 +1043,7 @@ object Vocab {
            {'sc': 0::BIGINT, 'np': 0, 'path': ''} AS b1,
            {'sc': 0::BIGINT, 'np': 0, 'path': ''} AS b2,
            {'sc': 0::BIGINT, 'np': 0, 'path': ''} AS b3
-    FROM m$r
+    FROM um$r
     UNION ALL
     SELECT w, wc, ms, len, j + 1,
       list_reduce(
@@ -1100,9 +1100,53 @@ object Vocab {
   FROM udocw dw JOIN dpf$UniRounds d USING (w)
   GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // 359. BPE-vs-unigram fertility comparison — the decision table the
+  // two trainers exist for (every tokenizer bake-off reads exactly
+  // this): per doc, token counts under the 5-round BPE dict (#246) and
+  // the 3-round unigram vocab (#354), tokens/word for each, and the
+  // unigram/BPE ratio. Both trained states are memoized, so the
+  // comparison pays one training per side; the corpus-wide passes are
+  // the two word→dict joins.
+  def tokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val b = bpeEncode(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_tokens").as("bpe_tokens"))
+    val u = unigramLmEncode(s, dir)
+      .select(col("doc_id"), col("n_tokens").as("uni_tokens"))
+    b.join(u, "doc_id").select(col("doc_id"), col("n_words"),
+      col("bpe_tokens"), col("uni_tokens"),
+      r(col("bpe_tokens") / col("n_words").cast("double"), 6).as("bpe_tpw"),
+      r(col("uni_tokens") / col("n_words").cast("double"), 6).as("uni_tpw"),
+      r(col("uni_tokens") / col("bpe_tokens").cast("double"), 6).as("uni_over_bpe"))
+  }
+
+  private lazy val tokenizerCompareSql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n       ")
+    uniPrefixSql + s""",
+  words AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+  d0 AS MATERIALIZED (
+    SELECT w, count(*) AS wc,
+           list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+    FROM words GROUP BY 1),
+  $rounds,
+  docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+  be AS (SELECT dw.doc_id, count(*) AS n_words,
+                CAST(sum(len(d.syms)) AS BIGINT) AS bpe_tokens
+         FROM docw dw JOIN d$BpeRounds d USING (w) GROUP BY 1),
+  ue AS (SELECT dw.doc_id, CAST(sum(d.np) AS BIGINT) AS uni_tokens
+         FROM docw dw JOIN dpf$UniRounds d USING (w) GROUP BY 1)
+  SELECT be.doc_id, be.n_words, be.bpe_tokens, ue.uni_tokens,
+         round(bpe_tokens / CAST(n_words AS DOUBLE), 6) AS bpe_tpw,
+         round(uni_tokens / CAST(n_words AS DOUBLE), 6) AS uni_tpw,
+         round(uni_tokens / CAST(bpe_tokens AS DOUBLE), 6) AS uni_over_bpe
+  FROM be JOIN ue USING (doc_id)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_lm_train"    -> (unigramLmTrain _),
     "unigram_lm_encode"   -> (unigramLmEncode _),
+    "tokenizer_compare"   -> (tokenizerCompare _),
     "good_turing_mass"    -> (goodTuringMass _),
     "cms_frequency"       -> (cmsFrequency _),
     "token_quota_cut"     -> (tokenQuotaCut _),
@@ -1120,6 +1164,7 @@ object Vocab {
   val oracles: Map[String, String] = Map(
     "unigram_lm_train"    -> unigramLmTrainSql,
     "unigram_lm_encode"   -> unigramLmEncodeSql,
+    "tokenizer_compare"   -> tokenizerCompareSql,
     "good_turing_mass"    -> goodTuringMassSql,
     "cms_frequency"       -> cmsFrequencySql,
     "token_quota_cut"     -> tokenQuotaCutSql,

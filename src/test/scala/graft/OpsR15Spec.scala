@@ -120,6 +120,19 @@ class OpsR15Spec extends SparkSpecBase {
     assert(math.abs(rows.head.getAs[Double]("chrf") - mean) < 5e-6)
   }
 
+  test("tokenizer_compare: consistent with both encode queries, ratio sane") {
+    val rows = text.Vocab.tokenizerCompare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, bt, ut) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_tokens"), r.getAs[Long]("uni_tokens"))
+      assert(bt >= nw && ut >= nw, "every word is at least one token under both")
+      val ratio = r.getAs[Double]("uni_over_bpe")
+      assert(math.abs(ratio - ut.toDouble / bt) < 1e-5)
+      assert(ratio > 0.1 && ratio < 10.0, s"ratio $ratio out of band")
+    }
+  }
+
   // r14 ADVICE pin: a sub-n-word doc must not crash the BLEU gram
   // builder (sequence(1,0) descending + slice-at-0 was the latent bug)
   test("corpus_bleu gram builder survives docs shorter than n words") {

@@ -442,7 +442,10 @@ class PlanSpec extends SparkSpecBase {
       // frame (corpus_bleu_proxy precedent); the threshold sweep
       // crosses five 1-row aggregates of the checkpointed pair list
       "unigram_lm_train", "unigram_lm_encode", "diff_in_diff",
-      "chrf_proxy", "dedup_threshold_sweep")
+      "chrf_proxy", "dedup_threshold_sweep",
+      // tokenizer_compare joins the two memoized encode outputs and
+      // inherits the unigram scalar-attach scaffolds
+      "tokenizer_compare")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowedQuadratic.contains(name)) {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
