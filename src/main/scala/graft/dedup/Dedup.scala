@@ -1161,17 +1161,30 @@ object Dedup {
     val pairs = graft.api.Similarity.nearDupPairsLsh(Tables.documents(s, dir),
         col("doc_id"), col("text"), threshold = 0.5)
       .localCheckpoint()
-    SweepThresholds.map { t =>
-      val p = pairs.filter(col("jaccard") >= t)
-      val np = p.agg(count(lit(1)).as("n_pairs"),
-        r(avg(col("jaccard")), 6).as("mj"))
-      val nd = p.select(explode(array(col("d1"), col("d2"))).as("d"))
-        .agg(countDistinct(col("d")).as("n_dup_docs"))
-      np.crossJoin(nd).select(
-        lit(t).as("threshold"), lit(capture16x4(t)).as("p_capture"),
-        col("n_pairs"), col("n_dup_docs"),
+    // r15 optimization (guide §2.4): the five thresholds re-aggregate
+    // the ONE checkpointed pair list in two grouped passes (pair stats,
+    // distinct-doc counts) instead of 5×(2 aggregations + crossJoin) —
+    // 15 scalar-agg jobs collapse to 2 grouped exchanges + a 5-row
+    // left join. Identical aggregates per threshold: the (pair, t)
+    // explode filters exactly the rows the per-t filter kept, and the
+    // 5-row scaffold restores empty thresholds (n_pairs = 0, mean 0.0).
+    val thArr = array(SweepThresholds.map(t => struct(
+      lit(t).as("threshold"), lit(capture16x4(t)).as("p_capture"))): _*)
+    val pt = pairs.withColumn("th", explode(thArr))
+      .filter(col("jaccard") >= col("th.threshold"))
+      .localCheckpoint() // feeds both grouped passes
+    val np = pt.groupBy(col("th")).agg(count(lit(1)).as("n_pairs"),
+      r(avg(col("jaccard")), 6).as("mj"))
+    val nd = pt.select(col("th"), explode(array(col("d1"), col("d2"))).as("d"))
+      .groupBy(col("th")).agg(countDistinct(col("d")).as("n_dup_docs"))
+    s.range(1).select(explode(thArr).as("th"))
+      .join(np, Seq("th"), "left")
+      .join(nd, Seq("th"), "left")
+      .select(col("th.threshold").as("threshold"),
+        col("th.p_capture").as("p_capture"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
         coalesce(col("mj"), lit(0.0)).as("mean_jaccard"))
-    }.reduce(_ unionByName _)
   }
 
   private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)

@@ -210,40 +210,58 @@ object Reduce {
     * d2 is the grid-unit squared distance to the assigned centroid
     * (SSE numerator), cq the assignment-grid centroid used by IVF
     * probing. */
+  /** Per-row argmin over a broadcast centroid array: grid-unit integer
+    * d² per centroid, struct (d2, k) min — the same total order as the
+    * min(struct(d2, k)) exchange it replaces, evaluation-order-free. */
+  private def argminCents: org.apache.spark.sql.Column = expr(
+    """array_min(transform(cents, ce -> named_struct(
+      |  'd2', aggregate(zip_with(xq, ce.cq, (a, b) -> (a - b) * (a - b)),
+      |          0L, (s, e) -> s + e),
+      |  'k', ce.k)))""".stripMargin)
+
   private[graft] def gridLloyd(base0: DataFrame, kvals: Seq[Int])
       : (DataFrame, DataFrame) = {
     val base = base0
       .withColumn("kval", explode(array(kvals.map(lit(_)): _*)))
       .withColumn("xq", gridded("v"))
       .localCheckpoint() // every round scans it; corpus-bounded
-    var g = base.select(col("kval"), col("vec_id"),
+    // r15 optimization (guide §2.3 "aggregate before you shuffle" +
+    // §2.4 "remove shuffles outright"): the assignment column rides the
+    // base frame through every round, so the ONLY per-round exchange is
+    // the centroid partial-aggregate (≤ Σkvals rows after map-side
+    // combine) — the corpus itself never shuffles. The old shape paid,
+    // per round, a base⋈assignment equi-join (two fact-sized
+    // exchanges), an n·k exploded argmin re-shuffle, and a fact-sized
+    // localCheckpoint; the argmin now folds over the broadcast centroid
+    // ARRAY per row (bit-identical integer d² and (d2, k) total order,
+    // so assignments — and the oracle hashes — are unchanged).
+    var g = base.select(col("kval"), col("vec_id"), col("v"), col("xq"),
       pmod(col("vec_id"), col("kval")).as("k"))
     var lastCents: DataFrame = null
     for (i <- 1 to LloydRounds) {
+      // one checkpoint before the FINAL round only: the callers
+      // materialize assignment AND centroids separately, and without
+      // this the centroid plan re-executes every earlier round
+      if (i == LloydRounds) g = g.localCheckpoint()
       // centroid phase: one native quant_vec_sum aggregate — long[d]
       // buffer per (kval, k), map-side partial merge; bit-identical to
       // the per-dim posexplode sum it replaces (same q() rounding,
-      // order-free long addition), one shuffle instead of two and no
-      // n·d struct explosion (the r7 cold-path cost)
-      val cents = base.join(g, Seq("kval", "vec_id"))
-        .groupBy(col("kval"), col("k"))
+      // order-free long addition)
+      val cents = g.groupBy(col("kval"), col("k"))
         .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
           count(lit(1)).as("n"))
         .select(col("kval"), col("k"),
           expr("transform(sq, q -> q / (1e6 * n))").as("cv"))
         .withColumn("cq", gridded("cv"))
       lastCents = cents
-      val assigned = base.select(col("kval"), col("vec_id"), col("xq"))
-        .join(broadcast(cents.select(col("kval"), col("k"), col("cq"))), Seq("kval"))
-        .select(col("kval"), col("vec_id"), col("k"),
-          expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
-            .as("d2"))
-        .groupBy(col("kval"), col("vec_id"))
-        .agg(min(struct(col("d2"), col("k"))).as("m"))
-        .select(col("kval"), col("vec_id"), col("m.k").as("k"), col("m.d2").as("d2"))
-      g = (if (i < LloydRounds) assigned.localCheckpoint() else assigned)
+      val carr = cents.groupBy(col("kval"))
+        .agg(collect_list(struct(col("k"), col("cq"))).as("cents"))
+      g = base.join(broadcast(carr), Seq("kval"))
+        .withColumn("m", argminCents)
+        .select(col("kval"), col("vec_id"), col("v"), col("xq"),
+          col("m.k").as("k"), col("m.d2").as("d2"))
     }
-    (g, lastCents)
+    (g.select(col("kval"), col("vec_id"), col("k"), col("d2")), lastCents)
   }
 
   /** Final assignment (kval, vec_id, k, d2) over the embeddings table
@@ -385,37 +403,48 @@ object Reduce {
   private val BisectSplits = 7
 
   def bisectingGridClusters(s: SparkSession, dir: String): DataFrame = {
+    // r15 optimization (the gridLloyd rewrite, guide §2.3/§2.4): the
+    // cluster label rides the vector frame, so picking a split's
+    // members is a narrow filter (no base⋈members join per round) and
+    // each 2-means round's only exchange is the 2-row centroid
+    // partial-aggregate; the argmin folds over the broadcast 2-centroid
+    // array per row. The per-split checkpoint now carries (v, xq) —
+    // one corpus-sized materialization per split, in place of the two
+    // fact-sized join exchanges ×3 rounds the old shape paid. Integer
+    // d² and the (d2, b) total order are unchanged, so assignments and
+    // the oracle hash replay exactly.
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("xq", gridded("v"))
       .localCheckpoint() // every split's rounds scan it
-    var c = base.select(col("vec_id"), lit(1L).as("c"))
+    var c = base.select(col("vec_id"), col("v"), col("xq"), lit(1L).as("c"))
     for (_ <- 1 to BisectSplits) {
       val pick = c.groupBy(col("c")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("c").asc).limit(1)
         .collect()(0).getLong(0)
-      val members = c.filter(col("c") === pick).select(col("vec_id"))
-      var g = members.select(col("vec_id"),
-        pmod(col("vec_id"), lit(2)).cast("long").as("b"))
+      val members = c.filter(col("c") === pick)
+        .select(col("vec_id"), col("v"), col("xq"))
+      var g = members.withColumn("b", pmod(col("vec_id"), lit(2)).cast("long"))
       for (_ <- 1 to LloydRounds) {
         // 2-row centroid table via one native quant_vec_sum pass
         // (bit-identical to the posexplode per-dim sums it replaces)
-        val cents = base.join(g, "vec_id")
-          .groupBy(col("b"))
+        val cents = g.groupBy(col("b"))
           .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
             count(lit(1)).as("n"))
           .select(col("b"), expr("transform(sq, q -> q / (1e6 * n))").as("cv"))
           .withColumn("cq", gridded("cv"))
-        g = base.join(members, "vec_id")
-          .crossJoin(broadcast(cents.select(col("b"), col("cq"))))
-          .select(col("vec_id"), col("b"),
-            expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
-              .as("d2"))
-          .groupBy(col("vec_id")).agg(min(struct(col("d2"), col("b"))).as("m"))
-          .select(col("vec_id"), col("m.b").as("b"))
+        val carr = cents.agg(collect_list(struct(col("b"), col("cq"))).as("cents"))
+        g = members.crossJoin(broadcast(carr))
+          .withColumn("m", expr(
+            """array_min(transform(cents, ce -> named_struct(
+              |  'd2', aggregate(zip_with(xq, ce.cq, (a, b) -> (a - b) * (a - b)),
+              |          0L, (s, e) -> s + e),
+              |  'b', ce.b)))""".stripMargin))
+          .select(col("vec_id"), col("v"), col("xq"), col("m.b").as("b"))
       }
       c = c.filter(col("c") =!= pick)
-        .unionAll(g.select(col("vec_id"), (lit(2L) * pick + col("b")).as("c")))
+        .unionAll(g.select(col("vec_id"), col("v"), col("xq"),
+          (lit(2L) * pick + col("b")).as("c")))
         .localCheckpoint() // truncate the per-split lineage
     }
     c.join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")

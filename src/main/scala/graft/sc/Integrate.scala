@@ -170,38 +170,50 @@ object Integrate {
   private def gridded(v: String) =
     expr(s"transform($v, x -> CAST(round(x * 1000, 0) AS BIGINT))")
 
-  /** Per-cluster centroids of `cur` under assignment `g`: exact-rational
-    * array `c` + assignment-grid array `cq`. */
-  private def centroidsOf(cur: DataFrame, g: DataFrame): DataFrame =
+  // r15 optimization (the gridLloyd rewrite, guide §2.3/§2.4): the
+  // cluster assignment k RIDES the vector frame through the whole
+  // iteration, so the cur⋈g fact joins disappear (centroids/corrections
+  // aggregate cur directly) and the n×|k| exploded argmin exchange
+  // becomes a per-row fold over the broadcast centroid array. Integer
+  // d² with the (d2, k) total order and the exact-rational correction
+  // arithmetic are unchanged, so the corrected values and the oracle
+  // hashes replay exactly.
+
+  /** Per-cluster centroids of `cur` under the assignment it carries in
+    * `k`: exact-rational array `c` + assignment-grid array `cq`. */
+  private def centroidsOf(cur: DataFrame): DataFrame =
     // one native quant_vec_sum pass (long[d] buffer per k, bit-identical
     // to the posexplode per-dim sums it replaces — same q() rounding)
-    cur.join(g, "vec_id")
-      .groupBy(col("k"))
+    cur.groupBy(col("k"))
       .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
         count(lit(1)).as("n"))
       .select(col("k"), expr("transform(sq, q -> q / (1e6 * n))").as("c"))
       .withColumn("cq", gridded("c"))
 
-  /** Nearest-centroid assignment on the integer grid (d² BIGINT,
-    * tie → smallest cluster id). Centroid table broadcasts. */
-  private def assignTo(cur: DataFrame, cents: DataFrame): DataFrame =
-    cur.select(col("vec_id"), gridded("v").as("xq"))
-      .crossJoin(broadcast(cents.select(col("k"), col("cq"))))
-      .select(col("vec_id"), col("k"),
-        expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
-          .as("d2"))
-      .groupBy(col("vec_id")).agg(min(struct(col("d2"), col("k"))).as("m"))
-      .select(col("vec_id"), col("m.k").as("k"))
+  /** Nearest-centroid re-assignment on the integer grid (d² BIGINT,
+    * tie → smallest cluster id): overwrites `k` via a per-row argmin
+    * fold over the ≤|k|-entry broadcast centroid array. */
+  private def assignTo(cur: DataFrame, cents: DataFrame): DataFrame = {
+    val carr = cents.agg(collect_list(struct(col("k"), col("cq"))).as("cents"))
+    cur.withColumn("xq", gridded("v"))
+      .crossJoin(broadcast(carr))
+      .withColumn("m", expr(
+        """array_min(transform(cents, ce -> named_struct(
+          |  'd2', aggregate(zip_with(xq, ce.cq, (a, b) -> (a - b) * (a - b)),
+          |          0L, (s, e) -> s + e),
+          |  'k', ce.k)))""".stripMargin))
+      .select(col("vec_id"), col("batch"), col("v"), col("m.k").as("k"))
+  }
 
   /** One correction pass: v := v − (centroid(k, batch) − centroid(k)),
-    * centroids from the integer-quantized sums of `cur` under `g`. */
-  private def correctBy(cur: DataFrame, g: DataFrame): DataFrame = {
+    * centroids from the integer-quantized sums of `cur` under the
+    * assignment it carries; `k` rides along unchanged. */
+  private def correctBy(cur: DataFrame): DataFrame = {
     // fact-side pass is ONE quant_vec_sum aggregate to (k, batch)
     // partials (bit-identical to the posexplode per-dim sums); the
     // k-level rollup re-expands only the BOUNDED (k × batch) partial
     // table — |k|·|batch|·d rows, not n·d
-    val sums = cur.join(g, "vec_id")
-      .groupBy(col("k"), col("batch"))
+    val sums = cur.groupBy(col("k"), col("batch"))
       .agg(graft.functions.VectorFunctions.quantVecSum(col("v")).as("sq"),
         count(lit(1)).as("n"))
     val cb = sums.select(col("k"), col("batch"),
@@ -213,11 +225,11 @@ object Integrate {
       .withColumn("cv", col("s2") / (lit(1e6) * col("n2")))
       .groupBy(col("k"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, cv))), s -> s.cv)").as("call"))
-    cur.join(g, "vec_id")
-      .join(broadcast(cb), Seq("k", "batch"))
+    cur.join(broadcast(cb), Seq("k", "batch"))
       .join(broadcast(cAll), Seq("k"))
       .select(col("vec_id"), col("batch"),
-        expr("zip_with(v, zip_with(cb, call, (p, q) -> p - q), (x, d) -> x - d)").as("v"))
+        expr("zip_with(v, zip_with(cb, call, (p, q) -> p - q), (x, d) -> x - d)").as("v"),
+        col("k"))
   }
 
   /** The 2-iteration state: (corrected vectors, final assignment).
@@ -232,21 +244,27 @@ object Integrate {
 
   private def harmonyState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.api.Memo.stamped(stateCache, s, dir, ()) {
+      // the assignment column k rides cur throughout: k = g0 (bucket
+      // init) → g1 after the first re-assign → g2 after the second;
+      // correctBy corrects v under the k it carries (same sequencing
+      // as the old (cur, g) pairs — g1 from cur0-centroids under g0,
+      // cur1 corrected under g1, g2 from cur1-centroids under g1,
+      // cur2 corrected under g2)
       val cur0 = batched(s, dir).select(col("vec_id"), col("batch"), col("v"))
-      val g0 = cur0.select(col("vec_id"),
-        hyperplaneBucket(col("v"), LshPlanes).as("k"))
-      val g1 = assignTo(cur0, centroidsOf(cur0, g0)).localCheckpoint()
-      val cur1 = correctBy(cur0, g1).localCheckpoint()
-      val g2 = assignTo(cur1, centroidsOf(cur1, g1)).localCheckpoint()
-      val cur2 = correctBy(cur1, g2)
-      (cur2, g2)
+        .withColumn("k", hyperplaneBucket(col("v"), LshPlanes))
+      val cur0g1 = assignTo(cur0, centroidsOf(cur0)).localCheckpoint()
+      val cur1 = correctBy(cur0g1).localCheckpoint()
+      val cur1g2 = assignTo(cur1, centroidsOf(cur1)).localCheckpoint()
+      val cur2 = correctBy(cur1g2)
+      (cur2, cur2.select(col("vec_id"), col("k")))
     }
 
   def harmonyCorrect(s: SparkSession, dir: String): DataFrame = {
-    val (cur2, g2) = harmonyState(s, dir)
-    cur2.join(g2, "vec_id")
+    val (cur2, _) = harmonyState(s, dir)
+    cur2
       .select(col("vec_id"), col("batch").cast("long").as("batch"),
-        col("k").cast("long").as("cluster"),
+        col("k").cast("long").as("cluster"), col("v"))
+      .select(col("vec_id"), col("batch"), col("cluster"),
         posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("batch"), col("cluster"),
         col("dim").cast("long").as("dim"), r(col("x"), 6).as("x_corrected"))

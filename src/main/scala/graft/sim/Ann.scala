@@ -406,19 +406,35 @@ object Ann {
   // scale. `exact = false` is the SCALE feed: Similarity.lshTopK's
   // hyperplane-bucket self-join (candidates bounded per bucket, no
   // broadcast of the corpus) — approximate, recall-spec'd in AnnSpec.
+  /** Memoized per (session, dir, k, exact) — the louvainState/
+    * lloydState "persisted graph state" contract: in production the
+    * kNN edge list is built once and every graph query rides it. The
+    * r15 optimization round added the memo because leiden_refine(_lsh)
+    * consumes the SAME edge feed twice in one query (once for the
+    * restrict join, once inside louvainState's own build) and paid the
+    * full LSH candidate generation both times. localCheckpoint bounds
+    * the entry at O(corpus·k) rows. Cold bench numbers stay honest:
+    * Memo.reset precedes every timed run. */
+  private val knnEdgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, (Int, Boolean)), DataFrame]()
+  graft.api.Memo.register(() => knnEdgeCache.clear())
+
   private[graft] def knnEdges(s: SparkSession, dir: String, k: Int,
-      exact: Boolean): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    if (exact)
-      graft.api.Similarity.bruteForceTopK(
-          emb, col("vec_id"), col("embedding"),
-          emb, col("vec_id"), col("embedding"), k = k)
-        .select(col("qid"), col("neighbor_id").as("nid"))
-    else
-      graft.api.Similarity.lshTopK(
-          emb, col("vec_id"), col("embedding"), k = k, planes = LshPlanes)
-        .select(col("qid"), col("neighbor_id").as("nid"))
-  }
+      exact: Boolean): DataFrame =
+    graft.api.Memo.stamped(knnEdgeCache, s, dir, (k, exact)) {
+      val emb = Tables.embeddings(s, dir)
+      val knn =
+        if (exact)
+          graft.api.Similarity.bruteForceTopK(
+              emb, col("vec_id"), col("embedding"),
+              emb, col("vec_id"), col("embedding"), k = k)
+            .select(col("qid"), col("neighbor_id").as("nid"))
+        else
+          graft.api.Similarity.lshTopK(
+              emb, col("vec_id"), col("embedding"), k = k, planes = LshPlanes)
+            .select(col("qid"), col("neighbor_id").as("nid"))
+      knn.localCheckpoint()
+    }
 
   /** MUTUAL kNN edges (both endpoints list each other), a < b. */
   private[graft] def mutualEdges(knn: DataFrame): DataFrame =

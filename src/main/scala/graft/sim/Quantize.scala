@@ -151,31 +151,43 @@ object Quantize {
           expr(s"slice(v, sub * $PqSubDim + 1, $PqSubDim)").as("sv"))
         .withColumn("xq", expr("transform(sv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
         .localCheckpoint() // every round + the encode/query passes scan it
-      var g = base.select(col("vec_id"), col("sub"),
+      // r15 optimization (the gridLloyd rewrite, guide §2.3/§2.4): the
+      // code column rides the sub-vector frame, so each codebook round's
+      // only exchange is the (sub, k) partial-aggregate (≤ m·PqK rows
+      // after map-side combine); the corpus never re-shuffles and the
+      // n·m·PqK exploded argmin exchange is a per-row fold over the
+      // broadcast codebook array — bit-identical integer d² with the
+      // same (d2, k) total order, so codes and oracle hashes are
+      // unchanged.
+      var g = base.select(col("vec_id"), col("sub"), col("sv"), col("xq"),
         pmod(col("vec_id"), lit(PqK.toLong)).as("k"))
       var cents: DataFrame = null
       for (i <- 1 to R) {
+        // one checkpoint before the FINAL round (the gridLloyd note):
+        // codes and codebooks materialize separately below
+        if (i == R) g = g.localCheckpoint()
         // codebook phase: one native quant_vec_sum aggregate per
         // (sub, k) — bit-identical to the posexplode per-dim sums it
-        // replaces, one shuffle instead of two, no n·m·subdim explode
-        cents = base.join(g, Seq("vec_id", "sub"))
-          .groupBy(col("sub"), col("k"))
+        // replaces, no n·m·subdim explode
+        cents = g.groupBy(col("sub"), col("k"))
           .agg(graft.functions.VectorFunctions.quantVecSum(col("sv")).as("sq"),
             count(lit(1)).as("n"))
           .select(col("sub"), col("k"),
             expr("transform(sq, q -> q / (1e6 * n))").as("cv"))
           .withColumn("cq", expr("transform(cv, x -> CAST(round(x * 1000, 0) AS BIGINT))"))
-        val assigned = base.select(col("vec_id"), col("sub"), col("xq"))
-          .join(broadcast(cents.select(col("sub"), col("k"), col("cq"))), Seq("sub"))
-          .select(col("vec_id"), col("sub"), col("k"),
-            expr("aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
-              .as("d2"))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min(struct(col("d2"), col("k"))).as("m"))
-          .select(col("vec_id"), col("sub"), col("m.k").as("k"))
-        g = assigned.localCheckpoint()
+        val carr = cents.groupBy(col("sub"))
+          .agg(collect_list(struct(col("k"), col("cq"))).as("cents"))
+        g = base.join(broadcast(carr), Seq("sub"))
+          .withColumn("m", expr(
+            """array_min(transform(cents, ce -> named_struct(
+              |  'd2', aggregate(zip_with(xq, ce.cq, (a, b) -> (a - b) * (a - b)),
+              |          0L, (s, e) -> s + e),
+              |  'k', ce.k)))""".stripMargin))
+          .select(col("vec_id"), col("sub"), col("sv"), col("xq"),
+            col("m.k").as("k"))
       }
-      (base, g, cents.localCheckpoint())
+      (base, g.select(col("vec_id"), col("sub"), col("k")).localCheckpoint(),
+        cents.localCheckpoint())
     }
 
   /** Per-query ADC distance tables (qid, sub, k, d2) over the final
@@ -301,29 +313,40 @@ object Quantize {
         .select(col("vec_id"), col("cell"), col("sub"),
           expr(s"slice(rxq, sub * $PqSubDim + 1, $PqSubDim)").as("rq"))
         .localCheckpoint() // every residual-Lloyd round + encode scans it
-      // residual grid-Lloyd: vec_id mod 16 init, integer centroids
-      var g = rbase.select(col("vec_id"), col("sub"),
+      // residual grid-Lloyd: vec_id mod 16 init, integer centroids.
+      // r15 optimization (the gridLloyd/pqState rewrite, guide §2.3/
+      // §2.4): the code column rides the residual frame — each round's
+      // exchanges carry only centroid partials (the per-dim sums
+      // map-side-combine into ≤ m·PqK·subdim groups) and the argmin is
+      // a per-row fold over the broadcast codebook array. Bit-identical
+      // per-dim round(sq/n) centroids and (d2, k) argmin order, so
+      // codes and oracle hashes are unchanged.
+      var g = rbase.select(col("vec_id"), col("sub"), col("rq"),
         pmod(col("vec_id"), lit(PqK.toLong)).as("k"))
       var rcents: DataFrame = null
       for (i <- 1 to R) {
-        rcents = rbase.join(g, Seq("vec_id", "sub"))
+        // one checkpoint before the FINAL round (the gridLloyd note)
+        if (i == R) g = g.localCheckpoint()
+        rcents = g
           .select(col("sub"), col("k"), posexplode(col("rq")).as(Seq("dim", "q")))
           .groupBy(col("sub"), col("k"), col("dim"))
           .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
           .withColumn("c", round(col("sq") / col("n").cast("double"), 0).cast("long"))
           .groupBy(col("sub"), col("k"))
           .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("rcq"))
-        val assigned = rbase.select(col("vec_id"), col("sub"), col("rq"))
-          .join(broadcast(rcents), Seq("sub"))
-          .select(col("vec_id"), col("sub"), col("k"),
-            expr("aggregate(zip_with(rq, rcq, (a, b) -> (a - b) * (a - b)), 0L, (s, e) -> s + e)")
-              .as("d2"))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min(struct(col("d2"), col("k"))).as("m"))
-          .select(col("vec_id"), col("sub"), col("m.k").as("k"))
-        g = assigned.localCheckpoint()
+        val carr = rcents.groupBy(col("sub"))
+          .agg(collect_list(struct(col("k"), col("rcq"))).as("cents"))
+        g = rbase.join(broadcast(carr), Seq("sub"))
+          .withColumn("m", expr(
+            """array_min(transform(cents, ce -> named_struct(
+              |  'd2', aggregate(zip_with(rq, ce.rcq, (a, b) -> (a - b) * (a - b)),
+              |          0L, (s, e) -> s + e),
+              |  'k', ce.k)))""".stripMargin))
+          .select(col("vec_id"), col("sub"), col("rq"), col("m.k").as("k"))
       }
-      (vecs, cells, icents, g, rcents.localCheckpoint())
+      (vecs, cells, icents,
+        g.select(col("vec_id"), col("sub"), col("k")).localCheckpoint(),
+        rcents.localCheckpoint())
     }
 
   def annIvfPqResidualTopk(s: SparkSession, dir: String): DataFrame = {

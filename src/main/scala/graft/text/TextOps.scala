@@ -1201,15 +1201,6 @@ object TextOps {
 
   private val TopicPlanes = 5
 
-  /** (j, wb, comp): integer plane components for the hashed-word
-    * space, generated distributed from range(planes·2¹⁶) — id IS
-    * j·65536 + wb, the SplitMixComp input. */
-  private def topicPlaneTable(s: SparkSession): DataFrame =
-    s.range(TopicPlanes * 65536L).select(
-      expr("CAST(id DIV 65536 AS INT)").as("j"),
-      expr("id % 65536").as("wb"),
-      graft.functions.VectorFunctions.splitMixComp(col("id")).as("comp"))
-
   /** Exploded corpus words + the stopword-filtered keep set. */
   private def topicWords(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
@@ -1233,15 +1224,25 @@ object TextOps {
     * explode/stopword pass instead of re-running it inside the call. */
   private def topicAssignFrom(s: SparkSession, dir: String,
       keptWords: DataFrame): DataFrame = {
+    // r15 optimization (guide §2.3/§2.4): the plane component is a pure
+    // codegen'd function of (j, wb) — compute it INLINE as 5 aggregate
+    // columns of one (doc_id)-grouped pass instead of broadcasting the
+    // 5·2¹⁶-row plane table, joining it, and re-aggregating per (doc, j).
+    // Integer sums over the same summands in both shapes, so the sign
+    // pattern — and the oracle hash — is unchanged.
     val cnt = keptWords
       .withColumn("wb", wordBucket)
       .groupBy(col("doc_id"), col("wb")).agg(count(lit(1)).as("n"))
-    val sig = cnt.join(broadcast(topicPlaneTable(s)), "wb")
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("n") * col("comp")).as("sg"))
-    val topic = sig.groupBy(col("doc_id"))
-      .agg(expr("sum(IF(sg > 0, shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), " +
-        "CAST(0 AS BIGINT)))").as("topic"))
+    val sigCols = (0 until TopicPlanes).map { j =>
+      sum(col("n") * graft.functions.VectorFunctions
+        .splitMixComp(lit(j * 65536L) + col("wb"))).as(s"sg$j")
+    }
+    val topic = cnt.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until TopicPlanes).map(j =>
+          when(col(s"sg$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("topic"))
     Tables.documents(s, dir).select(col("doc_id"), col("source"))
       .join(topic, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),

@@ -50,25 +50,38 @@ object Vocab {
   /** One greedy non-overlapping merge of (lSym, rSym) over the dict's
     * symbol sequences — factored out so the spec can pin the
     * overlapping-run semantics ("aaaa" + (a,a) → ["aa","aa"]) on a
-    * crafted dict. */
+    * crafted dict.
+    *
+    * r15 optimization rewrite (guide §2.4 "remove shuffles outright" +
+    * §1.2 "per-task work"): the merge is a pure PER-ROW left-to-right
+    * fold over each word's symbol array — one codegen'd aggregate()
+    * projection with ZERO exchanges — replacing the posexplode → lead/
+    * sum/min/lag window passes → collect_list groupBy pipeline (2
+    * exchanges + per-word sorts PER MERGE ROUND; ×32 rounds in the
+    * deep trainer this was the entire plan of). Semantics are
+    * identical: a candidate position merges iff it is not consumed by
+    * the previous merge, which within a run of consecutive candidates
+    * is exactly the even-offset rule the window formulation computed
+    * (VocabSpec pins "aaaa" + (a,a) → ["aa","aa"]). Symbols come from
+    * the [a-z]+ word regex so the SQL string literals are quote-safe;
+    * asserted anyway. */
   private[graft] def mergeOnce(dict: DataFrame, lSym: String, rSym: String): DataFrame = {
-    val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val wRun = Window.partitionBy(col("w"), col("grp"))
-    dict.select(col("w"), col("wc"), posexplode(col("syms")).as(Seq("pos", "sym")))
-      .withColumn("cand", coalesce(
-        (col("sym") === lit(lSym)) &&
-          (lead(col("sym"), 1).over(wWord) === lit(rSym)), lit(false)))
-      .withColumn("rn_c", sum(col("cand").cast("int"))
-        .over(wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("grp", when(col("cand"), col("pos") - col("rn_c")))
-      .withColumn("off", when(col("cand"),
-        col("rn_c") - min(when(col("cand"), col("rn_c"))).over(wRun)))
-      .withColumn("kept", coalesce(col("cand") && (col("off") % 2 === 0), lit(false)))
-      .withColumn("prev_kept", coalesce(lag(col("kept"), 1).over(wWord), lit(false)))
-      .filter(!col("prev_kept"))
-      .withColumn("sym2", when(col("kept"), lit(lSym + rSym)).otherwise(col("sym")))
-      .groupBy(col("w"), col("wc"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, sym2))), x -> x.sym2)").as("syms"))
+    require(!(lSym + rSym).contains("'"),
+      s"mergeOnce symbols must be quote-free SQL literals: '$lSym','$rSym'")
+    dict.select(col("w"), col("wc"), expr(s"""
+      aggregate(
+        sequence(1, size(syms)),
+        named_struct('out', CAST(array() AS array<string>), 'skip', false),
+        (acc, i) -> CASE
+          WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+          WHEN i < size(syms) AND element_at(syms, i) = '$lSym'
+               AND element_at(syms, i + 1) = '$rSym'
+            THEN named_struct('out', array_append(acc.out, '${lSym + rSym}'),
+                   'skip', true)
+          ELSE named_struct('out', array_append(acc.out, element_at(syms, i)),
+                 'skip', false)
+        END,
+        acc -> acc.out)""").as("syms"))
   }
 
   /** The per-round argmax pair (count desc, lhs asc, rhs asc): a bounded
@@ -101,12 +114,12 @@ object Vocab {
   }
 
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    var dict = wordDict(s, dir).localCheckpoint() // 5 rounds re-scan it; truncate lineage between rounds (the harmony precedent)
+    var dict = wordDict(s, dir).localCheckpoint() // the merge chain re-scans it; merges themselves are narrow projections (no per-round checkpoint)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     (1 to BpeRounds).foreach { round =>
       val (lSym, rSym, cnt) = topPair(dict, round)
       out += ((round.toLong, lSym, rSym, lSym + rSym, cnt))
-      if (round < BpeRounds) dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
+      if (round < BpeRounds) dict = mergeOnce(dict, lSym, rSym)
     }
     import s.implicits._
     out.result().toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
@@ -186,7 +199,7 @@ object Vocab {
     var dict = wordDict(s, dir).localCheckpoint()
     (1 to BpeRounds).foreach { round =>
       val (lSym, rSym, _) = topPair(dict, round)
-      dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
+      dict = mergeOnce(dict, lSym, rSym)
     }
     val docw = Tables.documents(s, dir).select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
@@ -236,7 +249,7 @@ object Vocab {
     snap(0)
     (1 to BpeRounds).foreach { round =>
       val (lSym, rSym, _) = topPair(dict, round)
-      dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
+      dict = mergeOnce(dict, lSym, rSym)
       snap(round)
     }
     import s.implicits._
@@ -295,7 +308,14 @@ object Vocab {
       (1 to DeepBpeRounds).foreach { round =>
         val (lSym, rSym, cnt) = topPair(dict, round)
         out += ((round.toLong, lSym, rSym, lSym + rSym, cnt))
-        dict = mergeOnce(dict, lSym, rSym).localCheckpoint()
+        // mergeOnce is now a narrow per-row projection: no checkpoint
+        // needed per round for plan-size control. Checkpoint every 8th
+        // round only, to bound the fused re-execution window (round k's
+        // topPair job re-runs the ≤7 projections since the last
+        // checkpoint inside the same codegen stage — cheaper than 32
+        // materialize-to-blockstore jobs; measured in OPTIMIZATION_r15)
+        dict = mergeOnce(dict, lSym, rSym)
+        if (round % 8 == 0) dict = dict.localCheckpoint()
       }
       (out.result(), dict)
     }

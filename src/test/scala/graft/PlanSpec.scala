@@ -207,22 +207,21 @@ class PlanSpec extends SparkSpecBase {
       s"span removal must stay linear:\n${plan.take(3000)}")
   }
 
-  test("bpe merge windows partition by word — no global-order window") {
-    // every window in the merge step is per-word; a missing partitionBy
-    // would serialize the token stream through one task
-    val plan = text.Vocab.mergeOnce(
-      Tables.documents(spark, sf)
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-        .select(col("w"), col("wc"),
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms")),
-      "t", "h").queryExecution.sparkPlan.toString
-    val windows = plan.split("\n").filter(_.contains("Window"))
-    assert(windows.nonEmpty)
-    windows.filter(_.contains("windowspecdefinition")).foreach { w =>
-      assert(w.contains("w#") || w.contains("w "),
-        s"merge window must partition by the word column:\n$w")
-    }
+  test("bpe merge round is a narrow per-row projection — no window, no exchange") {
+    // r15 optimization pin: one merge round folds each word's symbol
+    // array in a single codegen'd projection. Any Window or Exchange
+    // reappearing here means the per-round shuffle crept back (×32 in
+    // the deep trainer). The input is a local relation so every plan
+    // node below belongs to the merge step itself.
+    import spark.implicits._
+    val dict = Seq(("the", 5L, Seq("t", "h", "e")))
+      .toDF("w", "wc", "syms")
+    val plan = text.Vocab.mergeOnce(dict, "t", "h")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"),
+      s"merge round must not window over the token stream:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"merge round must not shuffle:\n$plan")
   }
 
   test("no registry query hides an accidental quadratic join") {
