@@ -100,6 +100,12 @@ object Analytics {
   /** Counts-per-`scale` log1p normalization (reference.R:157-160). */
   def logNormalize(m: DataFrame, entity: Column, feature: Column, value: Column,
       scale: Double = 1e4): DataFrame = {
+    // r15 optimization note: a groupBy-totals + broadcast-join variant
+    // was measured SLOWER here (log_normalize 1.03 → 1.40 s,
+    // tf_activity_ulm 3.01 → 4.60 s at sf0.1): `m` is itself a lazy
+    // aggregation in every caller, and referencing it from both join
+    // sides re-executes it — the window reads the matrix once. Kept as
+    // the window form deliberately.
     val w = Window.partitionBy(entity)
     m.select(entity.as("entity"), feature.as("feature"),
       log1p(value / sum(value).over(w) * lit(scale)).as("lognorm"))

@@ -188,6 +188,11 @@ object Dedup {
     // texts with equal sets still meet in the rep-level join.
     val nrm = docsNorm(s, dir)
     val groups = nrm.groupBy(col("t")).agg(min(col("doc_id")).as("rep"))
+    // r15 note: checkpoint-removal was TRIED here (the kneser_ney
+    // ReuseExchange pattern) and measured 7.1 → 27.1 s — the prefix and
+    // index sides are DIFFERENT subplans over `docs`, so no canonical
+    // exchange is shared and the whole dict build re-executes per
+    // consumer. The eager checkpoints stay.
     val members = nrm.join(groups, "t")
       .select(col("rep"), col("doc_id")).localCheckpoint()
     val sh = groups
@@ -1160,7 +1165,6 @@ object Dedup {
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.api.Similarity.nearDupPairsLsh(Tables.documents(s, dir),
         col("doc_id"), col("text"), threshold = 0.5)
-      .localCheckpoint()
     // r15 optimization (guide §2.4): the five thresholds re-aggregate
     // the ONE checkpointed pair list in two grouped passes (pair stats,
     // distinct-doc counts) instead of 5×(2 aggregations + crossJoin) —

@@ -1232,13 +1232,21 @@ object Ann {
     val scored = vecs.join(broadcast(qs), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cs", cosCol)
-    // the candidate and pair-sim frames are bounded (|queries|·25 and
-    // |queries|·25² rows) and feed all five selection rounds — pin them
-    // once, or the unrolled DAG re-executes the LSH scoring 2^4 times
-    // (each round references the previous twice: union + penalty join)
+    // r15 optimization (the unigram-DP precedent, guide §2.4): MMR only
+    // ever touches ≤25 candidates and their ≤25² pair sims PER QUERY —
+    // gather both into one array row per query and run ALL five
+    // selection rounds as a single codegen'd fold. The old shape ran
+    // 4 unrolled rounds of (penalty join + anti join + argmax groupBy +
+    // localCheckpoint) — ~16 exchanges and 5 materializations of
+    // |queries|-scale frames. Identical selection: 6dp-rounded rel/sim
+    // enter the fold unchanged, the per-round key is the same
+    // min-struct (−mmr, id) total order, and a query whose candidate
+    // pool runs dry stops early exactly as the empty-argmax rounds did.
     val cand = topk(scored, 25)
       .select(col("qid"), col("neighbor_id").as("id"), col("cos_sim").as("rel"))
-      .localCheckpoint()
+      // no checkpoint: both consumers (pair build, per-query fold) hang
+      // off topk's canonical groupBy(qid) exchange — ReuseExchange
+      // replays it from shuffle files within the one action
     val cv = cand.join(vecs.select(col("vec_id").as("id"), col("v"), col("nrm")), "id")
     val pairs = cv.select(col("qid"), col("id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
       .join(cv.select(col("qid"), col("id").as("d2"), col("v").as("v2"), col("nrm").as("n2")),
@@ -1246,28 +1254,40 @@ object Ann {
       .filter(col("d1") =!= col("d2"))
       .select(col("qid"), col("d1"), col("d2"),
         r(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
-      .localCheckpoint()
-    def argmax(df: DataFrame, key: Column, pos: Int): DataFrame =
-      df.groupBy(col("qid"))
-        .agg(min(struct((-key).as("nk"), col("id").as("id"), col("rel").as("rel"),
-          key.as("k"))).as("p"))
-        .select(col("qid"), col("p.id").as("id"), col("p.rel").as("rel"),
-          col("p.k").as("mmr"), lit(pos.toLong).as("pos"))
-    var selected = argmax(cand, col("rel"), 1)
-    for (t <- 2 to 5) {
-      val ms = pairs.join(selected.select(col("qid"), col("id").as("d2")), Seq("qid", "d2"))
-        .groupBy(col("qid"), col("d1")).agg(max(col("sim")).as("ms"))
-      val remaining = cand.join(selected.select(col("qid"), col("id")),
-        Seq("qid", "id"), "left_anti")
-      val scoredT = remaining
-        .join(ms.select(col("qid"), col("d1").as("id"), col("ms")), Seq("qid", "id"), "left")
-        .withColumn("mmr", round(lit(lam) * col("rel")
-          - lit(1 - lam) * coalesce(col("ms"), lit(0.0)), 6))
-      selected = selected.unionByName(argmax(scoredT, col("mmr"), t))
-        .localCheckpoint() // |queries|·t rows; keeps round DAGs flat
-    }
-    selected.select(col("qid"), col("pos"), col("id").as("vec_id"),
-      col("rel").as("relevance"), col("mmr").as("mmr_score"))
+    val candArr = cand.groupBy(col("qid"))
+      .agg(collect_list(struct(col("id"), col("rel"))).as("cands"))
+    val simArr = pairs.groupBy(col("qid"))
+      .agg(collect_list(struct(col("d1"), col("d2"), col("sim"))).as("sims"))
+    val selExpr = expr(s"""
+      aggregate(
+        sequence(1, 5),
+        CAST(array() AS array<struct<id: BIGINT, rel: DOUBLE, mmr: DOUBLE, pos: BIGINT>>),
+        (sel, t) -> CASE
+          WHEN size(filter(cands, c -> NOT exists(sel, s0 -> s0.id = c.id))) = 0
+            THEN sel
+          ELSE array_append(sel, aggregate(
+            ARRAY(array_min(transform(
+              filter(cands, c -> NOT exists(sel, s0 -> s0.id = c.id)),
+              c -> named_struct(
+                'nk', -(CASE WHEN size(sel) = 0 THEN c.rel
+                        ELSE round($lam * c.rel - ${1 - lam} * coalesce(
+                          array_max(transform(
+                            filter(sims, p -> p.d1 = c.id
+                              AND exists(sel, s0 -> s0.id = p.d2)),
+                            p -> p.sim)),
+                          0D), 6) END),
+                'id', c.id, 'rel', c.rel)))),
+            CAST(NULL AS struct<id: BIGINT, rel: DOUBLE, mmr: DOUBLE, pos: BIGINT>),
+            (z, pk) -> named_struct('id', pk.id, 'rel', pk.rel,
+              'mmr', -pk.nk, 'pos', CAST(t AS BIGINT))))
+        END,
+        sel -> sel)""")
+    candArr.join(simArr, Seq("qid"), "left")
+      .withColumn("sims", coalesce(col("sims"),
+        expr("CAST(array() AS array<struct<d1: BIGINT, d2: BIGINT, sim: DOUBLE>>)")))
+      .withColumn("s", explode(selExpr))
+      .select(col("qid"), col("s.pos").as("pos"), col("s.id").as("vec_id"),
+        col("s.rel").as("relevance"), col("s.mmr").as("mmr_score"))
   }
 
   private val mmrDiversifiedTopkSql = {

@@ -52,27 +52,47 @@ object Classify {
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
     val buckets = words.select(col("w")).distinct()
       .withColumn("b", wordBucket)
-    val feats = words.join(buckets, "w")
+    // r15 optimization (the gridLloyd rewrite, guide §2.3/§2.4): the
+    // old shape re-shuffled the feature rows TWICE per round (margin
+    // groupBy(doc_id) + the feats⋈margins join for the update). The
+    // per-doc feature vector is now ONE array row built once; each
+    // round's margin is a per-row integer fold over the broadcast
+    // 65-slot weight array and the update aggregates misclassified
+    // docs' exploded features straight to the 65-key weight partials —
+    // the only per-round exchange. Integer x·w sums are order-free, so
+    // margins, weights, and the oracle hashes are unchanged.
+    val featRows = words.join(buckets, "w")
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
       .unionByName(docs.select(col("doc_id"),
         lit(NumBuckets.toLong).as("b"), lit(1L).as("x"))) // bias feature
-      .localCheckpoint() // scanned by every round's margin + update pass
     val lab = docs.select(col("doc_id"),
-      when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"))
-    var w = s.range(NumBuckets + 1).select(col("id").as("b"), lit(0L).as("wv"))
-    for (t <- 1 to Rounds) {
-      val m = feats.join(broadcast(w), "b")
-        .groupBy(col("doc_id")).agg(sum(col("x") * col("wv")).as("mg"))
-      val upd = feats.join(lab, "doc_id").join(m, "doc_id")
-        .filter(col("y") * col("mg") <= 0 && trainCond)
-        .groupBy(col("b")).agg(sum(col("y") * col("x")).as("dw"))
-      w = w.join(upd, Seq("b"), "left")
-        .select(col("b"), (col("wv") + coalesce(col("dw"), lit(0L))).as("wv"))
-      if (t < Rounds) w = w.localCheckpoint()
+      when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"),
+      trainCond.as("__tr"))
+    val docFeats = featRows.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("b"), col("x"))).as("fs"))
+      .join(lab, "doc_id")
+      .localCheckpoint() // scanned by every round's margin + update pass
+    // the weight vector is DRIVER-BOUNDED state (65 slots; the bucket
+    // count is the declared capacity lever — the annotate_corr
+    // centroid-panel contract): each round is ONE job — margins fold
+    // per row against the literal weight array, misclassified docs'
+    // features aggregate straight to the ≤65 (b, dw) partials, which
+    // collect back into the panel. Integer sums, order-free.
+    def mgCol(warr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(col("fs"), lit(0L),
+        (acc, f) => acc + f.getField("x") *
+          element_at(warr, f.getField("b").cast("int") + 1))
+    val w = Array.fill(NumBuckets + 1)(0L)
+    for (_ <- 1 to Rounds) {
+      val upd = docFeats.withColumn("mg", mgCol(typedLit(w.toSeq)))
+        .filter(col("y") * col("mg") <= 0 && col("__tr"))
+        .select(col("y"), explode(col("fs")).as("f"))
+        .groupBy(col("f.b").as("b")).agg(sum(col("y") * col("f.x")).as("dw"))
+        .collect() // ≤ NumBuckets+1 rows — the bounded panel
+      upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
     }
-    val mf = feats.join(broadcast(w), "b")
-      .groupBy(col("doc_id")).agg(sum(col("x") * col("wv")).as("margin"))
-    lab.join(mf, "doc_id")
+    docFeats.withColumn("margin", mgCol(typedLit(w.toSeq)))
+      .select(col("doc_id"), col("y"), col("margin"))
   }
 
   def perceptronQuality(s: SparkSession, dir: String): DataFrame =
@@ -544,8 +564,15 @@ object Classify {
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("dc"))
+    // r15 optimization: NO checkpoint here — c12's four consumers (left
+    // stats, right stats, NB, the score join) hang off ONE canonical
+    // (w1, w2) exchange that ReuseExchange replays from shuffle files,
+    // and the same reuse serves perDoc's exchange to both the c12 build
+    // and the probe side (the word_lm_score shape). The old eager
+    // checkpoint ran in its own action, so the pairs explode + perDoc
+    // aggregation executed TWICE per query (measured: 3.39 → 1.86 s
+    // at sf0.1).
     val c12 = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("dc")).as("c12"))
-      .localCheckpoint() // feeds left stats, right stats, NB, the score join
     // per-w1: total count c1 AND distinct-successor count N1+(w1·) in
     // one pass over the bigram-type table
     val left = c12.groupBy(col("w1"))

@@ -442,6 +442,11 @@ class PlanSpec extends SparkSpecBase {
       // crosses five 1-row aggregates of the checkpointed pair list
       "unigram_lm_train", "unigram_lm_encode", "diff_in_diff",
       "chrf_proxy", "dedup_threshold_sweep",
+      // r15: the perceptron's margin pass attaches the 1-row 65-slot
+      // weight ARRAY per round (the cuped scalar-attach shape, bounded
+      // by the bucket-count capacity lever) — the per-round doc-keyed
+      // feature shuffles it replaced were the scale cost
+      "perceptron_quality", "classifier_eval",
       // tokenizer_compare joins the two memoized encode outputs and
       // inherits the unigram scalar-attach scaffolds
       "tokenizer_compare")
