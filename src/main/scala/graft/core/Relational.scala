@@ -628,8 +628,12 @@ object Relational {
   // shuffles on the (p1, p2) key. Min support 3, global top-100 by
   // (lift desc, p1, p2) via TakeOrdered (the pmi_bigrams device).
   def basketLift(s: SparkSession, dir: String): DataFrame = {
+    // r15: checkpoint the distinct once — the nOrders scalar runs in its
+    // own action and previously re-executed the full distinct; the main
+    // plan reads the same materialized table for supp + both pair sides
     val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint()
     val nOrders = items.select(col("ok")).distinct().count() // bounded driver scalar
     val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n1"))
     val pairs = items.as("x")

@@ -707,17 +707,18 @@ object Scores {
   // proportion fp accumulates. Winner construction mirrors
   // annotation_combine (bounded per-entity label windows).
   def cohensKappa(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w1 = Window.partitionBy(col("entity")).orderBy(col("v1").desc, col("label").asc)
-    val w2 = Window.partitionBy(col("entity")).orderBy(col("v2").desc, col("label").asc)
+    // r15 optimization (guide §2.4): both winner picks are pure
+    // argmaxes — min(struct(−v, label)) reproduces the (v desc, label
+    // asc) rank-1 row with map-side partial aggregation instead of the
+    // two window sorts over the per-(entity, label) table. Same total
+    // order, same winners, same hashes.
     val winners = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
       .agg(sum(col("l_extendedprice")).as("v1"), sum(col("l_quantity")).as("v2"))
-      .withColumn("rk1", row_number().over(w1))
-      .withColumn("rk2", row_number().over(w2))
       .groupBy(col("entity"))
-      .agg(max(when(col("rk1") === 1, col("label"))).as("m1"),
-        max(when(col("rk2") === 1, col("label"))).as("m2"))
+      .agg(min(struct((-col("v1")).as("nv"), col("label").as("l"))).as("a1"),
+        min(struct((-col("v2")).as("nv"), col("label").as("l"))).as("a2"))
+      .select(col("entity"), col("a1.l").as("m1"), col("a2.l").as("m2"))
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey").as("entity"), col("o_orderpriority").as("prio")), "entity")
     val n = winners.groupBy(col("prio")).agg(count(lit(1)).as("n"),

@@ -965,11 +965,12 @@ object Sessions {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"), col("ts_ns"),
         expr("ts_ns div 3600000000000").as("h"))
-    val wIn = Window.partitionBy(col("user_id"), col("h"))
-      .orderBy(col("ts_ns").desc, col("event_id").desc)
-    val lastInHour = ev.withColumn("rk", row_number().over(wIn))
-      .filter(col("rk") === 1)
-      .select(col("user_id"), col("h"), col("value").as("v"))
+    // r15: last-in-hour is a pure argmax — max(struct(ts_ns, event_id,
+    // value)) reproduces the (ts desc, event_id desc) rank-1 row with
+    // map-side partial aggregation instead of a window sort
+    val lastInHour = ev.groupBy(col("user_id"), col("h"))
+      .agg(max(struct(col("ts_ns"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("h"), col("m.value").as("v"))
     val span = ev.groupBy(col("user_id"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val grid = span.select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
@@ -1017,11 +1018,12 @@ object Sessions {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"), col("ts_ns"),
         expr("ts_ns div 3600000000000").as("h"))
-    val wIn = Window.partitionBy(col("user_id"), col("h"))
-      .orderBy(col("ts_ns").desc, col("event_id").desc)
-    val lastInHour = ev.withColumn("rk", row_number().over(wIn))
-      .filter(col("rk") === 1)
-      .select(col("user_id"), col("h"), col("value").as("v"))
+    // r15: last-in-hour is a pure argmax — max(struct(ts_ns, event_id,
+    // value)) reproduces the (ts desc, event_id desc) rank-1 row with
+    // map-side partial aggregation instead of a window sort
+    val lastInHour = ev.groupBy(col("user_id"), col("h"))
+      .agg(max(struct(col("ts_ns"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("h"), col("m.value").as("v"))
     val span = ev.groupBy(col("user_id"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val grid = span.select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))

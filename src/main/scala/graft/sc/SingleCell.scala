@@ -120,16 +120,17 @@ object SingleCell {
   // share the entity partitioning, so Catalyst reuses one exchange
   // (was: two scans, two shuffles, one join).
   def annotationCombine(s: SparkSession, dir: String): DataFrame = {
-    val w1 = Window.partitionBy(col("entity")).orderBy(col("v1").desc, col("label").asc)
-    val w2 = Window.partitionBy(col("entity")).orderBy(col("v2").desc, col("label").asc)
+    // r15 optimization (guide §2.4): the two winner picks are pure
+    // argmaxes — min(struct(−v, label)) reproduces the (v desc, label
+    // asc) rank-1 row with map-side partial aggregation instead of two
+    // window sorts (the cohens_kappa rewrite). Same total order.
     val winners = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("entity"), col("l_returnflag").as("label"))
       .agg(sum(col("l_extendedprice")).as("v1"), sum(col("l_quantity")).as("v2"))
-      .withColumn("rk1", row_number().over(w1))
-      .withColumn("rk2", row_number().over(w2))
       .groupBy(col("entity"))
-      .agg(max(when(col("rk1") === 1, col("label"))).as("label_m1"),
-        max(when(col("rk2") === 1, col("label"))).as("label_m2"))
+      .agg(min(struct((-col("v1")).as("nv"), col("label").as("l"))).as("a1"),
+        min(struct((-col("v2")).as("nv"), col("label").as("l"))).as("a2"))
+      .select(col("entity"), col("a1.l").as("label_m1"), col("a2.l").as("label_m2"))
     winners.withColumn("final_label",
       when(col("label_m1") === col("label_m2"), col("label_m1")).otherwise(lit("Ambiguous")))
   }

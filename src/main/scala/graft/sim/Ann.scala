@@ -772,12 +772,16 @@ object Ann {
     for (_ <- 1 to 3) {
       val votes = edges.join(lab.withColumnRenamed("vec_id", "src"), "src")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)
       // seeds are exactly vec_id%10=0, so the seed exclusion is a
-      // filter, not an anti join
-      val prop = votes.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1 && pmod(col("dst"), lit(10)) =!= 0)
-        .select(col("dst").as("vec_id"), col("label"))
+      // filter, not an anti join. r15: the vote argmax is
+      // min(struct(−c, label)) — the same (c desc, label asc) total
+      // order the rank window computed, as a map-side partial aggregate
+      // instead of a per-round window sort.
+      val prop = votes
+        .filter(pmod(col("dst"), lit(10)) =!= 0)
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("vec_id"), col("m.l").as("label"))
       lab = seeds.unionAll(prop)
     }
     emb.select(col("vec_id"), col("label").as("true_label"))
